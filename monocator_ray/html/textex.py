@@ -1,0 +1,164 @@
+"""Fused single-pass HTML extractor (SURVEY.md §2 M4-M7): jsoup-equivalent
+visible text, out-links, title, meta description, link counts — one parse.
+
+TEXT EXTRACTION CONTRACT (the SPEC byte-identity invariant; BASELINE.json
+input_hint).  The reference used jsoup's ``Element.text()`` (reference is a
+stub — see SURVEY.md §0 — so the contract is pinned by the spec oracle at
+tests/oracle/jsoup_text.py and the committed golden files, generated once and
+hand-reviewed).  Rules, exactly:
+
+  1. Bytes are decoded by ``sniff_decode``: UTF-8/16 BOM, else <meta charset>
+     within the first 1024 bytes, else UTF-8; undecodable bytes -> U+FFFD.
+  2. Whitespace = {space, \\t, \\n, \\r, \\f, NBSP(\\xa0)} (jsoup's
+     isActuallyWhitespace set).  Runs collapse to a single ASCII space; a
+     space is never emitted at the start of the accumulator or after an
+     existing space.
+  3. Content of <script> <style> <template> <noscript> and the whole <head>
+     subtree is excluded (jsoup excludes DataNodes and comments; excluding
+     head/noscript is our documented normalization of "visible text").
+  4. Entering or leaving a block-level element, or hitting <br>, inserts one
+     space if the accumulator is non-empty and does not already end in space
+     (jsoup's appendSpaceIfNeeded on block boundaries).
+  5. Result is stripped of leading/trailing spaces.
+
+HTML entities are decoded (html.parser convert_charrefs); &nbsp; therefore
+becomes whitespace per rule 2.  Comments never reach the accumulator.
+
+This file is the ENGINE implementation (optimized streaming pass, regex
+whitespace collapse).  The oracle at tests/oracle/jsoup_text.py implements
+the same contract as a naive character loop and is never imported here.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Rule 4: jsoup block-level tags (Tag registry isBlock) + structural extras.
+BLOCK_TAGS = frozenset(
+    """html body frameset noframes section nav aside hgroup header footer p
+    h1 h2 h3 h4 h5 h6 ul ol pre div blockquote hr address figure figcaption
+    form fieldset ins del dl dt dd li table caption thead tfoot tbody colgroup
+    col tr th td video audio canvas details menu article main center dir
+    summary plaintext listing marquee applet svg math title meta link
+    """.split()
+)
+
+# Rule 3: subtrees whose character data is never visible text.
+SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "head"})
+
+_WS_RUN = re.compile(r"[ \t\n\r\f\xa0]+")
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.IGNORECASE
+)
+
+
+def sniff_decode(html: bytes) -> str:
+    """Contract rule 1: BOM > meta charset (first 1024 bytes) > UTF-8."""
+    if html.startswith(b"\xef\xbb\xbf"):
+        return html[3:].decode("utf-8", errors="replace")
+    if html.startswith(b"\xff\xfe"):
+        return html.decode("utf-16-le", errors="replace").lstrip("﻿")
+    if html.startswith(b"\xfe\xff"):
+        return html.decode("utf-16-be", errors="replace").lstrip("﻿")
+    m = _META_CHARSET.search(html[:1024])
+    if m:
+        enc = m.group(1).decode("ascii", errors="replace")
+        try:
+            return html.decode(enc, errors="replace")
+        except (LookupError, ValueError):
+            pass
+    return html.decode("utf-8", errors="replace")
+
+
+@dataclass
+class PageExtract:
+    text: str = ""
+    title: str = ""
+    meta_description: str = ""
+    base_href: str = ""
+    links: list = field(default_factory=list)  # raw href strings, document order
+
+
+class _Extractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self._acc: list[str] = []
+        self._last_space = True  # treat empty accumulator as "ends with space"
+        self._skip = 0
+        self._in_title = False
+        self._title: list[str] = []
+        self.out = PageExtract()
+
+    # -- text accumulation (contract rules 2 & 4) --
+    def _block_boundary(self) -> None:
+        if not self._last_space:
+            self._acc.append(" ")
+            self._last_space = True
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in SKIP_TAGS:
+            self._skip += 1
+        if tag == "title":
+            self._in_title = True
+        elif tag == "a" or tag == "area":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.out.links.append(v)
+                    break
+        elif tag == "meta":
+            a = dict(attrs)
+            if (a.get("name") or "").lower() == "description":
+                self.out.meta_description = a.get("content") or ""
+        elif tag == "base" and not self.out.base_href:
+            self.out.base_href = dict(attrs).get("href") or ""
+        if tag in BLOCK_TAGS or tag == "br":
+            self._block_boundary()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag in SKIP_TAGS:
+            self._skip -= 1
+        if tag == "title":
+            self._in_title = False
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in SKIP_TAGS and self._skip > 0:
+            self._skip -= 1
+        if tag == "title":
+            self._in_title = False
+        if tag in BLOCK_TAGS:
+            self._block_boundary()
+
+    def handle_data(self, data: str) -> None:
+        if self._in_title:
+            self._title.append(data)
+        if self._skip:
+            return
+        norm = _WS_RUN.sub(" ", data)
+        if not norm:
+            return
+        if norm[0] == " " and self._last_space:
+            norm = norm[1:]
+            if not norm:
+                return
+        self._acc.append(norm)
+        self._last_space = norm[-1] == " "
+
+    def finish(self) -> PageExtract:
+        self.out.text = "".join(self._acc).strip(" ")
+        self.out.title = _WS_RUN.sub(" ", "".join(self._title)).strip(" ")
+        return self.out
+
+
+def extract_page(html: bytes | str) -> PageExtract:
+    """Parse one page; returns text/title/meta/links in a single pass."""
+    doc = sniff_decode(html) if isinstance(html, (bytes, bytearray)) else html
+    p = _Extractor()
+    try:
+        p.feed(doc)
+        p.close()
+    except Exception:
+        pass  # salvage whatever was accumulated from malformed input
+    return p.finish()

@@ -1,0 +1,222 @@
+"""S6 — deterministic synthetic Common-Crawl-style page table (SURVEY.md §2.1).
+
+No external data exists in the sandbox, so "the web" is a seeded, generated
+Parquet table in the exact SPEC shape (url, warc_ts, html, text, lang).  The
+generated HTML embeds a deterministic link graph (relative/absolute/
+dot-segment/fragment/off-site/mailto links), script/style blocks, whitespace
+runs, NBSP entities, titles, meta descriptions and occasional VAT strings —
+so the same table exercises extraction (M4-M8), canonicalization (M1) and the
+crawl frontier end to end.
+
+Determinism: every random-looking quantity derives from
+``hash_str64(f"{seed}:{page_index}:{field}")`` — independent of generation
+order, batch size and parallelism.  Hosts follow a Zipf(s) size distribution
+so hot-host handling is exercised (FIXTURES.md F1).
+
+Layout: Parquet partitioned by ``bucket = host_hash % num_buckets`` (one
+directory per bucket) — the synthetic-fetch stage (J2) loads only the buckets
+its frontier partition touches, which is the sandbox analog of per-host HTTP.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from monocator_ray.hashing import hash_host64, hash_str64
+from monocator_ray.schemas import PAGES
+
+BASE_TS_US = 1767312000_000000  # 2026-01-02T00:00:00Z in microseconds
+LANGS = ("en", "nl", "fr")
+
+
+def host_name(h: int) -> str:
+    return f"host{h}.example"
+
+
+def page_url(h: int, k: int) -> str:
+    return f"http://host{h}.example/p{k}"
+
+
+def zipf_host_sizes(num_hosts: int, total_pages: int, s: float = 1.2) -> np.ndarray:
+    """Pages per host ~ Zipf(s), each host >= 1 page, sum == total_pages."""
+    ranks = np.arange(1, num_hosts + 1, dtype=np.float64)
+    w = ranks ** (-s)
+    sizes = np.maximum(1, np.floor(w / w.sum() * total_pages)).astype(np.int64)
+    # distribute the rounding remainder to the largest hosts, deterministically
+    diff = total_pages - int(sizes.sum())
+    i = 0
+    while diff != 0:
+        step = 1 if diff > 0 else -1
+        if sizes[i % num_hosts] + step >= 1:
+            sizes[i % num_hosts] += step
+            diff -= step
+        i += 1
+    return sizes
+
+
+def _vat_checksum(first8: int) -> int:
+    return 97 - (first8 % 97)
+
+
+def make_vat(seed_num: int, valid: bool = True) -> str:
+    """Belgian-format VAT 'BE 0xxx.xxx.xcc' with mod-97 checksum (M8).
+
+    Mirrors the reference's VatScraper cases (/root/reference/src/
+    mock-servers.MD:14-20): valid, wrongCheckSum, wrongFormat are all
+    generatable from here.
+    """
+    first8 = 10000000 + (seed_num % 89999999)
+    chk = _vat_checksum(first8)
+    if not valid:
+        chk = (chk + 1) % 100
+    digits = f"0{first8:08d}{chk:02d}"
+    return f"BE {digits[:4]}.{digits[4:7]}.{digits[7:]}"
+
+
+def _rand_u64(seed: int, idx: np.ndarray, field: str) -> np.ndarray:
+    return hash_str64([f"{seed}:{int(i)}:{field}" for i in idx])
+
+
+def build_pages_batch(
+    page_idx: np.ndarray,
+    host_of_page: np.ndarray,
+    page_in_host: np.ndarray,
+    host_sizes: np.ndarray,
+    num_hosts: int,
+    seed: int,
+    links_per_page: int = 6,
+) -> pa.Table:
+    """Generate PAGES rows for the given global page indices (vector in,
+    per-row HTML assembly — generation only, not a crawl hot path)."""
+    n = len(page_idx)
+    r_link = _rand_u64(seed, page_idx, "link")
+    r_vat = _rand_u64(seed, page_idx, "vat")
+    urls, htmls, langs = [], [], []
+    ts = (BASE_TS_US + page_idx.astype(np.int64) * 1_000_000).astype("datetime64[us]")
+    for j in range(n):
+        h = int(host_of_page[j])
+        k = int(page_in_host[j])
+        ph = int(host_sizes[h])
+        url = page_url(h, k)
+        parts = [
+            "<!DOCTYPE html><html><head>",
+            f"<meta charset=\"utf-8\"><title>Page {k} of {host_name(h)}</title>",
+            f"<meta name=\"description\" content=\"Synthetic page {k} host {h}\">",
+            "<style>body { color: black; }</style>",
+            "</head><body>",
+            f"<h1>Host {h} — page {k}</h1>",
+            "<script>var x = '<a href=\"/not-a-link\">';</script>",
+            "<!-- comment text never visible -->",
+            f"<p>Lorem   ipsum\tdolor&nbsp;&nbsp;sit amet, page {k} of {ph}.</p>",
+        ]
+        # deterministic link mix
+        rl = int(r_link[j])
+        targets = []
+        if ph > 1:
+            targets.append(f"p{(k + 1) % ph}")                      # relative
+            targets.append(f"./p{(k + 2) % ph}")                     # dot-relative
+            targets.append(f"/p{(rl % ph)}")                         # absolute path
+            targets.append(page_url(h, (rl >> 8) % ph))              # absolute URL
+        # cross-host link (off-site)
+        h2 = (rl >> 16) % num_hosts
+        targets.append(page_url(h2, (rl >> 24) % max(1, int(host_sizes[h2]))))
+        targets.append("#fragment-only")                             # dropped by M6
+        targets.append("mailto:info@example.com")                    # dropped by M6
+        for t_i, t in enumerate(targets[: links_per_page + 2]):
+            parts.append(f"<p>see <a href=\"{t}\">link {t_i}</a>\n   here</p>")
+        # VAT strings on a deterministic subset of pages (M8 test surface)
+        if h % 7 == 3 and k == h % 3:
+            parts.append(f"<div>VAT: {make_vat(int(r_vat[j]))}</div>")
+        elif h % 7 == 5 and k == 0:
+            parts.append(f"<div>VAT: {make_vat(int(r_vat[j]), valid=False)}</div>")
+        parts.append(f"<p>Tail content {rl & 0xFFFF}.</p></body></html>")
+        urls.append(url)
+        htmls.append("".join(parts).encode("utf-8"))
+        langs.append(LANGS[h % 3])
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+            pa.array(htmls, pa.binary()),
+            pa.array([""] * n, pa.string()),  # text filled by the engine
+            pa.array(langs, pa.string()),
+        ],
+        schema=PAGES,
+    )
+
+
+class SynthSpec:
+    """Precomputed host layout for a (total_pages, num_hosts, seed) config."""
+
+    def __init__(self, total_pages: int, num_hosts: int, seed: int = 42, links_per_page: int = 6):
+        self.total_pages = total_pages
+        self.num_hosts = num_hosts
+        self.seed = seed
+        self.links_per_page = links_per_page
+        self.host_sizes = zipf_host_sizes(num_hosts, total_pages)
+        self.host_start = np.concatenate([[0], np.cumsum(self.host_sizes)])
+
+    def locate(self, page_idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """global index -> (host id, page-in-host)."""
+        host = np.searchsorted(self.host_start, page_idx, side="right") - 1
+        return host, page_idx - self.host_start[host]
+
+    def batch(self, page_idx: np.ndarray) -> pa.Table:
+        host, k = self.locate(np.asarray(page_idx, dtype=np.int64))
+        return build_pages_batch(
+            np.asarray(page_idx), host, k, self.host_sizes,
+            self.num_hosts, self.seed, self.links_per_page,
+        )
+
+    def seeds(self, n: int | None = None) -> list[str]:
+        """Crawl seed list: root page of the first n hosts."""
+        n = self.num_hosts if n is None else min(n, self.num_hosts)
+        return [page_url(h, 0) for h in range(n)]
+
+
+def write_synth_pages(
+    out_dir: str,
+    total_pages: int,
+    num_hosts: int,
+    num_buckets: int = 16,
+    seed: int = 42,
+    use_ray: bool | None = None,
+) -> str:
+    """Materialize the synthetic web under out_dir/bucket=N/part-*.parquet.
+
+    Bucket = hash(host) % num_buckets, so every URL of a host lives in one
+    bucket file set — the synthetic-fetch actors (J2) memory-map per bucket.
+    Large scales generate distributed via ray.data.range -> map_batches.
+    """
+    spec = SynthSpec(total_pages, num_hosts, seed)
+    os.makedirs(out_dir, exist_ok=True)
+    if use_ray is None:
+        use_ray = total_pages > 200_000
+
+    def bucket_of(urls: pa.Array) -> np.ndarray:
+        hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls.to_pylist()]
+        return (hash_host64(hosts) % np.uint64(num_buckets)).astype(np.int32)
+
+    if not use_ray:
+        tbl = spec.batch(np.arange(total_pages, dtype=np.int64))
+        buckets = bucket_of(tbl["url"].combine_chunks())
+        for b in range(num_buckets):
+            sub = tbl.filter(pa.array(buckets == b))
+            d = os.path.join(out_dir, f"bucket={b}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub, os.path.join(d, "part-0.parquet"))
+    else:
+        import ray.data as rd
+
+        def gen(batch: pa.Table) -> pa.Table:
+            idx = batch["id"].to_numpy()
+            t = spec.batch(idx)
+            return t.append_column("bucket", pa.array(bucket_of(t["url"].combine_chunks())))
+
+        ds = rd.range(total_pages).map_batches(gen, batch_format="pyarrow", batch_size=8192)
+        ds.write_parquet(out_dir, partition_cols=["bucket"])
+    return out_dir

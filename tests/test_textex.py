@@ -1,0 +1,98 @@
+"""Golden-file byte-identity tests for the text extractor (SPEC invariant)
+plus engine-vs-oracle agreement on generated HTML (SURVEY.md §5.2)."""
+
+import pathlib
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from monocator_ray.html.textex import extract_page, sniff_decode
+from tests.oracle.jsoup_text import jsoup_text
+
+HERE = pathlib.Path(__file__).parent
+HTML_DIR = HERE / "fixtures" / "html"
+GOLD_DIR = HERE / "fixtures" / "golden"
+
+
+def test_golden_corpus_byte_identity():
+    cases = sorted(HTML_DIR.glob("*.html"))
+    assert len(cases) >= 10
+    for f in cases:
+        golden = (GOLD_DIR / (f.stem + ".txt")).read_bytes()
+        got = extract_page(f.read_bytes()).text.encode("utf-8")
+        assert got == golden, f"byte mismatch for {f.name}"
+
+
+def test_links_title_meta_extraction():
+    ex = extract_page((HTML_DIR / "base_href_relative.html").read_bytes())
+    assert ex.base_href == "http://example.com/sub/dir/"
+    assert ex.links == [
+        "page.html",
+        "../up.html",
+        "/root.html",
+        "//other.example/x",
+        "https://full.example/y",
+    ]
+    ex2 = extract_page((HTML_DIR / "empty_body.html").read_bytes())
+    assert ex2.title == "only title"
+    assert ex2.text == ""
+
+
+def test_charset_sniffing():
+    assert sniff_decode("abc".encode("utf-8")) == "abc"
+    assert "café" in sniff_decode(
+        b'<meta charset="iso-8859-1"><p>caf\xe9</p>'
+    )
+    body = "<p>hi</p>".encode("utf-16-le")
+    assert "hi" in sniff_decode(b"\xff\xfe" + body)
+    # undecodable bytes -> U+FFFD, never an exception
+    assert "�" in sniff_decode(b"<p>\xff\xfe\xfa bad</p>"[2:] + b"\xff")
+
+
+# -- generated-HTML agreement: two independent implementations of the
+#    written contract must agree on arbitrary tag soup --
+
+_tag = st.sampled_from(
+    ["p", "div", "span", "b", "i", "li", "ul", "br", "script", "style",
+     "td", "tr", "table", "h1", "a", "em", "noscript", "section"]
+)
+_text = st.text(
+    alphabet=st.characters(blacklist_characters="<>&", blacklist_categories=("Cs",)),
+    max_size=30,
+)
+
+
+@st.composite
+def html_soup(draw):
+    n = draw(st.integers(1, 30))
+    parts = ["<html><body>"]
+    open_tags = []
+    for _ in range(n):
+        kind = draw(st.integers(0, 3))
+        if kind == 0:
+            parts.append(draw(_text))
+        elif kind == 1:
+            t = draw(_tag)
+            parts.append(f"<{t}>")
+            if t not in ("br",):
+                open_tags.append(t)
+        elif kind == 2 and open_tags:
+            parts.append(f"</{open_tags.pop()}>")
+        else:
+            parts.append("<!-- c -->")
+    for t in reversed(open_tags):
+        parts.append(f"</{t}>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+@given(html_soup())
+@settings(max_examples=200, deadline=None)
+def test_engine_matches_oracle_on_generated_html(doc):
+    assert extract_page(doc).text == jsoup_text(doc)
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_extractor_never_raises_on_garbage(data):
+    extract_page(data)  # must not raise
