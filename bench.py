@@ -1,0 +1,200 @@
+"""Benchmark harness (driver contract + BASELINE.md measurement plan).
+
+Default: runs the flagship crawl (pages/sec headline) plus every registered
+query at $GRAFT_SF_DIR (default /root/testdata/sf0.1) under
+ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON line.
+
+--scaling: runs the identical crawl job at num_cpus=8 and num_cpus=32 in
+fresh processes on the same pre-generated input and reports both throughputs
+plus efficiency = (pages_sec_32 / pages_sec_8) / 4 (two-cluster-size
+criterion evidenced at two parallelism levels — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench-scale synthetic web (generated once, reused across runs/levels)
+WEB_PAGES = int(os.environ.get("BENCH_WEB_PAGES", "60000"))
+WEB_HOSTS = int(os.environ.get("BENCH_WEB_HOSTS", "900"))
+WEB_BUCKETS = 32
+WEB_DIR = f"/tmp/monocator_bench_web_{WEB_PAGES}_{WEB_HOSTS}"
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "top_orders",
+    "order_rollup",
+    "customer_regions",
+    "event_stats",
+    "event_windows",
+    "user_sessions",
+    "dedup_exact",
+    "token_stats",
+    "quality_stats",
+    "langid",
+    "minhash_pairs",
+    "simhash_pairs",
+    "ann_topk",
+]
+
+
+def ensure_web() -> None:
+    from monocator_ray.sources.synth import write_synth_pages
+
+    marker = os.path.join(WEB_DIR, "_DONE")
+    if not os.path.exists(marker):
+        write_synth_pages(WEB_DIR, WEB_PAGES, WEB_HOSTS, WEB_BUCKETS, use_ray=False)
+        open(marker, "w").close()
+
+
+def run_crawl(num_cpus: int) -> dict:
+    from monocator_ray.crawl.driver import CrawlConfig, crawl
+    from monocator_ray.sources.synth import SynthSpec
+    from monocator_ray.state.robots import synth_robots
+
+    spec = SynthSpec(WEB_PAGES, WEB_HOSTS)
+    cfg = CrawlConfig(
+        num_shards=8,
+        budget_per_epoch=16384,
+        max_depth=8,
+        link_cap=16,
+        num_buckets=WEB_BUCKETS,
+        fetch_concurrency=max(2, num_cpus // 4),
+        extract_concurrency=max(2, num_cpus // 2),
+        fetch_batch_size=2048,
+        extract_batch_size=512,
+        checkpoint_every=4,
+        with_vat=True,
+    )
+    out = f"/tmp/monocator_bench_out_{num_cpus}"
+    t0 = time.monotonic()
+    res = crawl(spec.seeds(WEB_HOSTS), WEB_DIR, out, cfg, robots=synth_robots(WEB_HOSTS))
+    wall = time.monotonic() - t0
+    return {"fetched": res.fetched, "wall_s": round(wall, 2),
+            "pages_per_sec": round(res.fetched / wall, 1), "epochs": res.epochs}
+
+
+def run_queries() -> dict[str, float]:
+    from monocator_ray.pipelines.registry import REGISTRY
+
+    import ray.data as rd
+    import pyarrow as pa
+
+    out = {}
+    for name in BENCH_QUERIES:
+        fn, _sql = REGISTRY[name]
+        t0 = time.monotonic()
+        res = fn(SF_DIR)
+        if isinstance(res, rd.Dataset):
+            for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from monocator_ray.shipping import ensure_shipped
+
+    ensure_shipped()
+    ensure_web()
+    crawl_stats = run_crawl(NUM_CPUS)
+    q = run_queries()
+    total = crawl_stats["wall_s"] + sum(q.values())
+    print(
+        json.dumps(
+            {
+                "metric": "crawl pages/sec + operator suite seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "queries": q,
+                "crawl": crawl_stats,
+                "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+def scaling() -> None:
+    # generate the web once (cheap, single process, no ray needed)
+    ensure_web()
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"), "--crawl-only"],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_hi["crawl"]["pages_per_sec"] / r_lo["crawl"]["pages_per_sec"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "pages_per_sec_8": r_lo["crawl"]["pages_per_sec"],
+                "pages_per_sec_32": r_hi["crawl"]["pages_per_sec"],
+                "wall_s_8": r_lo["crawl"]["wall_s"],
+                "wall_s_32": r_hi["crawl"]["wall_s"],
+                "fetched": r_hi["crawl"]["fetched"],
+                "scaling_efficiency": round(eff, 3),
+            }
+        )
+    )
+
+
+def crawl_only() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from monocator_ray.shipping import ensure_shipped
+
+    ensure_shipped()
+    ensure_web()
+    # warm page cache with one untimed pass over the input files
+    import glob
+
+    for f in glob.glob(os.path.join(WEB_DIR, "**", "*.parquet"), recursive=True):
+        with open(f, "rb") as fh:
+            fh.read()
+    stats = run_crawl(NUM_CPUS)
+    print(json.dumps({"crawl": stats, "num_cpus": NUM_CPUS}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--crawl-only" in sys.argv:
+        crawl_only()
+    else:
+        main()

@@ -1,0 +1,484 @@
+"""Epoch-based crawl driver (SURVEY.md §3.1) — the flagship pipeline.
+
+The reference runs one continuous virtual-thread loop in a single JVM
+(/root/reference/pom.xml:22-23); our Ray-native rendering is BSP frontier
+*epochs*: each epoch is a bounded Dataset pipeline
+
+    pop (actor RPC, politeness-ordered) -> synthetic fetch (actor pool)
+    -> fused extract (actor pool) -> write artifacts (epoch-partitioned)
+    -> explode links -> filter -> first-wins dedup -> offer to shards
+
+with an epoch barrier as the watermark (SURVEY.md §2.9).  The driver holds
+only orchestration state (seq counter, epoch number) — never page data.
+
+Determinism: the global visit order is fully decided by the priority key
+``(depth, host_hash, discovery_time, url_hash)`` plus epoch numbers, so it is
+identical at any parallelism / shard count — validated against the
+sequential oracle at tests/oracle/crawl_sim.py.
+
+Checkpoint/resume (S4): per-epoch shard dumps + manifest + ``_SUCCESS``
+marker; ``resume=True`` rehydrates shards from the last complete epoch and
+continues without re-fetching (lineage fetch counts prove it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+
+from monocator_ray.hashing import hash_host64, hash_url64
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.stages.extract import ExtractStage, explode_links
+from monocator_ray.stages.fetch import SyntheticFetcher
+from monocator_ray.stages.filters import LinkFilter, first_wins_dedup
+from monocator_ray.state.robots import RobotsRules
+from monocator_ray.state.shards import FrontierShard
+from monocator_ray.urlnorm import canonicalize_url, host_of
+
+PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
+VISIT_COLS = ["seq", "url", "url_hash", "depth", "host_hash", "discovery_time", "fetch_status", "epoch", "shard_id"]
+FEATURE_COLS = ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256"]
+
+
+@dataclass
+class CrawlConfig:
+    num_shards: int = 8
+    budget_per_epoch: int = 4096
+    epoch_ms: int = 1000
+    default_host_cap: int = 1_000_000_000  # per-epoch fetches for delay-free hosts
+    default_delay_ms: int = 0
+    max_pages_per_host: int = 0  # 0 = unlimited (web.max_pages, TODO.MD:61)
+    max_depth: int = 6
+    link_cap: int = 64
+    max_epochs: int = 10_000
+    total_page_budget: int = 0  # 0 = unlimited
+    num_buckets: int = 16
+    fetch_concurrency: int = 4
+    extract_concurrency: int = 4
+    fetch_batch_size: int = 1024
+    extract_batch_size: int = 512
+    checkpoint_every: int = 1
+    blacklist: frozenset = frozenset()
+    with_vat: bool = True
+    shard_cpus: float = 0.25
+    # epochs smaller than this run inline on the driver (identical functions,
+    # identical results) instead of paying Dataset/actor-pool startup — the
+    # politeness tail of a crawl is hundreds of tiny epochs.
+    inline_threshold: int = 256
+
+
+@dataclass
+class CrawlResult:
+    out_dir: str
+    epochs: int = 0
+    fetched: int = 0
+    errors: int = 0
+    seen: int = 0
+    wall_s: float = 0.0
+    lineage: list = field(default_factory=list)
+
+
+def _key_sort(tbl: pa.Table) -> pa.Table:
+    order = np.lexsort(
+        (
+            tbl["url_hash"].to_numpy(zero_copy_only=False),
+            tbl["discovery_time"].to_numpy(zero_copy_only=False),
+            tbl["host_hash"].to_numpy(zero_copy_only=False),
+            tbl["depth"].to_numpy(zero_copy_only=False),
+        )
+    )
+    return tbl.take(pa.array(order))
+
+
+def seeds_to_frontier(seeds: list[str]) -> pa.Table:
+    """S2: seed URLs -> canonical frontier rows, discovery_time = seed index
+    (first occurrence wins for duplicate seeds)."""
+    rows: dict[str, int] = {}
+    for i, s in enumerate(seeds):
+        c = canonicalize_url(s)
+        if c and c not in rows:
+            rows[c] = i
+    urls = list(rows)
+    idx = [rows[u] for u in urls]
+    hosts = [host_of(u) for u in urls]
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "url_hash": pa.array(hash_url64(urls) if urls else [], pa.uint64()),
+            "host": pa.array(hosts, pa.string()),
+            "host_hash": pa.array(hash_host64(hosts) if hosts else [], pa.uint64()),
+            "depth": pa.array([0] * len(urls), pa.int32()),
+            "discovery_time": pa.array(idx, pa.int64()),
+            "parent_url_hash": pa.array([0] * len(urls), pa.uint64()),
+        }
+    )
+
+
+class CrawlDriver:
+    def __init__(
+        self,
+        pages_dir: str,
+        out_dir: str,
+        config: CrawlConfig,
+        robots: dict[str, RobotsRules] | None = None,
+    ):
+        ensure_shipped()
+        self.pages_dir = pages_dir
+        self.out_dir = out_dir
+        self.cfg = config
+        self.robots = robots or {}
+        host_delays = {h: r.crawl_delay_ms for h, r in self.robots.items() if r.crawl_delay_ms}
+        Shard = ray.remote(num_cpus=config.shard_cpus)(FrontierShard)
+        self.shards = [
+            Shard.remote(
+                shard_id=i,
+                num_shards=config.num_shards,
+                epoch_ms=config.epoch_ms,
+                default_host_cap=config.default_host_cap,
+                max_pages_per_host=config.max_pages_per_host,
+                host_delays=host_delays,
+                default_delay_ms=config.default_delay_ms,
+            )
+            for i in range(config.num_shards)
+        ]
+        self.link_filter = LinkFilter(config.max_depth, config.blacklist, self.robots)
+        self.seq = 0
+        self.epoch = 0
+        self.lineage_rows: list[dict] = []
+        self._prev_stats = [
+            {"offered": 0, "fetched": 0, "new": 0, "dup_dropped": 0} for _ in range(config.num_shards)
+        ]
+        self._inline_fetch: SyntheticFetcher | None = None
+        self._inline_extract: ExtractStage | None = None
+
+    # ---- routing ----
+    def _offer_all(self, tbl: pa.Table) -> list[dict]:
+        if tbl.num_rows == 0:
+            return []
+        hh = tbl["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        sid = (hh % np.uint64(self.cfg.num_shards)).astype(np.int64)
+        refs = []
+        for s in range(self.cfg.num_shards):
+            mask = sid == s
+            if mask.any():
+                refs.append(self.shards[s].offer.remote(tbl.filter(pa.array(mask))))
+        return ray.get(refs)
+
+    def push_seeds(self, seeds: list[str]) -> None:
+        tbl = seeds_to_frontier(seeds)
+        tbl = self.link_filter(tbl)  # blacklist/robots apply to seeds too
+        self._offer_all(tbl)
+
+    # ---- one epoch ----
+    def run_epoch(self) -> int:
+        """Returns number of pages fetched this epoch (-1 = frontier empty)."""
+        cfg = self.cfg
+        t0 = time.monotonic()
+        budget = cfg.budget_per_epoch
+        if cfg.total_page_budget:
+            budget = min(budget, cfg.total_page_budget - self.seq)
+            if budget <= 0:
+                return -1
+        peeks = ray.get([s.peek.remote(self.epoch, budget) for s in self.shards])
+        keys = pa.concat_tables(peeks)
+        if keys.num_rows == 0:
+            sizes = ray.get([s.pop_upto.remote(None) for s in self.shards])  # clear staging
+            del sizes
+            if sum(ray.get([s.frontier_size.remote() for s in self.shards])) == 0:
+                return -1
+            self.epoch += 1  # politeness deferral: advance virtual time
+            return 0
+        if keys.num_rows > budget:
+            ks = _key_sort(keys)
+            cutoff = (
+                int(ks["depth"][budget - 1].as_py()),
+                int(ks["host_hash"][budget - 1].as_py()),
+                int(ks["discovery_time"][budget - 1].as_py()),
+                int(ks["url_hash"][budget - 1].as_py()),
+            )
+        else:
+            cutoff = None
+        pops = ray.get([s.pop_upto.remote(cutoff) for s in self.shards])
+        taken = _key_sort(pa.concat_tables(pops))
+        n = taken.num_rows
+        if n == 0:
+            self.epoch += 1
+            return 0
+        seqs = np.arange(self.seq, self.seq + n, dtype=np.int64)
+        self.seq += n
+        hh = taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        taken = (
+            taken.append_column("seq", pa.array(seqs, pa.int64()))
+            .append_column("epoch", pa.array(np.full(n, self.epoch, dtype=np.int32), pa.int32()))
+            .append_column(
+                "shard_id",
+                pa.array((hh % np.uint64(cfg.num_shards)).astype(np.int32), pa.int32()),
+            )
+        )
+
+        edir = os.path.join(self.out_dir, f"epoch={self.epoch}")
+        os.makedirs(edir, exist_ok=True)
+        if n <= cfg.inline_threshold:
+            links, status_col = self._process_inline(taken, edir)
+        else:
+            links, status_col = self._process_distributed(taken, edir)
+        if links is not None and links.num_rows:
+            links = first_wins_dedup(links)
+            self._offer_all(links)
+
+        import pyarrow.compute as pc
+
+        errors = int(pc.sum(pc.not_equal(status_col, 200)).as_py() or 0)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        stats = ray.get([s.stats.remote() for s in self.shards])
+        for st in stats:
+            prev = self._prev_stats[st["shard_id"]]
+            self.lineage_rows.append(
+                {
+                    "epoch": self.epoch,
+                    "shard_id": st["shard_id"],
+                    "partition_id": st["shard_id"],
+                    "urls_in": st["offered"] - prev["offered"],
+                    "fetched": st["fetched"] - prev["fetched"],
+                    "errors": errors,
+                    "new_urls": st["new"] - prev["new"],
+                    "dedup_dropped": st["dup_dropped"] - prev["dup_dropped"],
+                    "wall_ms": wall_ms,
+                }
+            )
+            self._prev_stats[st["shard_id"]] = {
+                k: st[k] for k in ("offered", "fetched", "new", "dup_dropped")
+            }
+        self._write_lineage(edir)
+        if cfg.checkpoint_every and (self.epoch % cfg.checkpoint_every == 0):
+            self._checkpoint(edir)
+        self.epoch += 1
+        return n
+
+    def _process_distributed(self, taken: pa.Table, edir: str):
+        """Epoch body as a Ray Data pipeline (the scale path)."""
+        import ray.data as rd
+
+        cfg = self.cfg
+        n = taken.num_rows
+        nblocks = max(
+            1,
+            min(
+                int(ray.cluster_resources().get("CPU", 4)),
+                (n + cfg.fetch_batch_size - 1) // cfg.fetch_batch_size,
+            ),
+        )
+        ds = rd.from_arrow(taken)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        ds = ds.map_batches(
+            SyntheticFetcher,
+            fn_constructor_kwargs={"pages_dir": self.pages_dir, "num_buckets": cfg.num_buckets},
+            batch_format="pyarrow",
+            batch_size=cfg.fetch_batch_size,
+            concurrency=cfg.fetch_concurrency,
+        )
+        ds = ds.map_batches(
+            ExtractStage,
+            fn_constructor_kwargs={"link_cap": cfg.link_cap, "with_vat": cfg.with_vat},
+            batch_format="pyarrow",
+            batch_size=cfg.extract_batch_size,
+            concurrency=cfg.extract_concurrency,
+        )
+        mat = ds.materialize()
+        mat.select_columns(VISIT_COLS).write_parquet(os.path.join(edir, "visit_log"))
+        mat.select_columns(PAGES_COLS).write_parquet(os.path.join(edir, "pages"))
+        mat.select_columns(FEATURE_COLS).write_parquet(os.path.join(edir, "features"))
+        links_parts = (
+            mat.select_columns(["links", "seq", "depth", "url_hash"])
+            .map_batches(explode_links, batch_format="pyarrow")
+            .map_batches(self.link_filter, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        link_tables = [t for t in ray.get(links_parts) if t.num_rows] if links_parts else []
+        links = pa.concat_tables(link_tables, promote_options="default") if link_tables else None
+        return links, _concat_col(mat, "fetch_status")
+
+    def _process_inline(self, taken: pa.Table, edir: str):
+        """Small-epoch fast path: same stage functions, driver-local — the
+        politeness tail is hundreds of tiny epochs and Dataset/actor-pool
+        startup would dominate (identical output by construction)."""
+        if self._inline_fetch is None:
+            self._inline_fetch = SyntheticFetcher(self.pages_dir, self.cfg.num_buckets)
+            self._inline_extract = ExtractStage(self.cfg.link_cap, self.cfg.with_vat)
+        full = self._inline_extract(self._inline_fetch(taken))
+        pq.write_table(full.select(VISIT_COLS), os.path.join(_mk(edir, "visit_log"), "part-0.parquet"))
+        pq.write_table(full.select(PAGES_COLS), os.path.join(_mk(edir, "pages"), "part-0.parquet"))
+        pq.write_table(full.select(FEATURE_COLS), os.path.join(_mk(edir, "features"), "part-0.parquet"))
+        links = self.link_filter(explode_links(full.select(["links", "seq", "depth", "url_hash"])))
+        return (links if links.num_rows else None), full["fetch_status"]
+
+    def _write_lineage(self, edir: str) -> None:
+        rows = [r for r in self.lineage_rows if r["epoch"] == self.epoch]
+        if rows:
+            pq.write_table(pa.Table.from_pylist(rows), os.path.join(edir, "lineage.parquet"))
+
+    def _checkpoint(self, edir: str) -> None:
+        dumps = ray.get([s.dump.remote() for s in self.shards])
+        ckpt = os.path.join(edir, "checkpoint")
+        os.makedirs(ckpt, exist_ok=True)
+        for i, d in enumerate(dumps):
+            pq.write_table(d["frontier"], os.path.join(ckpt, f"frontier-{i}.parquet"))
+            pq.write_table(d["seen"], os.path.join(ckpt, f"seen-{i}.parquet"))
+            pq.write_table(d["hosts"], os.path.join(ckpt, f"hosts-{i}.parquet"))
+        manifest = {
+            "epoch": self.epoch,
+            "seq": self.seq,
+            "num_shards": self.cfg.num_shards,
+            "counters": [d["counters"] for d in dumps],
+        }
+        with open(os.path.join(ckpt, "manifest.json"), "w") as f:
+            json.dump(manifest, f)
+        with open(os.path.join(edir, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def restore_from(self, edir: str) -> None:
+        ckpt = os.path.join(edir, "checkpoint")
+        with open(os.path.join(ckpt, "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["num_shards"] == self.cfg.num_shards, "shard count is pinned in lineage (SURVEY.md §4.2)"
+        states = []
+        for i in range(self.cfg.num_shards):
+            states.append(
+                {
+                    "frontier": pq.read_table(os.path.join(ckpt, f"frontier-{i}.parquet")),
+                    "seen": pq.read_table(os.path.join(ckpt, f"seen-{i}.parquet")),
+                    "hosts": pq.read_table(os.path.join(ckpt, f"hosts-{i}.parquet")),
+                    "counters": manifest["counters"][i],
+                }
+            )
+        ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        self.seq = manifest["seq"]
+        self.epoch = manifest["epoch"] + 1
+        self._prev_stats = [
+            {k: c[k] for k in ("offered", "fetched", "new", "dup_dropped")}
+            for c in manifest["counters"]
+        ]
+
+    def run(self) -> CrawlResult:
+        t0 = time.monotonic()
+        fetched = 0
+        idle = 0
+        while self.epoch < self.cfg.max_epochs:
+            got = self.run_epoch()
+            if got == -1:
+                break
+            if got == 0:
+                idle += 1
+                if idle > 10_000:
+                    break
+            else:
+                idle = 0
+                fetched += got
+            if self.cfg.total_page_budget and self.seq >= self.cfg.total_page_budget:
+                break
+        stats = ray.get([s.stats.remote() for s in self.shards])
+        return CrawlResult(
+            out_dir=self.out_dir,
+            epochs=self.epoch,
+            fetched=fetched,
+            seen=sum(s["seen"] for s in stats),
+            wall_s=time.monotonic() - t0,
+            lineage=self.lineage_rows,
+        )
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+
+
+def _mk(edir: str, sub: str) -> str:
+    d = os.path.join(edir, sub)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _concat_col(mat, col: str) -> pa.ChunkedArray:
+    tables = ray.get(mat.select_columns([col]).to_arrow_refs())
+    return pa.concat_tables(tables)[col]
+
+
+def crawl(
+    seeds: list[str],
+    pages_dir: str,
+    out_dir: str,
+    config: CrawlConfig | None = None,
+    robots: dict[str, RobotsRules] | None = None,
+    resume: bool = False,
+) -> CrawlResult:
+    """Entry point 1 (full crawl) and 2 (single-domain visit = 1-row seed
+    list; SURVEY.md §3.2 keeps one code path)."""
+    cfg = config or CrawlConfig()
+    drv = CrawlDriver(pages_dir, out_dir, cfg, robots)
+    try:
+        if resume:
+            last = latest_checkpoint(out_dir)
+            if last is not None:
+                drv.restore_from(last)
+            else:
+                drv.push_seeds(seeds)
+        else:
+            if os.path.isdir(out_dir):
+                shutil.rmtree(out_dir)
+            os.makedirs(out_dir, exist_ok=True)
+            drv.push_seeds(seeds)
+        return drv.run()
+    finally:
+        drv.shutdown()
+
+
+def latest_checkpoint(out_dir: str) -> str | None:
+    if not os.path.isdir(out_dir):
+        return None
+    best = None
+    best_e = -1
+    for name in os.listdir(out_dir):
+        if name.startswith("epoch=") and os.path.exists(os.path.join(out_dir, name, "_SUCCESS")):
+            e = int(name.split("=")[1])
+            if e > best_e:
+                best_e, best = e, os.path.join(out_dir, name)
+    return best
+
+
+def read_visit_log(out_dir: str) -> pa.Table:
+    """O1: the crawl-order artifact, totally ordered by seq."""
+    parts = []
+    for name in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, name, "visit_log")
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(p, f)))
+    if not parts:
+        return pa.table({c: [] for c in VISIT_COLS})
+    tbl = pa.concat_tables(parts)
+    order = np.argsort(tbl["seq"].to_numpy(zero_copy_only=False))
+    return tbl.take(pa.array(order))
+
+
+def read_seen_set(out_dir: str) -> np.ndarray:
+    """Final URL-seen set from the last checkpoint (sorted uint64)."""
+    last = latest_checkpoint(out_dir)
+    if last is None:
+        return np.empty(0, dtype=np.uint64)
+    ckpt = os.path.join(last, "checkpoint")
+    parts = [
+        pq.read_table(os.path.join(ckpt, f))["url_hash"].to_numpy(zero_copy_only=False)
+        for f in sorted(os.listdir(ckpt))
+        if f.startswith("seen-")
+    ]
+    return np.sort(np.concatenate(parts).astype(np.uint64)) if parts else np.empty(0, dtype=np.uint64)

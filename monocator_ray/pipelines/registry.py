@@ -1,0 +1,179 @@
+"""Query registry: name -> (ray callable, oracle SQL | None).
+
+The driver runs each Ray pipeline AND its DuckDB oracle side-by-side at
+sf=0.01 and compares row-count + schema + order-insensitive value hash, so:
+* every computed column is NAMED IDENTICALLY in both,
+* money/value aggregates are integer cents (CAST(ROUND(x*100) AS BIGINT)) —
+  float sums are order-dependent and would hash-mismatch,
+* sketch/hash-based ops (minhash, simhash, ANN, fingerprints, crawl) have no
+  SQL equivalent -> oracle omitted, driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from monocator_ray.pipelines import docs as D
+from monocator_ray.pipelines import relational as R
+
+# name -> (callable(sf_dir) -> Dataset|Table|DataFrame, oracle_sql | None)
+REGISTRY: dict = {
+    # --- relational (SURVEY.md §2.5-2.7) ---
+    "pricing_summary": (
+        R.q_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+    ),
+    "top_orders": (
+        R.q_top_orders,
+        """
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+        FROM orders
+        ORDER BY total_cents DESC, o_orderkey
+        LIMIT 10
+        """,
+    ),
+    "order_rollup": (
+        R.q_order_rollup,
+        """
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               MIN(o_orderdate) AS first_order,
+               MAX(o_orderdate) AS last_order,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+    ),
+    "customer_regions": (
+        R.q_customer_regions,
+        """
+        SELECT r.r_name AS r_name, COUNT(*) AS n_customers,
+               SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS acctbal_cents
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+        """,
+    ),
+    "customers_without_orders": (
+        R.q_customers_without_orders,
+        """
+        SELECT c_nationkey, COUNT(*) AS n_without_orders
+        FROM customer
+        WHERE c_custkey NOT IN
+          (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+    ),
+    "returned_items": (
+        R.q_returned_items,
+        """
+        SELECT COUNT(*) AS n,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+          AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        """,
+    ),
+    "top_part_types": (
+        R.q_top_part_types,
+        """
+        SELECT p_type, COUNT(*) AS n FROM part
+        GROUP BY p_type ORDER BY n DESC, p_type LIMIT 5
+        """,
+    ),
+    "event_stats": (
+        R.q_event_stats,
+        """
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+               SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    "event_windows": (
+        R.q_event_windows,
+        """
+        SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+        FROM events GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+        """,
+    ),
+    "user_sessions": (
+        R.q_user_sessions,
+        """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+          FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               1 + SUM(new_session) AS n_sessions
+        FROM gaps GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    "props_json": (
+        R.q_props_json,
+        """
+        SELECT CAST(LENGTH(CAST(json_extract(props,'$.k') AS VARCHAR)) AS INTEGER) AS k_bucket,
+               COUNT(*) AS n
+        FROM events GROUP BY k_bucket ORDER BY k_bucket
+        """,
+    ),
+    # --- training-data ops over documents/embeddings (task brief) ---
+    "dedup_exact": (
+        D.q_dedup_exact,
+        """
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        FROM documents GROUP BY TRIM(regexp_replace(text, '\\s+', ' ', 'g'))
+        ORDER BY doc_id
+        """,
+    ),
+    "token_stats": (
+        D.q_token_stats,
+        """
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+               MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+        FROM t GROUP BY lang ORDER BY lang
+        """,
+    ),
+    "quality_stats": (
+        D.q_quality_stats,
+        """
+        WITH q AS (
+          SELECT lang,
+                 LENGTH(text) AS n_chars,
+                 LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                 LENGTH(text) - LENGTH(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+                 CASE WHEN TRIM(text) = '' THEN 0 ELSE
+                   len(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
+                       w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) END AS n_stop
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+               SUM(n_alpha) AS total_alpha, SUM(n_punct) AS total_punct,
+               SUM(n_stop) AS total_stop
+        FROM q GROUP BY lang ORDER BY lang
+        """,
+    ),
+    # heuristic/sketch ops: rows-only (no SQL equivalent)
+    "langid": (D.q_langid, None),
+    "fingerprints": (D.q_fingerprints, None),
+    "minhash_pairs": (D.q_minhash_pairs, None),
+    "simhash_pairs": (D.q_simhash_pairs, None),
+    "ann_topk": (D.q_ann_topk, None),
+    "ann_lsh_buckets": (D.q_ann_lsh_buckets, None),
+    "embedding_neardup": (D.q_embedding_neardup, None),
+}

@@ -1,0 +1,295 @@
+"""Relational operators over the driver's TPC-H-ish tables (SURVEY.md
+§2.5-2.7) — each with a DuckDB-oracle-equivalent SQL in
+monocator_ray/pipelines/registry.py.
+
+Patterns (scale rationale in docstrings):
+* pre-aggregation: partial sums per batch inside ``map_batches`` -> tiny
+  ``groupby().aggregate`` over partials (SURVEY.md §2.5 — avoids shuffling
+  every row);
+* broadcast joins: dimension tables ship once as plain dicts/sets into the
+  batch fn (SURVEY.md §2.4 J3-J5 — never a shuffle join for a small side);
+* money as integer cents (CAST(ROUND(x*100) AS BIGINT)) so Ray and the SQL
+  oracle hash identically (float summation order is not associative).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from monocator_ray.shipping import ensure_shipped
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    ensure_shipped()
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+# ---- G2-style grouped aggregate with pre-aggregation (TPC-H Q1 shape) ----
+def q_pricing_summary(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate"])
+
+    cutoff = pa.scalar(np.datetime64("1998-09-01", "us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(pc.round(batch["l_quantity"]), pa.int64()),
+                "base_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+        # per-batch combine: rows-per-group out of this stage is O(groups)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("qty", "sum"), sum_base_cents=("base_cents", "sum"), n=("qty", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("n", alias_name="n"),
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+# ---- O3-style top-k ----
+def q_top_orders(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(to_cents, batch_format="pyarrow")
+        .sort(["total_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+# ---- G5-style per-key rollup ----
+def q_order_rollup(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "total_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Min("o_orderdate", alias_name="first_order"),
+            Max("o_orderdate", alias_name="last_order"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+        .sort("o_custkey")
+    )
+
+
+# ---- J4: broadcast dimension join (customer x nation x region) ----
+def q_customer_regions(sf_dir: str) -> rd.Dataset:
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup_ref = ray.put(dict(zip(dim["n_nationkey"], dim["r_name"])))
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+    class JoinRegion:
+        def __init__(self, ref):
+            self.lookup = ray.get(ref)  # broadcast: fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            lk = self.lookup
+            names = [lk.get(int(k), "") for k in keys]
+            return pa.table(
+                {
+                    "r_name": pa.array(names, pa.string()),
+                    "acctbal_cents": _cents(batch["c_acctbal"]),
+                }
+            )
+
+    return (
+        ds.map_batches(JoinRegion, fn_constructor_kwargs={"ref": lookup_ref},
+                       batch_format="pyarrow", concurrency=2)
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
+        .sort("r_name")
+    )
+
+
+# ---- J5: anti join via broadcast key set ----
+def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Customers with no high-value (>300k) order — anti join via broadcast
+    key set (the driver tables are dense, so a plain no-orders anti join
+    would be empty at every sf)."""
+    otbl = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    high = otbl.filter(pc.greater(otbl["o_totalprice"], pa.scalar(300000.0)))
+    have_orders = set(high["o_custkey"].to_pandas().unique().tolist())
+    ref = ray.put(have_orders)
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    class AntiJoin:
+        def __init__(self, r):
+            self.keys = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
+            mask = np.fromiter((int(k) not in self.keys for k in ck), bool, len(ck))
+            return batch.filter(pa.array(mask))
+
+    return (
+        ds.map_batches(AntiJoin, fn_constructor_kwargs={"r": ref},
+                       batch_format="pyarrow", concurrency=2)
+        .groupby("c_nationkey")
+        .aggregate(Count(alias_name="n_without_orders"))
+        .sort("c_nationkey")
+    )
+
+
+# ---- filters + aggregate (M10 analog) ----
+def q_returned_items(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_shipdate", "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-12-31", "us"))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch["l_returnflag"], pa.scalar("R")),
+            pc.and_(pc.greater_equal(batch["l_shipdate"], lo), pc.less_equal(batch["l_shipdate"], hi)),
+        )
+        b = batch.filter(m)
+        return pa.table(
+            {
+                "qty": pc.cast(pc.round(b["l_quantity"]), pa.int64()),
+                "price_cents": _cents(b["l_extendedprice"]),
+            }
+        )
+
+    out = ds.map_batches(f, batch_format="pyarrow").aggregate(
+        Count(alias_name="n"), Sum("qty", alias_name="sum_qty"), Sum("price_cents", alias_name="sum_price_cents")
+    )
+    return pa.table({k: [v] for k, v in out.items()})
+
+
+# ---- top-k categorical ----
+def q_top_part_types(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "part", ["p_type"])
+        .groupby("p_type")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "p_type"], descending=[True, False])
+        .limit(5)
+    )
+
+
+# ---- events: grouped stats ----
+def q_event_stats(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "value_cents": _cents(batch["value"]),
+                "user_id": batch["user_id"],
+            }
+        )
+
+    def distinct_users(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n": [len(g)],
+                "n_users": [g["user_id"].nunique()],
+                "value_cents": [g["value_cents"].sum()],
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .map_groups(distinct_users, batch_format="pandas")
+        .sort("event_type")
+    )
+
+
+# ---- events: tumbling window (streaming-shaped, SURVEY.md §2.9) ----
+def q_event_windows(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def wnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+
+    return (
+        ds.map_batches(wnd, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["event_type", "window_start"])
+    )
+
+
+# ---- events: sessionization via map_groups (ordered within key) ----
+def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].sort_values().to_numpy()
+        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [n_sessions]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort("user_id")
+
+
+# ---- events: JSON props extraction (§2.8 scalar lib) ----
+def q_props_json(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", ["props"])
+
+    def parse(batch: pa.Table) -> pa.Table:
+        # props is a JSON object string {"k": int}
+        ks = pc.extract_regex(batch["props"], r'"k":\s*(?P<k>\d+)')
+        kvals = pc.struct_field(ks, "k")
+        return pa.table({"k_bucket": pc.cast(pc.binary_length(kvals), pa.int32())})
+
+    return (
+        ds.map_batches(parse, batch_format="pyarrow")
+        .groupby("k_bucket")
+        .aggregate(Count(alias_name="n"))
+        .sort("k_bucket")
+    )

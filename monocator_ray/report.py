@@ -1,0 +1,145 @@
+"""Entry point 3 — export / report over crawl artifacts (SURVEY.md §3.3):
+read back the epoch-partitioned Parquet and run the relational layer
+(G1-G6, O3, D2, D4, J4) on it.  The reference persisted entities to DuckDB
+and queried there (/root/reference/.gitignore:39-41, src/TODO.MD:44-51).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.urlnorm import host_of
+
+
+def _read_artifact(out_dir: str, name: str) -> rd.Dataset:
+    ensure_shipped()
+    paths = []
+    for e in sorted(os.listdir(out_dir)):
+        p = os.path.join(out_dir, e, name)
+        if os.path.isdir(p):
+            paths.append(p)
+    return rd.read_parquet(paths)
+
+
+def crawl_stats(out_dir: str) -> rd.Dataset:
+    """G2: per-epoch fetch totals + error counts."""
+    vl = _read_artifact(out_dir, "visit_log")
+
+    def status_flags(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ok = pc.cast(pc.equal(batch["fetch_status"], 200), pa.int64())
+        return pa.table({"epoch": batch["epoch"], "ok": ok,
+                         "err": pc.subtract(pa.scalar(1, pa.int64()), ok)})
+
+    return (
+        vl.map_batches(status_flags, batch_format="pyarrow")
+        .groupby("epoch")
+        .aggregate(Count(alias_name="fetched"), Sum("ok", alias_name="ok"), Sum("err", alias_name="errors"))
+        .sort("epoch")
+    )
+
+
+def per_host_page_counts(out_dir: str) -> rd.Dataset:
+    """G1 audit: fetched pages per host (validates web.max_pages caps)."""
+    vl = _read_artifact(out_dir, "visit_log")
+    return vl.groupby("host_hash").aggregate(Count(alias_name="n_pages")).sort("host_hash")
+
+
+def depth_histogram(out_dir: str) -> rd.Dataset:
+    vl = _read_artifact(out_dir, "visit_log")
+    return vl.groupby("depth").aggregate(Count(alias_name="n")).sort("depth")
+
+
+def hot_hosts(out_dir: str, k: int = 10) -> rd.Dataset:
+    """G4/O3: top-k hosts by page count (salting-threshold input)."""
+    vl = _read_artifact(out_dir, "visit_log")
+    return (
+        vl.groupby("host_hash")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "host_hash"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def content_dedup(out_dir: str) -> rd.Dataset:
+    """D2: exact page-content dedup via html_sha256 (the `if_html_changed`
+    trigger's comparison key, /root/reference/src/TODO.MD:65)."""
+    feats = _read_artifact(out_dir, "features")
+
+    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("url_hash")
+        return pd.DataFrame(
+            {"html_sha256": [g["html_sha256"].iloc[0]], "n_pages": [len(g)],
+             "first_url": [g["url"].iloc[0]]}
+        )
+
+    return (
+        feats.filter(lambda r: r["html_sha256"] is not None)
+        .groupby("html_sha256")
+        .map_groups(first_per_hash, batch_format="pandas")
+    )
+
+
+def domain_rollup(out_dir: str) -> rd.Dataset:
+    """G5: per-domain rollup — pages visited, vat found + first-found page
+    index (the VatScraper 'found on page N' semantics,
+    /root/reference/src/mock-servers.MD:16-18), link totals."""
+    feats = _read_artifact(out_dir, "features")
+    vl = _read_artifact(out_dir, "visit_log").select_columns(["url_hash", "seq"])
+    seq_map = dict(zip(*[vl.to_pandas()[c] for c in ("url_hash", "seq")]))
+
+    def add_host(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["host"] = [host_of(u) for u in batch["url"]]
+        batch["seq"] = batch["url_hash"].map(seq_map)
+        batch["has_vat"] = batch["vat_numbers"].map(lambda v: v is not None and len(v) > 0)
+        return batch
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq")
+        vat_rows = g[g["has_vat"]]
+        return pd.DataFrame(
+            {
+                "host": [g["host"].iloc[0]],
+                "n_pages": [len(g)],
+                "links_internal": [int(g["links_internal"].sum())],
+                "links_external": [int(g["links_external"].sum())],
+                "vat_found": [bool(len(vat_rows))],
+                "vat_first_page_idx": [int(np.searchsorted(g["seq"].to_numpy(), vat_rows["seq"].iloc[0])) if len(vat_rows) else -1],
+                "vat_number": [vat_rows["vat_numbers"].iloc[0][0] if len(vat_rows) else ""],
+            }
+        )
+
+    return (
+        feats.map_batches(add_host, batch_format="pandas")
+        .groupby("host")
+        .map_groups(rollup, batch_format="pandas")
+        .sort("host")
+    )
+
+
+def seen_except_frontier(out_dir: str) -> int:
+    """D4 resume audit: |seen \\ (visited ∪ frontier)| must be 0 — every seen
+    URL is either visited or still queued."""
+    from monocator_ray.crawl.driver import latest_checkpoint, read_seen_set, read_visit_log
+
+    seen = set(int(x) for x in read_seen_set(out_dir))
+    visited = set(read_visit_log(out_dir)["url_hash"].to_pylist())
+    last = latest_checkpoint(out_dir)
+    frontier: set[int] = set()
+    if last:
+        import pyarrow.parquet as pq
+
+        ckpt = os.path.join(last, "checkpoint")
+        for f in sorted(os.listdir(ckpt)):
+            if f.startswith("frontier-"):
+                frontier |= set(pq.read_table(os.path.join(ckpt, f))["url_hash"].to_pylist())
+    return len(seen - visited - frontier)

@@ -1,0 +1,72 @@
+"""S2 — seed / VisitRequest ingestion (SURVEY.md §2.1).
+
+The reference's unit of work is a VisitRequest: one domain + per-module
+enable flags (message format verbatim at /root/reference/src/TODO.MD:56-77).
+Here: read seed text/CSV/parquet -> canonical VisitRequests with defaults;
+``requests_to_seed_urls`` turns them into frontier seed URLs (http://domain/).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+
+from monocator_ray.schemas import SCREENSHOT_MODES, VISIT_REQUESTS
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.urlnorm import canonicalize_url
+
+
+def default_request(domain: str) -> dict:
+    """Defaults mirror TODO.MD:56-77: web on, other modules off."""
+    return {
+        "domain": domain.strip().lower().rstrip("."),
+        "web_enabled": True,
+        "web_max_pages": 10,
+        "vat_enabled": False,
+        "dns_enabled": False,
+        "tls_enabled": False,
+        "smtp_enabled": False,
+        "screenshot_mode": SCREENSHOT_MODES[0],
+    }
+
+
+def to_visit_requests(batch: pa.Table) -> pa.Table:
+    """map_batches fn: seed lines (column 'text' or 'domain') -> requests."""
+    col = "domain" if "domain" in batch.schema.names else "text"
+    rows = [default_request(d) for d in batch[col].to_pylist() if d and d.strip()]
+    return pa.Table.from_pylist(rows, schema=VISIT_REQUESTS)
+
+
+def read_seeds(path: str) -> rd.Dataset:
+    """Seed list file (one domain per line, or CSV/parquet with a 'domain'
+    column) -> VisitRequests dataset."""
+    ensure_shipped()
+    if path.endswith(".parquet"):
+        ds = rd.read_parquet(path)
+    elif path.endswith(".csv"):
+        ds = rd.read_csv(path)
+    else:
+        ds = rd.read_text(path)
+    return ds.map_batches(to_visit_requests, batch_format="pyarrow")
+
+
+def requests_to_seed_urls(requests: pa.Table) -> list[str]:
+    """Enabled web requests -> canonical seed URLs; per-host page caps are
+    derived separately via ``host_caps_from_requests``."""
+    urls = []
+    for row in requests.to_pylist():
+        if row["web_enabled"]:
+            u = canonicalize_url(f"http://{row['domain']}/")
+            if u:
+                urls.append(u)
+    return urls
+
+
+def host_caps_from_requests(requests: pa.Table) -> dict[str, int]:
+    """domain -> web_max_pages (G1 per-host cap source)."""
+    return {
+        row["domain"]: int(row["web_max_pages"])
+        for row in requests.to_pylist()
+        if row["web_enabled"] and row["web_max_pages"] > 0
+    }

@@ -69,11 +69,11 @@ def make_vat(seed_num: int, valid: bool = True) -> str:
     mock-servers.MD:14-20): valid, wrongCheckSum, wrongFormat are all
     generatable from here.
     """
-    first8 = 10000000 + (seed_num % 89999999)
-    chk = _vat_checksum(first8)
+    base7 = 1000000 + (seed_num % 8999999)  # 10 digits total: 0 + 7 + 2-check
+    chk = _vat_checksum(base7)  # checksum over the 8-digit prefix 0xxxxxxx
     if not valid:
         chk = (chk + 1) % 100
-    digits = f"0{first8:08d}{chk:02d}"
+    digits = f"0{base7:07d}{chk:02d}"
     return f"BE {digits[:4]}.{digits[4:7]}.{digits[7:]}"
 
 

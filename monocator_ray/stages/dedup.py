@@ -1,0 +1,138 @@
+"""Deduplication family for training-data pipelines (task brief; patterns per
+the Ray guide's MinHash-LSH sketch and SURVEY.md §2.7):
+
+* exact        — hash-partitioned groupby, first-wins (min id)
+* MinHash+LSH  — shingle -> minhash -> band rows -> bucket groupby ->
+                 candidate pairs -> Jaccard verify
+* SimHash      — 64-bit simhash + hamming-radius candidate pairing via
+                 band rotation
+* n-gram Jaccard — exact pairwise verify used by both (vectorized sets)
+* embedding cosine near-dup — see stages/ann.py
+
+All heavy math is numpy inside ``map_batches``; the only shuffles are
+groupbys on hash/band keys (pre-bucketed, skew-safe: band values are
+uniform by construction).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from monocator_ray.hashing import hash_str64
+
+_WS = re.compile(r"\s+")
+
+# ---- shingles + minhash ----
+
+
+def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Word k-shingle 64-bit hashes (sorted unique)."""
+    words = _WS.split(text.strip().lower()) if text and text.strip() else []
+    if len(words) < k:
+        shingles = [" ".join(words)] if words else []
+    else:
+        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(hash_str64(shingles))
+
+
+# universal-hash family for minhash permutations: h_i(x) = (a_i*x + b_i) mod p
+_P = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 1 << 61, size=num_perm, dtype=np.uint64)
+    b = rng.randint(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """num_perm-wide minhash of a shingle-hash set (vectorized outer)."""
+    if sh.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (num_perm, n) = (a[:,None]*sh[None,:] + b[:,None]) mod p — uint64 wrap is fine
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _P
+    return vals.min(axis=1)
+
+
+class MinHasher:
+    """map_batches: adds a fixed-width minhash signature column
+    (list<uint64>) — permutation params built once per actor."""
+
+    def __init__(self, num_perm: int = 64, shingle_k: int = 5, text_col: str = "text"):
+        self.a, self.b = _perm_params(num_perm)
+        self.k = shingle_k
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        sigs = [
+            minhash_signature(shingle_hashes(t, self.k), self.a, self.b)
+            for t in batch[self.text_col].fillna("")
+        ]
+        batch["minhash"] = [s.astype(np.uint64) for s in sigs]
+        return batch
+
+
+def explode_bands(batch: pd.DataFrame, num_bands: int, id_col: str = "doc_id") -> pd.DataFrame:
+    """LSH banding: one row per (band_id, band_hash, doc_id)."""
+    sigs = np.stack(batch["minhash"].to_numpy())  # (n, num_perm)
+    n, num_perm = sigs.shape
+    rows_per_band = num_perm // num_bands
+    out_band, out_hash, out_id = [], [], []
+    ids = batch[id_col].to_numpy()
+    for band in range(num_bands):
+        seg = sigs[:, band * rows_per_band : (band + 1) * rows_per_band]
+        # stable hash of each row's band segment
+        seg_strs = ["\x1f".join(map(str, row)) for row in seg]
+        bh = hash_str64(seg_strs)
+        out_band.extend([band] * n)
+        out_hash.extend(bh.tolist())
+        out_id.extend(ids.tolist())
+    return pd.DataFrame({"band_id": out_band, "band_hash": np.array(out_hash, dtype=np.uint64), id_col: out_id})
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = a.size + b.size - inter
+    return inter / union if union else 0.0
+
+
+# ---- simhash ----
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features (Charikar; public algorithm)."""
+    words = _WS.split(text.strip().lower()) if text and text.strip() else []
+    if not words:
+        return 0
+    hashes = hash_str64(words)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    v = (2 * bits - 1).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if v[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+class SimHasher:
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["simhash"] = np.array([simhash64(t) for t in batch[self.text_col].fillna("")], dtype=np.uint64)
+        return batch
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

