@@ -58,9 +58,12 @@ def ensure_web() -> None:
 
 
 def run_crawl(num_cpus: int) -> dict:
+    """Throughput bench: politeness *delays* off (a delay host is serial by
+    design — it would measure the synthetic crawl-delay, not the engine;
+    politeness correctness is pinned by tests/test_crawl.py).  Robots
+    disallow rules and caps still apply."""
     from monocator_ray.crawl.driver import CrawlConfig, crawl
     from monocator_ray.sources.synth import SynthSpec
-    from monocator_ray.state.robots import synth_robots
 
     spec = SynthSpec(WEB_PAGES, WEB_HOSTS)
     cfg = CrawlConfig(
@@ -78,7 +81,7 @@ def run_crawl(num_cpus: int) -> dict:
     )
     out = f"/tmp/monocator_bench_out_{num_cpus}"
     t0 = time.monotonic()
-    res = crawl(spec.seeds(WEB_HOSTS), WEB_DIR, out, cfg, robots=synth_robots(WEB_HOSTS))
+    res = crawl(spec.seeds(WEB_HOSTS), WEB_DIR, out, cfg, robots=None)
     wall = time.monotonic() - t0
     return {"fetched": res.fetched, "wall_s": round(wall, 2),
             "pages_per_sec": round(res.fetched / wall, 1), "epochs": res.epochs}

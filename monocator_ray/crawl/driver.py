@@ -39,6 +39,7 @@ from monocator_ray.hashing import hash_host64, hash_url64
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.extract import ExtractStage, explode_links
 from monocator_ray.stages.fetch import SyntheticFetcher
+from monocator_ray.crawl.workers import EpochWorker
 from monocator_ray.stages.filters import LinkFilter, first_wins_dedup
 from monocator_ray.state.robots import RobotsRules
 from monocator_ray.state.shards import FrontierShard
@@ -68,12 +69,18 @@ class CrawlConfig:
     extract_batch_size: int = 512
     checkpoint_every: int = 1
     blacklist: frozenset = frozenset()
+    host_caps: dict | None = None  # host -> web_max_pages override (VisitRequest)
     with_vat: bool = True
     shard_cpus: float = 0.25
     # epochs smaller than this run inline on the driver (identical functions,
     # identical results) instead of paying Dataset/actor-pool startup — the
     # politeness tail of a crawl is hundreds of tiny epochs.
     inline_threshold: int = 256
+    # "workers": persistent actor pool, bucket caches warm across epochs
+    # (default — see crawl/workers.py); "dataset": per-epoch map_batches
+    # pipeline (reference implementation of the same chain).
+    epoch_engine: str = "workers"
+    num_workers: int = 0  # 0 = auto (cluster CPUs - shards - driver)
 
 
 @dataclass
@@ -147,6 +154,7 @@ class CrawlDriver:
                 max_pages_per_host=config.max_pages_per_host,
                 host_delays=host_delays,
                 default_delay_ms=config.default_delay_ms,
+                host_caps=config.host_caps,
             )
             for i in range(config.num_shards)
         ]
@@ -159,6 +167,7 @@ class CrawlDriver:
         ]
         self._inline_fetch: SyntheticFetcher | None = None
         self._inline_extract: ExtractStage | None = None
+        self._workers: list | None = None
 
     # ---- routing ----
     def _offer_all(self, tbl: pa.Table) -> list[dict]:
@@ -188,8 +197,12 @@ class CrawlDriver:
             budget = min(budget, cfg.total_page_budget - self.seq)
             if budget <= 0:
                 return -1
+        trace = os.environ.get("MONOCATOR_TRACE")
+        tm = time.monotonic
+        t_peek = tm()
         peeks = ray.get([s.peek.remote(self.epoch, budget) for s in self.shards])
         keys = pa.concat_tables(peeks)
+        t_pop = tm()
         if keys.num_rows == 0:
             sizes = ray.get([s.pop_upto.remote(None) for s in self.shards])  # clear staging
             del sizes
@@ -227,17 +240,25 @@ class CrawlDriver:
 
         edir = os.path.join(self.out_dir, f"epoch={self.epoch}")
         os.makedirs(edir, exist_ok=True)
+        t_proc = tm()
         if n <= cfg.inline_threshold:
-            links, status_col = self._process_inline(taken, edir)
+            links, errors = self._process_inline(taken, edir)
+        elif cfg.epoch_engine == "workers":
+            links, errors = self._process_workers(taken, edir)
         else:
-            links, status_col = self._process_distributed(taken, edir)
+            links, errors = self._process_distributed(taken, edir)
+        t_dedup = tm()
         if links is not None and links.num_rows:
             links = first_wins_dedup(links)
             self._offer_all(links)
+        t_end = tm()
+        if trace:
+            print(
+                f"[epoch {self.epoch}] n={n} peek={t_pop - t_peek:.2f}s "
+                f"pop+sort={t_proc - t_pop:.2f}s process={t_dedup - t_proc:.2f}s "
+                f"dedup+offer={t_end - t_dedup:.2f}s total={t_end - t0:.2f}s"
+            )
 
-        import pyarrow.compute as pc
-
-        errors = int(pc.sum(pc.not_equal(status_col, 200)).as_py() or 0)
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = ray.get([s.stats.remote() for s in self.shards])
         for st in stats:
@@ -270,6 +291,13 @@ class CrawlDriver:
 
         cfg = self.cfg
         n = taken.num_rows
+        # bucket-locality: sort the epoch's rows by host_hash so each fetch
+        # batch touches few page-store buckets (seq is already assigned, so
+        # physical order is free to change)
+        hh_sort = np.argsort(
+            taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64), kind="stable"
+        )
+        taken = taken.take(pa.array(hh_sort))
         nblocks = max(
             1,
             min(
@@ -295,9 +323,10 @@ class CrawlDriver:
             concurrency=cfg.extract_concurrency,
         )
         mat = ds.materialize()
-        mat.select_columns(VISIT_COLS).write_parquet(os.path.join(edir, "visit_log"))
-        mat.select_columns(PAGES_COLS).write_parquet(os.path.join(edir, "pages"))
-        mat.select_columns(FEATURE_COLS).write_parquet(os.path.join(edir, "features"))
+        # ONE combined columnar write per epoch; the visit_log/pages/features
+        # artifacts are column projections of it at read time (parquet is
+        # columnar, so each view reads only its columns)
+        mat.write_parquet(os.path.join(edir, "crawl"))
         links_parts = (
             mat.select_columns(["links", "seq", "depth", "url_hash"])
             .map_batches(explode_links, batch_format="pyarrow")
@@ -306,7 +335,65 @@ class CrawlDriver:
         )
         link_tables = [t for t in ray.get(links_parts) if t.num_rows] if links_parts else []
         links = pa.concat_tables(link_tables, promote_options="default") if link_tables else None
-        return links, _concat_col(mat, "fetch_status")
+        import pyarrow.compute as pc
+
+        errors = int(pc.sum(pc.not_equal(_concat_col(mat, "fetch_status"), 200)).as_py() or 0)
+        return links, errors
+
+    def _worker_pool(self):
+        if self._workers is None:
+            cfg = self.cfg
+            n = cfg.num_workers or max(
+                2, int(ray.cluster_resources().get("CPU", 4)) - int(cfg.num_shards * cfg.shard_cpus) - 1
+            )
+            Worker = ray.remote(num_cpus=1)(EpochWorker)
+            self._workers = [
+                Worker.remote(
+                    pages_dir=self.pages_dir,
+                    num_buckets=cfg.num_buckets,
+                    link_cap=cfg.link_cap,
+                    with_vat=cfg.with_vat,
+                    max_depth=cfg.max_depth,
+                    blacklist=cfg.blacklist,
+                    robots_rules=self.robots,
+                )
+                for _ in range(n)
+            ]
+        return self._workers
+
+    def _process_workers(self, taken: pa.Table, edir: str):
+        """Persistent-pool epoch body (crawl/workers.py): one RPC round,
+        warm bucket caches, workers write their own parts."""
+        workers = self._worker_pool()
+        nw = len(workers)
+        # bucket -> worker affinity: each page-store bucket is loaded by one
+        # worker for the whole crawl (cold bucket builds dominate otherwise);
+        # buckets hash-mix hosts so groups are roughly even
+        hh = taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (hh % np.uint64(self.cfg.num_buckets)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
+        taken = taken.take(pa.array(order))
+        bucket = bucket[order]
+        # hot-host salting (SPEC): a Zipf-hot host concentrates its pages in
+        # one bucket; splitting its group into salt chunks spread over
+        # (b + j) % nw workers bounds the straggler, at the cost of the hot
+        # bucket being cached by a few extra workers.  Politeness is
+        # unaffected — it was already enforced at pop time, host-sharded.
+        salt_chunk = max(256, taken.num_rows // (2 * nw))
+        refs = []
+        part = 0
+        for b in np.unique(bucket):
+            lo = int(np.searchsorted(bucket, b, side="left"))
+            hi = int(np.searchsorted(bucket, b, side="right"))
+            for j, s in enumerate(range(lo, hi, salt_chunk)):
+                chunk = taken.slice(s, min(salt_chunk, hi - s))
+                out_file = os.path.join(edir, "crawl", f"part-{part}.parquet")
+                refs.append(workers[(int(b) + j) % nw].process.remote(chunk, out_file))
+                part += 1
+        results = ray.get(refs)
+        link_tables = [lt for lt, _err in results if lt.num_rows]
+        links = pa.concat_tables(link_tables, promote_options="default") if link_tables else None
+        return links, sum(err for _lt, err in results)
 
     def _process_inline(self, taken: pa.Table, edir: str):
         """Small-epoch fast path: same stage functions, driver-local — the
@@ -316,11 +403,12 @@ class CrawlDriver:
             self._inline_fetch = SyntheticFetcher(self.pages_dir, self.cfg.num_buckets)
             self._inline_extract = ExtractStage(self.cfg.link_cap, self.cfg.with_vat)
         full = self._inline_extract(self._inline_fetch(taken))
-        pq.write_table(full.select(VISIT_COLS), os.path.join(_mk(edir, "visit_log"), "part-0.parquet"))
-        pq.write_table(full.select(PAGES_COLS), os.path.join(_mk(edir, "pages"), "part-0.parquet"))
-        pq.write_table(full.select(FEATURE_COLS), os.path.join(_mk(edir, "features"), "part-0.parquet"))
+        pq.write_table(full, os.path.join(_mk(edir, "crawl"), "part-0.parquet"))
         links = self.link_filter(explode_links(full.select(["links", "seq", "depth", "url_hash"])))
-        return (links if links.num_rows else None), full["fetch_status"]
+        import pyarrow.compute as pc
+
+        errors = int(pc.sum(pc.not_equal(full["fetch_status"], 200)).as_py() or 0)
+        return (links if links.num_rows else None), errors
 
     def _write_lineage(self, edir: str) -> None:
         rows = [r for r in self.lineage_rows if r["epoch"] == self.epoch]
@@ -399,6 +487,8 @@ class CrawlDriver:
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
+        for w in self._workers or []:
+            ray.kill(w)
 
 
 def _mk(edir: str, sub: str) -> str:
@@ -441,6 +531,24 @@ def crawl(
         drv.shutdown()
 
 
+def visit(
+    domain: str,
+    pages_dir: str,
+    out_dir: str,
+    config: CrawlConfig | None = None,
+    robots: dict[str, RobotsRules] | None = None,
+    max_pages: int = 10,
+    vat: bool = True,
+) -> CrawlResult:
+    """Entry point 2 — single-domain visit (SURVEY.md §3.2): one VisitRequest
+    through the same epoch loop (one code path), with the request's
+    web.max_pages as the host cap (/root/reference/src/TODO.MD:56-77)."""
+    from dataclasses import replace
+
+    cfg = replace(config or CrawlConfig(), host_caps={domain: max_pages}, with_vat=vat)
+    return crawl([f"http://{domain}/"], pages_dir, out_dir, cfg, robots=robots)
+
+
 def latest_checkpoint(out_dir: str) -> str | None:
     if not os.path.isdir(out_dir):
         return None
@@ -454,20 +562,42 @@ def latest_checkpoint(out_dir: str) -> str | None:
     return best
 
 
-def read_visit_log(out_dir: str) -> pa.Table:
-    """O1: the crawl-order artifact, totally ordered by seq."""
-    parts = []
-    for name in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, name, "visit_log")
+def artifact_files(out_dir: str) -> list[str]:
+    """All combined crawl parquet files, epoch order."""
+    files = []
+    for name in sorted(os.listdir(out_dir), key=lambda n: int(n.split("=")[1]) if "=" in n else -1):
+        p = os.path.join(out_dir, name, "crawl")
         if os.path.isdir(p):
-            for f in sorted(os.listdir(p)):
-                if f.endswith(".parquet"):
-                    parts.append(pq.read_table(os.path.join(p, f)))
+            files.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p)) if f.endswith(".parquet")
+            )
+    return files
+
+
+def read_visit_log(out_dir: str) -> pa.Table:
+    """O1: the crawl-order artifact, totally ordered by seq (a column
+    projection of the combined epoch files)."""
+    parts = [pq.read_table(f, columns=VISIT_COLS) for f in artifact_files(out_dir)]
     if not parts:
         return pa.table({c: [] for c in VISIT_COLS})
     tbl = pa.concat_tables(parts)
     order = np.argsort(tbl["seq"].to_numpy(zero_copy_only=False))
     return tbl.take(pa.array(order))
+
+
+def export_pages(out_dir: str, dest: str) -> None:
+    """Final-artifact export: the SPEC-shape pages table
+    (url, warc_ts, html, text, lang), epoch-partitioned."""
+    import ray.data as rd
+
+    from monocator_ray.schemas import PAGES, assert_schema
+
+    files = artifact_files(out_dir)
+    ds = rd.read_parquet(files, columns=PAGES_COLS)
+    ds.map_batches(
+        lambda t: assert_schema(t.select(PAGES_COLS), PAGES, "export_pages"),
+        batch_format="pyarrow",
+    ).write_parquet(dest)
 
 
 def read_seen_set(out_dir: str) -> np.ndarray:

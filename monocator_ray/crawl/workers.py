@@ -1,0 +1,71 @@
+"""Persistent epoch-worker pool (SURVEY.md §4.2 "batch-internal async
+fan-out" / actor-pool reuse).
+
+``map_batches`` actor pools are torn down after every Dataset execution, so a
+per-epoch pipeline pays actor spawn + cold bucket caches every epoch — the
+dominant cost once extraction is vectorized (~0.3 ms/page).  ``EpochWorker``
+is the same fetch->extract->write->explode chain as the Dataset path
+(_process_distributed), held in actors created ONCE per crawl: bucket caches
+stay warm across epochs (the virtual-thread/connection-pool analog of the
+reference, /root/reference/pom.xml:22-23).
+
+Determinism: workers receive contiguous host-sorted chunks and write
+deterministic part file names; link tables are concatenated in chunk order —
+physical placement never affects the visit order (keys decide everything).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from monocator_ray.stages.extract import ExtractStage, explode_links
+from monocator_ray.stages.fetch import SyntheticFetcher
+from monocator_ray.stages.filters import LinkFilter
+
+
+class EpochWorker:
+    """One long-lived worker: fused fetch+extract+write+links per chunk."""
+
+    def __init__(
+        self,
+        pages_dir: str,
+        num_buckets: int,
+        link_cap: int,
+        with_vat: bool,
+        max_depth: int,
+        blacklist: frozenset,
+        robots_rules: dict | None,
+        max_cached_buckets: int = 16,
+    ):
+        self.fetch = SyntheticFetcher(pages_dir, num_buckets, max_cached_buckets)
+        self.extract = ExtractStage(link_cap, with_vat)
+        self.link_filter = LinkFilter(max_depth, blacklist, robots_rules)
+
+    def process(self, chunk: pa.Table, out_file: str) -> tuple[pa.Table, int]:
+        """fetch -> extract -> write combined parquet -> filtered child links.
+        Returns (links_table, n_errors)."""
+        import os as _os
+        import time as _t
+
+        trace = _os.environ.get("MONOCATOR_TRACE_WORKER")
+        t0 = _t.monotonic()
+        fetched = self.fetch(chunk)
+        t1 = _t.monotonic()
+        full = self.extract(fetched)
+        t2 = _t.monotonic()
+        os.makedirs(os.path.dirname(out_file), exist_ok=True)
+        pq.write_table(full, out_file)
+        t3 = _t.monotonic()
+        import pyarrow.compute as pc
+
+        errors = int(pc.sum(pc.not_equal(full["fetch_status"], 200)).as_py() or 0)
+        links = self.link_filter(explode_links(full.select(["links", "seq", "depth", "url_hash"])))
+        if trace:
+            print(
+                f"[worker] n={chunk.num_rows} fetch={t1 - t0:.2f} extract={t2 - t1:.2f} "
+                f"write={t3 - t2:.2f} links={_t.monotonic() - t3:.2f}"
+            )
+        return links, errors

@@ -14,6 +14,36 @@ from __future__ import annotations
 from monocator_ray.pipelines import docs as D
 from monocator_ray.pipelines import relational as R
 
+
+def q_crawl_flagship(sf_dir: str):
+    """Flagship crawl (rows-only): deterministic synthetic web -> epoch crawl
+    -> visit_log.  sf_dir only keys the cache dir (the crawl input is the
+    SPEC pages table, synthesized — TESTDATA tables are not pages)."""
+    import os
+
+    from monocator_ray.crawl.driver import CrawlConfig, crawl, read_visit_log
+    from monocator_ray.sources.synth import SynthSpec, write_synth_pages
+    from monocator_ray.state.robots import synth_robots
+
+    total, hosts, buckets = 600, 20, 8
+    web = "/tmp/monocator_q_crawl_web"
+    out = "/tmp/monocator_q_crawl_out"
+    if not os.path.isdir(web):
+        write_synth_pages(web, total, hosts, buckets, use_ray=False)
+    spec = SynthSpec(total, hosts)
+    cfg = CrawlConfig(num_shards=4, budget_per_epoch=128, max_depth=4, link_cap=16,
+                      num_buckets=buckets, fetch_concurrency=2, extract_concurrency=2)
+    crawl(spec.seeds(10), web, out, cfg, robots=synth_robots(hosts))
+    return read_visit_log(out)
+
+
+def q_domain_rollup_crawl(sf_dir: str):
+    """G5 per-domain rollup over the flagship crawl's artifacts (rows-only)."""
+    from monocator_ray import report
+
+    q_crawl_flagship(sf_dir)  # ensure artifacts exist
+    return report.domain_rollup("/tmp/monocator_q_crawl_out")
+
 # name -> (callable(sf_dir) -> Dataset|Table|DataFrame, oracle_sql | None)
 REGISTRY: dict = {
     # --- relational (SURVEY.md §2.5-2.7) ---
@@ -169,6 +199,9 @@ REGISTRY: dict = {
         """,
     ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
+    # crawl pipelines (non-SQL: stateful frontier/politeness iteration)
+    "crawl_flagship": (q_crawl_flagship, None),
+    "crawl_domain_rollup": (q_domain_rollup_crawl, None),
     "langid": (D.q_langid, None),
     "fingerprints": (D.q_fingerprints, None),
     "minhash_pairs": (D.q_minhash_pairs, None),

@@ -19,14 +19,33 @@ from monocator_ray.shipping import ensure_shipped
 from monocator_ray.urlnorm import host_of
 
 
+_ARTIFACT_COLS = {
+    "visit_log": ["seq", "url", "url_hash", "depth", "host_hash", "discovery_time", "fetch_status", "epoch", "shard_id"],
+    "pages": ["url", "warc_ts", "html", "text", "lang"],
+    "features": ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256"],
+}
+
+
 def _read_artifact(out_dir: str, name: str) -> rd.Dataset:
+    """Artifact views are column projections of the combined epoch files —
+    parquet reads only the projected columns (prune at the read)."""
+    from monocator_ray.crawl.driver import artifact_files
+
     ensure_shipped()
-    paths = []
-    for e in sorted(os.listdir(out_dir)):
-        p = os.path.join(out_dir, e, name)
-        if os.path.isdir(p):
-            paths.append(p)
-    return rd.read_parquet(paths)
+    return rd.read_parquet(artifact_files(out_dir), columns=_ARTIFACT_COLS[name])
+
+
+def _hash_as_i64(col: str):
+    """Ray Data groupby/sort chokes on uint64 values > 2^63 (falls back to
+    pickled-object columns); bitwise-reinterpret hash keys as int64 — a
+    bijection, so grouping is unchanged."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(col)
+        as_i64 = batch[col].to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+        return batch.set_column(i, col, pa.array(as_i64, pa.int64()))
+
+    return fn
 
 
 def crawl_stats(out_dir: str) -> rd.Dataset:
@@ -50,8 +69,13 @@ def crawl_stats(out_dir: str) -> rd.Dataset:
 
 def per_host_page_counts(out_dir: str) -> rd.Dataset:
     """G1 audit: fetched pages per host (validates web.max_pages caps)."""
-    vl = _read_artifact(out_dir, "visit_log")
-    return vl.groupby("host_hash").aggregate(Count(alias_name="n_pages")).sort("host_hash")
+    vl = _read_artifact(out_dir, "visit_log").select_columns(["host_hash"])
+    return (
+        vl.map_batches(_hash_as_i64("host_hash"), batch_format="pyarrow")
+        .groupby("host_hash")
+        .aggregate(Count(alias_name="n_pages"))
+        .sort("host_hash")
+    )
 
 
 def depth_histogram(out_dir: str) -> rd.Dataset:
@@ -61,9 +85,10 @@ def depth_histogram(out_dir: str) -> rd.Dataset:
 
 def hot_hosts(out_dir: str, k: int = 10) -> rd.Dataset:
     """G4/O3: top-k hosts by page count (salting-threshold input)."""
-    vl = _read_artifact(out_dir, "visit_log")
+    vl = _read_artifact(out_dir, "visit_log").select_columns(["host_hash"])
     return (
-        vl.groupby("host_hash")
+        vl.map_batches(_hash_as_i64("host_hash"), batch_format="pyarrow")
+        .groupby("host_hash")
         .aggregate(Count(alias_name="n"))
         .sort(["n", "host_hash"], descending=[True, False])
         .limit(k)
@@ -75,16 +100,29 @@ def content_dedup(out_dir: str) -> rd.Dataset:
     trigger's comparison key, /root/reference/src/TODO.MD:65)."""
     feats = _read_artifact(out_dir, "features")
 
+    def to_hex(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.is_valid(batch["html_sha256"]))
+        hexes = [h.hex() for h in batch["html_sha256"].to_pylist()]
+        return pa.table(
+            {
+                "sha_hex": pa.array(hexes, pa.string()),
+                "url": batch["url"],
+                "url_hash": batch["url_hash"],
+            }
+        )
+
     def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("url_hash")
         return pd.DataFrame(
-            {"html_sha256": [g["html_sha256"].iloc[0]], "n_pages": [len(g)],
+            {"sha_hex": [g["sha_hex"].iloc[0]], "n_pages": [len(g)],
              "first_url": [g["url"].iloc[0]]}
         )
 
     return (
-        feats.filter(lambda r: r["html_sha256"] is not None)
-        .groupby("html_sha256")
+        feats.map_batches(to_hex, batch_format="pyarrow")
+        .groupby("sha_hex")
         .map_groups(first_per_hash, batch_format="pandas")
     )
 
@@ -124,6 +162,35 @@ def domain_rollup(out_dir: str) -> rd.Dataset:
         .map_groups(rollup, batch_format="pandas")
         .sort("host")
     )
+
+
+def approx_distinct_urls(out_dir: str, p: int = 12) -> float:
+    """G6: HLL approximate distinct-URL count over the visit log — per-block
+    sketch in map_batches, merged driver-side (advisory only)."""
+    from monocator_ray.state.hll import HLL
+
+    vl = _read_artifact(out_dir, "visit_log").select_columns(["url_hash"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HLL(p)
+        h.add_hashes(batch["url_hash"].to_numpy(zero_copy_only=False))
+        return pa.table({"sketch": pa.array([h.dumps()], pa.binary())})
+
+    import ray
+
+    from monocator_ray.state.hll import HLL as _HLL
+
+    parts = ray.get(vl.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
+    merged = _HLL(p)
+    for t in parts:
+        for b in t["sketch"].to_pylist():
+            merged.merge(_HLL.loads(b))
+    return merged.estimate()
+
+
+def sample_pages(out_dir: str, fraction: float = 0.01, seed: int = 42) -> rd.Dataset:
+    """O4: seeded uniform page sample for golden spot checks."""
+    return _read_artifact(out_dir, "pages").random_sample(fraction, seed=seed)
 
 
 def seen_except_frontier(out_dir: str) -> int:

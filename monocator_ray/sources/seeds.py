@@ -63,6 +63,21 @@ def requests_to_seed_urls(requests: pa.Table) -> list[str]:
     return urls
 
 
+def read_blacklist(path: str) -> frozenset[str]:
+    """S5 — small filter table of blocked hosts (the reference's
+    BlacklistEntry, /root/reference/src/TODO.MD:11-13).  One host per line
+    (text) or a 'host' column (csv/parquet); shipped as a broadcast set into
+    the link filter, never a shuffle join."""
+    import pyarrow.parquet as pq
+
+    if path.endswith(".parquet"):
+        vals = pq.read_table(path)["host"].to_pylist()
+    else:
+        with open(path) as f:
+            vals = [ln.split(",")[0] for ln in f.read().splitlines()]
+    return frozenset(v.strip().lower() for v in vals if v.strip() and not v.startswith("#"))
+
+
 def host_caps_from_requests(requests: pa.Table) -> dict[str, int]:
     """domain -> web_max_pages (G1 per-host cap source)."""
     return {

@@ -45,12 +45,16 @@ class SyntheticFetcher:
         index: dict[str, tuple] = {}
         for f in files:
             t = pq.read_table(f, columns=["url", "warc_ts", "html", "lang"])
-            urls = t["url"].to_pylist()
-            ts = t["warc_ts"].to_numpy(zero_copy_only=False)
-            htmls = t["html"].to_pylist()
-            langs = t["lang"].to_pylist()
-            for i, u in enumerate(urls):
-                index[u] = (htmls[i], ts[i], langs[i])
+            index.update(
+                zip(
+                    t["url"].to_pylist(),
+                    zip(
+                        t["html"].to_pylist(),
+                        t["warc_ts"].to_numpy(zero_copy_only=False),
+                        t["lang"].to_pylist(),
+                    ),
+                )
+            )
         self._cache[b] = index
         while len(self._cache) > self.max_cached:
             self._cache.popitem(last=False)

@@ -66,6 +66,7 @@ class FrontierShard:
         host_delays: dict[str, int] | None = None,
         default_delay_ms: int = 0,
         seen_capacity: int = 1 << 20,
+        host_caps: dict[str, int] | None = None,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -74,6 +75,9 @@ class FrontierShard:
         self.max_pages = max_pages_per_host
         self.host_delays = host_delays or {}
         self.default_delay_ms = default_delay_ms
+        # per-host web.max_pages overrides (VisitRequest, TODO.MD:61); falls
+        # back to the global max_pages when a host has no entry
+        self.host_caps = host_caps or {}
         # seen set: exact uint64 set is ground truth; cuckoo filter fast path
         self.seen: set[int] = set()
         self.filter = CuckooFilter(seen_capacity)
@@ -142,7 +146,8 @@ class FrontierShard:
                 hhi = int(hh[i])
                 if hhi not in self.hosts:
                     delay = self.host_delays.get(hosts[i], self.default_delay_ms)
-                    self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0]
+                    cap = self.host_caps.get(hosts[i], self.max_pages)
+                    self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
                 heapq.heappush(
                     heap,
                     (int(dep[i]), hhi, int(dt[i]), int(uh[i]), urls[i], int(ph[i])),
@@ -150,7 +155,7 @@ class FrontierShard:
         return {"offered": n, "new": n_new}
 
     def _advance_tokens(self, st: list, epoch: int) -> None:
-        tokens, delay, _fetched, last = st
+        tokens, delay, _fetched, last = st[0], st[1], st[2], st[3]
         if delay > 0 and epoch > last:
             burst = float(max(self.epoch_ms, delay))
             st[0] = min(burst, tokens + (epoch - last) * self.epoch_ms)
@@ -169,13 +174,13 @@ class FrontierShard:
             hh = entry[1]
             st = self.hosts[hh]
             self._advance_tokens(st, epoch)
-            tokens, delay, fetched, _ = st
-            if self.max_pages and fetched >= self.max_pages:
+            tokens, delay, fetched, cap = st[0], st[1], st[2], st[4]
+            if cap and fetched >= cap:
                 self.counters["capped_dropped"] += 1
                 continue
             allowance = int(tokens // delay) if delay > 0 else self.default_host_cap
-            if self.max_pages:
-                allowance = min(allowance, self.max_pages - fetched)
+            if cap:
+                allowance = min(allowance, cap - fetched)
             if per_host.get(hh, 0) < allowance:
                 per_host[hh] = per_host.get(hh, 0) + 1
                 staged.append(entry)
@@ -254,6 +259,7 @@ class FrontierShard:
                 "delay_ms": pa.array([self.hosts[k][1] for k in hh], pa.int64()),
                 "fetched": pa.array([self.hosts[k][2] for k in hh], pa.int64()),
                 "last_epoch": pa.array([self.hosts[k][3] for k in hh], pa.int64()),
+                "cap": pa.array([self.hosts[k][4] for k in hh], pa.int64()),
             }
         )
         return {"frontier": frontier, "seen": seen, "hosts": hosts, "counters": dict(self.counters)}
@@ -279,13 +285,14 @@ class FrontierShard:
             self.filter.insert_batch(hashes)
         h = state["hosts"]
         self.hosts = {
-            int(k): [float(t), int(d), int(fc), int(le)]
-            for k, t, d, fc, le in zip(
+            int(k): [float(t), int(d), int(fc), int(le), int(cp)]
+            for k, t, d, fc, le, cp in zip(
                 h["host_hash"].to_pylist(),
                 h["tokens_ms"].to_pylist(),
                 h["delay_ms"].to_pylist(),
                 h["fetched"].to_pylist(),
                 h["last_epoch"].to_pylist(),
+                h["cap"].to_pylist(),
             )
         }
         self.counters = dict(state["counters"])

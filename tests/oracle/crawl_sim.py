@@ -41,6 +41,7 @@ class SimConfig:
     max_epochs: int = 10_000
     total_page_budget: int = 0
     blacklist: frozenset = frozenset()
+    host_caps: dict | None = None  # host -> web_max_pages override
 
 
 @dataclass
@@ -85,7 +86,8 @@ def simulate(
         hh = int(hash_host64([host])[0])
         if hh not in host_state:
             delay = robots.get(host, RobotsRules()).crawl_delay_ms or cfg.default_delay_ms
-            host_state[hh] = [float(max(cfg.epoch_ms, delay)), delay, 0, 0]
+            cap = (cfg.host_caps or {}).get(host, cfg.max_pages_per_host)
+            host_state[hh] = [float(max(cfg.epoch_ms, delay)), delay, 0, 0, cap]
             host_names[hh] = host
         heapq.heappush(heap, (depth, hh, dt, uh, url))
 
@@ -114,17 +116,17 @@ def simulate(
             hh = entry[1]
             st = host_state[hh]
             # lazy token advance (identical formula to FrontierShard)
-            tokens, delay, fetched, last = st
+            tokens, delay, fetched, last = st[0], st[1], st[2], st[3]
             if delay > 0 and epoch > last:
                 burst = float(max(cfg.epoch_ms, delay))
                 st[0] = min(burst, tokens + (epoch - last) * cfg.epoch_ms)
             st[3] = epoch
-            tokens, delay, fetched, _ = st
-            if cfg.max_pages_per_host and fetched >= cfg.max_pages_per_host:
+            tokens, delay, fetched, cap = st[0], st[1], st[2], st[4]
+            if cap and fetched >= cap:
                 continue  # capped: dropped permanently
             allowance = int(tokens // delay) if delay > 0 else cfg.default_host_cap
-            if cfg.max_pages_per_host:
-                allowance = min(allowance, cfg.max_pages_per_host - fetched)
+            if cap:
+                allowance = min(allowance, cap - fetched)
             if staged_per_host.get(hh, 0) < allowance:
                 staged_per_host[hh] = staged_per_host.get(hh, 0) + 1
                 staged.append(entry)
