@@ -24,11 +24,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-# bench-scale synthetic web (generated once, reused across runs/levels)
+# bench-scale synthetic web (generated once, reused across runs/levels).
+# page_bytes ~24KB: Common-Crawl-realistic page weight so the bench measures
+# fetch+parse+extract compute, not per-epoch orchestration overhead.
 WEB_PAGES = int(os.environ.get("BENCH_WEB_PAGES", "60000"))
 WEB_HOSTS = int(os.environ.get("BENCH_WEB_HOSTS", "900"))
-WEB_BUCKETS = 32
-WEB_DIR = f"/tmp/monocator_bench_web_{WEB_PAGES}_{WEB_HOSTS}"
+PAGE_BYTES = int(os.environ.get("BENCH_PAGE_BYTES", "24576"))
+WEB_BUCKETS = 64
+WEB_DIR = f"/tmp/monocator_bench_web_{WEB_PAGES}_{WEB_HOSTS}_{PAGE_BYTES}"
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -53,7 +56,8 @@ def ensure_web() -> None:
 
     marker = os.path.join(WEB_DIR, "_DONE")
     if not os.path.exists(marker):
-        write_synth_pages(WEB_DIR, WEB_PAGES, WEB_HOSTS, WEB_BUCKETS, use_ray=False)
+        write_synth_pages(WEB_DIR, WEB_PAGES, WEB_HOSTS, WEB_BUCKETS,
+                          page_bytes=PAGE_BYTES)
         open(marker, "w").close()
 
 
@@ -72,6 +76,9 @@ def run_crawl(num_cpus: int) -> dict:
         max_depth=8,
         link_cap=16,
         num_buckets=WEB_BUCKETS,
+        # workers scale with the parallelism level (0.75x leaves room for
+        # shard actors + driver at both levels -> fair 8-vs-32 comparison)
+        num_workers=max(2, num_cpus * 3 // 4),
         fetch_concurrency=max(2, num_cpus // 4),
         extract_concurrency=max(2, num_cpus // 2),
         fetch_batch_size=2048,
@@ -143,8 +150,17 @@ def main() -> None:
 
 
 def scaling() -> None:
-    # generate the web once (cheap, single process, no ray needed)
-    ensure_web()
+    # generate the web once, in its own Ray session, before the timed runs
+    if not os.path.exists(os.path.join(WEB_DIR, "_DONE")):
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        from monocator_ray.shipping import ensure_shipped
+
+        ensure_shipped()
+        ensure_web()
+        ray.shutdown()
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_CRAWL_ONLY="1")

@@ -168,6 +168,7 @@ class CrawlDriver:
         self._inline_fetch: SyntheticFetcher | None = None
         self._inline_extract: ExtractStage | None = None
         self._workers: list | None = None
+        self._fetchers: list | None = None
 
     # ---- routing ----
     def _offer_all(self, tbl: pa.Table) -> list[dict]:
@@ -341,24 +342,32 @@ class CrawlDriver:
         return links, errors
 
     def _worker_pool(self):
+        """Two dedicated pools: IO fetchers (bucket-owned, queues never block
+        on compute) and CPU extractors (fed in fetch-completion order) —
+        mixing them in one pool head-of-line-blocks actor FIFO queues."""
         if self._workers is None:
             cfg = self.cfg
             n = cfg.num_workers or max(
                 2, int(ray.cluster_resources().get("CPU", 4)) - int(cfg.num_shards * cfg.shard_cpus) - 1
             )
-            Worker = ray.remote(num_cpus=1)(EpochWorker)
-            self._workers = [
-                Worker.remote(
-                    pages_dir=self.pages_dir,
-                    num_buckets=cfg.num_buckets,
-                    link_cap=cfg.link_cap,
-                    with_vat=cfg.with_vat,
-                    max_depth=cfg.max_depth,
-                    blacklist=cfg.blacklist,
-                    robots_rules=self.robots,
-                )
-                for _ in range(n)
-            ]
+            n_fetch = max(2, n // 3)
+            n_extract = max(2, n - n_fetch)
+            kwargs = dict(
+                pages_dir=self.pages_dir,
+                num_buckets=cfg.num_buckets,
+                link_cap=cfg.link_cap,
+                with_vat=cfg.with_vat,
+                max_depth=cfg.max_depth,
+                blacklist=cfg.blacklist,
+                robots_rules=self.robots,
+                shards=self.shards,
+            )
+            # fetchers are IO-bound (parquet decode bursts + cache hits):
+            # fractional CPU so they don't starve extractors of cores
+            Fetcher = ray.remote(num_cpus=1)(EpochWorker)
+            Extractor = ray.remote(num_cpus=1)(EpochWorker)
+            self._fetchers = [Fetcher.remote(**kwargs) for _ in range(n_fetch)]
+            self._workers = [Extractor.remote(**kwargs) for _ in range(n_extract)]
         return self._workers
 
     def _process_workers(self, taken: pa.Table, edir: str):
@@ -371,27 +380,59 @@ class CrawlDriver:
         # buckets hash-mix hosts so groups are roughly even
         hh = taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bucket = (hh % np.uint64(self.cfg.num_buckets)).astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
+        # (bucket, host_hash) sort -> chunks are host-contiguous, so the
+        # fetcher's row-group pruning reads a tight host range per chunk
+        order = np.lexsort((hh, bucket))
         taken = taken.take(pa.array(order))
         bucket = bucket[order]
-        # hot-host salting (SPEC): a Zipf-hot host concentrates its pages in
-        # one bucket; splitting its group into salt chunks spread over
-        # (b + j) % nw workers bounds the straggler, at the cost of the hot
-        # bucket being cached by a few extra workers.  Politeness is
-        # unaffected — it was already enforced at pop time, host-sharded.
+        # two-phase epoch: (1) fetch on the chunk's bucket OWNER (strict
+        # b % nw routing -> each store row group decodes once per crawl,
+        # then cache-hits), (2) extract round-robin over the whole pool —
+        # this is the hot-host salting (SPEC): a Zipf-hot host's chunks all
+        # fetch from one owner's cache (cheap) but extract on every worker
+        # (the CPU-bound phase is spread).  Politeness is unaffected — it
+        # was already enforced at pop time, host-sharded.
+        nf = len(self._fetchers)
         salt_chunk = max(256, taken.num_rows // (2 * nw))
-        refs = []
+        fetch_refs = []
         part = 0
         for b in np.unique(bucket):
             lo = int(np.searchsorted(bucket, b, side="left"))
             hi = int(np.searchsorted(bucket, b, side="right"))
-            for j, s in enumerate(range(lo, hi, salt_chunk)):
+            owner = self._fetchers[int(b) % nf]
+            for s in range(lo, hi, salt_chunk):
                 chunk = taken.slice(s, min(salt_chunk, hi - s))
-                out_file = os.path.join(edir, "crawl", f"part-{part}.parquet")
-                refs.append(workers[(int(b) + j) % nw].process.remote(chunk, out_file))
+                fetch_refs.append(owner.fetch_chunk.remote(chunk))
                 part += 1
-        results = ray.get(refs)
-        link_tables = [lt for lt, _err in results if lt.num_rows]
+        # dispatch extracts in fetch-completion order, round-robin over the
+        # extractor pool (no idle extractor while any fetched chunk waits)
+        pending = {r: i for i, r in enumerate(fetch_refs)}
+        extract_refs = []
+        rr = 0
+        # fetchers join the extract pool: their fetch queues are already
+        # fully enqueued, so appended extract tasks run once those drain
+        extract_pool = workers + self._fetchers
+        np_pool = len(extract_pool)
+        remaining = list(fetch_refs)
+        while remaining:
+            done, remaining = ray.wait(remaining, num_returns=1)
+            i = pending[done[0]]
+            out_file = os.path.join(edir, "crawl", f"part-{i}.parquet")
+            extract_refs.append(extract_pool[rr % np_pool].extract_write.remote(done[0], out_file))
+            rr += 1
+        results = ray.get(extract_refs)
+        # workers offered links directly to the shards and returned the
+        # offer ObjectRefs; awaiting them here is the epoch barrier that
+        # guarantees every offer landed before the next peek's flush
+        offer_refs = []
+        link_tables = []
+        for lt, _err in results:
+            if isinstance(lt, list):
+                offer_refs.extend(lt)
+            elif lt is not None and lt.num_rows:
+                link_tables.append(lt)
+        if offer_refs:
+            ray.get(offer_refs)
         links = pa.concat_tables(link_tables, promote_options="default") if link_tables else None
         return links, sum(err for _lt, err in results)
 
@@ -487,7 +528,7 @@ class CrawlDriver:
     def shutdown(self) -> None:
         for s in self.shards:
             ray.kill(s)
-        for w in self._workers or []:
+        for w in (self._workers or []) + (self._fetchers or []):
             ray.kill(w)
 
 

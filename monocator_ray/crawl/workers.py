@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 from monocator_ray.stages.extract import ExtractStage, explode_links
 from monocator_ray.stages.fetch import SyntheticFetcher
-from monocator_ray.stages.filters import LinkFilter
+from monocator_ray.stages.filters import LinkFilter, first_wins_dedup
 
 
 class EpochWorker:
@@ -39,10 +39,56 @@ class EpochWorker:
         blacklist: frozenset,
         robots_rules: dict | None,
         max_cached_buckets: int = 16,
+        shards: list | None = None,
     ):
         self.fetch = SyntheticFetcher(pages_dir, num_buckets, max_cached_buckets)
         self.extract = ExtractStage(link_cap, with_vat)
         self.link_filter = LinkFilter(max_depth, blacklist, robots_rules)
+        self.shards = shards or []
+
+    def fetch_chunk(self, chunk: pa.Table) -> pa.Table:
+        """IO phase only — called on the chunk's bucket OWNER so each store
+        row group is decoded once per crawl (cached).  The result rides the
+        object store to whichever worker extracts it."""
+        import os as _os
+        import time as _t
+
+        t0 = _t.monotonic()
+        out = self.fetch(chunk)
+        if _os.environ.get("MONOCATOR_TRACE_WORKER"):
+            print(f"[wf] n={chunk.num_rows} fetch={_t.monotonic() - t0:.2f}")
+        return out
+
+    def extract_write(self, fetched: pa.Table, out_file: str) -> tuple[pa.Table, int]:
+        """CPU phase — round-robin across the pool (balanced regardless of
+        which owner fetched)."""
+        import os as _os
+        import time as _t
+
+        t0 = _t.monotonic()
+        full = self.extract(fetched)
+        t1 = _t.monotonic()
+        os.makedirs(os.path.dirname(out_file), exist_ok=True)
+        pq.write_table(full, out_file)
+        import numpy as np
+        import pyarrow.compute as pc
+
+        errors = int(pc.sum(pc.not_equal(full["fetch_status"], 200)).as_py() or 0)
+        links = self.link_filter(explode_links(full.select(["links", "seq", "depth", "url_hash"])))
+        offer_refs = []
+        if links.num_rows and self.shards:
+            # offer straight to the frontier shards (fire-and-forget; the
+            # driver awaits the acks at the epoch barrier) — the shards'
+            # pending buffers make concurrent, unordered offers deterministic
+            links = first_wins_dedup(links)  # local dedup: less RPC traffic
+            hh = links["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            sid = (hh % np.uint64(len(self.shards))).astype(np.int64)
+            for s in np.unique(sid):
+                offer_refs.append(self.shards[int(s)].offer.remote(links.filter(pa.array(sid == s))))
+            links = None
+        if _os.environ.get("MONOCATOR_TRACE_WORKER"):
+            print(f"[we] n={fetched.num_rows} extract={t1 - t0:.2f} rest={_t.monotonic() - t1:.2f}")
+        return (links, errors) if not offer_refs else (offer_refs, errors)
 
     def process(self, chunk: pa.Table, out_file: str) -> tuple[pa.Table, int]:
         """fetch -> extract -> write combined parquet -> filtered child links.

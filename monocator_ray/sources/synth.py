@@ -81,6 +81,39 @@ def _rand_u64(seed: int, idx: np.ndarray, field: str) -> np.ndarray:
     return hash_str64([f"{seed}:{int(i)}:{field}" for i in idx])
 
 
+_FILLER_WORDS = (
+    "data crawl engine stream batch arrow parquet frontier politeness shard "
+    "extract parse token index merge spill queue budget epoch lineage "
+    "vector column schema block actor worker bucket salt hash depth"
+).split()
+
+
+def _filler_html(rand: int, target_bytes: int) -> str:
+    """Deterministic filler paragraphs (hash-varied words, whitespace runs,
+    occasional inline markup) so bench pages weigh like real web pages
+    (Common-Crawl mean is tens of KB) and extraction does real work."""
+    if target_bytes <= 0:
+        return ""
+    out = []
+    size = 0
+    i = 0
+    nw = len(_FILLER_WORDS)
+    while size < target_bytes:
+        words = []
+        for j in range(24):
+            w = _FILLER_WORDS[(rand + i * 31 + j * 7) % nw]
+            if (rand + i + j) % 11 == 3:
+                w = f"<b>{w}</b>"
+            elif (rand + i + j) % 13 == 5:
+                w = w + "&nbsp;"
+            words.append(w)
+        para = "<p>" + " ".join(words) + f" {i}.</p>\n  "
+        out.append(para)
+        size += len(para)
+        i += 1
+    return "".join(out)
+
+
 def build_pages_batch(
     page_idx: np.ndarray,
     host_of_page: np.ndarray,
@@ -89,6 +122,7 @@ def build_pages_batch(
     num_hosts: int,
     seed: int,
     links_per_page: int = 6,
+    page_bytes: int = 0,
 ) -> pa.Table:
     """Generate PAGES rows for the given global page indices (vector in,
     per-row HTML assembly — generation only, not a crawl hot path)."""
@@ -133,6 +167,8 @@ def build_pages_batch(
             parts.append(f"<div>VAT: {make_vat(int(r_vat[j]))}</div>")
         elif h % 7 == 5 and k == 0:
             parts.append(f"<div>VAT: {make_vat(int(r_vat[j]), valid=False)}</div>")
+        if page_bytes:
+            parts.append(_filler_html(rl & 0xFFFFFF, page_bytes))
         parts.append(f"<p>Tail content {rl & 0xFFFF}.</p></body></html>")
         urls.append(url)
         htmls.append("".join(parts).encode("utf-8"))
@@ -152,11 +188,19 @@ def build_pages_batch(
 class SynthSpec:
     """Precomputed host layout for a (total_pages, num_hosts, seed) config."""
 
-    def __init__(self, total_pages: int, num_hosts: int, seed: int = 42, links_per_page: int = 6):
+    def __init__(
+        self,
+        total_pages: int,
+        num_hosts: int,
+        seed: int = 42,
+        links_per_page: int = 6,
+        page_bytes: int = 0,
+    ):
         self.total_pages = total_pages
         self.num_hosts = num_hosts
         self.seed = seed
         self.links_per_page = links_per_page
+        self.page_bytes = page_bytes
         self.host_sizes = zipf_host_sizes(num_hosts, total_pages)
         self.host_start = np.concatenate([[0], np.cumsum(self.host_sizes)])
 
@@ -169,7 +213,7 @@ class SynthSpec:
         host, k = self.locate(np.asarray(page_idx, dtype=np.int64))
         return build_pages_batch(
             np.asarray(page_idx), host, k, self.host_sizes,
-            self.num_hosts, self.seed, self.links_per_page,
+            self.num_hosts, self.seed, self.links_per_page, self.page_bytes,
         )
 
     def seeds(self, n: int | None = None) -> list[str]:
@@ -185,6 +229,7 @@ def write_synth_pages(
     num_buckets: int = 16,
     seed: int = 42,
     use_ray: bool | None = None,
+    page_bytes: int = 0,
 ) -> str:
     """Materialize the synthetic web under out_dir/bucket=N/part-*.parquet.
 
@@ -192,31 +237,65 @@ def write_synth_pages(
     bucket file set — the synthetic-fetch actors (J2) memory-map per bucket.
     Large scales generate distributed via ray.data.range -> map_batches.
     """
-    spec = SynthSpec(total_pages, num_hosts, seed)
+    spec = SynthSpec(total_pages, num_hosts, seed, page_bytes=page_bytes)
     os.makedirs(out_dir, exist_ok=True)
     if use_ray is None:
-        use_ray = total_pages > 200_000
+        use_ray = total_pages > 200_000 or total_pages * max(1, page_bytes) > 2e8
 
-    def bucket_of(urls: pa.Array) -> np.ndarray:
+    def host_hashes(urls: pa.Array) -> np.ndarray:
         hosts = [u.split("://", 1)[1].split("/", 1)[0] for u in urls.to_pylist()]
-        return (hash_host64(hosts) % np.uint64(num_buckets)).astype(np.int32)
+        return hash_host64(hosts)
 
     if not use_ray:
         tbl = spec.batch(np.arange(total_pages, dtype=np.int64))
-        buckets = bucket_of(tbl["url"].combine_chunks())
+        hh = host_hashes(tbl["url"].combine_chunks())
+        buckets = (hh % np.uint64(num_buckets)).astype(np.int32)
         for b in range(num_buckets):
-            sub = tbl.filter(pa.array(buckets == b))
+            mask = buckets == b
+            sub = tbl.filter(pa.array(mask))
             d = os.path.join(out_dir, f"bucket={b}")
             os.makedirs(d, exist_ok=True)
-            pq.write_table(sub, os.path.join(d, "part-0.parquet"))
+            write_store_part(sub, hh[mask], os.path.join(d, "part-0"))
     else:
         import ray.data as rd
 
-        def gen(batch: pa.Table) -> pa.Table:
+        def gen_write(batch: pa.Table) -> pa.Table:
+            # each generator task writes its own bucket-partitioned store
+            # parts (resumable layout: one part set per input block)
             idx = batch["id"].to_numpy()
             t = spec.batch(idx)
-            return t.append_column("bucket", pa.array(bucket_of(t["url"].combine_chunks())))
+            hh = host_hashes(t["url"].combine_chunks())
+            buckets = (hh % np.uint64(num_buckets)).astype(np.int32)
+            lo = int(idx.min())
+            for b in np.unique(buckets):
+                mask = buckets == b
+                d = os.path.join(out_dir, f"bucket={int(b)}")
+                os.makedirs(d, exist_ok=True)
+                write_store_part(t.filter(pa.array(mask)), hh[mask], os.path.join(d, f"part-{lo}"))
+            return pa.table({"n": pa.array([len(idx)], pa.int64())})
 
-        ds = rd.range(total_pages).map_batches(gen, batch_format="pyarrow", batch_size=8192)
-        ds.write_parquet(out_dir, partition_cols=["bucket"])
+        rd.range(total_pages).map_batches(
+            gen_write, batch_format="pyarrow", batch_size=8192
+        ).materialize()
     return out_dir
+
+
+STORE_ROW_GROUP = 256
+
+
+def write_store_part(tbl: pa.Table, hh: np.ndarray, path_stem: str) -> None:
+    """Write one page-store part: rows sorted by (host_hash, url), small row
+    groups, plus a sidecar per-row-group host-hash range index so the
+    synthetic fetcher reads only the row groups its chunk's hosts live in
+    (the store analog of per-host HTTP connections)."""
+    order = np.lexsort((np.arange(len(hh)), hh))
+    tbl = tbl.take(pa.array(order))
+    hh_sorted = hh[order]
+    pq.write_table(tbl, path_stem + ".parquet", row_group_size=STORE_ROW_GROUP)
+    n = len(hh_sorted)
+    ngroups = (n + STORE_ROW_GROUP - 1) // STORE_ROW_GROUP
+    mins = np.array([hh_sorted[i * STORE_ROW_GROUP] for i in range(ngroups)], dtype=np.uint64)
+    maxs = np.array(
+        [hh_sorted[min(n, (i + 1) * STORE_ROW_GROUP) - 1] for i in range(ngroups)], dtype=np.uint64
+    )
+    np.savez(path_stem + ".hostidx.npz", mins=mins, maxs=maxs)

@@ -28,14 +28,96 @@ MISSING_TS = 0  # warc_ts for 404 rows
 
 
 class SyntheticFetcher:
-    """map_batches(SyntheticFetcher, fn_constructor_kwargs=..., concurrency=N)."""
+    """map_batches / EpochWorker fetch stage.
 
-    def __init__(self, pages_dir: str, num_buckets: int, max_cached_buckets: int = 8):
+    Reads only the store row groups whose host-hash range intersects the
+    batch's hosts (the store is sorted by host within each bucket and ships a
+    sidecar range index — sources/synth.py:write_store_part).  Whole-bucket
+    dict loads are the fallback for stores without a sidecar.  Row-group
+    pruning keeps read amplification ~1-2x regardless of store size — the
+    property that matters at 100 TB, where a bucket no longer fits in a
+    worker's heap.
+    """
+
+    def __init__(
+        self,
+        pages_dir: str,
+        num_buckets: int,
+        max_cached_buckets: int = 8,
+        rg_cache_bytes: int = 1536 << 20,
+    ):
         self.pages_dir = pages_dir
         self.num_buckets = num_buckets
         self.max_cached = max_cached_buckets
-        self._cache: OrderedDict[int, dict] = OrderedDict()
+        self._cache: OrderedDict[int, dict] = OrderedDict()  # fallback dicts
+        self._handles: dict[int, list] = {}  # bucket -> [(stem, ParquetFile, mins, maxs)]
+        # decoded row-group LRU: a big host's groups are re-hit every epoch
+        # (depth waves); decoding them once per worker is the win
+        self._rg_cache: OrderedDict[tuple, tuple] = OrderedDict()  # (stem,g) -> (dict, nbytes)
+        self._rg_cache_bytes = 0
+        self._rg_cache_max = rg_cache_bytes
 
+    # ---- pruned path ----
+    def _bucket_handles(self, b: int) -> list | None:
+        h = self._handles.get(b)
+        if h is not None:
+            return h
+        stems = sorted(
+            f[: -len(".parquet")]
+            for f in glob.glob(os.path.join(self.pages_dir, f"bucket={b}", "*.parquet"))
+        )
+        handles = []
+        for stem in stems:
+            idx = stem + ".hostidx.npz"
+            if not os.path.exists(idx):
+                return None  # no sidecar -> fallback dict path
+            z = np.load(idx)
+            handles.append((stem, pq.ParquetFile(stem + ".parquet"), z["mins"], z["maxs"]))
+        self._handles[b] = handles
+        return handles
+
+    def _row_group_dict(self, stem: str, pf, g: int) -> dict:
+        key = (stem, g)
+        hit = self._rg_cache.get(key)
+        if hit is not None:
+            self._rg_cache.move_to_end(key)
+            return hit[0]
+        t = pf.read_row_groups([g], columns=["url", "warc_ts", "html", "lang"])
+        d = dict(
+            zip(
+                t["url"].to_pylist(),
+                zip(
+                    t["html"].to_pylist(),
+                    t["warc_ts"].to_numpy(zero_copy_only=False),
+                    t["lang"].to_pylist(),
+                ),
+            )
+        )
+        nbytes = int(t.nbytes)
+        self._rg_cache[key] = (d, nbytes)
+        self._rg_cache_bytes += nbytes
+        while self._rg_cache_bytes > self._rg_cache_max and self._rg_cache:
+            _, (_, nb) = self._rg_cache.popitem(last=False)
+            self._rg_cache_bytes -= nb
+        return d
+
+    def _lookup_pruned(self, handles: list, urls: list[str], hh: np.ndarray) -> dict:
+        want = np.unique(hh)
+        out: dict[str, tuple] = {}
+        for stem, pf, mins, maxs in handles:
+            # row group g is needed iff any wanted host-hash lies in [min,max]
+            lo = np.searchsorted(want, mins, side="left")
+            hi = np.searchsorted(want, maxs, side="right")
+            groups = np.nonzero(hi > lo)[0]
+            for g in groups.tolist():
+                d = self._row_group_dict(stem, pf, g)
+                for u in urls:
+                    row = d.get(u)
+                    if row is not None:
+                        out[u] = row
+        return out
+
+    # ---- fallback whole-bucket dict path ----
     def _bucket_index(self, b: int) -> dict:
         hit = self._cache.get(b)
         if hit is not None:
@@ -70,8 +152,13 @@ class SyntheticFetcher:
         langs: list = [""] * n
         status = np.full(n, 404, dtype=np.int32)
         for b in np.unique(buckets):
-            index = self._bucket_index(int(b))
-            for i in np.nonzero(buckets == b)[0]:
+            sel = np.nonzero(buckets == b)[0]
+            handles = self._bucket_handles(int(b))
+            if handles is not None:
+                index = self._lookup_pruned(handles, [urls[i] for i in sel], hh[sel])
+            else:
+                index = self._bucket_index(int(b))
+            for i in sel:
                 row = index.get(urls[i])
                 if row is not None:
                     htmls[i], ts[i], langs[i] = row

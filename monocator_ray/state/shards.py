@@ -83,9 +83,14 @@ class FrontierShard:
         self.filter = CuckooFilter(seen_capacity)
         # frontier: heap of (depth, host_hash, discovery_time, url_hash, url, parent)
         self.heap: list[tuple] = []
-        # host_hash -> [tokens_ms, delay_ms, fetched, last_epoch]
+        # host_hash -> [tokens_ms, delay_ms, fetched, last_epoch, cap]
         self.hosts: dict[int, list] = {}
         self._staged: list[tuple] = []
+        # epoch-pending offer tables.  Offers only append (O(1) per RPC);
+        # min-key-wins resolution happens vectorized at flush, so offer
+        # ARRIVAL ORDER is irrelevant (workers offer concurrently) — the
+        # deterministic equivalent of global per-epoch first-wins dedup (J1).
+        self._pending_tables: list[pa.Table] = []
         self.counters = {"offered": 0, "new": 0, "dup_dropped": 0, "capped_dropped": 0, "fetched": 0}
 
     # ---- seen-set (A1) ----
@@ -120,39 +125,53 @@ class FrontierShard:
 
     # ---- frontier (A2) ----
     def offer(self, table: pa.Table) -> dict:
-        """Dedup against the seen-set and enqueue survivors.  Caller has
-        already resolved in-epoch first-wins (J1), so arrival order here can
-        never matter."""
+        """Append candidate links to the epoch-pending buffer.  O(1): all
+        resolution is deferred to flush_pending (vectorized)."""
         n = table.num_rows
         self.counters["offered"] += n
-        if n == 0:
-            return {"offered": 0, "new": 0}
+        if n:
+            self._pending_tables.append(table)
+        return {"offered": n}
+
+    def flush_pending(self) -> None:
+        """Resolve the epoch's pending offers: vectorized min-key-wins per
+        url_hash, seen-set dedup, enqueue.  Runs at the next peek() (and
+        before checkpoint dumps) — the epoch barrier makes this the J1
+        global first-wins point."""
+        if not self._pending_tables:
+            return
+        from monocator_ray.stages.filters import first_wins_dedup
+
+        table = (
+            pa.concat_tables(self._pending_tables, promote_options="default")
+            if len(self._pending_tables) > 1
+            else self._pending_tables[0]
+        )
+        self._pending_tables = []
+        table = first_wins_dedup(table)
         hashes = table["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         new = self._check_and_add(hashes)
         n_new = int(new.sum())
         self.counters["new"] += n_new
-        self.counters["dup_dropped"] += n - n_new
-        if n_new:
-            sub = table.filter(pa.array(new))
-            urls = sub["url"].to_pylist()
-            uh = sub["url_hash"].to_numpy(zero_copy_only=False)
-            hosts = sub["host"].to_pylist()
-            hh = sub["host_hash"].to_numpy(zero_copy_only=False)
-            dep = sub["depth"].to_numpy(zero_copy_only=False)
-            dt = sub["discovery_time"].to_numpy(zero_copy_only=False)
-            ph = sub["parent_url_hash"].to_numpy(zero_copy_only=False)
-            heap = self.heap
-            for i in range(n_new):
-                hhi = int(hh[i])
-                if hhi not in self.hosts:
-                    delay = self.host_delays.get(hosts[i], self.default_delay_ms)
-                    cap = self.host_caps.get(hosts[i], self.max_pages)
-                    self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
-                heapq.heappush(
-                    heap,
-                    (int(dep[i]), hhi, int(dt[i]), int(uh[i]), urls[i], int(ph[i])),
-                )
-        return {"offered": n, "new": n_new}
+        self.counters["dup_dropped"] += table.num_rows - n_new
+        if not n_new:
+            return
+        sub = table.filter(pa.array(new))
+        urls = sub["url"].to_pylist()
+        uh = sub["url_hash"].to_numpy(zero_copy_only=False)
+        hosts = sub["host"].to_pylist()
+        hh = sub["host_hash"].to_numpy(zero_copy_only=False)
+        dep = sub["depth"].to_numpy(zero_copy_only=False)
+        dt = sub["discovery_time"].to_numpy(zero_copy_only=False)
+        ph = sub["parent_url_hash"].to_numpy(zero_copy_only=False)
+        heap = self.heap
+        for i in range(n_new):
+            hhi = int(hh[i])
+            if hhi not in self.hosts:
+                delay = self.host_delays.get(hosts[i], self.default_delay_ms)
+                cap = self.host_caps.get(hosts[i], self.max_pages)
+                self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
+            heapq.heappush(heap, (int(dep[i]), hhi, int(dt[i]), int(uh[i]), urls[i], int(ph[i])))
 
     def _advance_tokens(self, st: list, epoch: int) -> None:
         tokens, delay, _fetched, last = st[0], st[1], st[2], st[3]
@@ -165,6 +184,7 @@ class FrontierShard:
         """Stage up to `budget` politeness-feasible URLs in priority order;
         return their keys (not yet consumed)."""
         assert not self._staged, "peek called twice without pop_upto"
+        self.flush_pending()
         staged: list[tuple] = []
         deferred: list[tuple] = []
         per_host: dict[int, int] = {}
@@ -232,7 +252,7 @@ class FrontierShard:
         )
 
     def frontier_size(self) -> int:
-        return len(self.heap)
+        return len(self.heap) + sum(t.num_rows for t in self._pending_tables)
 
     def stats(self) -> dict:
         return dict(self.counters, shard_id=self.shard_id, frontier=len(self.heap), seen=len(self.seen))
@@ -240,6 +260,7 @@ class FrontierShard:
     # ---- checkpoint (S4) ----
     def dump(self) -> dict:
         """Checkpointable state as arrow tables (driver writes them)."""
+        self.flush_pending()  # identical to flushing at next peek
         frontier = pa.table(
             {
                 "depth": pa.array([e[0] for e in self.heap], pa.int32()),

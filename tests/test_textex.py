@@ -96,3 +96,13 @@ def test_engine_matches_oracle_on_generated_html(doc):
 @settings(max_examples=100, deadline=None)
 def test_extractor_never_raises_on_garbage(data):
     extract_page(data)  # must not raise
+
+
+@given(html_soup())
+@settings(max_examples=200, deadline=None)
+def test_fast_scanner_matches_htmlparser_engine(doc):
+    from monocator_ray.html.textex import extract_page_htmlparser
+
+    a = extract_page(doc)
+    b = extract_page_htmlparser(doc)
+    assert (a.text, a.title, a.links) == (b.text, b.title, b.links)
