@@ -27,8 +27,8 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench-scale synthetic web (generated once, reused across runs/levels).
 # page_bytes ~24KB: Common-Crawl-realistic page weight so the bench measures
 # fetch+parse+extract compute, not per-epoch orchestration overhead.
-WEB_PAGES = int(os.environ.get("BENCH_WEB_PAGES", "60000"))
-WEB_HOSTS = int(os.environ.get("BENCH_WEB_HOSTS", "900"))
+WEB_PAGES = int(os.environ.get("BENCH_WEB_PAGES", "120000"))
+WEB_HOSTS = int(os.environ.get("BENCH_WEB_HOSTS", "1800"))
 PAGE_BYTES = int(os.environ.get("BENCH_PAGE_BYTES", "24576"))
 WEB_BUCKETS = 64
 WEB_DIR = f"/tmp/monocator_bench_web_{WEB_PAGES}_{WEB_HOSTS}_{PAGE_BYTES}"
@@ -72,7 +72,7 @@ def run_crawl(num_cpus: int) -> dict:
     spec = SynthSpec(WEB_PAGES, WEB_HOSTS)
     cfg = CrawlConfig(
         num_shards=8,
-        budget_per_epoch=16384,
+        budget_per_epoch=65536,
         max_depth=8,
         link_cap=16,
         num_buckets=WEB_BUCKETS,

@@ -393,7 +393,10 @@ class CrawlDriver:
         # (the CPU-bound phase is spread).  Politeness is unaffected — it
         # was already enforced at pop time, host-sharded.
         nf = len(self._fetchers)
-        salt_chunk = max(256, taken.num_rows // (2 * nw))
+        # small chunks bound the epoch-barrier tail (heavy-tailed task times
+        # under full load): floor 64 keeps BFS ramp-up epochs spread over the
+        # whole pool, ~4 waves amortize stragglers
+        salt_chunk = min(2048, max(64, taken.num_rows // (4 * nw)))
         fetch_refs = []
         part = 0
         for b in np.unique(bucket):
