@@ -347,11 +347,18 @@ class CrawlDriver:
         mixing them in one pool head-of-line-blocks actor FIFO queues."""
         if self._workers is None:
             cfg = self.cfg
-            n = cfg.num_workers or max(
-                2, int(ray.cluster_resources().get("CPU", 4)) - int(cfg.num_shards * cfg.shard_cpus) - 1
-            )
-            n_fetch = max(2, n // 3)
-            n_extract = max(2, n - n_fetch)
+            total_cpu = float(ray.cluster_resources().get("CPU", 4))
+            avail = total_cpu - cfg.num_shards * cfg.shard_cpus - 0.5
+            n = cfg.num_workers or max(2, int(avail))
+            n_fetch = max(1, n // 3)
+            n_extract = max(1, n - n_fetch)
+            # shrink until the pools actually fit the session's CPU budget —
+            # over-subscribed actors pend forever (no preemption in Ray)
+            while n_extract > 1 and (n_fetch * 0.5 + n_extract * 1.0) > avail:
+                if n_extract >= n_fetch * 2:
+                    n_extract -= 1
+                else:
+                    n_fetch = max(1, n_fetch - 1)
             kwargs = dict(
                 pages_dir=self.pages_dir,
                 num_buckets=cfg.num_buckets,
@@ -362,9 +369,8 @@ class CrawlDriver:
                 robots_rules=self.robots,
                 shards=self.shards,
             )
-            # fetchers are IO-bound (parquet decode bursts + cache hits):
-            # fractional CPU so they don't starve extractors of cores
-            Fetcher = ray.remote(num_cpus=1)(EpochWorker)
+            # fetchers are mostly cache hits after warmup: half a CPU each
+            Fetcher = ray.remote(num_cpus=0.5)(EpochWorker)
             Extractor = ray.remote(num_cpus=1)(EpochWorker)
             self._fetchers = [Fetcher.remote(**kwargs) for _ in range(n_fetch)]
             self._workers = [Extractor.remote(**kwargs) for _ in range(n_extract)]

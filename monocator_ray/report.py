@@ -164,6 +164,20 @@ def domain_rollup(out_dir: str) -> rd.Dataset:
     )
 
 
+def visits_join_requests(out_dir: str, requests: pa.Table) -> rd.Dataset:
+    """J4 — re-attach VisitRequest flags to per-domain results on `domain`
+    (the reference's save flow ties results to their request,
+    /root/reference/src/TODO.MD:44-51).  Requests are tiny -> broadcast
+    merge inside map_batches, never a shuffle join."""
+    roll = domain_rollup(out_dir)
+    req_df = requests.to_pandas().rename(columns={"domain": "host"})
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(req_df, on="host", how="left")
+
+    return roll.map_batches(join, batch_format="pandas")
+
+
 def approx_distinct_urls(out_dir: str, p: int = 12) -> float:
     """G6: HLL approximate distinct-URL count over the visit log — per-block
     sketch in map_batches, merged driver-side (advisory only)."""

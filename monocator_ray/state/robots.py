@@ -70,6 +70,29 @@ def parse_robots(text: str) -> RobotsRules:
     return rules
 
 
+class KeyedCache:
+    """A5 — generic find-or-compute memo for expensive per-key probes (the
+    reference's `FullScanCache.find(ip)` pattern, /root/reference/src/
+    TODO.MD:5,41).  Used for host-level metadata (robots, DNS-analog) inside
+    shard/worker actors; plain dict + optional TTL on virtual epoch time."""
+
+    def __init__(self, ttl_epochs: int = 0):
+        self.ttl = ttl_epochs
+        self._store: dict = {}  # key -> (value, epoch_added)
+        self.hits = 0
+        self.misses = 0
+
+    def find_or_compute(self, key, compute, epoch: int = 0):
+        hit = self._store.get(key)
+        if hit is not None and (not self.ttl or epoch - hit[1] < self.ttl):
+            self.hits += 1
+            return hit[0]
+        self.misses += 1
+        val = compute(key)
+        self._store[key] = (val, epoch)
+        return val
+
+
 def synth_robots(num_hosts: int) -> dict[str, RobotsRules]:
     """Deterministic per-host robots rules for the synthetic web (FIXTURES.md
     F6): every 11th host disallows /p3*, every 13th has Crawl-delay 2s,

@@ -33,10 +33,10 @@ def _sim(web, **kw):
     return simulate(web["spec"].seeds(6), web["dict"], cfg, robots=synth_robots(HOSTS))
 
 
-def _engine(web, out, num_shards, **kw):
+def _engine(web, out, num_shards, budget_per_epoch=64, **kw):
     cfg = CrawlConfig(
         num_shards=num_shards,
-        budget_per_epoch=64,
+        budget_per_epoch=budget_per_epoch,
         max_depth=4,
         link_cap=16,
         num_buckets=BUCKETS,
@@ -93,6 +93,18 @@ def test_politeness_and_page_caps(web, tmp_path):
     from collections import Counter
 
     assert max(Counter(hh).values()) <= 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dataset_engine_identical_to_workers(web, tmp_path):
+    """Both epoch engines (persistent worker pool vs per-epoch Dataset
+    pipeline) must produce identical artifacts — physical execution never
+    affects the visit order."""
+    kw = dict(num_shards=3, inline_threshold=0, budget_per_epoch=256)
+    vlog_w, seen_w = _engine(web, tmp_path / "w", **kw)
+    vlog_d, seen_d = _engine(web, tmp_path / "d", epoch_engine="dataset", **kw)
+    assert vlog_w.equals(vlog_d)
+    assert list(seen_w) == list(seen_d)
 
 
 @pytest.mark.usefixtures("ray_session")

@@ -67,7 +67,7 @@ def test_seeds_file_roundtrip(tmp_path, ray_session):
     import pyarrow as pa
 
     urls = requests_to_seed_urls(pa.Table.from_pandas(reqs))
-    assert urls[0] == "http://example.com/"
+    assert sorted(set(urls)) == ["http://example.com/", "http://other.example/"]
 
 
 def test_export_pages(tmp_path, ray_session):

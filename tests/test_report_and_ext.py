@@ -112,6 +112,53 @@ def test_report_layer(mini_crawl):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pages_source_roundtrip(mini_crawl, tmp_path):
+    """S1/S3: export -> read_pages -> fill_text end-to-end slice."""
+    from monocator_ray.crawl.driver import export_pages
+    from monocator_ray.sources.pages import fill_text, read_pages, write_pages
+
+    dest = tmp_path / "pages"
+    export_pages(mini_crawl, str(dest))
+    ds = read_pages(str(dest))
+    assert ds.count() > 0
+    # prune at the read: only url column leaves storage
+    urls = read_pages(str(dest), columns=["url"]).take(3)
+    assert all(r["url"].startswith("http://") for r in urls)
+    out = tmp_path / "pages2"
+    write_pages(fill_text(read_pages(str(dest))), str(out))
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(str(out))
+    assert t.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+
+
+def test_keyed_cache():
+    from monocator_ray.state.robots import KeyedCache
+
+    calls = []
+    c = KeyedCache(ttl_epochs=2)
+    assert c.find_or_compute("a", lambda k: calls.append(k) or 1, epoch=0) == 1
+    assert c.find_or_compute("a", lambda k: calls.append(k) or 2, epoch=1) == 1
+    assert calls == ["a"]
+    # TTL expiry on virtual epoch time
+    assert c.find_or_compute("a", lambda k: calls.append(k) or 3, epoch=5) == 3
+    assert calls == ["a", "a"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_visits_join_requests(mini_crawl):
+    import pyarrow as pa
+
+    from monocator_ray.report import visits_join_requests
+    from monocator_ray.sources.seeds import default_request
+
+    reqs = pa.Table.from_pylist([default_request(f"host{i}.example") for i in range(10)])
+    out = visits_join_requests(mini_crawl, reqs).to_pandas()
+    assert "web_max_pages" in out.columns
+    assert out["web_enabled"].notna().all()
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_visit_single_domain_with_cap(tmp_path):
     """Entry point 2: visit() caps fetches at web_max_pages for the domain
     (reference VisitRequest web.max_pages, TODO.MD:61) — matches the sim."""
