@@ -113,6 +113,15 @@ REGISTRY: dict = {
           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
         """,
     ),
+    "priority_revenue": (
+        R.q_priority_revenue,
+        """
+        SELECT o.o_orderpriority, COUNT(*) AS n_items,
+               SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS revenue_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+    ),
     "top_part_types": (
         R.q_top_part_types,
         """

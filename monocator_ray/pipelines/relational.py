@@ -213,6 +213,32 @@ def q_top_part_types(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---- large x large hash join (Ray Data Dataset.join) ----
+def q_priority_revenue(sf_dir: str) -> rd.Dataset:
+    """lineitem JOIN orders on orderkey (both sides large -> partitioned
+    hash join, 16 partitions) -> revenue by order priority."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_orderkey": batch["l_orderkey"], "price_cents": _cents(batch["l_extendedprice"])}
+        )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.map_batches(cents, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("price_cents", alias_name="revenue_cents"))
+        .sort("o_orderpriority")
+    )
+
+
 # ---- events: grouped stats ----
 def q_event_stats(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])

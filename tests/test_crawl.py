@@ -70,6 +70,23 @@ def _assert_matches(vlog, seen, sim):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_engine_matches_committed_golden(web, tmp_path):
+    """Engine vs the COMMITTED golden visit log (tests/gen_crawl_golden.py)
+    — catches engine+simulator drifting together."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    gold_dir = pathlib.Path(__file__).parent / "fixtures" / "golden"
+    golden = pq.read_table(gold_dir / "visit_log.parquet")
+    vlog, seen = _engine(web, tmp_path / "golden_out", num_shards=4)
+    got = vlog.select(golden.schema.names)
+    assert got.equals(golden), "engine visit_log != committed golden"
+    golden_seen = pq.read_table(gold_dir / "seen_set.parquet")["url_hash"].to_pylist()
+    assert sorted(int(x) for x in seen) == golden_seen
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_engine_matches_oracle_4_shards(web, tmp_path):
     sim = _sim(web)
     vlog, seen = _engine(web, tmp_path / "out4", num_shards=4)
