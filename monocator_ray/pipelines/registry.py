@@ -51,8 +51,8 @@ REGISTRY: dict = {
         R.q_pricing_summary,
         """
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_base_cents,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
                COUNT(*) AS n
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -77,7 +77,7 @@ REGISTRY: dict = {
                COUNT(*) AS n_orders,
                MIN(o_orderdate) AS first_order,
                MAX(o_orderdate) AS last_order,
-               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS total_cents
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
         FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
@@ -85,7 +85,7 @@ REGISTRY: dict = {
         R.q_customer_regions,
         """
         SELECT r.r_name AS r_name, COUNT(*) AS n_customers,
-               SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS acctbal_cents
+               CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS BIGINT) AS acctbal_cents
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -106,8 +106,8 @@ REGISTRY: dict = {
         R.q_returned_items,
         """
         SELECT COUNT(*) AS n,
-               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
-               SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS sum_price_cents
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         FROM lineitem
         WHERE l_returnflag = 'R'
           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
@@ -117,7 +117,7 @@ REGISTRY: dict = {
         R.q_priority_revenue,
         """
         SELECT o.o_orderpriority, COUNT(*) AS n_items,
-               SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS revenue_cents
+               CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
@@ -133,7 +133,7 @@ REGISTRY: dict = {
         R.q_event_stats,
         """
         SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
-               SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
@@ -142,6 +142,19 @@ REGISTRY: dict = {
         """
         SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
         FROM events GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+        """,
+    ),
+    "event_sliding": (
+        R.q_event_sliding,
+        """
+        WITH e AS (
+          SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS window_start FROM events
+          UNION ALL
+          SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE FROM events
+        )
+        SELECT event_type, window_start, COUNT(*) AS n
+        FROM e GROUP BY event_type, window_start
         ORDER BY event_type, window_start
         """,
     ),
@@ -155,7 +168,7 @@ REGISTRY: dict = {
           FROM events
         )
         SELECT user_id, COUNT(*) AS n_events,
-               1 + SUM(new_session) AS n_sessions
+               1 + CAST(SUM(new_session) AS BIGINT) AS n_sessions
         FROM gaps GROUP BY user_id ORDER BY user_id
         """,
     ),
@@ -184,7 +197,7 @@ REGISTRY: dict = {
                  CASE WHEN TRIM(text) = '' THEN 0
                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
           FROM documents)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
                MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
         FROM t GROUP BY lang ORDER BY lang
         """,
@@ -201,9 +214,9 @@ REGISTRY: dict = {
                    len(list_filter(regexp_split_to_array(LOWER(TRIM(text)), '\\s+'),
                        w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) END AS n_stop
           FROM documents)
-        SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
-               SUM(n_alpha) AS total_alpha, SUM(n_punct) AS total_punct,
-               SUM(n_stop) AS total_stop
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(n_alpha) AS BIGINT) AS total_alpha, CAST(SUM(n_punct) AS BIGINT) AS total_punct,
+               CAST(SUM(n_stop) AS BIGINT) AS total_stop
         FROM q GROUP BY lang ORDER BY lang
         """,
     ),

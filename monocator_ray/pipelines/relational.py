@@ -290,6 +290,35 @@ def q_event_windows(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---- events: sliding window (1h window, 30m step) ----
+def q_event_sliding(sf_dir: str) -> rd.Dataset:
+    """Sliding windows as an explode: an event at t belongs to the windows
+    starting at floor30(t) and floor30(t)-30m — vectorized two-offset
+    duplication, then a grouped count (SURVEY.md §2.9 pattern)."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    half = np.timedelta64(30 * 60, "s")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False)
+        s1 = ts.astype("datetime64[30m]").astype("datetime64[us]")
+        et = batch["event_type"]
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et.combine_chunks(), et.combine_chunks()]),
+                "window_start": pa.Array.from_pandas(
+                    np.concatenate([s1, s1 - half]), type=pa.timestamp("us")
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["event_type", "window_start"])
+    )
+
+
 # ---- events: sessionization via map_groups (ordered within key) ----
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["user_id", "ts"])

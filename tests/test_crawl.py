@@ -101,6 +101,15 @@ def test_engine_matches_oracle_1_shard_and_invariance(web, tmp_path):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_total_page_budget_exact(web, tmp_path):
+    """Global fetch budget truncates the crawl identically to the oracle."""
+    sim = _sim(web, total_page_budget=150)
+    vlog, seen = _engine(web, tmp_path / "budget", num_shards=4, total_page_budget=150)
+    _assert_matches(vlog, seen, sim)
+    assert vlog.num_rows <= 150
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_politeness_and_page_caps(web, tmp_path):
     sim = _sim(web, max_pages_per_host=3)
     vlog, seen = _engine(web, tmp_path / "outcap", num_shards=3, max_pages_per_host=3)
