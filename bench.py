@@ -88,7 +88,9 @@ def run_crawl(num_cpus: int) -> dict:
     )
     out = f"/tmp/monocator_bench_out_{num_cpus}"
     t0 = time.monotonic()
-    res = crawl(spec.seeds(WEB_HOSTS), WEB_DIR, out, cfg, robots=None)
+    # steady-state frontier (SPEC design point: frontier >> budget), not a
+    # cold BFS ramp from a handful of roots
+    res = crawl(spec.frontier_snapshot(8), WEB_DIR, out, cfg, robots=None)
     wall = time.monotonic() - t0
     return {"fetched": res.fetched, "wall_s": round(wall, 2),
             "pages_per_sec": round(res.fetched / wall, 1), "epochs": res.epochs}

