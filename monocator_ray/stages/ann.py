@@ -77,6 +77,53 @@ def global_topk(local: pa.Table, k: int = 5) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+class IvfIndex:
+    """IVF scale path: k-means centroids (numpy Lloyd on a seeded sample),
+    rows assigned to their nearest centroid; queries probe only the
+    ``nprobe`` nearest lists.  Centroids are built once on the driver from a
+    sample and broadcast; assignment is a vectorized map_batches; the probe
+    is a per-list brute force — the standard inverted-file ANN layout."""
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = _normalize(np.asarray(centroids, dtype=np.float32))
+
+    @classmethod
+    def train(cls, sample: np.ndarray, nlist: int = 16, iters: int = 10, seed: int = 13) -> "IvfIndex":
+        rng = np.random.RandomState(seed)
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+        for _ in range(iters):
+            sims = x @ cent.T
+            assign = sims.argmax(axis=1)
+            for c in range(len(cent)):
+                members = x[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        return cls(cent)
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (_normalize(m) @ self.centroids.T).argmax(axis=1).astype(np.int32)
+
+    def probe_lists(self, queries: np.ndarray, nprobe: int = 4) -> np.ndarray:
+        sims = _normalize(queries) @ self.centroids.T
+        return np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+
+
+class IvfAssigner:
+    """map_batches actor: adds the IVF list id per row (index broadcast via
+    ray.put once, fetched in __init__)."""
+
+    def __init__(self, index_ref):
+        self.index = ray.get(index_ref) if not isinstance(index_ref, IvfIndex) else index_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        return batch.append_column("ivf_list", pa.array(self.index.assign(m), pa.int32()))
+
+
 class LshCoder:
     """map_batches actor: sign-bit LSH bucket code per row (scale path —
     bucket groupby replaces the full scan; same hyperplanes everywhere via

@@ -136,3 +136,25 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Near-dup clustering: candidate pairs -> component label per id
+    (min id in component).  Union-find on the driver — valid because the
+    verified-pair set is tiny relative to the corpus; the distributed
+    equivalent is a few rounds of min-label propagation via groupby
+    (Ray guide pattern), which this function's output is the oracle for."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in {i for p in pairs for i in p}}

@@ -159,6 +159,41 @@ def test_table_to_matrix_roundtrip():
     assert (table_to_matrix(tbl) == m).all()
 
 
+# ---- IVF ANN recall + connected components ----
+def test_ivf_recall_vs_brute_force():
+    from monocator_ray.stages.ann import IvfIndex, _normalize
+
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(500, 16)).astype(np.float32)
+    idx = IvfIndex.train(base, nlist=8)
+    q = base[:5]
+    probes = idx.probe_lists(q, nprobe=4)
+    assign = idx.assign(base)
+    bn = _normalize(base)
+    qn = _normalize(q)
+    hits = 0
+    for qi in range(5):
+        true_top = set(np.argsort(-(qn[qi] @ bn.T))[:5].tolist())
+        mask = np.isin(assign, probes[qi])
+        cand = np.nonzero(mask)[0]
+        sims = bn[cand] @ qn[qi]
+        got = set(cand[np.argsort(-sims)[:5]].tolist())
+        hits += len(true_top & got)
+    assert hits / 25 >= 0.6  # nprobe=4 of 8 lists -> decent recall
+    # determinism
+    assert (IvfIndex.train(base, nlist=8).centroids == idx.centroids).all()
+
+
+def test_connected_components():
+    from monocator_ray.stages.dedup import connected_components
+
+    labels = connected_components([(1, 2), (2, 3), (10, 11), (5, 5)])
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[10] == labels[11] == 10
+    assert labels[5] == 5
+    assert connected_components([]) == {}
+
+
 # ---- text stats ----
 def test_token_count_matches_sql_semantics():
     s = pd.Series(["a b  c", "", "   ", "one", None, " x\ty \n z "])
