@@ -138,6 +138,63 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
 
 
+def label_propagation_components(pairs_ds, max_rounds: int = 20):
+    """Distributed connected components over a candidate-pair Dataset
+    (columns doc_a, doc_b): iterative min-label propagation via groupby —
+    the scale path when the pair set doesn't fit one machine (Ray guide
+    pattern).  Returns a Dataset (doc_id, cluster).  Converges in
+    O(diameter) rounds; `connected_components` below is its oracle."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    def to_edges(b: pd.DataFrame) -> pd.DataFrame:
+        # undirected: emit both directions plus self-edges
+        fwd = pd.DataFrame({"doc_id": b["doc_a"], "nbr": b["doc_b"]})
+        rev = pd.DataFrame({"doc_id": b["doc_b"], "nbr": b["doc_a"]})
+        self_a = pd.DataFrame({"doc_id": b["doc_a"], "nbr": b["doc_a"]})
+        self_b = pd.DataFrame({"doc_id": b["doc_b"], "nbr": b["doc_b"]})
+        return pd.concat([fwd, rev, self_a, self_b], ignore_index=True)
+
+    edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
+    # label(v) = v initially; each round: label(v) = min over neighbours'
+    # labels (including own); stop when the label multiset is stable
+    labels = (
+        edges.groupby("doc_id")
+        .map_groups(
+            lambda g: pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "cluster": [g["nbr"].min()]}),
+            batch_format="pandas",
+        )
+        .materialize()
+    )
+    prev_sig = None
+    for _ in range(max_rounds):
+        lab_df = labels.to_pandas()
+        sig = hash(tuple(sorted(map(tuple, lab_df.values.tolist()))))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        lmap = dict(zip(lab_df["doc_id"], lab_df["cluster"]))
+
+        def relabel(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["nbr_label"] = b["nbr"].map(lmap)
+            return b[["doc_id", "nbr_label"]]
+
+        labels = (
+            edges.map_batches(relabel, batch_format="pandas")
+            .groupby("doc_id")
+            .map_groups(
+                lambda g: pd.DataFrame(
+                    {"doc_id": [g["doc_id"].iloc[0]], "cluster": [int(g["nbr_label"].min())]}
+                ),
+                batch_format="pandas",
+            )
+            .materialize()
+        )
+    return labels.sort("doc_id")
+
+
 def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     """Near-dup clustering: candidate pairs -> component label per id
     (min id in component).  Union-find on the driver — valid because the

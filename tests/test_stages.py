@@ -194,6 +194,23 @@ def test_connected_components():
     assert connected_components([]) == {}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagation_matches_union_find():
+    import ray.data as rd
+
+    from monocator_ray.shipping import ensure_shipped
+    from monocator_ray.stages.dedup import connected_components, label_propagation_components
+
+    ensure_shipped()
+    rng = np.random.RandomState(21)
+    pairs = [tuple(sorted(p)) for p in rng.randint(0, 40, size=(60, 2)).tolist()]
+    want = connected_components(pairs)
+    ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
+    got = label_propagation_components(ds).to_pandas()
+    got_map = dict(zip(got["doc_id"], got["cluster"]))
+    assert got_map == want
+
+
 # ---- text stats ----
 def test_token_count_matches_sql_semantics():
     s = pd.Series(["a b  c", "", "   ", "one", None, " x\ty \n z "])
