@@ -1,0 +1,116 @@
+"""CLI entry points — the user-facing surface of the engine.
+
+    python -m monocator_ray crawl  --seeds seeds.txt --pages /web --out /out
+    python -m monocator_ray visit  --domain host0.example --pages /web --out /out
+    python -m monocator_ray report --out /out
+    python -m monocator_ray synth  --dest /web --pages 10000 --hosts 100
+
+Owns its Ray session (scripts only; the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="monocator_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="full crawl run (entry point 1)")
+    c.add_argument("--seeds", required=True, help="seed list file (txt/csv/parquet)")
+    c.add_argument("--pages", required=True, help="page-store dir (synthetic web)")
+    c.add_argument("--out", required=True)
+    c.add_argument("--budget", type=int, default=4096)
+    c.add_argument("--max-depth", type=int, default=6)
+    c.add_argument("--shards", type=int, default=8)
+    c.add_argument("--buckets", type=int, default=16)
+    c.add_argument("--resume", action="store_true")
+
+    v = sub.add_parser("visit", help="single-domain visit (entry point 2)")
+    v.add_argument("--domain", required=True)
+    v.add_argument("--pages", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--max-pages", type=int, default=10)
+    v.add_argument("--buckets", type=int, default=16)
+
+    r = sub.add_parser("report", help="report over crawl artifacts (entry point 3)")
+    r.add_argument("--out", required=True)
+
+    s = sub.add_parser("synth", help="generate a synthetic web (S6)")
+    s.add_argument("--dest", required=True)
+    s.add_argument("--pages", type=int, default=10000)
+    s.add_argument("--hosts", type=int, default=100)
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--page-bytes", type=int, default=0)
+
+    args = p.parse_args(argv)
+    import ray
+
+    if args.cmd == "synth":
+        _init_ray(args.num_cpus)
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.synth import write_synth_pages
+
+        ensure_shipped()
+        write_synth_pages(args.dest, args.pages, args.hosts, args.buckets,
+                          page_bytes=args.page_bytes)
+        print(json.dumps({"dest": args.dest, "pages": args.pages}))
+    elif args.cmd == "crawl":
+        _init_ray(args.num_cpus)
+        from monocator_ray.crawl.driver import CrawlConfig, crawl
+        from monocator_ray.sources.seeds import read_seeds, requests_to_seed_urls
+
+        import pyarrow as pa
+
+        reqs = pa.Table.from_pandas(read_seeds(args.seeds).to_pandas())
+        seed_urls = requests_to_seed_urls(reqs)
+        cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
+                          max_depth=args.max_depth, num_buckets=args.buckets)
+        res = crawl(seed_urls, args.pages, args.out, cfg, resume=args.resume)
+        print(json.dumps({"fetched": res.fetched, "epochs": res.epochs,
+                          "seen": res.seen, "wall_s": round(res.wall_s, 2)}))
+    elif args.cmd == "visit":
+        _init_ray(args.num_cpus)
+        from monocator_ray.crawl.driver import CrawlConfig, visit
+
+        cfg = CrawlConfig(num_shards=2, num_buckets=args.buckets)
+        res = visit(args.domain, args.pages, args.out, cfg, max_pages=args.max_pages)
+        print(json.dumps({"fetched": res.fetched, "wall_s": round(res.wall_s, 2)}))
+    elif args.cmd == "report":
+        _init_ray(args.num_cpus)
+        from monocator_ray import report
+
+        stats = report.crawl_stats(args.out).to_pandas()
+        hot = report.hot_hosts(args.out, 5).to_pandas()
+        print(json.dumps({
+            "epochs": len(stats),
+            "fetched": int(stats["fetched"].sum()),
+            "errors": int(stats["errors"].sum()),
+            "approx_distinct_urls": round(report.approx_distinct_urls(args.out), 1),
+            "hot_hosts": hot.to_dict("records"),
+            "seen_except_frontier": report.seen_except_frontier(args.out),
+        }))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -197,6 +197,9 @@ def approx_distinct_urls(out_dir: str, p: int = 12) -> float:
     parts = ray.get(vl.map_batches(sketch, batch_format="pyarrow").to_arrow_refs())
     merged = _HLL(p)
     for t in parts:
+        # Ray passes 0-row blocks through with their ORIGINAL schema
+        if t.num_rows == 0 or "sketch" not in t.schema.names:
+            continue
         for b in t["sketch"].to_pylist():
             merged.merge(_HLL.loads(b))
     return merged.estimate()
