@@ -178,6 +178,39 @@ def visits_join_requests(out_dir: str, requests: pa.Table) -> rd.Dataset:
     return roll.map_batches(join, batch_format="pandas")
 
 
+def screenshot_candidates(out_dir: str, mode: str, prev_out_dir: str | None = None) -> rd.Dataset:
+    """Which pages would trigger a screenshot under the reference's modes
+    (/root/reference/src/TODO.MD:62-67): `always`; `if_html_changed`
+    (html_sha256 differs from the previous run — the D2 comparison the
+    reference's trigger implies).  Other modes (if_single_page_app /
+    if_developed / if_suspicious) need heuristics the reference doesn't
+    document; they raise.  Returns (url, url_hash) rows."""
+    from monocator_ray.schemas import SCREENSHOT_MODES
+
+    if mode not in SCREENSHOT_MODES:
+        raise ValueError(f"unknown screenshot mode {mode!r}")
+    feats = _read_artifact(out_dir, "features")
+    if mode == "always":
+        return feats.select_columns(["url", "url_hash"])
+    if mode != "if_html_changed":
+        raise NotImplementedError(f"mode {mode!r} needs undocumented heuristics")
+    prev: dict[int, bytes] = {}
+    if prev_out_dir:
+        prev_feats = _read_artifact(prev_out_dir, "features").select_columns(
+            ["url_hash", "html_sha256"]
+        ).to_pandas()
+        prev = dict(zip(prev_feats["url_hash"], prev_feats["html_sha256"]))
+
+    def changed(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = [
+            prev.get(h) != s
+            for h, s in zip(batch["url_hash"], batch["html_sha256"])
+        ]
+        return batch.loc[keep, ["url", "url_hash"]]
+
+    return feats.map_batches(changed, batch_format="pandas")
+
+
 def approx_distinct_urls(out_dir: str, p: int = 12) -> float:
     """G6: HLL approximate distinct-URL count over the visit log — per-block
     sketch in map_batches, merged driver-side (advisory only)."""

@@ -1,0 +1,134 @@
+"""Non-web crawler modules (dns / tls / smtp / screenshot) — config surface
+and entity model parity with the reference (SURVEY.md §1.1).
+
+The reference's richest surviving artifact is the TLS-crawler entity model
+(/root/reference/src/TODO.MD:3-51): ``FullScan`` holds a
+``Map<TlsProtocolVersion, SingleVersionScan>`` plus ``connectOK``; a
+certificate chain is ``Optional<List<Certificate>>``; results flow
+``module.visit -> CrawlResult -> convertToEntity -> repository.save``
+(TODO.MD:38-51) with a ``FullScanCache.find(ip)`` memo (TODO.MD:5,41).
+
+The sandbox has no network, so the probe functions are import-gated stubs
+(``NetworkUnavailable``) — but the Arrow entity schemas, the module-dispatch
+flow, the per-version scan map and the keyed cache are real and tested, so a
+real prober drops in behind ``probe_fn``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from monocator_ray.state.robots import KeyedCache
+
+# TlsProtocolVersion flags verbatim from the VisitRequest format
+# (/root/reference/src/TODO.MD:68-75)
+TLS_VERSIONS = ("tls13", "tls12", "tls11", "tls10", "ssl3", "ssl2")
+
+# SingleVersionScan (TODO.MD:26-34): per-version connect outcome
+SINGLE_VERSION_SCAN = pa.struct(
+    [
+        ("supported", pa.bool_()),
+        ("cipher_suite", pa.string()),
+        ("error", pa.string()),
+        ("millis", pa.int64()),
+    ]
+)
+
+# Certificate (chain entries; Optional<List<Certificate>>, TODO.MD:15-17,50)
+CERTIFICATE = pa.struct(
+    [
+        ("subject", pa.string()),
+        ("issuer", pa.string()),
+        ("not_before", pa.timestamp("us")),
+        ("not_after", pa.timestamp("us")),
+        ("sha256_fingerprint", pa.binary()),
+    ]
+)
+
+# FullScan / FullScanEntity (TODO.MD:3-5,26-34): one row per scanned ip
+TLS_SCAN = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("ip", pa.string()),
+        ("connect_ok", pa.bool_()),
+        ("scans", pa.map_(pa.string(), SINGLE_VERSION_SCAN)),
+        ("certificate_chain", pa.list_(CERTIFICATE)),
+    ]
+)
+
+DNS_RESULT = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("prefix", pa.string()),   # dns.prefixes (TODO.MD:58)
+        ("rrtype", pa.string()),   # dns.rrtypes (TODO.MD:59)
+        ("values", pa.list_(pa.string())),
+    ]
+)
+
+SMTP_RESULT = pa.schema(
+    [
+        ("domain", pa.string()),
+        ("mx_host", pa.string()),
+        ("connect_ok", pa.bool_()),
+        ("banner", pa.string()),
+    ]
+)
+
+
+class NetworkUnavailable(NotImplementedError):
+    """Raised by the stub probes; a real deployment injects probe_fn."""
+
+
+def _no_network_probe(*_a, **_k):
+    raise NetworkUnavailable("sandbox has no network; inject probe_fn (see module docstring)")
+
+
+@dataclass
+class TlsModule:
+    """TLS module (TODO.MD:36-51 flow): visit(domain, ips) -> TLS_SCAN rows.
+    ``cache`` reproduces FullScanCache.find(ip): one scan per ip per run."""
+
+    enabled_versions: tuple = TLS_VERSIONS
+    probe_fn: object = _no_network_probe  # (ip, version) -> dict matching SINGLE_VERSION_SCAN
+    cache: KeyedCache = field(default_factory=KeyedCache)
+
+    def visit(self, domain: str, ips: list[str]) -> pa.Table:
+        rows = []
+        for ip in ips:
+            full = self.cache.find_or_compute(ip, self._scan_ip)
+            rows.append(dict(full, domain=domain, ip=ip))
+        return pa.Table.from_pylist(rows, schema=TLS_SCAN) if rows else pa.table(
+            {f.name: pa.array([], f.type) for f in TLS_SCAN}
+        )
+
+    def _scan_ip(self, ip: str) -> dict:
+        scans = []
+        connect_ok = False
+        for v in self.enabled_versions:
+            r = self.probe_fn(ip, v)  # raises NetworkUnavailable in sandbox
+            scans.append((v, r))
+            connect_ok = connect_ok or bool(r.get("supported"))
+        return {"connect_ok": connect_ok, "scans": scans, "certificate_chain": []}
+
+
+def convert_to_entity(result: pa.Table, schema: pa.Schema, where: str = "module") -> pa.Table:
+    """CrawlResult#convertToEntity analog (TODO.MD:7-9,22-24,48): validate a
+    module result against its entity schema before persistence."""
+    from monocator_ray.schemas import assert_schema
+
+    return assert_schema(result, schema, where)
+
+
+def save_visit_result(out_dir: str, domain: str, module_tables: dict) -> None:
+    """VisitService.save(VisitResult) analog (TODO.MD:44-51): persist each
+    module's entity table, one logical table per entity."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    for name, tbl in module_tables.items():
+        d = os.path.join(out_dir, name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(tbl, os.path.join(d, f"{domain}.parquet"))
