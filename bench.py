@@ -182,7 +182,11 @@ def scaling() -> None:
                 "pages_per_sec_32": r_hi["crawl"]["pages_per_sec"],
                 "wall_s_8": r_lo["crawl"]["wall_s"],
                 "wall_s_32": r_hi["crawl"]["wall_s"],
-                "fetched": r_hi["crawl"]["fetched"],
+                "fetched_8": r_lo["crawl"]["fetched"],
+                "fetched_32": r_hi["crawl"]["fetched"],
+                # identical work at both levels (exact-order contract)
+                "identical_work": r_lo["crawl"]["fetched"] == r_hi["crawl"]["fetched"]
+                and r_lo["crawl"]["epochs"] == r_hi["crawl"]["epochs"],
                 "scaling_efficiency": round(eff, 3),
             }
         )
