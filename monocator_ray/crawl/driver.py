@@ -276,7 +276,10 @@ class CrawlDriver:
                     "partition_id": st["shard_id"],
                     "urls_in": st["offered"] - prev["offered"],
                     "fetched": st["fetched"] - prev["fetched"],
-                    "errors": errors,
+                    # error counts are epoch-level (the fetch path doesn't
+                    # attribute per-shard); record once on shard 0's row so
+                    # summing lineage errors equals the true total (ADVICE r1)
+                    "errors": errors if st["shard_id"] == 0 else 0,
                     "new_urls": st["new"] - prev["new"],
                     "dedup_dropped": st["dup_dropped"] - prev["dup_dropped"],
                     "wall_ms": wall_ms,
@@ -492,6 +495,14 @@ class CrawlDriver:
         ckpt = os.path.join(edir, "checkpoint")
         with open(os.path.join(ckpt, "manifest.json")) as f:
             manifest = json.load(f)
+        # purge artifacts of epochs AFTER the checkpointed one: a crashed
+        # attempt at epoch N+1 may have written some crawl parts without a
+        # checkpoint; the re-run can legitimately produce a different part
+        # layout (inline vs worker-pool path), so stale parts would survive
+        # and duplicate seq rows in the visit log (ADVICE r1)
+        for name in os.listdir(self.out_dir):
+            if name.startswith("epoch=") and int(name.split("=")[1]) > manifest["epoch"]:
+                shutil.rmtree(os.path.join(self.out_dir, name))
         assert manifest["num_shards"] == self.cfg.num_shards, "shard count is pinned in lineage (SURVEY.md §4.2)"
         states = []
         for i in range(self.cfg.num_shards):
@@ -574,6 +585,11 @@ def crawl(
             if last is not None:
                 drv.restore_from(last)
             else:
+                # crashed before the first checkpoint: stale partial epoch
+                # dirs would duplicate seq rows — start clean (ADVICE r1)
+                if os.path.isdir(out_dir):
+                    shutil.rmtree(out_dir)
+                os.makedirs(out_dir, exist_ok=True)
                 drv.push_seeds(seeds)
         else:
             if os.path.isdir(out_dir):

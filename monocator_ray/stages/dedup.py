@@ -24,7 +24,9 @@ import pyarrow as pa
 
 from monocator_ray.hashing import hash_str64
 
-_WS = re.compile(r"\s+")
+# pinned to RE2's \s ([\t\n\f\r ]) for DuckDB-oracle parity on non-ASCII
+# whitespace (see textstats._WS_SPLIT; ADVICE r1)
+_WS = re.compile(r"[\t\n\f\r ]+")
 
 # ---- shingles + minhash ----
 

@@ -192,39 +192,94 @@ def truncate_body(chunks, max_bytes: int) -> tuple[bytes, bool]:
 
 
 class HttpFetcher:
-    """Real-network fetcher shape (actor pool).  The sandbox has no network:
-    constructing it raises unless the caller explicitly opts in; the
-    per-batch contract matches SyntheticFetcher's output columns."""
+    """Real-network fetcher (actor pool) — the virtual-thread analog of the
+    reference's fetch loop (/root/reference/pom.xml:22-23): each batch fans
+    out over a per-actor thread pool with PER-HOST SERIALIZATION (one
+    in-flight request per host; hosts run concurrently), so one slow host
+    never serializes the whole batch.  Bounded body size is enforced even
+    without a Content-Length header (stream + truncate), the redirect cap is
+    enforced via a bounded HTTPRedirectHandler, and transport errors
+    (timeout/DNS/conn) record status -1.
 
-    def __init__(self, timeout_s: float = 10.0, max_body: int = 1 << 20, max_redirects: int = 5):
-        self.timeout_s = timeout_s
-        self.max_body = max_body
-        self.max_redirects = max_redirects
+    The sandbox has no outbound network: constructing it raises unless the
+    caller opts in with ``allow_network=True`` (local-socket tests do).
+    The per-batch output contract matches SyntheticFetcher's columns.
+    """
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        import urllib.error
+    def __init__(
+        self,
+        timeout_s: float = 10.0,
+        max_body: int = 1 << 20,
+        max_redirects: int = 5,
+        max_concurrency: int = 32,
+        allow_network: bool = False,
+    ):
+        if not allow_network:
+            raise RuntimeError(
+                "HttpFetcher needs outbound network; pass allow_network=True "
+                "to opt in (the graft sandbox has none — use SyntheticFetcher)"
+            )
         import urllib.request
 
+        self.timeout_s = timeout_s
+        self.max_body = max_body
+        self.max_concurrency = max_concurrency
+
+        class _CappedRedirect(urllib.request.HTTPRedirectHandler):
+            max_redirections = max_redirects
+            max_repeats = max_redirects
+
+        self._opener = urllib.request.build_opener(_CappedRedirect)
+        self._pool = None  # built lazily (ThreadPoolExecutor doesn't pickle)
+
+    def _fetch_one(self, u: str) -> tuple[bytes | None, int]:
+        import urllib.error
+
+        try:
+            with self._opener.open(u, timeout=self.timeout_s) as resp:  # noqa: S310
+                body, _ = truncate_body(iter(lambda: resp.read(65536), b""), self.max_body)
+                return body, int(resp.status)
+        except urllib.error.HTTPError as e:
+            return None, int(e.code)
+        except Exception:
+            return None, -1  # transport error (timeout/DNS/conn/redirect cap)
+
+    def _fetch_host(self, idxs: list[int], urls: list[str], out: list) -> None:
+        # strictly sequential within a host — the batch-level politeness
+        # guarantee (the scheduler's token buckets bound cross-batch rate)
+        for i in idxs:
+            out[i] = self._fetch_one(urls[i])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import urlsplit
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.max_concurrency)
         urls = batch["url"].to_pylist()
         n = len(urls)
+        by_host: dict[str, list[int]] = {}
+        for i, u in enumerate(urls):
+            by_host.setdefault(urlsplit(u).netloc, []).append(i)
+        results: list = [None] * n
+        futs = [
+            self._pool.submit(self._fetch_host, idxs, urls, results)
+            for idxs in by_host.values()
+        ]
+        for f in futs:
+            f.result()
         htmls: list = [None] * n
         ts = np.zeros(n, dtype="datetime64[us]")
-        langs = [""] * n
         status = np.full(n, 0, dtype=np.int32)
-        for i, u in enumerate(urls):
-            try:
-                with urllib.request.urlopen(u, timeout=self.timeout_s) as resp:  # noqa: S310
-                    body, _ = truncate_body(iter(lambda: resp.read(65536), b""), self.max_body)
-                    htmls[i] = body
-                    status[i] = resp.status
-                    ts[i] = np.datetime64("now", "us")
-            except urllib.error.HTTPError as e:
-                status[i] = e.code
-            except Exception:
-                status[i] = -1  # transport error (timeout/DNS/conn)
+        now = np.datetime64("now", "us")
+        for i, (body, code) in enumerate(results):
+            htmls[i] = body
+            status[i] = code
+            if body is not None:
+                ts[i] = now
         return (
             batch.append_column("html", pa.array(htmls, pa.binary()))
             .append_column("warc_ts", pa.Array.from_pandas(ts, type=pa.timestamp("us")))
-            .append_column("lang", pa.array(langs, pa.string()))
+            .append_column("lang", pa.array([""] * n, pa.string()))
             .append_column("fetch_status", pa.array(status, pa.int32()))
         )

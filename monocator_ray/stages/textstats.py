@@ -16,7 +16,10 @@ from monocator_ray.hashing import hash_str64
 
 # Deterministic whitespace tokenizer shared with the DuckDB oracle:
 # tokens = regexp_split_to_array(trim(text), '\s+'); empty text -> 0 tokens.
-_WS_SPLIT = re.compile(r"\s+")
+# Pinned to RE2's \s class ([\t\n\f\r ]) — Python's \s is Unicode-aware
+# (NBSP etc.) and would diverge from the DuckDB oracle on non-ASCII
+# whitespace (ADVICE r1).
+_WS_SPLIT = re.compile(r"[\t\n\f\r ]+")
 
 # tiny stopword lists per language for the n-gram/stopword heuristic
 _LANG_MARKERS = {
@@ -100,6 +103,9 @@ class Fingerprinter:
     whitespace-normalized text (rolling-hash analog; exact-dup key)."""
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        norm = batch["text"].fillna("").str.strip().str.replace(_WS_SPLIT, " ", regex=True)
+        # mirror of the dedup_exact oracle key TRIM(regexp_replace(text,
+        # '\s+', ' ', 'g')): collapse RE2-\s runs first, then trim ASCII
+        # spaces only (DuckDB TRIM) — same op order, same char classes
+        norm = batch["text"].fillna("").str.replace(_WS_SPLIT, " ", regex=True).str.strip(" ")
         batch["fingerprint"] = hash_str64(norm.to_numpy(dtype=object)).astype(np.uint64)
         return batch

@@ -14,8 +14,10 @@ from __future__ import annotations
 import re
 
 # BE VAT: 'BE' optional, 10 digits starting with 0 or 1, common separators.
+# Digit-boundary assertions keep candidates from matching inside longer
+# digit runs (ADVICE r1); checksum still filters the rest.
 _VAT_CAND = re.compile(
-    r"(?:BE\s?)?0\s?(\d{3})[.\s]?(\d{3})[.\s]?(\d{3})", re.IGNORECASE
+    r"(?:BE\s?)?(?<!\d)([01])\s?(\d{3})[.\s]?(\d{3})[.\s]?(\d{3})(?!\d)", re.IGNORECASE
 )
 
 
@@ -27,11 +29,11 @@ def _checksum_ok(digits10: str) -> bool:
 
 def extract_vat_numbers(text: str) -> list[str]:
     """Unique valid VAT numbers in order of first appearance, normalized to
-    'BE0XXXXXXXXX'."""
+    'BE' + 10 digits (leading digit 0 or 1)."""
     found: list[str] = []
     seen = set()
     for m in _VAT_CAND.finditer(text):
-        digits10 = "0" + m.group(1) + m.group(2) + m.group(3)
+        digits10 = m.group(1) + m.group(2) + m.group(3) + m.group(4)
         if not _checksum_ok(digits10):
             continue  # wrongCheckSum -> rejected
         norm = "BE" + digits10

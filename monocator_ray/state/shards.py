@@ -34,6 +34,7 @@ import heapq
 import numpy as np
 import pyarrow as pa
 
+from monocator_ray.stages.filters import first_wins_dedup
 from monocator_ray.state.cuckoo import CuckooFilter
 
 FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "depth", "discovery_time", "parent_url_hash"]
@@ -140,8 +141,6 @@ class FrontierShard:
         global first-wins point."""
         if not self._pending_tables:
             return
-        from monocator_ray.stages.filters import first_wins_dedup
-
         table = (
             pa.concat_tables(self._pending_tables, promote_options="default")
             if len(self._pending_tables) > 1

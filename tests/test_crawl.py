@@ -165,3 +165,48 @@ def test_resume_identical_to_uninterrupted(web, tmp_path):
     # zero re-fetches: seq values are unique
     seqs = resumed_log["seq"].to_pylist()
     assert len(seqs) == len(set(seqs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_purges_uncheckpointed_epoch_artifacts(web, tmp_path):
+    """Crash MID-epoch (artifacts written, no checkpoint): the crashed
+    attempt's stale crawl parts must not survive the resume — they can
+    duplicate seq rows because the re-run may use a different part layout
+    (ADVICE r1, medium)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monocator_ray.crawl.driver import CrawlDriver
+    from monocator_ray.state.robots import synth_robots as sr
+
+    cfg = CrawlConfig(
+        num_shards=4, budget_per_epoch=64, max_depth=4, link_cap=16,
+        num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+        checkpoint_every=2,  # bench-like: most epochs have NO checkpoint
+    )
+    full_out = tmp_path / "full2"
+    crawl(web["spec"].seeds(6), web["dir"], str(full_out), cfg, robots=sr(HOSTS))
+    full_log = read_visit_log(str(full_out))
+
+    part_out = tmp_path / "part2"
+    drv = CrawlDriver(web["dir"], str(part_out), cfg, robots=sr(HOSTS))
+    drv.push_seeds(web["spec"].seeds(6))
+    for _ in range(4):  # epochs 0..3; checkpoints land at 0 and 2 only
+        drv.run_epoch()
+    drv.shutdown()
+    # epoch=3 has artifacts but no checkpoint (crash before its checkpoint);
+    # plant an EXTRA stale part there, as a crashed many-worker attempt would
+    edir3 = os.path.join(str(part_out), "epoch=3", "crawl")
+    assert os.path.isdir(edir3) and not os.path.exists(
+        os.path.join(str(part_out), "epoch=3", "_SUCCESS")
+    )
+    stale = pq.read_table(os.path.join(edir3, sorted(os.listdir(edir3))[0]))
+    pq.write_table(stale, os.path.join(edir3, "part-zz-stale.parquet"))
+
+    crawl(web["spec"].seeds(6), web["dir"], str(part_out), cfg, robots=sr(HOSTS), resume=True)
+    resumed_log = read_visit_log(str(part_out))
+    seqs = resumed_log["seq"].to_pylist()
+    assert len(seqs) == len(set(seqs)), "stale parts duplicated seq rows"
+    assert resumed_log.num_rows == full_log.num_rows
+    assert resumed_log.equals(full_log)

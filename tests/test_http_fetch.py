@@ -1,0 +1,166 @@
+"""HttpFetcher end-to-end against local in-process HTTP servers — the
+sandbox-safe analog of the reference's WireMock PageFetcherTest surface
+(/root/reference/src/mock-servers.MD:1-4): concurrent per-host fan-out,
+max-body truncation WITHOUT a Content-Length header, timeout capture, and
+the redirect cap.  No outbound network: everything binds 127.0.0.1.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from monocator_ray.stages.fetch import HttpFetcher
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.0"  # close-delimited bodies (no Content-Length)
+
+    def log_message(self, *a):  # silence
+        pass
+
+    def do_GET(self):
+        srv = self.server
+        with srv.stats_lock:
+            srv.concurrent += 1
+            srv.max_concurrent = max(srv.max_concurrent, srv.concurrent)
+        try:
+            if self.path.startswith("/ok"):
+                body = f"<html><body>ok {self.path}</body></html>".encode()
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/big-no-length":
+                # > max_body, NO Content-Length: client must stream+truncate
+                self.send_response(200)
+                self.end_headers()  # HTTP/1.0: body ends at connection close
+                self.wfile.write(b"x" * 10_000)
+            elif self.path.startswith("/redir/"):
+                n = int(self.path.rsplit("/", 1)[1])
+                self.send_response(302)
+                target = "/ok-final" if n <= 1 else f"/redir/{n - 1}"
+                self.send_header("Location", target)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+            elif self.path == "/ok-final":
+                body = b"made it"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/slow":
+                time.sleep(1.0)
+                self.send_response(200)
+                self.send_header("Content-Length", "4")
+                self.end_headers()
+                self.wfile.write(b"slow")
+            elif self.path.startswith("/pause"):
+                time.sleep(0.25)
+                body = b"paused"
+                self.send_response(200)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+        finally:
+            with srv.stats_lock:
+                srv.concurrent -= 1
+
+
+def _start_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.stats_lock = threading.Lock()
+    srv.concurrent = 0
+    srv.max_concurrent = 0
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv
+
+
+@pytest.fixture(scope="module")
+def servers():
+    a, b = _start_server(), _start_server()
+    yield a, b
+    a.shutdown()
+    b.shutdown()
+
+
+def _batch(urls: list[str]) -> pa.Table:
+    return pa.table({"url": pa.array(urls, pa.string())})
+
+
+def test_requires_network_opt_in():
+    with pytest.raises(RuntimeError, match="allow_network"):
+        HttpFetcher()
+
+
+def test_fetch_statuses_and_truncation(servers):
+    a, _ = servers
+    base = f"http://127.0.0.1:{a.server_address[1]}"
+    f = HttpFetcher(timeout_s=5.0, max_body=2500, allow_network=True)
+    out = f(_batch([f"{base}/ok", f"{base}/big-no-length", f"{base}/nope"]))
+    status = out["fetch_status"].to_pylist()
+    assert status == [200, 200, 404]
+    htmls = out["html"].to_pylist()
+    assert b"ok /ok" in htmls[0]
+    # max-body enforced with no Content-Length header (mock-servers.MD:4)
+    assert len(htmls[1]) == 2500
+    assert htmls[2] is None
+
+
+def test_timeout_records_transport_error(servers):
+    a, _ = servers
+    base = f"http://127.0.0.1:{a.server_address[1]}"
+    f = HttpFetcher(timeout_s=0.2, allow_network=True)
+    out = f(_batch([f"{base}/slow", f"{base}/ok"]))
+    assert out["fetch_status"].to_pylist() == [-1, 200]
+
+
+def test_redirect_cap_enforced(servers):
+    a, _ = servers
+    base = f"http://127.0.0.1:{a.server_address[1]}"
+    f = HttpFetcher(timeout_s=5.0, max_redirects=3, allow_network=True)
+    out = f(_batch([f"{base}/redir/2", f"{base}/redir/8"]))
+    status = out["fetch_status"].to_pylist()
+    assert status[0] == 200  # 2 hops < cap -> followed to /ok-final
+    assert b"ok-final" in out["html"][0].as_py()
+    assert status[1] != 200  # over the cap -> error status, not a 200
+
+
+def test_per_host_serial_cross_host_parallel():
+    # fresh servers: earlier tests' abandoned /slow requests would otherwise
+    # still be draining and pollute the concurrency counters
+    a, b = _start_server(), _start_server()
+    pa_, pb = a.server_address[1], b.server_address[1]
+    # 3 pause-URLs per "host" (host = netloc incl. port) x 2 hosts
+    urls = [f"http://127.0.0.1:{pa_}/pause?i={i}" for i in range(3)]
+    urls += [f"http://127.0.0.1:{pb}/pause?i={i}" for i in range(3)]
+    f = HttpFetcher(timeout_s=5.0, allow_network=True)
+    t0 = time.monotonic()
+    out = f(_batch(urls))
+    wall = time.monotonic() - t0
+    assert out["fetch_status"].to_pylist() == [200] * 6
+    # serialized per host: each server never saw 2 concurrent requests
+    assert a.max_concurrent == 1 and b.max_concurrent == 1
+    # parallel across hosts: 6 x 0.25s serial would be >= 1.5s; two hosts
+    # in parallel bound it near 0.75s (generous margin for VM noise)
+    assert wall < 1.3
+    a.shutdown()
+    b.shutdown()
+
+
+def test_warc_ts_set_only_on_body(servers):
+    a, _ = servers
+    base = f"http://127.0.0.1:{a.server_address[1]}"
+    f = HttpFetcher(timeout_s=5.0, allow_network=True)
+    out = f(_batch([f"{base}/ok", f"{base}/nope"]))
+    ts = out["warc_ts"].to_numpy(zero_copy_only=False)
+    assert ts[0] != np.datetime64(0, "us")
+    assert ts[1] == np.datetime64(0, "us")

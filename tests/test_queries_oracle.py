@@ -75,3 +75,41 @@ def test_rows_only_queries_run(name, fn):
     df = _to_pandas(fn(SF_DIR))
     assert df is not None
     assert len(df.columns) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_tokenizer_oracle_parity_on_non_ascii_whitespace(tmp_path):
+    """Python's \\s is Unicode (NBSP etc.); DuckDB's RE2 \\s is ASCII.  The
+    engine pins its tokenizer to the RE2 class (ADVICE r1) — this fixture
+    has NBSP / thin-space / ideographic-space mid-text and must match the
+    oracle exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.registry import REGISTRY
+
+    texts = [
+        "the\u00a0cat and dog",  # NBSP joins the first two words
+        "thin\u2009space the end",  # thin space
+        "ideo\u3000graphic of it",  # ideographic space
+        "plain ascii the of and",
+        "the\u00a0cat and dog",  # exact dup of row 0
+        "padded\tthe\nof and",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    c = duckdb.connect()
+    c.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    for name in ("token_stats", "quality_stats", "dedup_exact"):
+        fn, sql = REGISTRY[name]
+        got = _normalize(_to_pandas(fn(str(tmp_path))))
+        want = _normalize(c.execute(sql).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-6)

@@ -53,6 +53,26 @@ class TestVat:
         assert len(got) == 2
         assert got[0] == "BE" + v2.replace("BE ", "").replace(".", "")
 
+    def test_leading_digit_1_accepted(self):
+        # Belgian enterprise numbers may start with 1 (ADVICE r1): build a
+        # valid 1xxxxxxxcc by computing the mod-97 check over the 8-digit
+        # prefix
+        first8 = 10234567
+        chk = 97 - (first8 % 97)
+        digits = f"{first8:08d}{chk:02d}"
+        s = f"BE {digits[:4]}.{digits[4:7]}.{digits[7:]}"
+        assert extract_vat_numbers(f"VAT: {s}") == ["BE" + digits]
+
+    def test_digit_run_boundaries(self):
+        # a valid-checksum candidate embedded in a longer digit run must NOT
+        # match (unanchored false positive, ADVICE r1)
+        v = make_vat(77)  # "BE 0xxx.xxx.xcc"
+        digits = v.replace("BE ", "").replace(".", "")  # 10 digits, valid
+        assert extract_vat_numbers(f"order id 9{digits}") == []
+        assert extract_vat_numbers(f"order id {digits}9") == []
+        # but the bare 10-digit run with clean boundaries still matches
+        assert extract_vat_numbers(f"vat {digits} here") == ["BE" + digits]
+
 
 # ---- max-body truncation without Content-Length (mock-servers.MD:4) ----
 def test_truncate_body_no_content_length():
