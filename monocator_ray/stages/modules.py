@@ -92,6 +92,9 @@ class TlsModule:
 
     enabled_versions: tuple = TLS_VERSIONS
     probe_fn: object = _no_network_probe  # (ip, version) -> dict matching SINGLE_VERSION_SCAN
+    # saveCertificates(Optional<List<Certificate>>) analog (TODO.MD:15-17,50):
+    # (ip) -> list of CERTIFICATE dicts, or None when no chain was obtained
+    cert_fn: object = None
     cache: KeyedCache = field(default_factory=KeyedCache)
 
     def visit(self, domain: str, ips: list[str]) -> pa.Table:
@@ -110,7 +113,10 @@ class TlsModule:
             r = self.probe_fn(ip, v)  # raises NetworkUnavailable in sandbox
             scans.append((v, r))
             connect_ok = connect_ok or bool(r.get("supported"))
-        return {"connect_ok": connect_ok, "scans": scans, "certificate_chain": []}
+        # chain is Optional: only fetched on a successful connect, and a
+        # prober may still return None (chain unavailable) -> null column
+        chain = self.cert_fn(ip) if (connect_ok and self.cert_fn is not None) else None
+        return {"connect_ok": connect_ok, "scans": scans, "certificate_chain": chain}
 
 
 def convert_to_entity(result: pa.Table, schema: pa.Schema, where: str = "module") -> pa.Table:

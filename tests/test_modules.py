@@ -50,6 +50,45 @@ def test_tls_module_with_injected_prober(tmp_path):
     assert back.num_rows == 2
 
 
+def test_certificate_chain_through_save_flow(tmp_path):
+    """A populated chain survives convertToEntity -> save -> re-read
+    (saveCertificates(Optional<List<Certificate>>), TODO.MD:15-17,50)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    def fake_probe(ip, version):
+        return {"supported": version == "tls13", "cipher_suite": "TLS_AES_256_GCM_SHA384",
+                "error": "", "millis": 3}
+
+    def fake_certs(ip):
+        t0 = np.datetime64("2026-01-01T00:00:00", "us")
+        return [
+            {"subject": f"CN=leaf.{ip}", "issuer": "CN=Fake Intermediate",
+             "not_before": t0, "not_after": t0 + np.timedelta64(90, "D").astype("timedelta64[us]"),
+             "sha256_fingerprint": b"\x01" * 32},
+            {"subject": "CN=Fake Intermediate", "issuer": "CN=Fake Root",
+             "not_before": t0, "not_after": t0 + np.timedelta64(3650, "D").astype("timedelta64[us]"),
+             "sha256_fingerprint": b"\x02" * 32},
+        ]
+
+    mod = TlsModule(probe_fn=fake_probe, cert_fn=fake_certs)
+    t = mod.visit("example.com", ["192.0.2.7"])
+    ent = convert_to_entity(t, TLS_SCAN, "tls")
+    save_visit_result(str(tmp_path), "example.com", {"tls_scan": ent})
+    back = pq.read_table(str(tmp_path / "tls_scan" / "example.com.parquet"))
+    chain = back["certificate_chain"][0].as_py()
+    assert len(chain) == 2
+    assert chain[0]["subject"] == "CN=leaf.192.0.2.7"
+    assert chain[1]["issuer"] == "CN=Fake Root"
+    assert chain[0]["sha256_fingerprint"] == b"\x01" * 32
+
+    # Optional semantics: no cert_fn -> null chain column, still valid schema
+    mod2 = TlsModule(probe_fn=fake_probe)
+    t2 = mod2.visit("example.com", ["192.0.2.8"])
+    assert t2.schema.equals(TLS_SCAN)
+    assert t2["certificate_chain"][0].as_py() is None
+
+
 def test_single_version_scan_struct_shape():
     s = pa.scalar(
         {"supported": True, "cipher_suite": "x", "error": "", "millis": 1},
@@ -86,3 +125,41 @@ def test_screenshot_modes(tmp_path):
         report.screenshot_candidates(str(out1), "if_suspicious")
     with pytest.raises(ValueError):
         report.screenshot_candidates(str(out1), "nope")
+    # synth pages are text-rich multi-link pages: none is a single-page app
+    assert report.screenshot_candidates(str(out1), "if_single_page_app").count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_screenshot_if_single_page_app_heuristic(tmp_path):
+    """SPA trigger (TODO.MD:64): script-heavy page, sliver of visible text,
+    almost no links -> screenshot; content pages don't trigger."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monocator_ray import report
+
+    spa_html = (
+        b"<html><head><script>" + b"var x=1;" * 2000 + b"</script></head>"
+        b"<body><div id=app>Loading...</div></body></html>"
+    )
+    content_html = (
+        b"<html><body>" + b"<p>real readable content here</p>" * 300
+        + b'<a href="/a">a</a><a href="/b">b</a><a href="/c">c</a></body></html>'
+    )
+    tbl = pa.table(
+        {
+            "url": pa.array(["http://spa.example/", "http://blog.example/post"], pa.string()),
+            "url_hash": pa.array([1, 2], pa.uint64()),
+            "html": pa.array([spa_html, content_html], pa.binary()),
+            "text": pa.array(["Loading...", "real readable content here " * 300], pa.string()),
+            "links_internal": pa.array([0, 3], pa.int32()),
+            "links_external": pa.array([0, 0], pa.int32()),
+        }
+    )
+    d = tmp_path / "fake_out" / "epoch=0" / "crawl"
+    os.makedirs(d)
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+    got = report.screenshot_candidates(str(tmp_path / "fake_out"), "if_single_page_app")
+    rows = got.to_pandas()
+    assert rows["url"].tolist() == ["http://spa.example/"]
