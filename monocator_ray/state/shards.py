@@ -9,6 +9,11 @@ TODO.MD:41 shows the keyed-cache pattern `fullScanCache.find(ip)`).
 CRAWL ORDER CONTRACT (must match tests/oracle/crawl_sim.py exactly):
 
 * Priority key: ``(depth, host_hash, discovery_time, url_hash)`` ascending.
+* Frontier storage is COLUMNAR (struct-of-numpy-arrays kept sorted by the
+  priority key) — a Python-tuple heap costs ~150 B/entry of object overhead,
+  which at the 10^10-URL design point is terabytes of actor heap; the
+  columnar layout is 36 B/entry + the url strings and lets the no-politeness
+  fast path stage a whole epoch with one slice (ROUND_NOTES r1 item 4).
 * A URL enters the seen-set at the moment it is accepted into the frontier.
 * Token buckets run on virtual epoch time (SURVEY.md §4.3 hazard 4):
   ``burst_ms = max(epoch_ms, delay_ms)``; tokens advance lazily by
@@ -29,8 +34,6 @@ global visit order is identical at any parallelism (SPEC exact-order match).
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 
@@ -38,6 +41,32 @@ from monocator_ray.stages.filters import first_wins_dedup
 from monocator_ray.state.cuckoo import CuckooFilter
 
 FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "depth", "discovery_time", "parent_url_hash"]
+
+
+def _empty_cols() -> dict:
+    """Columnar frontier: parallel numpy arrays (urls as an Arrow string
+    array — Python str objects cost ~50 B each of pure overhead) sorted by
+    the priority key."""
+    return {
+        "depth": np.empty(0, np.int32),
+        "host_hash": np.empty(0, np.uint64),
+        "discovery_time": np.empty(0, np.int64),
+        "url_hash": np.empty(0, np.uint64),
+        "parent_url_hash": np.empty(0, np.uint64),
+        "url": pa.array([], pa.string()),
+    }
+
+
+def _key_order(c: dict) -> np.ndarray:
+    """argsort by (depth, host_hash, discovery_time, url_hash) ascending."""
+    return np.lexsort((c["url_hash"], c["discovery_time"], c["host_hash"], c["depth"]))
+
+
+def _take(c: dict, idx: np.ndarray) -> dict:
+    return {
+        k: (v.take(pa.array(idx)) if isinstance(v, pa.Array) else v[idx])
+        for k, v in c.items()
+    }
 
 
 def _empty_frontier_table() -> pa.Table:
@@ -82,11 +111,14 @@ class FrontierShard:
         # seen set: exact uint64 set is ground truth; cuckoo filter fast path
         self.seen: set[int] = set()
         self.filter = CuckooFilter(seen_capacity)
-        # frontier: heap of (depth, host_hash, discovery_time, url_hash, url, parent)
-        self.heap: list[tuple] = []
+        # frontier: columnar struct-of-arrays, SORTED by the priority key
+        # (depth, host_hash, discovery_time, url_hash) at all times
+        self._f = _empty_cols()
         # host_hash -> [tokens_ms, delay_ms, fetched, last_epoch, cap]
         self.hosts: dict[int, list] = {}
-        self._staged: list[tuple] = []
+        # peek/pop handshake: indices into self._f arrays, priority order
+        self._staged_idx: np.ndarray | None = None
+        self._drop_idx: list[int] = []
         # epoch-pending offer tables.  Offers only append (O(1) per RPC);
         # min-key-wins resolution happens vectorized at flush, so offer
         # ARRIVAL ORDER is irrelevant (workers offer concurrently) — the
@@ -156,21 +188,33 @@ class FrontierShard:
         if not n_new:
             return
         sub = table.filter(pa.array(new))
-        urls = sub["url"].to_pylist()
-        uh = sub["url_hash"].to_numpy(zero_copy_only=False)
         hosts = sub["host"].to_pylist()
-        hh = sub["host_hash"].to_numpy(zero_copy_only=False)
-        dep = sub["depth"].to_numpy(zero_copy_only=False)
-        dt = sub["discovery_time"].to_numpy(zero_copy_only=False)
-        ph = sub["parent_url_hash"].to_numpy(zero_copy_only=False)
-        heap = self.heap
-        for i in range(n_new):
+        hh = sub["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        for i in range(len(hosts)):
             hhi = int(hh[i])
             if hhi not in self.hosts:
                 delay = self.host_delays.get(hosts[i], self.default_delay_ms)
                 cap = self.host_caps.get(hosts[i], self.max_pages)
                 self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
-            heapq.heappush(heap, (int(dep[i]), hhi, int(dt[i]), int(uh[i]), urls[i], int(ph[i])))
+        fresh = {
+            "depth": sub["depth"].to_numpy(zero_copy_only=False).astype(np.int32),
+            "host_hash": hh,
+            "discovery_time": sub["discovery_time"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "url_hash": sub["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            "parent_url_hash": sub["parent_url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            "url": sub["url"].combine_chunks().cast(pa.string()),
+        }
+        merged = {
+            k: (
+                pa.concat_arrays([self._f[k], fresh[k]])
+                if isinstance(fresh[k], pa.Array)
+                else np.concatenate([self._f[k], fresh[k]])
+            )
+            for k in self._f
+        }
+        # full re-sort of old+new; a sorted-run merge would make this O(F),
+        # but lexsort is C-speed and epochs add a small fraction of F
+        self._f = _take(merged, _key_order(merged))
 
     def _advance_tokens(self, st: list, epoch: int) -> None:
         tokens, delay, _fetched, last = st[0], st[1], st[2], st[3]
@@ -181,93 +225,155 @@ class FrontierShard:
 
     def peek(self, epoch: int, budget: int) -> pa.Table:
         """Stage up to `budget` politeness-feasible URLs in priority order;
-        return their keys (not yet consumed)."""
-        assert not self._staged, "peek called twice without pop_upto"
+        return their keys (not yet consumed).  The frontier is key-sorted,
+        so staging is a front-slice (fast path: no politeness constraints at
+        all -> one vectorized slice) or a single index walk (general path) —
+        never a heap pop per URL."""
+        assert self._staged_idx is None, "peek called twice without pop_upto"
         self.flush_pending()
-        staged: list[tuple] = []
-        deferred: list[tuple] = []
+        f = self._f
+        n = len(f["depth"])
+        if n == 0:
+            self._staged_idx = np.empty(0, np.int64)
+            return self._staged_keys()
+        unconstrained = (
+            not self.host_delays
+            and self.default_delay_ms == 0
+            and self.max_pages == 0
+            and not self.host_caps
+        )
+        if unconstrained:
+            # allowance is default_host_cap for every host and no page caps:
+            # the first `budget` sorted rows are exactly what the general
+            # walk would stage (token state untouched when delay == 0)
+            self._staged_idx = np.arange(min(budget, n), dtype=np.int64)
+            return self._staged_keys()
+        staged: list[int] = []
         per_host: dict[int, int] = {}
-        heap = self.heap
-        while heap and len(staged) < budget:
-            entry = heapq.heappop(heap)
-            hh = entry[1]
+        hh_col = f["host_hash"]
+        for i in range(n):
+            if len(staged) >= budget:
+                break
+            hh = int(hh_col[i])
             st = self.hosts[hh]
             self._advance_tokens(st, epoch)
             tokens, delay, fetched, cap = st[0], st[1], st[2], st[4]
             if cap and fetched >= cap:
                 self.counters["capped_dropped"] += 1
+                self._drop_idx.append(i)
                 continue
             allowance = int(tokens // delay) if delay > 0 else self.default_host_cap
             if cap:
                 allowance = min(allowance, cap - fetched)
             if per_host.get(hh, 0) < allowance:
                 per_host[hh] = per_host.get(hh, 0) + 1
-                staged.append(entry)
-            else:
-                deferred.append(entry)
-        for e in deferred:
-            heapq.heappush(heap, e)
-        self._staged = staged
+                staged.append(i)
+            # else: deferred — stays in the frontier untouched
+        self._staged_idx = np.array(staged, dtype=np.int64)
+        return self._staged_keys()
+
+    def _staged_keys(self) -> pa.Table:
+        s = _take(self._f, self._staged_idx)
         return pa.table(
             {
-                "depth": pa.array([e[0] for e in staged], pa.int32()),
-                "host_hash": pa.array([e[1] for e in staged], pa.uint64()),
-                "discovery_time": pa.array([e[2] for e in staged], pa.int64()),
-                "url_hash": pa.array([e[3] for e in staged], pa.uint64()),
+                "depth": pa.array(s["depth"], pa.int32()),
+                "host_hash": pa.array(s["host_hash"], pa.uint64()),
+                "discovery_time": pa.array(s["discovery_time"], pa.int64()),
+                "url_hash": pa.array(s["url_hash"], pa.uint64()),
             }
         )
 
     def pop_upto(self, cutoff: tuple | None) -> pa.Table:
         """Consume staged entries with key <= cutoff (None = all staged);
-        push the rest back.  Consumes tokens/page-cap for taken entries."""
-        taken, back = [], []
-        for e in self._staged:
-            key = (e[0], e[1], e[2], e[3])
-            if cutoff is None or key <= cutoff:
-                taken.append(e)
-            else:
-                back.append(e)
-        self._staged = []
-        for e in back:
-            heapq.heappush(self.heap, e)
-        for e in taken:
-            st = self.hosts[e[1]]
-            st[2] += 1
-            if st[1] > 0:
-                st[0] -= st[1]
-        self.counters["fetched"] += len(taken)
-        if not taken:
+        the rest simply remain in the frontier.  Consumes tokens/page-cap
+        for taken entries; removes taken + capped-dropped rows."""
+        idx = self._staged_idx if self._staged_idx is not None else np.empty(0, np.int64)
+        f = self._f
+        if cutoff is None or idx.size == 0:
+            taken_idx = idx
+        else:
+            cd, ch, ct, cu = cutoff
+            d = f["depth"][idx].astype(np.int64)
+            h = f["host_hash"][idx]
+            t = f["discovery_time"][idx]
+            u = f["url_hash"][idx]
+            # lexicographic key <= cutoff, vectorized
+            le = (d < cd) | (
+                (d == cd)
+                & ((h < np.uint64(ch)) | ((h == np.uint64(ch)) & ((t < ct) | ((t == ct) & (u <= np.uint64(cu))))))
+            )
+            taken_idx = idx[le]
+        # consume politeness tokens / page caps, grouped per host
+        if taken_idx.size:
+            th, counts = np.unique(f["host_hash"][taken_idx], return_counts=True)
+            for hh, c in zip(th.tolist(), counts.tolist()):
+                st = self.hosts[int(hh)]
+                st[2] += c
+                if st[1] > 0:
+                    st[0] -= st[1] * c
+        self.counters["fetched"] += int(taken_idx.size)
+        out = _take(f, taken_idx) if taken_idx.size else None
+        # drop taken + permanently-capped rows from the frontier
+        remove = taken_idx
+        if self._drop_idx:
+            remove = np.concatenate([remove, np.array(self._drop_idx, dtype=np.int64)])
+        if remove.size:
+            keep = np.ones(len(f["depth"]), dtype=bool)
+            keep[remove] = False
+            self._f = {
+                k: (v.filter(pa.array(keep)) if isinstance(v, pa.Array) else v[keep])
+                for k, v in f.items()
+            }
+        self._staged_idx = None
+        self._drop_idx = []
+        if out is None:
             return _empty_frontier_table()
+        urls = out["url"].to_pylist()
         return pa.table(
             {
-                "url": pa.array([e[4] for e in taken], pa.string()),
-                "url_hash": pa.array([e[3] for e in taken], pa.uint64()),
-                "host": pa.array([e[4].split("://", 1)[1].split("/", 1)[0].split(":", 1)[0] for e in taken], pa.string()),
-                "host_hash": pa.array([e[1] for e in taken], pa.uint64()),
-                "depth": pa.array([e[0] for e in taken], pa.int32()),
-                "discovery_time": pa.array([e[2] for e in taken], pa.int64()),
-                "parent_url_hash": pa.array([e[5] for e in taken], pa.uint64()),
+                "url": pa.array(urls, pa.string()),
+                "url_hash": pa.array(out["url_hash"], pa.uint64()),
+                "host": pa.array(
+                    [u.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0] for u in urls],
+                    pa.string(),
+                ),
+                "host_hash": pa.array(out["host_hash"], pa.uint64()),
+                "depth": pa.array(out["depth"], pa.int32()),
+                "discovery_time": pa.array(out["discovery_time"], pa.int64()),
+                "parent_url_hash": pa.array(out["parent_url_hash"], pa.uint64()),
             }
         )
 
     def frontier_size(self) -> int:
-        return len(self.heap) + sum(t.num_rows for t in self._pending_tables)
+        return len(self._f["depth"]) + sum(t.num_rows for t in self._pending_tables)
 
     def stats(self) -> dict:
-        return dict(self.counters, shard_id=self.shard_id, frontier=len(self.heap), seen=len(self.seen))
+        return dict(
+            self.counters, shard_id=self.shard_id, frontier=len(self._f["depth"]), seen=len(self.seen)
+        )
+
+    def frontier_nbytes(self) -> int:
+        """Resident frontier bytes (numeric columns + url string payloads) —
+        the BASELINE.md memory-per-entry measurement hook."""
+        import sys
+
+        f = self._f
+        numeric = sum(v.nbytes for k, v in f.items() if k != "url")
+        return numeric + int(f["url"].nbytes)
 
     # ---- checkpoint (S4) ----
     def dump(self) -> dict:
         """Checkpointable state as arrow tables (driver writes them)."""
         self.flush_pending()  # identical to flushing at next peek
+        f = self._f
         frontier = pa.table(
             {
-                "depth": pa.array([e[0] for e in self.heap], pa.int32()),
-                "host_hash": pa.array([e[1] for e in self.heap], pa.uint64()),
-                "discovery_time": pa.array([e[2] for e in self.heap], pa.int64()),
-                "url_hash": pa.array([e[3] for e in self.heap], pa.uint64()),
-                "url": pa.array([e[4] for e in self.heap], pa.string()),
-                "parent_url_hash": pa.array([e[5] for e in self.heap], pa.uint64()),
+                "depth": pa.array(f["depth"], pa.int32()),
+                "host_hash": pa.array(f["host_hash"], pa.uint64()),
+                "discovery_time": pa.array(f["discovery_time"], pa.int64()),
+                "url_hash": pa.array(f["url_hash"], pa.uint64()),
+                "url": f["url"],
+                "parent_url_hash": pa.array(f["parent_url_hash"], pa.uint64()),
             }
         )
         seen = pa.table({"url_hash": pa.array(sorted(self.seen), pa.uint64())})
@@ -286,18 +392,15 @@ class FrontierShard:
 
     def restore(self, state: dict) -> None:
         f = state["frontier"]
-        self.heap = [
-            (int(d), int(hh), int(dt), int(uh), u, int(ph))
-            for d, hh, dt, uh, u, ph in zip(
-                f["depth"].to_pylist(),
-                f["host_hash"].to_pylist(),
-                f["discovery_time"].to_pylist(),
-                f["url_hash"].to_pylist(),
-                f["url"].to_pylist(),
-                f["parent_url_hash"].to_pylist(),
-            )
-        ]
-        heapq.heapify(self.heap)
+        cols = {
+            "depth": f["depth"].to_numpy(zero_copy_only=False).astype(np.int32),
+            "host_hash": f["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            "discovery_time": f["discovery_time"].to_numpy(zero_copy_only=False).astype(np.int64),
+            "url_hash": f["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            "parent_url_hash": f["parent_url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
+            "url": f["url"].combine_chunks().cast(pa.string()),
+        }
+        self._f = _take(cols, _key_order(cols))
         hashes = state["seen"]["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.seen = set(int(x) for x in hashes)
         self.filter = CuckooFilter(max(1 << 20, 2 * len(self.seen)))

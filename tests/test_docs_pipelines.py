@@ -1,0 +1,183 @@
+"""Dataset-native dedup/ANN pipelines vs their driver-side oracles.
+
+Round-1 shipped these operators with correct sketching but driver-side
+candidate verification (to_pandas + dicts / O(n^2) matrices).  Round 2 made
+them Dataset-native end to end; each test here re-implements the ORIGINAL
+driver-side algorithm inline as the oracle and asserts the distributed
+pipeline produces the identical result on the driver tables.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _pdf(res) -> pd.DataFrame:
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_pairs_match_driver_side_oracle():
+    """Banding + Jaccard verify, distributed == the old driver-dict verify."""
+    from monocator_ray.pipelines.docs import q_minhash_pairs
+    from monocator_ray.stages.dedup import (
+        MinHasher,
+        explode_bands,
+        jaccard,
+        shingle_hashes,
+    )
+
+    got = _pdf(q_minhash_pairs(SF_DIR))
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    banded = explode_bands(MinHasher(num_perm=64)(docs.copy()), 16)
+    cands = set()
+    for (_b, _h), g in banded.groupby(["band_id", "band_hash"]):
+        ids = sorted(g["doc_id"].unique().tolist())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cands.add((ids[i], ids[j]))
+    tmap = dict(zip(docs["doc_id"], docs["text"]))
+    want = []
+    for a, b in sorted(cands):
+        jj = jaccard(shingle_hashes(tmap[a]), shingle_hashes(tmap[b]))
+        if jj >= 0.6:
+            want.append((a, b, int(round(jj * 100))))
+    assert list(map(tuple, got[["doc_a", "doc_b", "jaccard_pct"]].to_numpy())) == want
+    assert len(want) > 0  # the fixture actually exercises the verify path
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_pairs_match_driver_side_oracle():
+    from monocator_ray.pipelines.docs import q_simhash_pairs
+    from monocator_ray.stages.dedup import SimHasher, hamming64
+
+    got = _pdf(q_simhash_pairs(SF_DIR))
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    pdf = SimHasher()(docs.copy()).sort_values("doc_id")
+    ids = pdf["doc_id"].to_numpy()
+    hs = pdf["simhash"].to_numpy().astype(np.uint64)
+    cands = set()
+    for shift in (0, 16, 32, 48):
+        band = ((hs >> np.uint64(shift)) & np.uint64(0xFFFF)).astype(np.int64)
+        for v in np.unique(band):
+            grp = np.nonzero(band == v)[0]
+            for x in range(len(grp)):
+                for y in range(x + 1, len(grp)):
+                    cands.add((int(grp[x]), int(grp[y])))
+    want = []
+    for i, j in sorted(cands):
+        d = int(hamming64(hs[i : i + 1], hs[j : j + 1])[0])
+        if d <= 8:
+            want.append((int(ids[i]), int(ids[j]), d))
+    want.sort()
+    assert list(map(tuple, got[["doc_a", "doc_b", "hamming"]].to_numpy())) == want
+    assert len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_topk_matches_full_probe_scan():
+    """Per-list worker top-k + tiny merge == the old full masked scan."""
+    from monocator_ray.pipelines.docs import q_ann_ivf_topk
+    from monocator_ray.stages.ann import IvfIndex, _normalize, table_to_matrix
+
+    n_queries, k, nlist, nprobe = 8, 5, 16, 4
+    got = _pdf(q_ann_ivf_topk(SF_DIR, n_queries, k, nlist, nprobe))
+
+    full = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = table_to_matrix(full.slice(0, min(2048, full.num_rows)))
+    index = IvfIndex.train(sample, nlist=nlist)
+    qm = table_to_matrix(full.slice(0, n_queries))
+    probes = index.probe_lists(qm, nprobe)
+    m = _normalize(table_to_matrix(full))
+    lists = index.assign(table_to_matrix(full))
+    qn = _normalize(qm)
+    ids = full["vec_id"].to_numpy(zero_copy_only=False)
+    want = []
+    for qi in range(n_queries):
+        mask = np.isin(lists, probes[qi])
+        sims = m[mask] @ qn[qi]
+        cand_ids = ids[mask]
+        order = np.lexsort((cand_ids, -sims))[:k]
+        for rank, j in enumerate(order):
+            want.append((qi, int(cand_ids[j]), rank))
+    assert list(map(tuple, got[["query_id", "vec_id", "rank"]].to_numpy())) == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_matches_all_pairs_matrix():
+    """Block-distributed exact pairs == the old O(n^2) driver matrix."""
+    from monocator_ray.pipelines.docs import q_embedding_neardup
+    from monocator_ray.stages.ann import table_to_matrix
+
+    got = _pdf(q_embedding_neardup(SF_DIR))
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = table_to_matrix(tbl)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    m = m / norms
+    sims = m @ m.T
+    ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
+    ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
+    want = sorted(
+        (int(ids[i]), int(ids[j]), int(np.int64(sims[i, j] * 100))) for i, j in zip(ii, jj)
+    )
+    assert list(map(tuple, got[["vec_a", "vec_b", "sim_pct"]].to_numpy())) == want
+    assert len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_clusters_match_union_find_over_pairs():
+    """Distributed label propagation over the verified pairs == union-find."""
+    from monocator_ray.pipelines.docs import q_minhash_pairs, q_neardup_clusters
+    from monocator_ray.stages.dedup import connected_components
+
+    pairs = _pdf(q_minhash_pairs(SF_DIR))
+    want = connected_components(list(zip(pairs["doc_a"], pairs["doc_b"])))
+    got = _pdf(q_neardup_clusters(SF_DIR))
+    assert dict(zip(got["doc_id"], got["cluster"])) == want
+    assert len(want) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_lsh_recall_on_planted_dups(tmp_path):
+    """The LSH-bucketed scale path finds every planted high-cosine near-dup
+    (recall ~1 at sim>=0.9 with the default bands/bits) and never reports a
+    pair the exact method wouldn't (precision 1 by construction: buckets
+    only gate candidates; verification is exact cosine)."""
+    from monocator_ray.pipelines.docs import q_embedding_neardup_lsh
+
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=(120, 32)).astype(np.float32)
+    # plant 20 near-dup rows: tiny perturbations of the first 20 vectors
+    dups = base[:20] + rng.normal(scale=0.02, size=(20, 32)).astype(np.float32)
+    m = np.vstack([base, dups])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(m)), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in m], pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    got = _pdf(q_embedding_neardup_lsh(str(tmp_path), threshold=0.9))
+
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    ii, jj = np.nonzero(np.triu(sims >= 0.9, k=1))
+    want = {(int(i), int(j)) for i, j in zip(ii, jj)}
+    got_pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert got_pairs <= want  # exact verify: no false positives
+    assert len(got_pairs & want) / len(want) >= 0.95  # near-total recall
+    assert len(want) >= 20  # the planted dups are in the oracle set
