@@ -78,9 +78,12 @@ def run_crawl(num_cpus: int) -> dict:
         max_depth=8,
         link_cap=16,
         num_buckets=WEB_BUCKETS,
-        # workers scale with the parallelism level (0.75x leaves room for
-        # shard actors + driver at both levels -> fair 8-vs-32 comparison)
-        num_workers=max(2, num_cpus * 3 // 4),
+        # workers auto-size to "cluster minus shards minus driver" at BOTH
+        # levels — the fixed orchestration overhead (8 shards + driver) is
+        # part of the engine at any cluster size, and every remaining core
+        # runs a worker (the old 0.75x rule oversubscribed the 8-cpu level
+        # while leaving a quarter of the 32-cpu level idle)
+        num_workers=0,
         fetch_concurrency=max(2, num_cpus // 4),
         extract_concurrency=max(2, num_cpus // 2),
         fetch_batch_size=2048,

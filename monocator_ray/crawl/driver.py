@@ -358,7 +358,7 @@ class CrawlDriver:
             total_cpu = float(ray.cluster_resources().get("CPU", 4))
             avail = total_cpu - cfg.num_shards * cfg.shard_cpus - 0.5
             n = cfg.num_workers or max(2, int(avail))
-            n_fetch = max(1, n // 3)
+            n_fetch = max(2, n // 3)
             n_extract = max(1, n - n_fetch)
             # shrink until the pools actually fit the session's CPU budget —
             # over-subscribed actors pend forever (no preemption in Ray)
@@ -409,34 +409,73 @@ class CrawlDriver:
         nf = len(self._fetchers)
         # small chunks bound the epoch-barrier tail (heavy-tailed task times
         # under full load): floor 64 keeps BFS ramp-up epochs spread over the
-        # whole pool, ~4 waves amortize stragglers
-        salt_chunk = min(2048, max(64, taken.num_rows // (4 * nw)))
+        # whole pool, ~6 waves amortize stragglers
+        salt_chunk = min(1024, max(64, taken.num_rows // (6 * nw)))
+        # tail epochs fetch SCATTERED Zipf-tail pages: each url decodes a
+        # cold row group, so a 64-url owner-bound chunk serializes seconds
+        # of decode on one fetcher while the pool idles.  Ownership only
+        # pays off via warm caches — cold-anyway small epochs spread fine
+        # chunks round-robin over every fetcher instead.
+        tail_epoch = taken.num_rows <= 4 * salt_chunk * nf
+        if tail_epoch:
+            salt_chunk = max(8, salt_chunk // 8)
         fetch_refs = []
+        rr_f = 0
         for b in np.unique(bucket):
             lo = int(np.searchsorted(bucket, b, side="left"))
             hi = int(np.searchsorted(bucket, b, side="right"))
             owner = self._fetchers[int(b) % nf]
             for s in range(lo, hi, salt_chunk):
                 chunk = taken.slice(s, min(salt_chunk, hi - s))
+                if tail_epoch:
+                    owner = self._fetchers[rr_f % nf]
+                    rr_f += 1
                 fetch_refs.append(owner.fetch_chunk.remote(chunk))
-        # dispatch extracts in fetch-COMPLETION order (measured ~1.5x faster
-        # than dependency-chaining at submit time: actor FIFO queues
-        # head-of-line block on not-yet-fetched chunks otherwise)
-        pending = {r: i for i, r in enumerate(fetch_refs)}
-        extract_refs = []
-        rr = 0
-        # fetchers join the extract pool: their fetch queues are already
-        # fully enqueued, so appended extract tasks run once those drain
-        extract_pool = workers + self._fetchers
-        np_pool = len(extract_pool)
-        remaining = list(fetch_refs)
-        while remaining:
-            done, remaining = ray.wait(remaining, num_returns=1)
-            i = pending[done[0]]
-            out_file = os.path.join(edir, "crawl", f"part-{i}.parquet")
-            extract_refs.append(extract_pool[rr % np_pool].extract_write.remote(done[0], out_file))
-            rr += 1
-        results = ray.get(extract_refs)
+        # PULL-model extract dispatch: a chunk is assigned the moment a
+        # worker frees up, never round-robin — with heavy-tailed chunk times
+        # (max ~2-3x median under full load) round-robin lands several slow
+        # chunks on one worker and the epoch barrier waits on it (measured
+        # ~40% pool idle at 32 cpus); one-outstanding-task pull bounds the
+        # tail to a single chunk.  Extracts still start in fetch-COMPLETION
+        # order (actor FIFO queues would head-of-line block otherwise).
+        from collections import deque
+
+        trace = os.environ.get("MONOCATOR_TRACE")
+        t_submit = time.monotonic()
+        pending_fetch = {r: i for i, r in enumerate(fetch_refs)}
+        ready: deque = deque()  # (fetched_ref, chunk_idx)
+        idle: deque = deque(workers)
+        running: dict = {}  # extract_ref -> worker
+        results = []
+        fetchers_released = False
+        while pending_fetch or ready or running:
+            if not pending_fetch and not fetchers_released:
+                # fetch queues drained: fetchers join the extract pool (only
+                # now — an extract enqueued earlier would head-of-line block
+                # behind their remaining fetch_chunk tasks)
+                idle.extend(self._fetchers)
+                fetchers_released = True
+            while idle and ready:
+                w = idle.popleft()
+                fref, i = ready.popleft()
+                out_file = os.path.join(edir, "crawl", f"part-{i}.parquet")
+                running[w.extract_write.remote(fref, out_file)] = w
+            t_w = time.monotonic()
+            done, _ = ray.wait(list(pending_fetch) + list(running), num_returns=1)
+            d = done[0]
+            if trace:
+                gap = time.monotonic() - t_w
+                if gap > 1.0:
+                    kind = "fetch" if d in pending_fetch else "extract"
+                    print(f"  [pw-gap] {gap:.2f}s waiting ({kind} done; "
+                          f"pf={len(pending_fetch)} run={len(running)} ready={len(ready)} idle={len(idle)})")
+            if d in pending_fetch:
+                ready.append((d, pending_fetch.pop(d)))
+            else:
+                idle.append(running.pop(d))
+                results.append(ray.get(d))
+        if trace:
+            print(f"  [pw] chunks={len(fetch_refs)} pull_loop={time.monotonic() - t_submit:.2f}s")
         # workers offered links directly to the shards and returned the
         # offer ObjectRefs; awaiting them here is the epoch barrier that
         # guarantees every offer landed before the next peek's flush
@@ -449,6 +488,8 @@ class CrawlDriver:
                 link_tables.append(lt)
         if offer_refs:
             ray.get(offer_refs)
+        if trace:
+            print(f"  [pw] offers={len(offer_refs)} done={time.monotonic() - t_submit:.2f}s")
         links = pa.concat_tables(link_tables, promote_options="default") if link_tables else None
         return links, sum(err for _lt, err in results)
 
