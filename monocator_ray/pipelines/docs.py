@@ -2,13 +2,28 @@
 (task brief: dedup / similarity / text analysis as first-class components).
 SQL-expressible ones have DuckDB oracles in registry.py; sketch-based ones
 (minhash/simhash/ANN) are rows-only checks.
+
+Fixed-cost discipline (round 2): the sketch stages run as cached TASK
+stages (``grouped.cached_stage`` — setup once per warm worker, no per-query
+actor-pool spin-up), LSH bucket pairing dispatches per HASH PARTITION
+instead of per bucket group (``grouped.hash_partitioned`` — per-group
+Python dispatch is the dominant cost when nearly every bucket is a
+singleton), and candidate-pair plans are ADAPTIVE: when the deduplicated
+candidate set fits ``_SMALL_PAIRS`` rows the verify runs in one worker task
+over a predicate-filtered text read (the driver only ever holds the
+fixed-width pair ids, never a text), else the fully-shuffled join path
+below runs — same results, chosen by measured candidate count exactly like
+a broadcast-vs-shuffle join decision.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -16,7 +31,13 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.shipping import ensure_shipped
-from monocator_ray.stages.ann import BruteForceTopK, LshCoder, global_topk, table_to_matrix
+from monocator_ray.stages.ann import (
+    BruteForceTopK,
+    LshCoder,
+    _normalize,
+    global_topk,
+    table_to_matrix,
+)
 from monocator_ray.stages.dedup import (
     MinHasher,
     SimHasher,
@@ -25,7 +46,15 @@ from monocator_ray.stages.dedup import (
     jaccard,
     shingle_hashes,
 )
+from monocator_ray.stages.grouped import cached_stage, hash_partitioned, run_boundaries
 from monocator_ray.stages.textstats import Fingerprinter, LangId, QualityScorer, TokenCounter
+
+# Candidate sets at or under this many pairs take the single-task verify /
+# driver-side finish; larger ones take the distributed join + shuffle-sort
+# path.  The threshold bounds DRIVER and single-worker memory by a constant
+# (pair ids are 16 B/row -> 1 MiB at the default), independent of corpus
+# size — the big path has no such bound and is the 100-TB route.
+_SMALL_PAIRS = int(os.environ.get("MONOCATOR_SMALL_PAIRS", "65536"))
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -33,27 +62,36 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _finalize_pairs(ds: rd.Dataset, empty: pa.Table) -> rd.Dataset:
-    """Materialize a (small, verified) pair result and pin its schema: a
-    groupby over zero groups yields a schema-less empty dataset, which would
-    read back as a zero-column frame downstream."""
+def _collect_table(ds: rd.Dataset) -> pa.Table:
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    return pa.concat_tables(tables) if tables else None
+
+
+def _finish_pairs(ds: rd.Dataset, keys: list[str], empty: pa.Table) -> rd.Dataset:
+    """Materialize a pair result, pin its schema (a groupby over zero groups
+    yields a schema-less empty dataset), and sort: small results sort on the
+    driver (they are the query output anyway — a shuffle-sort would cost ~2 s
+    of fixed setup), large ones keep the distributed sort."""
     mat = ds.materialize()
-    if mat.count() == 0:
+    n = mat.count()
+    if n == 0:
         return rd.from_arrow(empty)
-    return mat
+    if n <= _SMALL_PAIRS:
+        tbl = _collect_table(mat).select(empty.column_names)
+        return rd.from_arrow(tbl.sort_by([(k, "ascending") for k in keys]))
+    return mat.sort(keys).select_columns(empty.column_names)
 
 
 # ---- exact dedup (D1 pattern: hash-partitioned first-wins) ----
 def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
-
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"doc_id": [int(g["doc_id"].min())], "n_dups": [len(g)]})
-
     return (
-        ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas")
+        # first-wins == (min doc_id, group size): a NATIVE vectorized
+        # aggregate, not a per-group Python callback
         .groupby("fingerprint")
-        .map_groups(keep_first, batch_format="pandas")
+        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
         .sort("doc_id")
         .select_columns(["doc_id", "n_dups"])
     )
@@ -63,7 +101,7 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
 def q_token_stats(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["text", "lang"])
     return (
-        ds.map_batches(TokenCounter, batch_format="pandas", concurrency=2)
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
         .groupby("lang")
         .aggregate(
             Count(alias_name="n_docs"),
@@ -79,7 +117,7 @@ def q_token_stats(sf_dir: str) -> rd.Dataset:
 def q_quality_stats(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["lang", "text"])
     return (
-        ds.map_batches(QualityScorer, batch_format="pandas", concurrency=2)
+        ds.map_batches(cached_stage(QualityScorer), batch_format="pandas")
         .groupby("lang")
         .aggregate(
             Count(alias_name="n_docs"),
@@ -96,7 +134,7 @@ def q_quality_stats(sf_dir: str) -> rd.Dataset:
 def q_langid(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
     return (
-        ds.map_batches(LangId, batch_format="pandas", concurrency=2)
+        ds.map_batches(cached_stage(LangId), batch_format="pandas")
         .groupby("lang_detected")
         .aggregate(Count(alias_name="n"))
         .sort("lang_detected")
@@ -107,42 +145,123 @@ def q_langid(sf_dir: str) -> rd.Dataset:
 def q_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
     return (
-        ds.map_batches(Fingerprinter, batch_format="pandas", concurrency=2)
+        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas")
         .select_columns(["doc_id", "fingerprint"])
         .sort("doc_id")
     )
 
 
 # ---- MinHash-LSH near-dup candidates (rows-only) ----
+def _bucket_pairs(g: pa.Table) -> pa.Table:
+    """All unordered doc-id pairs per (band_id, band_hash) bucket, over a
+    hash PARTITION holding many complete buckets: sort, find bucket runs,
+    emit combinations only for the (rare) multi-doc buckets."""
+    bid = g["band_id"].to_numpy(zero_copy_only=False)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+    ids = g["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, bh, bid))
+    bid, bh, ids = bid[order], bh[order], ids[order]
+    starts, ends = run_boundaries(bid, bh)
+    sizes = ends - starts
+    out_a, out_b = [], []
+    for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+        sub = np.unique(ids[s:e])
+        if len(sub) < 2:
+            continue
+        ia, ib = np.triu_indices(len(sub), k=1)
+        out_a.append(sub[ia])
+        out_b.append(sub[ib])
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    return pa.table({"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())})
+
+
+@ray.remote
+def _verify_jaccard_task(pairs: pa.Table, docs_path: str, threshold: float) -> pa.Table:
+    """Small-path verify in ONE worker task: read only the candidate docs'
+    texts (parquet predicate pushdown), shingle each once, exact Jaccard per
+    pair.  Bounded by _SMALL_PAIRS rows of input — the driver never sees a
+    text."""
+    a = pairs["doc_a"].to_numpy(zero_copy_only=False)
+    b = pairs["doc_b"].to_numpy(zero_copy_only=False)
+    need = np.unique(np.concatenate([a, b]))
+    t = pq.read_table(docs_path, columns=["doc_id", "text"],
+                      filters=pc.field("doc_id").isin(pa.array(need)))
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids = ids[order]
+    texts = t["text"].take(pa.array(order)).to_pylist()
+    sh = [shingle_hashes(x or "") for x in texts]
+    ai = np.searchsorted(ids, a)
+    bi = np.searchsorted(ids, b)
+    out_a, out_b, pct = [], [], []
+    for x in range(len(a)):
+        j = jaccard(sh[ai[x]], sh[bi[x]])
+        if j >= threshold:
+            out_a.append(int(a[x]))
+            out_b.append(int(b[x]))
+            pct.append(int(round(j * 100)))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "jaccard_pct": pa.array(pct, pa.int64()),
+        }
+    )
+
+
+def _dedup_pairs_small(raw: rd.Dataset, key_cols: list[str], all_cols: list[str]) -> pa.Table | None:
+    """If the raw (multi-band) pair set fits _SMALL_PAIRS rows, collect the
+    FIXED-WIDTH rows and dedup driver-side (any copy of a pair carries the
+    same verified values, so first-wins is exact); else return None and the
+    caller runs the distributed dedup.  ``raw`` must be materialized."""
+    if raw.count() > _SMALL_PAIRS:
+        return None
+    tbl = _collect_table(raw)
+    if tbl is None:
+        return pa.table({c: pa.array([], pa.int64()) for c in all_cols})
+    df = tbl.select(all_cols).to_pandas().drop_duplicates(subset=key_cols)
+    df = df.sort_values(key_cols, kind="stable")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_minhash_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16, threshold: float = 0.6) -> rd.Dataset:
-    """Dataset-native end to end (VERDICT r1 #1): shingle -> minhash ->
-    band rows -> bucket groupby -> candidate pairs -> distributed pair dedup
-    -> texts joined back by doc_id (two hash joins) -> exact Jaccard verify
-    inside map_batches.  The driver never sees a text or a pair list; the
-    verify work is proportional to the candidate set, sharded by pair."""
+    """Shingle -> minhash -> band rows (cached task stages) -> partitioned
+    bucket pairing (``hash_partitioned``: per-partition vectorized runs, not
+    per-bucket Python dispatch) -> adaptive verify: candidate sets under
+    ``_SMALL_PAIRS`` verify in one predicate-filtered worker task, larger
+    ones dedup with a native aggregate, hash-join texts back by doc_id and
+    verify inside map_batches (VERDICT r1 #1 — the driver never sees a
+    text on either path)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     banded = (
-        ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                       batch_format="pandas", concurrency=2, num_cpus=0.5)
+        ds.map_batches(cached_stage(MinHasher, num_perm=num_perm), batch_format="pandas")
         .map_batches(lambda b: explode_bands(b, num_bands), batch_format="pandas")
         .select_columns(["band_id", "band_hash", "doc_id"])
     )
+    raw = hash_partitioned(
+        banded,
+        lambda t: [t["band_hash"].to_numpy(zero_copy_only=False)],
+        _bucket_pairs,
+        num_parts=64,
+    ).materialize()
 
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique().tolist())
-        a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
-        return pd.DataFrame({"doc_a": pd.array(a, dtype="int64"), "doc_b": pd.array(b, dtype="int64")})
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard_pct": pa.array([], pa.int64())})
+    docs_path = f"{sf_dir}/documents.parquet"
 
+    small = _dedup_pairs_small(raw, ["doc_a", "doc_b"], ["doc_a", "doc_b"])
+    if small is not None:
+        if small.num_rows == 0:
+            return rd.from_arrow(empty)
+        out = ray.get(_verify_jaccard_task.remote(small, docs_path, threshold))
+        return rd.from_arrow(out.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")]))
+
+    # ---- scale path: distributed dedup + text joins + sharded verify ----
     cand = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        # a pair can surface from several bands: distributed first-wins dedup
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        raw.groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_nb"))  # native dedup (pair <- many bands)
+        .drop_columns(["_nb"])
         # phase barrier (blocks stay in the object store): without it the
         # groupby aggregator pools and the join aggregator pools below are
         # all live at once and can reserve every CPU on a small session —
@@ -180,25 +299,23 @@ def q_minhash_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16, thresh
             }
         )
 
-    out = joined.map_batches(verify, batch_format="pyarrow").sort(["doc_a", "doc_b"])
-    return _finalize_pairs(
-        out,
-        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                  "jaccard_pct": pa.array([], pa.int64())}),
-    )
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return _finish_pairs(out, ["doc_a", "doc_b"], empty)
 
 
 # ---- SimHash near-dup (rows-only) ----
 def q_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
-    """Dataset-native end to end (VERDICT r1 #2): 4 x 16-bit band rotation
-    emitted as (band_id, band_val, doc_id, simhash) rows in map_batches, a
-    groupby on the band key replaces the driver-side bucket sort, pairs are
-    generated and hamming-verified inside map_groups (the signature rides
-    along, so no second lookup), and cross-band duplicates are removed with
-    a distributed pair groupby.  Band values are uniform by construction, so
-    the shuffle is skew-safe."""
+    """4 x 16-bit band rotation emitted as (band_id, band_val, doc_id,
+    simhash) rows, partitioned on a hash of the band key
+    (``hash_partitioned`` — per-bucket Python dispatch would dominate:
+    nearly every band value is a singleton), pairs generated AND
+    hamming-verified vectorized inside the partition callback (the
+    signature rides along, so no second lookup).  Cross-band duplicates
+    carry identical hamming, so the dedup is first-wins: driver-side when
+    the verified set is small, a native Min aggregate otherwise.  Band
+    values are uniform by construction, so the shuffle is skew-safe."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    sh = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5).select_columns(
+    sh = ds.map_batches(cached_stage(SimHasher), batch_format="pandas").select_columns(
         ["doc_id", "simhash"]
     )
 
@@ -220,43 +337,52 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
             }
         )
 
-    def pairs_in_band(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(
-                {"doc_a": pd.array([], dtype="int64"), "doc_b": pd.array([], dtype="int64"),
-                 "hamming": pd.array([], dtype="int64")}
-            )
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        bid = g["band_id"].to_numpy(zero_copy_only=False)
+        bv = g["band_val"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        hs = g["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, bv, bid))
+        bid, bv, ids, hs = bid[order], bv[order], ids[order], hs[order]
+        starts, ends = run_boundaries(bid, bv)
+        sizes = ends - starts
         out_a, out_b, out_d = [], [], []
-        for x in range(len(ids)):
-            d = hamming64(hs[x + 1 :], np.repeat(hs[x : x + 1], len(ids) - x - 1))
-            keep = np.nonzero(d <= max_hamming)[0]
-            for y in keep.tolist():
-                out_a.append(int(ids[x]))
-                out_b.append(int(ids[x + 1 + y]))
-                out_d.append(int(d[y]))
-        return pd.DataFrame(
-            {"doc_a": pd.array(out_a, dtype="int64"), "doc_b": pd.array(out_b, dtype="int64"),
-             "hamming": pd.array(out_d, dtype="int64")}
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            m = e - s
+            ia, ib = np.triu_indices(m, k=1)
+            d = hamming64(hs[s:e][ia], hs[s:e][ib])
+            keep = d <= max_hamming
+            if keep.any():
+                out_a.append(ids[s:e][ia[keep]])
+                out_b.append(ids[s:e][ib[keep]])
+                out_d.append(d[keep].astype(np.int64))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64()),
+             "hamming": pa.array(d, pa.int64())}
         )
 
+    raw = hash_partitioned(
+        sh.map_batches(explode, batch_format="pyarrow"),
+        lambda t: [t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["band_val"].to_numpy(zero_copy_only=False)],
+        pairs_in_part,
+        num_parts=64,
+    ).materialize()
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    small = _dedup_pairs_small(raw, ["doc_a", "doc_b"], ["doc_a", "doc_b", "hamming"])
+    if small is not None:
+        return rd.from_arrow(small if small.num_rows else empty)
+
     out = (
-        sh.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_val"])
-        .map_groups(pairs_in_band, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .materialize()  # phase barrier before the sort (see q_minhash_pairs)
-        .sort(["doc_a", "doc_b"])
-        .select_columns(["doc_a", "doc_b", "hamming"])
+        raw.groupby(["doc_a", "doc_b"])
+        .aggregate(Min("hamming", alias_name="hamming"))  # native first-wins
     )
-    return _finalize_pairs(
-        out,
-        pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-                  "hamming": pa.array([], pa.int64())}),
-    )
+    return _finish_pairs(out, ["doc_a", "doc_b"], empty)
 
 
 # ---- ANN: brute-force cosine top-k (baseline) ----
@@ -267,11 +393,9 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     qm = table_to_matrix(qtbl)
     qref = ray.put(qm)
     local = emb.map_batches(
-        BruteForceTopK,
-        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        cached_stage(BruteForceTopK, queries_ref=qref, k=k),
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=2,
     )
     merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
     out = global_topk(merged, k)
@@ -313,8 +437,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
 
     emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
     assigned = emb.map_batches(
-        IvfAssigner, fn_constructor_kwargs={"index_ref": index_ref},
-        batch_format="pyarrow", concurrency=2,
+        cached_stage(IvfAssigner, index_ref=index_ref), batch_format="pyarrow"
     )
 
     def list_topk(g: pa.Table) -> pa.Table:
@@ -360,8 +483,7 @@ def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
         "embedding"][0].as_py())
     return (
-        emb.map_batches(LshCoder, fn_constructor_kwargs={"dim": dim, "nbits": 8},
-                        batch_format="pyarrow", concurrency=2)
+        emb.map_batches(cached_stage(LshCoder, dim=dim, nbits=8), batch_format="pyarrow")
         .groupby("lsh_bucket")
         .aggregate(Count(alias_name="n"))
         .sort("lsh_bucket")
@@ -382,6 +504,54 @@ def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
 
 
 # ---- embedding-cosine near-dup pairs (rows-only) ----
+class _BlockPairs:
+    """One (B, N) similarity block per batch against the broadcast
+    normalized corpus — no O(N^2) matrix exists anywhere."""
+
+    def __init__(self, ref, thr):
+        self.full, self.full_ids = ray.get(ref)  # once per worker
+        self.thr = thr
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(table_to_matrix(batch))
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = m @ self.full.T
+        keep = (sims >= self.thr) & (self.full_ids[None, :] > ids[:, None])
+        bi, fj = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[bi], pa.int64()),
+                "vec_b": pa.array(self.full_ids[fj], pa.int64()),
+                "sim_pct": pa.array((sims[bi, fj] * 100).astype(np.int64), pa.int64()),
+            }
+        )
+
+
+class _MultiBandCoder:
+    """One row per (band, bucket_code, vec_id, embedding) — ``num_bands``
+    independent sign-bit LSH codes per vector."""
+
+    def __init__(self, dim_: int, bands: int, bits: int):
+        self.coders = [LshCoder(dim_, nbits=bits, seed=100 + b) for b in range(bands)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        n = len(m)
+        parts = []
+        for b, coder in enumerate(self.coders):
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(n, b, dtype=np.int32), pa.int32()),
+                        "bucket": pa.array(coder.code(m), pa.int64()),
+                        "vec_id": batch["vec_id"],
+                        "embedding": batch["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     """EXACT all-pairs cosine near-dup, block-distributed (VERDICT r1 #4):
     the normalized (N x d) matrix broadcasts once via ray.put and every
@@ -394,8 +564,6 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     Default threshold tuned so the driver tables yield a non-empty result
     (their random embeddings top out ~0.51 cosine); real corpora use ~0.95.
     """
-    from monocator_ray.stages.ann import _normalize
-
     ensure_shipped()
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     full = _normalize(table_to_matrix(tbl))
@@ -403,30 +571,13 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     bcast = ray.put((full, full_ids))
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-
-    class BlockPairs:
-        def __init__(self, ref, thr):
-            self.full, self.full_ids = ray.get(ref)  # once per actor
-            self.thr = thr
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(table_to_matrix(batch))
-            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            sims = m @ self.full.T  # (B, N) — one block, never the full matrix
-            keep = (sims >= self.thr) & (self.full_ids[None, :] > ids[:, None])
-            bi, fj = np.nonzero(keep)
-            return pa.table(
-                {
-                    "vec_a": pa.array(ids[bi], pa.int64()),
-                    "vec_b": pa.array(self.full_ids[fj], pa.int64()),
-                    "sim_pct": pa.array((sims[bi, fj] * 100).astype(np.int64), pa.int64()),
-                }
-            )
-
-    return emb.map_batches(
-        BlockPairs, fn_constructor_kwargs={"ref": bcast, "thr": threshold},
-        batch_format="pyarrow", batch_size=4096, concurrency=2,
-    ).sort(["vec_a", "vec_b"])
+    out = emb.map_batches(
+        cached_stage(_BlockPairs, ref=bcast, thr=threshold),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                      "sim_pct": pa.array([], pa.int64())})
+    return _finish_pairs(out, ["vec_a", "vec_b"], empty)
 
 
 def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int = 12, nbits: int = 6) -> rd.Dataset:
@@ -441,73 +592,55 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int
     default threshold matches the exact variant so the driver's random
     tables yield rows, at ~0.6 recall — real corpora near-dup at ~0.95,
     where recall is effectively 1)."""
-    from monocator_ray.stages.ann import LshCoder, _normalize
-
     ensure_shipped()
     path = f"{sf_dir}/embeddings.parquet"
     dim = len(_head_rows(path, ["embedding"], 1)["embedding"][0].as_py())
     emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
 
-    class MultiBandCoder:
-        """One row per (band, bucket_code, vec_id, embedding)."""
-
-        def __init__(self, dim_: int, bands: int, bits: int):
-            self.coders = [LshCoder(dim_, nbits=bits, seed=100 + b) for b in range(bands)]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = table_to_matrix(batch)
-            n = len(m)
-            parts = []
-            for b, coder in enumerate(self.coders):
-                parts.append(
-                    pa.table(
-                        {
-                            "band": pa.array(np.full(n, b, dtype=np.int32), pa.int32()),
-                            "bucket": pa.array(coder.code(m), pa.int64()),
-                            "vec_id": batch["vec_id"],
-                            "embedding": batch["embedding"],
-                        }
-                    )
-                )
-            return pa.concat_tables(parts)
-
-    def verify_bucket(g: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-             "sim_pct": pa.array([], pa.int64())}
-        )
-        if g.num_rows < 2:
-            return empty
-        m = _normalize(table_to_matrix(g))
+    def verify_part(g: pa.Table) -> pa.Table:
+        """Exact cosine verify over all complete (band, bucket) groups in
+        one hash partition — vectorized run detection, one small dense
+        matrix per multi-member bucket."""
+        band = g["band"].to_numpy(zero_copy_only=False)
+        bucket = g["bucket"].to_numpy(zero_copy_only=False)
         ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(ids, kind="stable")
-        m, ids = m[order], ids[order]
-        sims = m @ m.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        order = np.lexsort((ids, bucket, band))
+        g = g.take(pa.array(order))
+        band, bucket, ids = band[order], bucket[order], ids[order]
+        m = _normalize(table_to_matrix(g))
+        starts, ends = run_boundaries(band, bucket)
+        sizes = ends - starts
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            sims = m[s:e] @ m[s:e].T
+            ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if ii.size:
+                out_a.append(ids[s:e][ii])
+                out_b.append(ids[s:e][jj])
+                out_s.append((sims[ii, jj] * 100).astype(np.int64))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        sp = np.concatenate(out_s) if out_s else np.empty(0, np.int64)
         return pa.table(
-            {
-                "vec_a": pa.array(ids[ii], pa.int64()),
-                "vec_b": pa.array(ids[jj], pa.int64()),
-                "sim_pct": pa.array((sims[ii, jj] * 100).astype(np.int64), pa.int64()),
-            }
+            {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64()),
+             "sim_pct": pa.array(sp, pa.int64())}
         )
 
-    out = (
+    raw = hash_partitioned(
         emb.map_batches(
-            MultiBandCoder,
-            fn_constructor_kwargs={"dim_": dim, "bands": num_bands, "bits": nbits},
-            batch_format="pyarrow", concurrency=2,
-        )
-        .groupby(["band", "bucket"])
-        .map_groups(verify_bucket, batch_format="pyarrow")
-        .groupby(["vec_a", "vec_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-        .materialize()  # phase barrier before the sort (see q_minhash_pairs)
-        .sort(["vec_a", "vec_b"])
-        .select_columns(["vec_a", "vec_b", "sim_pct"])
-    )
-    return _finalize_pairs(
-        out,
-        pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
-                  "sim_pct": pa.array([], pa.int64())}),
-    )
+            cached_stage(_MultiBandCoder, dim_=dim, bands=num_bands, bits=nbits),
+            batch_format="pyarrow",
+        ),
+        lambda t: [t["band"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["bucket"].to_numpy(zero_copy_only=False)],
+        verify_part,
+        num_parts=64,
+    ).materialize()
+
+    empty = pa.table({"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64()),
+                      "sim_pct": pa.array([], pa.int64())})
+    small = _dedup_pairs_small(raw, ["vec_a", "vec_b"], ["vec_a", "vec_b", "sim_pct"])
+    if small is not None:
+        return rd.from_arrow(small if small.num_rows else empty)
+    out = raw.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_pct", alias_name="sim_pct"))
+    return _finish_pairs(out, ["vec_a", "vec_b"], empty)

@@ -1,0 +1,98 @@
+"""Fixed-cost controls for small/medium Dataset stages.
+
+Two measured problems (round 2, 32-cpu session, sf0.1 tables):
+
+* **Actor-pool spin-up** — ``map_batches(Cls, concurrency=N)`` launches N
+  fresh actor processes per query (~1.8-2.1 s even in a warm session; pools
+  are torn down when the dataset finishes).  For stages whose setup is
+  cheap (compile a regex, draw permutation seeds, ``ray.get`` a broadcast
+  ref) that spin-up IS the stage cost at any input size — it is paid per
+  query on a 256-node cluster exactly as on this box.  :func:`cached_stage`
+  keeps the callable-class pattern (setup separate from per-batch work) but
+  runs it as plain map TASKS on Ray's warm worker processes, constructing
+  the instance lazily once per worker (best-effort cache; construction is
+  cheap by precondition, so a cache miss only costs the setup again).
+  Stages with genuinely heavy setup (the page-store fetcher's sidecar
+  index, media decoders) keep real actor pools.
+
+* **Per-group dispatch** — ``groupby(k).map_groups(fn)`` calls ``fn`` once
+  per group (~60 us of slicing + pandas overhead each).  LSH banding
+  produces one group per (band, hash-bucket): ~16x corpus groups, nearly
+  all singletons — per-group dispatch costs more than the pair math by
+  100x, and at 10^9 documents it is ~10^10 Python calls.
+  :func:`hash_partitioned` groups by a HASH PARTITION of the key instead
+  (``num_parts`` groups total) and hands ``fn`` one table holding all of a
+  partition's complete key-groups, to be grouped vectorized inside
+  (sort + run-length boundaries — see ``run_boundaries``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_instances: dict = {}
+
+
+def cached_stage(cls, **kwargs):
+    """A plain function for ``map_batches`` that lazily constructs and
+    caches ``cls(**kwargs)`` once per worker process (see module docstring).
+    ``kwargs`` values must be hashable (ObjectRefs are)."""
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def stage(batch):
+        inst = _instances.get(key)
+        if inst is None:
+            inst = _instances[key] = cls(**kwargs)
+        return inst(batch)
+
+    stage.__name__ = stage.__qualname__ = f"task:{cls.__name__}"
+    return stage
+
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)  # Fibonacci hashing multiplier
+
+
+def hash_part_column(cols: list[np.ndarray], num_parts: int) -> np.ndarray:
+    """int64 partition id in [0, num_parts) from one or more uint64/int64
+    key columns (multiplicative mix so low-entropy keys still spread)."""
+    acc = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        acc = (acc ^ c.astype(np.uint64, copy=False)) * _MIX
+    return ((acc >> np.uint64(33)) % np.uint64(num_parts)).astype(np.int64)
+
+
+def hash_partitioned(ds, key_arrays_fn, fn, num_parts: int = 64):
+    """``groupby(keys).map_groups(fn)`` with per-PARTITION instead of
+    per-group dispatch: adds ``_part = hash(keys) % num_parts`` via
+    ``key_arrays_fn(table) -> [np.ndarray, ...]``, groups on ``_part``
+    (``num_parts`` groups total, uniform by the hash), and calls ``fn`` once
+    per partition with the ``_part`` column already dropped.  ``fn`` must
+    re-group on the fine key internally (vectorized)."""
+
+    def add_part(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_part", pa.array(hash_part_column(key_arrays_fn(t), num_parts), pa.int64())
+        )
+
+    def run(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns(["_part"]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
+        run, batch_format="pyarrow"
+    )
+
+
+def run_boundaries(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """(starts, ends) of equal-key runs over pre-sorted key columns."""
+    n = len(cols[0])
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in cols:
+        new[1:] |= c[1:] != c[:-1]
+    starts = np.nonzero(new)[0]
+    ends = np.append(starts[1:], n)
+    return starts, ends

@@ -152,6 +152,36 @@ def test_neardup_clusters_match_union_find_over_pairs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_large_path_matches_small_path():
+    """The adaptive plans (single-task verify / driver dedup under
+    _SMALL_PAIRS candidates vs distributed join + aggregate above it) must
+    produce identical rows.  Forcing the threshold to 0 routes the driver
+    tables through the 100-TB path."""
+    import monocator_ray.pipelines.docs as docs
+
+    small = {
+        "minhash": _pdf(docs.q_minhash_pairs(SF_DIR)),
+        "simhash": _pdf(docs.q_simhash_pairs(SF_DIR)),
+        "emb_lsh": _pdf(docs.q_embedding_neardup_lsh(SF_DIR)),
+    }
+    old = docs._SMALL_PAIRS
+    docs._SMALL_PAIRS = 0
+    try:
+        large = {
+            "minhash": _pdf(docs.q_minhash_pairs(SF_DIR)),
+            "simhash": _pdf(docs.q_simhash_pairs(SF_DIR)),
+            "emb_lsh": _pdf(docs.q_embedding_neardup_lsh(SF_DIR)),
+        }
+    finally:
+        docs._SMALL_PAIRS = old
+    for name in small:
+        pd.testing.assert_frame_equal(
+            small[name].reset_index(drop=True), large[name].reset_index(drop=True)
+        )
+        assert len(small[name]) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_embedding_neardup_lsh_recall_on_planted_dups(tmp_path):
     """The LSH-bucketed scale path finds every planted high-cosine near-dup
     (recall ~1 at sim>=0.9 with the default bands/bits) and never reports a
