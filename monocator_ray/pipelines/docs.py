@@ -41,6 +41,7 @@ from monocator_ray.stages.ann import (
 from monocator_ray.stages.dedup import (
     MinHasher,
     SimHasher,
+    connected_components,
     explode_bands,
     hamming64,
     jaccard,
@@ -491,15 +492,39 @@ def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
 
 
 # ---- near-dup clusters: minhash pairs -> connected components ----
+@ray.remote
+def _union_find_task(pairs: pa.Table) -> pa.Table:
+    """Small-path components in one worker task (verified pair sets under
+    _SMALL_PAIRS rows): union-find is exact and O(pairs α(pairs))."""
+    lab = connected_components(
+        list(zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()))
+    )
+    ids = sorted(lab)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array([lab[i] for i in ids], pa.int64()),
+        }
+    )
+
+
 def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
-    """MinHash-LSH candidate pairs -> Jaccard-verified -> distributed
-    min-label-propagation connected components (VERDICT r1 #2); returns
-    (doc_id, cluster) for clustered docs.  The whole chain is
-    Dataset-native — the driver-side union-find in stages/dedup.py remains
-    only as the pytest oracle."""
+    """MinHash-LSH candidate pairs -> Jaccard-verified -> connected
+    components; returns (doc_id, cluster) for clustered docs.  Adaptive
+    like the pair queries: a verified pair set under _SMALL_PAIRS rows is
+    one union-find task, larger graphs run distributed min-label
+    propagation (stages/dedup.py — joins edges x labels per round; tested
+    against the union-find oracle)."""
     from monocator_ray.stages.dedup import label_propagation_components
 
-    pairs = q_minhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    pairs = q_minhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"]).materialize()
+    if pairs.count() <= _SMALL_PAIRS:
+        tbl = _collect_table(pairs)
+        if tbl is None:
+            return rd.from_arrow(
+                pa.table({"doc_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+            )
+        return rd.from_arrow(ray.get(_union_find_task.remote(tbl)))
     return label_propagation_components(pairs)
 
 

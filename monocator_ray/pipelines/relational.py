@@ -25,6 +25,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.stages.grouped import cached_stage
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -150,8 +151,9 @@ def q_customer_regions(sf_dir: str) -> rd.Dataset:
             )
 
     return (
-        ds.map_batches(JoinRegion, fn_constructor_kwargs={"ref": lookup_ref},
-                       batch_format="pyarrow", concurrency=2)
+        # cheap-setup broadcast probe: cached task stage, not an actor pool
+        # (~2 s spin-up per query at any scale — stages/grouped.py)
+        ds.map_batches(cached_stage(JoinRegion, ref=lookup_ref), batch_format="pyarrow")
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
         .sort("r_name")
@@ -184,8 +186,7 @@ def q_customers_without_orders(sf_dir: str) -> rd.Dataset:
             return batch.filter(pa.array(mask))
 
     return (
-        ds.map_batches(AntiJoin, fn_constructor_kwargs={"r": ref},
-                       batch_format="pyarrow", concurrency=2)
+        ds.map_batches(cached_stage(AntiJoin, r=ref), batch_format="pyarrow")
         .groupby("c_nationkey")
         .aggregate(Count(alias_name="n_without_orders"))
         .sort("c_nationkey")
