@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from monocator_ray.stages.filters import first_wins_dedup
-from monocator_ray.state.cuckoo import CuckooFilter
+from monocator_ray.state.seen import SeenSet
 
 FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "depth", "discovery_time", "parent_url_hash"]
 
@@ -108,9 +108,12 @@ class FrontierShard:
         # per-host web.max_pages overrides (VisitRequest, TODO.MD:61); falls
         # back to the global max_pages when a host has no entry
         self.host_caps = host_caps or {}
-        # seen set: exact uint64 set is ground truth; cuckoo filter fast path
-        self.seen: set[int] = set()
-        self.filter = CuckooFilter(seen_capacity)
+        # seen set: exact, vectorized, 8 B/entry (state/seen.py — the Python
+        # set + cuckoo-prefilter pair it replaces cost ~60 B/entry and a
+        # per-element loop per flush; the CuckooFilter module remains the
+        # approximate standalone operator).  seen_capacity is kept for
+        # checkpoint-manifest compatibility.
+        self.seen = SeenSet()
         # frontier: columnar struct-of-arrays, SORTED by the priority key
         # (depth, host_hash, discovery_time, url_hash) at all times
         self._f = _empty_cols()
@@ -128,33 +131,12 @@ class FrontierShard:
 
     # ---- seen-set (A1) ----
     def _check_and_add(self, hashes: np.ndarray) -> np.ndarray:
-        """True = new (never seen).  Adds new hashes to the set."""
-        if hashes.size == 0:
-            return np.zeros(0, dtype=bool)
-        if self.filter.healthy:
-            maybe = self.filter.contains_batch(hashes)
-        else:
-            maybe = np.ones(len(hashes), dtype=bool)
-        new = np.ones(len(hashes), dtype=bool)
-        seen = self.seen
-        for i in np.nonzero(maybe)[0]:
-            if int(hashes[i]) in seen:
-                new[i] = False
-        # in-batch duplicates: first occurrence wins
-        idx_new = np.nonzero(new)[0]
-        for i in idx_new:
-            h = int(hashes[i])
-            if h in seen:
-                new[i] = False
-            else:
-                seen.add(h)
-        fresh = hashes[new]
-        if self.filter.healthy and fresh.size:
-            self.filter.insert_batch(fresh)
-        return new
+        """True = new (never seen; in-batch duplicates: first wins).  Adds
+        new hashes — fully vectorized (state/seen.py)."""
+        return self.seen.add_new(hashes)
 
     def seen_contains(self, hashes: np.ndarray) -> np.ndarray:
-        return np.fromiter((int(h) in self.seen for h in hashes), dtype=bool, count=len(hashes))
+        return self.seen.contains(hashes)
 
     # ---- frontier (A2) ----
     def offer(self, table: pa.Table) -> dict:
@@ -376,7 +358,7 @@ class FrontierShard:
                 "parent_url_hash": pa.array(f["parent_url_hash"], pa.uint64()),
             }
         )
-        seen = pa.table({"url_hash": pa.array(sorted(self.seen), pa.uint64())})
+        seen = pa.table({"url_hash": pa.array(self.seen.to_sorted(), pa.uint64())})
         hh = list(self.hosts.keys())
         hosts = pa.table(
             {
@@ -402,10 +384,7 @@ class FrontierShard:
         }
         self._f = _take(cols, _key_order(cols))
         hashes = state["seen"]["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        self.seen = set(int(x) for x in hashes)
-        self.filter = CuckooFilter(max(1 << 20, 2 * len(self.seen)))
-        if hashes.size:
-            self.filter.insert_batch(hashes)
+        self.seen = SeenSet.from_sorted(hashes)
         h = state["hosts"]
         self.hosts = {
             int(k): [float(t), int(d), int(fc), int(le), int(cp)]

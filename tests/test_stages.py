@@ -125,6 +125,37 @@ def test_cuckoo_no_false_negatives():
     assert fp_rate < 0.05  # 16-bit fingerprints -> tiny fp rate
 
 
+# ---- vectorized seen-set (A1 scale path) ----
+def test_seen_set_matches_python_set_oracle():
+    """add_new/contains vs a scalar set with first-wins in-batch dedup,
+    across many batches (forces geometric big/small folds)."""
+    from monocator_ray.state.seen import SeenSet
+
+    s = SeenSet()
+    oracle: set[int] = set()
+    rng = np.random.RandomState(7)
+    for _ in range(30):
+        batch = rng.randint(0, 5000, size=rng.randint(0, 400)).astype(np.uint64)
+        want = np.zeros(len(batch), dtype=bool)
+        for i, h in enumerate(batch.tolist()):
+            if h not in oracle:
+                want[i] = True
+                oracle.add(h)
+        got = s.add_new(batch)
+        assert (got == want).all()
+        probe = rng.randint(0, 6000, size=100).astype(np.uint64)
+        assert (s.contains(probe) == np.array([int(p) in oracle for p in probe])).all()
+    assert len(s) == len(oracle)
+    assert s.to_sorted().tolist() == sorted(oracle)
+    # checkpoint roundtrip
+    from monocator_ray.state.seen import SeenSet as S2
+
+    r = S2.from_sorted(s.to_sorted())
+    assert len(r) == len(oracle)
+    probe = rng.randint(0, 6000, size=500).astype(np.uint64)
+    assert (r.contains(probe) == s.contains(probe)).all()
+
+
 # ---- minhash / jaccard ----
 def test_minhash_estimates_jaccard():
     a = shingle_hashes("the quick brown fox jumps over the lazy dog " * 5, k=3)
