@@ -48,7 +48,15 @@ from monocator_ray.stages.dedup import (
     shingle_hashes,
 )
 from monocator_ray.stages.grouped import cached_stage, hash_partitioned, run_boundaries
-from monocator_ray.stages.textstats import Fingerprinter, LangId, QualityScorer, TokenCounter
+from monocator_ray.stages.textstats import (
+    C4LineCleaner,
+    Fingerprinter,
+    LangId,
+    PiiScrubber,
+    QualityScorer,
+    TokenCounter,
+    WordRepetition,
+)
 
 # Candidate sets at or under this many pairs take the single-task verify /
 # driver-side finish; larger ones take the distributed join + shuffle-sort
@@ -139,6 +147,36 @@ def q_langid(sf_dir: str) -> rd.Dataset:
         .groupby("lang_detected")
         .aggregate(Count(alias_name="n"))
         .sort("lang_detected")
+    )
+
+
+# ---- PII scrub (oracle: DuckDB regexp_replace chain, RE2-pinned) ----
+def q_pii_scrub(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        ds.map_batches(cached_stage(PiiScrubber), batch_format="pandas")
+        .select_columns(["doc_id", "n_emails", "n_ipv4", "n_phones", "text_clean"])
+        .sort("doc_id")
+    )
+
+
+# ---- Gopher-style word repetition signals ----
+def q_word_repetition(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        ds.map_batches(cached_stage(WordRepetition), batch_format="pandas")
+        .select_columns(["doc_id", "n_words", "n_unique_words", "top_word_count"])
+        .sort("doc_id")
+    )
+
+
+# ---- C4-style terminal-punctuation line filter ----
+def q_c4_line_clean(sf_dir: str) -> rd.Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        ds.map_batches(cached_stage(C4LineCleaner), batch_format="pandas")
+        .select_columns(["doc_id", "n_kept", "n_dropped"])
+        .sort("doc_id")
     )
 
 

@@ -220,6 +220,49 @@ REGISTRY: dict = {
         FROM q GROUP BY lang ORDER BY lang
         """,
     ),
+    "pii_scrub": (
+        D.q_pii_scrub,
+        """
+        WITH s1 AS (
+          SELECT doc_id, text,
+                 len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                 regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+          FROM documents),
+        s2 AS (
+          SELECT doc_id, n_emails,
+                 len(regexp_extract_all(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ipv4,
+                 regexp_replace(t1, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t2
+          FROM s1)
+        SELECT doc_id, n_emails, n_ipv4,
+               len(regexp_extract_all(t2, '\\+?\\d(?:[ -]?\\d){7,14}')) AS n_phones,
+               regexp_replace(t2, '\\+?\\d(?:[ -]?\\d){7,14}', '<PHONE>', 'g') AS text_clean
+        FROM s2 ORDER BY doc_id
+        """,
+    ),
+    "word_repetition": (
+        D.q_word_repetition,
+        """
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+          FROM documents),
+        c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word)
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_words, COUNT(*) AS n_unique_words,
+               CAST(MAX(n) AS BIGINT) AS top_word_count
+        FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+    ),
+    "c4_line_clean": (
+        D.q_c4_line_clean,
+        """
+        SELECT doc_id,
+               len(list_filter(string_split(text, chr(10)),
+                   x -> regexp_matches(rtrim(x, ' ' || chr(9)), '[.!?"]$'))) AS n_kept,
+               len(string_split(text, chr(10)))
+                 - len(list_filter(string_split(text, chr(10)),
+                       x -> regexp_matches(rtrim(x, ' ' || chr(9)), '[.!?"]$'))) AS n_dropped
+        FROM documents ORDER BY doc_id
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
     # crawl pipelines (non-SQL: stateful frontier/politeness iteration)
     "crawl_flagship": (q_crawl_flagship, None),

@@ -98,6 +98,70 @@ class LangId:
         return batch
 
 
+class PiiScrubber:
+    """map_batches: redact emails / phone numbers / IPv4 addresses and count
+    them (training-data hygiene — C4/CCNet-style PII pass).  Patterns are
+    pinned to the RE2-compatible ASCII subset so the DuckDB oracle
+    (regexp_replace ... 'g') computes the identical result; replacement
+    ORDER matters (emails first: their digits must not look like phones)."""
+
+    def __init__(self):
+        self.email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        self.ipv4 = re.compile(r"\b(?:\d{1,3}\.){3}\d{1,3}\b")
+        self.phone = re.compile(r"\+?\d(?:[ -]?\d){7,14}")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        t = batch["text"].fillna("")
+        batch["n_emails"] = t.str.count(self.email).astype(np.int64)
+        t = t.str.replace(self.email, "<EMAIL>", regex=True)
+        batch["n_ipv4"] = t.str.count(self.ipv4).astype(np.int64)
+        t = t.str.replace(self.ipv4, "<IP>", regex=True)
+        batch["n_phones"] = t.str.count(self.phone).astype(np.int64)
+        batch["text_clean"] = t.str.replace(self.phone, "<PHONE>", regex=True)
+        return batch
+
+
+class WordRepetition:
+    """map_batches: Gopher-style word-repetition signals per document —
+    n_words, n_unique_words, top_word_count (occurrences of the most
+    frequent word).  Tokenization mirrors the DuckDB oracle exactly:
+    ``regexp_split_to_array(TRIM(text), '\\s+')`` (ASCII-space TRIM, RE2
+    ``\\s`` class; empty text -> one empty-string token on both sides)."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_words, n_unique, top = [], [], []
+        for t in batch["text"].fillna(""):
+            words = np.array(_WS_SPLIT.split(t.strip(" ")), dtype=object)
+            _u, counts = np.unique(words, return_counts=True)
+            n_words.append(len(words))
+            n_unique.append(len(counts))
+            top.append(int(counts.max()) if len(counts) else 0)
+        batch["n_words"] = np.array(n_words, dtype=np.int64)
+        batch["n_unique_words"] = np.array(n_unique, dtype=np.int64)
+        batch["top_word_count"] = np.array(top, dtype=np.int64)
+        return batch
+
+
+class C4LineCleaner:
+    """map_batches: C4-style terminal-punctuation line filter — a line is
+    kept iff, after stripping trailing spaces/tabs, it ends in ``.``, ``!``,
+    ``?`` or ``"``.  Emits per-doc n_kept / n_dropped plus the cleaned text
+    (kept lines re-joined); the count columns are the oracle surface."""
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_kept, n_dropped, cleaned = [], [], []
+        for t in batch["text"].fillna(""):
+            lines = t.split("\n")
+            kept = [ln for ln in lines if ln.rstrip(" \t").endswith((".", "!", "?", '"'))]
+            n_kept.append(len(kept))
+            n_dropped.append(len(lines) - len(kept))
+            cleaned.append("\n".join(kept))
+        batch["n_kept"] = np.array(n_kept, dtype=np.int64)
+        batch["n_dropped"] = np.array(n_dropped, dtype=np.int64)
+        batch["text_clean"] = cleaned
+        return batch
+
+
 class Fingerprinter:
     """map_batches: 64-bit document fingerprint = stable hash of the
     whitespace-normalized text (rolling-hash analog; exact-dup key)."""

@@ -1,0 +1,89 @@
+"""PII scrub / word repetition / C4 line clean on a PLANTED fixture.
+
+The driver's synthetic documents are single-line word soup with no PII and
+no punctuation, so the registry-level oracle comparison is trivially zero
+for pii_scrub / c4_line_clean.  This fixture plants emails, phones, IPv4s,
+multi-line documents with terminal punctuation, heavy word repetition and
+an empty text, and re-runs the SAME Ray query vs the SAME oracle SQL over
+the tmp table — proving the operators and the RE2/Python pinning on
+non-trivial inputs.
+"""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TEXTS = [
+    "contact me at john.doe+spam@example.co.uk or call +1 555 123 4567 now.",
+    "server at 192.168.0.1 and 10.0.0.255 responded.\nAll good!\nno punct line",
+    'He said "stop".\nShe said nothing\nDid she?\twhy  ',
+    "spam spam spam spam eggs spam",
+    "",
+    "multi@ex.com text 8.8.8.8 and 021-555-7788 mixed a@b.io",
+    "tab\tseparated words tab\ttab again.",
+]
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("textops")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS, pa.string()),
+            "lang": pa.array(["en"] * len(TEXTS), pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def _compare(name: str, fixture_dir: str):
+    from monocator_ray.pipelines.registry import REGISTRY
+
+    fn, sql = REGISTRY[name]
+    got = fn(fixture_dir).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{fixture_dir}/documents.parquet')"
+    )
+    want = con.execute(sql).fetchdf()
+    g = got[sorted(got.columns)].reset_index(drop=True)
+    w = want[sorted(want.columns)].reset_index(drop=True)
+    for c in g.columns:
+        if str(g[c].dtype).startswith(("int", "uint")):
+            g[c] = g[c].astype("int64")
+            w[c] = w[c].astype("int64")
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
+    return got
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pii_scrub_matches_oracle_on_planted_pii(fixture_dir):
+    got = _compare("pii_scrub", fixture_dir)
+    assert got["n_emails"].sum() >= 3
+    assert got["n_ipv4"].sum() >= 3
+    assert got["n_phones"].sum() >= 2
+    assert "<EMAIL>" in got["text_clean"].iloc[0]
+    assert "@" not in " ".join(got["text_clean"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_word_repetition_matches_oracle(fixture_dir):
+    got = _compare("word_repetition", fixture_dir)
+    spam = got[got["doc_id"] == 3].iloc[0]
+    assert int(spam["n_words"]) == 6
+    assert int(spam["n_unique_words"]) == 2
+    assert int(spam["top_word_count"]) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_c4_line_clean_matches_oracle(fixture_dir):
+    got = _compare("c4_line_clean", fixture_dir)
+    doc2 = got[got["doc_id"] == 2].iloc[0]
+    # 'He said "stop".' kept, 'She said nothing' dropped, 'Did she?\twhy  ' dropped
+    assert int(doc2["n_kept"]) == 1 and int(doc2["n_dropped"]) == 2
+    doc1 = got[got["doc_id"] == 1].iloc[0]
+    assert int(doc1["n_kept"]) == 2 and int(doc1["n_dropped"]) == 1
