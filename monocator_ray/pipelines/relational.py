@@ -96,22 +96,31 @@ def q_top_orders(sf_dir: str) -> rd.Dataset:
 def q_order_rollup(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
 
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch combine (pricing_summary pattern): the shuffle then
+        # moves O(distinct custkeys per batch), not every order row
+        t = pa.table(
             {
                 "o_custkey": batch["o_custkey"],
                 "o_orderdate": batch["o_orderdate"],
                 "total_cents": _cents(batch["o_totalprice"]),
             }
         )
+        g = t.group_by(["o_custkey"]).aggregate(
+            [("o_custkey", "count"), ("o_orderdate", "min"), ("o_orderdate", "max"),
+             ("total_cents", "sum")]
+        )
+        return g.rename_columns(
+            ["o_custkey", "n_orders", "first_order", "last_order", "total_cents"]
+        )
 
     return (
-        ds.map_batches(prep, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow")
         .groupby("o_custkey")
         .aggregate(
-            Count(alias_name="n_orders"),
-            Min("o_orderdate", alias_name="first_order"),
-            Max("o_orderdate", alias_name="last_order"),
+            Sum("n_orders", alias_name="n_orders"),
+            Min("first_order", alias_name="first_order"),
+            Max("last_order", alias_name="last_order"),
             Sum("total_cents", alias_name="total_cents"),
         )
         .sort("o_custkey")
