@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "ann_topk",
+    # round-2 additions: corpus hygiene + embedding near-dup scale path
+    "pii_scrub",
+    "word_repetition",
+    "c4_line_clean",
+    "embedding_neardup_lsh",
 ]
 
 
