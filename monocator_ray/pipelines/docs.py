@@ -180,6 +180,24 @@ def q_c4_line_clean(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---- multimodal: media decode + feature extraction (rows-only) ----
+def q_media_features(sf_dir: str) -> rd.Dataset:
+    """Deterministic synthetic media rows (real BMP images + WAV audio,
+    opaque video bytes) -> decode + fixed-width features in a small-batch
+    map_batches stage (stages/media.py).  Rows-only: binary decoding has no
+    SQL equivalent; the codecs are pinned by roundtrip unit tests."""
+    from monocator_ray.stages.media import MediaFeatureExtractor, synth_media_table
+
+    ensure_shipped()
+    tbl = synth_media_table(96)
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(cached_stage(MediaFeatureExtractor), batch_format="pyarrow", batch_size=32)
+        .select_columns(["media_id", "kind", "decoded", "width", "height", "n_bytes"])
+        .sort("media_id")
+    )
+
+
 # ---- fingerprints (rows-only: hash fn not expressible in SQL) ----
 def q_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])

@@ -277,4 +277,5 @@ REGISTRY: dict = {
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
+    "media_features": (D.q_media_features, None),
 }

@@ -276,7 +276,55 @@ def test_langid_deterministic():
     assert li.detect("xyzzy plugh") == "und"
 
 
-# ---- media plumbing (stubbed codec, real schema/actors) ----
+# ---- media codecs (real pure-numpy BMP/PPM/WAV; compressed gated) ----
+def test_bmp_roundtrip_and_resize():
+    from monocator_ray.stages.media import decode_bmp, encode_bmp, resize_nearest
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)  # odd width -> row padding
+    assert (decode_bmp(encode_bmp(img)) == img).all()
+    small = resize_nearest(img, 8, 6)
+    assert small.shape == (6, 8, 3)
+    assert (resize_nearest(img, 17, 13) == img).all()  # identity resize
+
+
+def test_ppm_decode():
+    from monocator_ray.stages.media import decode_ppm
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    data = b"P6\n# a comment\n5 4\n255\n" + img.tobytes()
+    assert (decode_ppm(data) == img).all()
+
+
+def test_wav_roundtrip_and_features():
+    from monocator_ray.stages.media import PureCodec, decode_wav, encode_wav
+
+    rate = 8000
+    t = np.arange(800)
+    samples = (np.sin(2 * np.pi * 440 * t / rate) * 16000).astype(np.int16)
+    got, got_rate = decode_wav(encode_wav(samples, rate))
+    assert got_rate == rate and len(got) == len(samples)
+    assert np.allclose(got, samples / 32768.0, atol=1e-4)
+    f = PureCodec().audio_features(got, rate)
+    assert abs(f[0] - 100.0) < 1e-3  # 800 samples @ 8kHz = 100 ms
+    assert 0.3 < f[2] < 0.5  # sine RMS ~ 0.49 * amplitude(0.49)
+
+
+def test_compressed_formats_gated():
+    import pytest as _pytest
+
+    from monocator_ray.stages.media import PureCodec
+
+    c = PureCodec()
+    assert c.sniff(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
+    with _pytest.raises(NotImplementedError):
+        c.decode_image(b"\xff\xd8\xff\xe0rest")
+    with _pytest.raises(NotImplementedError):
+        c.decode_audio(b"ID3\x04rest")
+
+
+# ---- media plumbing (real codecs for BMP/WAV rows, fake for video) ----
 @pytest.mark.usefixtures("ray_session")
 def test_media_pipeline_plumbing():
     import ray.data as rd
@@ -292,6 +340,17 @@ def test_media_pipeline_plumbing():
     out = ds.take_all()
     assert len(out) == 48
     assert all(len(r["feature"]) == 16 for r in out)
+    # image and audio rows REALLY decode (BMP/WAV); video falls back to stub
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    assert all(r["decoded"] == 1 for r in by_kind["image"])
+    assert all(r["decoded"] == 1 for r in by_kind["audio"])
+    assert all(r["decoded"] == 0 for r in by_kind["video"])
+    # decoded image dims come from the actual BMP header
+    img0 = by_kind["image"][0]
+    assert img0["width"] > 0 and img0["height"] > 0
+    assert img0["feature"][0] == img0["width"] and img0["feature"][1] == img0["height"]
     # determinism: same payload -> same feature
     a = MediaFeatureExtractor()(tbl.slice(0, 4))
     b = MediaFeatureExtractor()(tbl.slice(0, 4))
