@@ -267,7 +267,31 @@ REGISTRY: dict = {
     # crawl pipelines (non-SQL: stateful frontier/politeness iteration)
     "crawl_flagship": (q_crawl_flagship, None),
     "crawl_domain_rollup": (q_domain_rollup_crawl, None),
-    "langid": (D.q_langid, None),
+    "langid": (
+        D.q_langid,
+        # mirror of LangId.detect: stopword votes per language, first-wins
+        # tie order en > fr > nl (a later language must be STRICTLY better),
+        # 'und' when no list scores > 0
+        """
+        WITH w AS (
+          SELECT doc_id,
+                 CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(LOWER(TRIM(text)), '\\s+') END AS words
+          FROM documents),
+        v AS (
+          SELECT doc_id,
+            len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS e,
+            len(list_filter(words, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS f,
+            len(list_filter(words, x -> x IN ('de','het','een','en','van','ik','dat','die','niet','met'))) AS n
+          FROM w)
+        SELECT CASE WHEN n > GREATEST(e, f) AND n > 0 THEN 'nl'
+                    WHEN f > e AND f > 0 THEN 'fr'
+                    WHEN e > 0 THEN 'en'
+                    ELSE 'und' END AS lang_detected,
+               COUNT(*) AS n
+        FROM v GROUP BY lang_detected ORDER BY lang_detected
+        """,
+    ),
     "fingerprints": (D.q_fingerprints, None),
     "minhash_pairs": (D.q_minhash_pairs, None),
     "simhash_pairs": (D.q_simhash_pairs, None),

@@ -337,8 +337,6 @@ class FrontierShard:
     def frontier_nbytes(self) -> int:
         """Resident frontier bytes (numeric columns + url string payloads) —
         the BASELINE.md memory-per-entry measurement hook."""
-        import sys
-
         f = self._f
         numeric = sum(v.nbytes for k, v in f.items() if k != "url")
         return numeric + int(f["url"].nbytes)
