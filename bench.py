@@ -50,11 +50,14 @@ BENCH_QUERIES = [
     "minhash_pairs",
     "simhash_pairs",
     "ann_topk",
-    # round-2 additions: corpus hygiene + embedding near-dup scale path
+    # round-2 additions: corpus hygiene + near-dup/ANN scale paths + media
     "pii_scrub",
     "word_repetition",
     "c4_line_clean",
     "embedding_neardup_lsh",
+    "ann_ivf_topk",
+    "neardup_clusters",
+    "media_features",
 ]
 
 
