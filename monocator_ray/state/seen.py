@@ -66,18 +66,33 @@ class SeenSet:
         uniq, inverse = np.unique(hashes, return_inverse=True)
         return self._contains_sorted(uniq)[inverse]
 
-    def add_new(self, hashes: np.ndarray) -> np.ndarray:
+    def add_new(self, hashes: np.ndarray, prefilter=None) -> np.ndarray:
         """True where the hash was never seen before, counting in-batch
         duplicates as seen after their FIRST occurrence (first-wins, matching
-        the scalar-loop semantics).  Adds the fresh hashes."""
+        the scalar-loop semantics).  Adds the fresh hashes.
+
+        ``prefilter`` is the SPEC's sharded cuckoo filter
+        (state/cuckoo.py): while healthy it has no false negatives, so a
+        filter MISS is definitely-new and skips the sorted-run probes — only
+        may-contain hashes touch the exact store.  Fresh hashes are inserted
+        into both; on overflow (``healthy`` False) the exact store silently
+        takes over everything."""
         hashes = hashes.astype(np.uint64, copy=False)
         if hashes.size == 0:
             return np.zeros(0, dtype=bool)
         uniq, first_idx = np.unique(hashes, return_index=True)
-        fresh_mask = ~self._contains_sorted(uniq)
+        if prefilter is not None and prefilter.healthy:
+            maybe = prefilter.contains_batch(uniq)
+            fresh_mask = ~maybe
+            if maybe.any():
+                fresh_mask[maybe] = ~self._contains_sorted(uniq[maybe])
+        else:
+            fresh_mask = ~self._contains_sorted(uniq)
         new = np.zeros(len(hashes), dtype=bool)
         new[first_idx[fresh_mask]] = True
         fresh = uniq[fresh_mask]
+        if prefilter is not None and prefilter.healthy and fresh.size:
+            prefilter.insert_batch(fresh)
         if fresh.size:
             # fresh is sorted and disjoint from both runs by construction
             self.small = _merge_disjoint(self.small, fresh)

@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from monocator_ray.stages.filters import first_wins_dedup
+from monocator_ray.state.cuckoo import CuckooFilter
 from monocator_ray.state.seen import SeenSet
 
 FRONTIER_COLS = ["url", "url_hash", "host", "host_hash", "depth", "discovery_time", "parent_url_hash"]
@@ -108,12 +109,13 @@ class FrontierShard:
         # per-host web.max_pages overrides (VisitRequest, TODO.MD:61); falls
         # back to the global max_pages when a host has no entry
         self.host_caps = host_caps or {}
-        # seen set: exact, vectorized, 8 B/entry (state/seen.py — the Python
-        # set + cuckoo-prefilter pair it replaces cost ~60 B/entry and a
-        # per-element loop per flush; the CuckooFilter module remains the
-        # approximate standalone operator).  seen_capacity is kept for
-        # checkpoint-manifest compatibility.
+        # seen set (A1, SPEC "sharded cuckoo-filter URL-seen set"): the
+        # cuckoo filter screens definite-negatives (no false negatives
+        # while healthy), the exact store is two sorted uint64 runs at
+        # 8 B/entry with batched searchsorted probes (state/seen.py — the
+        # round-1 Python set cost ~60 B/entry and a per-element loop).
         self.seen = SeenSet()
+        self.filter = CuckooFilter(seen_capacity)
         # frontier: columnar struct-of-arrays, SORTED by the priority key
         # (depth, host_hash, discovery_time, url_hash) at all times
         self._f = _empty_cols()
@@ -132,8 +134,8 @@ class FrontierShard:
     # ---- seen-set (A1) ----
     def _check_and_add(self, hashes: np.ndarray) -> np.ndarray:
         """True = new (never seen; in-batch duplicates: first wins).  Adds
-        new hashes — fully vectorized (state/seen.py)."""
-        return self.seen.add_new(hashes)
+        new hashes — fully vectorized (state/seen.py), cuckoo-prefiltered."""
+        return self.seen.add_new(hashes, prefilter=self.filter)
 
     def seen_contains(self, hashes: np.ndarray) -> np.ndarray:
         return self.seen.contains(hashes)
@@ -383,6 +385,9 @@ class FrontierShard:
         self._f = _take(cols, _key_order(cols))
         hashes = state["seen"]["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.seen = SeenSet.from_sorted(hashes)
+        self.filter = CuckooFilter(max(1 << 20, 2 * len(self.seen)))
+        if hashes.size:
+            self.filter.insert_batch(hashes)
         h = state["hosts"]
         self.hosts = {
             int(k): [float(t), int(d), int(fc), int(le), int(cp)]

@@ -156,6 +156,31 @@ def test_seen_set_matches_python_set_oracle():
     assert (r.contains(probe) == s.contains(probe)).all()
 
 
+def test_seen_set_with_cuckoo_prefilter_matches_oracle():
+    """Same oracle with the SPEC's cuckoo front-end active, including the
+    overflow fallback (a deliberately tiny filter flips unhealthy and the
+    exact store silently takes over)."""
+    from monocator_ray.state.seen import SeenSet
+
+    for cap in (1 << 16, 64):  # roomy filter; tiny filter that overflows
+        s = SeenSet()
+        f = CuckooFilter(cap)
+        oracle: set[int] = set()
+        rng = np.random.RandomState(11)
+        for _ in range(20):
+            batch = rng.randint(0, 3000, size=rng.randint(0, 300)).astype(np.uint64)
+            want = np.zeros(len(batch), dtype=bool)
+            for i, h in enumerate(batch.tolist()):
+                if h not in oracle:
+                    want[i] = True
+                    oracle.add(h)
+            got = s.add_new(batch, prefilter=f)
+            assert (got == want).all()
+        assert len(s) == len(oracle)
+        if cap == 64:
+            assert not f.healthy  # the tiny filter actually overflowed
+
+
 # ---- minhash / jaccard ----
 def test_minhash_estimates_jaccard():
     a = shingle_hashes("the quick brown fox jumps over the lazy dog " * 5, k=3)
