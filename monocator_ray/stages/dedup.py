@@ -126,6 +126,9 @@ def simhash64(text: str) -> int:
 
 
 class SimHasher:
+    # per-doc loop is deliberate: a whole-batch (total_words x 64) sign
+    # matrix + reduceat was measured 6x SLOWER (allocation-bound ~100 MB
+    # intermediates); the per-doc matrices stay cache-resident
     def __init__(self, text_col: str = "text"):
         self.text_col = text_col
 

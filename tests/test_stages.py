@@ -203,6 +203,14 @@ def test_simhash_similar_texts_close():
     assert hamming64(h1, h1)[0] == 0
 
 
+def test_simhash_edge_inputs():
+    """Empty / whitespace-only / single-word docs hash deterministically."""
+    assert simhash64("") == 0
+    assert simhash64("   \t  ") == 0
+    assert simhash64("one") == simhash64("one")
+    assert simhash64("Mixed CASE") == simhash64("mixed case")
+
+
 # ---- ANN brute force ----
 def test_brute_force_topk_matches_numpy():
     rng = np.random.RandomState(5)
