@@ -15,7 +15,9 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
+from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
 from monocator_ray.urlnorm import host_of
 
 
@@ -113,17 +115,28 @@ def content_dedup(out_dir: str) -> rd.Dataset:
             }
         )
 
-    def first_per_hash(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("url_hash")
-        return pd.DataFrame(
-            {"sha_hex": [g["sha_hex"].iloc[0]], "n_pages": [len(g)],
-             "first_url": [g["url"].iloc[0]]}
+    def first_per_hash_part(g: pa.Table) -> pa.Table:
+        """First (by url_hash) url + count per sha, over a hash partition
+        holding many complete sha groups — vectorized run detection, no
+        per-group dispatch (one group per unique page at corpus scale)."""
+        sha = np.asarray(g["sha_hex"].to_pylist(), dtype="S64")
+        uh = g["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((uh, sha))
+        starts, ends = run_boundaries(sha[order])
+        firsts = order[starts]
+        return pa.table(
+            {
+                "sha_hex": g["sha_hex"].take(pa.array(firsts)),
+                "n_pages": pa.array(ends - starts, pa.int64()),
+                "first_url": g["url"].take(pa.array(firsts)),
+            }
         )
 
-    return (
-        feats.map_batches(to_hex, batch_format="pyarrow")
-        .groupby("sha_hex")
-        .map_groups(first_per_hash, batch_format="pandas")
+    return hash_partitioned(
+        feats.map_batches(to_hex, batch_format="pyarrow"),
+        lambda t: [hash_str64(np.asarray(t["sha_hex"].to_pylist(), dtype=object))],
+        first_per_hash_part,
+        num_parts=64,
     )
 
 
@@ -143,32 +156,65 @@ def domain_rollup(out_dir: str) -> rd.Dataset:
         artifact_files(out_dir), columns=_ARTIFACT_COLS["features"] + ["seq"]
     )
 
-    def add_host(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["host"] = [host_of(u) for u in batch["url"]]
-        batch["has_vat"] = batch["vat_numbers"].map(lambda v: v is not None and len(v) > 0)
-        return batch
+    def add_host(batch: pa.Table) -> pa.Table:
+        # arrow-native: the vat_numbers list column never round-trips
+        # through pandas object arrays
+        import pyarrow.compute as pc
 
-    def rollup(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("seq")
-        vat_rows = g[g["has_vat"]]
-        return pd.DataFrame(
+        host = pa.array([host_of(u) for u in batch["url"].to_pylist()], pa.string())
+        nvat = pc.fill_null(pc.list_value_length(batch["vat_numbers"]), 0)
+        batch = batch.append_column("host", host)
+        return batch.append_column("has_vat", pc.greater(nvat, 0))
+
+    def rollup_part(g: pa.Table) -> pa.Table:
+        """Per-host rollup over a hash partition of complete host groups:
+        sort by (host, seq), vectorized run sums (reduceat); the only
+        per-run Python touches the rare vat hits."""
+        hosts = np.asarray(g["host"].to_pylist(), dtype=object)
+        seq = g["seq"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((seq, hosts))
+        hosts = hosts[order]
+        li = g["links_internal"].to_numpy(zero_copy_only=False)[order]
+        le = g["links_external"].to_numpy(zero_copy_only=False)[order]
+        hv = g["has_vat"].to_numpy(zero_copy_only=False)[order].astype(bool)
+        starts, ends = run_boundaries(hosts)
+        if not len(starts):
+            return pa.table(
+                {"host": pa.array([], pa.string()), "n_pages": pa.array([], pa.int64()),
+                 "links_internal": pa.array([], pa.int64()), "links_external": pa.array([], pa.int64()),
+                 "vat_found": pa.array([], pa.bool_()), "vat_first_page_idx": pa.array([], pa.int64()),
+                 "vat_number": pa.array([], pa.string())}
+            )
+        sums_li = np.add.reduceat(li, starts)
+        sums_le = np.add.reduceat(le, starts)
+        vat_first = np.full(len(starts), -1, np.int64)
+        vat_num = [""] * len(starts)
+        vats = None  # lazy: only decode the list column if any host has vat
+        for r, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+            idx = np.nonzero(hv[s:e])[0]
+            if idx.size:
+                if vats is None:
+                    vats = g["vat_numbers"].take(pa.array(order)).to_pylist()
+                vat_first[r] = int(idx[0])
+                vat_num[r] = vats[s + int(idx[0])][0]
+        return pa.table(
             {
-                "host": [g["host"].iloc[0]],
-                "n_pages": [len(g)],
-                "links_internal": [int(g["links_internal"].sum())],
-                "links_external": [int(g["links_external"].sum())],
-                "vat_found": [bool(len(vat_rows))],
-                "vat_first_page_idx": [int(np.searchsorted(g["seq"].to_numpy(), vat_rows["seq"].iloc[0])) if len(vat_rows) else -1],
-                "vat_number": [vat_rows["vat_numbers"].iloc[0][0] if len(vat_rows) else ""],
+                "host": pa.array(hosts[starts], pa.string()),
+                "n_pages": pa.array(ends - starts, pa.int64()),
+                "links_internal": pa.array(sums_li.astype(np.int64), pa.int64()),
+                "links_external": pa.array(sums_le.astype(np.int64), pa.int64()),
+                "vat_found": pa.array(vat_first >= 0),
+                "vat_first_page_idx": pa.array(vat_first, pa.int64()),
+                "vat_number": pa.array(vat_num, pa.string()),
             }
         )
 
-    return (
-        feats.map_batches(add_host, batch_format="pandas")
-        .groupby("host")
-        .map_groups(rollup, batch_format="pandas")
-        .sort("host")
-    )
+    return hash_partitioned(
+        feats.map_batches(add_host, batch_format="pyarrow"),
+        lambda t: [hash_str64(np.asarray(t["host"].to_pylist(), dtype=object))],
+        rollup_part,
+        num_parts=64,
+    ).sort("host")
 
 
 def visits_join_requests(out_dir: str, requests: pa.Table) -> rd.Dataset:
