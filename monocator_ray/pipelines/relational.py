@@ -277,22 +277,28 @@ def q_event_stats(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    def distinct_users(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "n": [len(g)],
-                "n_users": [g["user_id"].nunique()],
-                "value_cents": [g["value_cents"].sum()],
-            }
-        )
-
-    return (
-        ds.map_batches(prep, batch_format="pyarrow")
-        .groupby("event_type")
-        .map_groups(distinct_users, batch_format="pandas")
-        .sort("event_type")
+    # COUNT DISTINCT without giant groups: a single map_groups per
+    # event_type would materialize a fifth of the corpus in one call at
+    # scale.  Instead: (a) native count/sum per type, (b) dedup
+    # (type, user) with a native aggregate then count per type; both
+    # results are O(#event types) and merge on the driver.
+    prep_ds = ds.map_batches(prep, batch_format="pyarrow")
+    base = (
+        prep_ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
     )
+    users = (
+        prep_ds.select_columns(["event_type", "user_id"])
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count(alias_name="_c"))
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    out = base.merge(users, on="event_type").sort_values("event_type")
+    out = out[["event_type", "n", "n_users", "value_cents"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- events: tumbling window (streaming-shaped, SURVEY.md §2.9) ----
@@ -344,17 +350,48 @@ def q_event_sliding(sf_dir: str) -> rd.Dataset:
     )
 
 
-# ---- events: sessionization via map_groups (ordered within key) ----
+# ---- events: sessionization (ordered within key, partition-vectorized) ----
 def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per-user session counts.  Grouped by a hash PARTITION of user_id
+    (stages/grouped.py: user cardinality tracks the corpus, so per-group
+    map_groups dispatch would dominate); inside a partition the gap breaks
+    of every complete user run are found with one vectorized diff."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].sort_values().to_numpy()
-        n_sessions = 1 + int((np.diff(ts) > gap).sum()) if len(ts) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_events": [len(g)], "n_sessions": [n_sessions]})
+    def sessions_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        starts, ends = run_boundaries(uid)
+        if not len(starts):
+            return pa.table(
+                {"user_id": pa.array([], pa.int64()), "n_events": pa.array([], pa.int64()),
+                 "n_sessions": pa.array([], pa.int64())}
+            )
+        breaks = np.zeros(len(uid), dtype=np.int64)
+        if len(uid) > 1:
+            # a break needs a >gap silence AND the same user on both sides;
+            # run starts always compare against the previous user -> 0 there
+            breaks[1:] = ((ts[1:] - ts[:-1]) > gap) & (uid[1:] == uid[:-1])
+        n_sessions = 1 + np.add.reduceat(breaks, starts)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "n_sessions": pa.array(n_sessions, pa.int64()),
+            }
+        )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas").sort("user_id")
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        sessions_part,
+        num_parts=64,
+    ).sort("user_id")
 
 
 # ---- events: JSON props extraction (§2.8 scalar lib) ----
