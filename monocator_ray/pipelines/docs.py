@@ -472,15 +472,54 @@ def _head_rows(path: str, columns: list[str], n: int) -> pa.Table:
     return pa.Table.from_batches(got).slice(0, n)
 
 
+class _IvfProbe:
+    """cached_stage: per batch, assign rows to IVF lists and score ONLY the
+    rows landing in a probed list (compute pruning ~ nprobe/nlist of the
+    corpus); emit per-query local top-k (<= nq x k rows per batch)."""
+
+    def __init__(self, index_ref, payload_ref, k: int):
+        self.index = ray.get(index_ref)
+        self.qn, self.probes = ray.get(payload_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        lists = self.index.assign(m)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mn = _normalize(m)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(self.probes.shape[0]):
+            sel = np.isin(lists, self.probes[qi])
+            if not sel.any():
+                continue
+            sims = self.qn[qi] @ mn[sel].T
+            sub_ids = ids[sel]
+            kk = min(self.k, len(sub_ids))
+            order = np.lexsort((sub_ids, -sims))[:kk]
+            out_q.extend([qi] * kk)
+            out_id.extend(sub_ids[order].tolist())
+            out_sim.extend(sims[order].astype(np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "sim": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
 def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16, nprobe: int = 4) -> pa.Table:
     """IVF ANN, pruning for real (VERDICT r1 #3): centroids train on a
-    driver-side sample (head rows only — never the full table), rows get
-    their list id via map_batches, then a groupby on ``ivf_list`` runs a
-    per-list local top-k ON WORKERS for exactly the queries probing that
-    list.  Only the tiny per-list winners (<= n_queries x nprobe x k rows)
-    reach the driver for the final merge — the inverted file prunes both
-    compute and movement."""
-    from monocator_ray.stages.ann import IvfAssigner, IvfIndex, _normalize
+    driver-side sample (head rows only — never the full table); every batch
+    assigns its rows to lists and scores only the rows of PROBED lists
+    (compute pruned to ~nprobe/nlist), emitting a per-query local top-k.
+    No shuffle and no per-list group materialization — a groupby(ivf_list)
+    co-location would hold corpus/nlist rows in ONE map_groups call at
+    scale.  (A persistent list-partitioned store is the right layout when
+    one index serves many query batches; this query builds its index per
+    call, so batch-side pruning dominates.)  Only <= batches x nq x k local
+    winners reach the driver for the final merge."""
+    from monocator_ray.stages.ann import IvfIndex
 
     ensure_shipped()
     path = f"{sf_dir}/embeddings.parquet"
@@ -493,42 +532,11 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
     index_ref = ray.put(index)
 
     emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
-    assigned = emb.map_batches(
-        cached_stage(IvfAssigner, index_ref=index_ref), batch_format="pyarrow"
+    local = emb.map_batches(
+        cached_stage(_IvfProbe, index_ref=index_ref, payload_ref=payload_ref, k=k),
+        batch_format="pyarrow", batch_size=4096,
     )
-
-    def list_topk(g: pa.Table) -> pa.Table:
-        qn_, probes_ = ray.get(payload_ref)
-        lst = int(g["ivf_list"][0].as_py())
-        qids = np.nonzero((probes_ == lst).any(axis=1))[0]
-        empty = pa.table(
-            {"query_id": pa.array([], pa.int32()), "vec_id": pa.array([], pa.int64()),
-             "sim": pa.array([], pa.float64())}
-        )
-        if qids.size == 0:
-            return empty
-        m = _normalize(table_to_matrix(g))
-        ids = g["vec_id"].to_numpy(zero_copy_only=False)
-        sims = qn_[qids] @ m.T  # (nq_probing, n_in_list) float32
-        kk = min(k, sims.shape[1])
-        out_q, out_id, out_sim = [], [], []
-        for row, qi in enumerate(qids.tolist()):
-            order = np.lexsort((ids, -sims[row]))[:kk]
-            out_q.extend([qi] * kk)
-            out_id.extend(ids[order].tolist())
-            out_sim.extend(sims[row, order].astype(np.float64).tolist())
-        return pa.table(
-            {
-                "query_id": pa.array(out_q, pa.int32()),
-                "vec_id": pa.array(out_id, pa.int64()),
-                "sim": pa.array(out_sim, pa.float64()),
-            }
-        )
-
-    local = assigned.groupby("ivf_list").map_groups(list_topk, batch_format="pyarrow")
-    merged = pa.concat_tables(
-        [t for t in ray.get(local.to_arrow_refs()) if "sim" in t.schema.names]
-    )
+    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
     out = global_topk(merged, k)
     return out.select(["query_id", "vec_id", "rank"])
 
