@@ -69,7 +69,13 @@ def hash_partitioned(ds, key_arrays_fn, fn, num_parts: int = 64):
     ``key_arrays_fn(table) -> [np.ndarray, ...]``, groups on ``_part``
     (``num_parts`` groups total, uniform by the hash), and calls ``fn`` once
     per partition with the ``_part`` column already dropped.  ``fn`` must
-    re-group on the fine key internally (vectorized)."""
+    re-group on the fine key internally (vectorized).
+
+    SIZING: one partition is materialized per ``fn`` call, so ``num_parts``
+    must scale with the input — pick ``num_parts ~ input_bytes /
+    target_partition_bytes`` (e.g. 256 MB) at large scale; the 64 default
+    suits the driver-table/bench sizes.  The hash is uniform, so partition
+    skew is bounded by key-group skew only."""
 
     def add_part(t: pa.Table) -> pa.Table:
         return t.append_column(
