@@ -40,6 +40,7 @@ from monocator_ray.stages.ann import (
 )
 from monocator_ray.stages.dedup import (
     MinHasher,
+    NgramExploder,
     SimHasher,
     connected_components,
     explode_bands,
@@ -358,6 +359,90 @@ def q_minhash_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16, thresh
 
     out = joined.map_batches(verify, batch_format="pyarrow")
     return _finish_pairs(out, ["doc_a", "doc_b"], empty)
+
+
+# ---- exact n-gram Jaccard near-dup (ORACLE-CHECKED: inverted-index join) ----
+def q_ngram_jaccard_pairs(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """EXACT Jaccard over distinct word n-gram sets via an inverted index —
+    the sketch-free member of the dedup family, and the only near-dup query
+    with a full DuckDB oracle (the gram -> docs self-join is plain SQL).
+
+    Plan: explode (gram_hash, doc_id, doc_n) rows (``NgramExploder``, doc_n
+    rides along so no sizes join) -> ``hash_partitioned`` on gram_hash,
+    per-partition vectorized run detection emits one (doc_a, doc_b, na, nb)
+    row per SHARED gram -> native Count groupby = intersection size ->
+    vectorized filter ``2*c >= union`` (Jaccard >= 0.5, exact in integers)
+    and ``jaccard_pct = (100*c) // union`` (integer floor-div on both sides,
+    so no float-rounding divergence from the oracle).
+
+    Scale notes: pairs-per-gram is quadratic in gram document-frequency —
+    at corpus scale add prefix filtering (emit only each doc's rarest
+    ceil((1-t)*|d|)+1 grams; Xiao et al., WWW'08) before the pair stage;
+    the driver-table vocabulary has no hot grams so the exact plan runs
+    as-is.  64-bit SipHash gram keys can in principle collide (the oracle
+    joins on the gram STRING); at ~2^32 distinct grams the expected
+    collision count is ~0.5 — negligible below that, and a collision only
+    perturbs one intersection count by 1."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        cached_stage(NgramExploder, n=n), batch_format="pyarrow"
+    )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        gh = g["gram_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        dn = g["doc_n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gh))
+        gh, ids, dn = gh[order], ids[order], dn[order]
+        starts, ends = run_boundaries(gh)
+        sizes = ends - starts
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            m = e - s
+            ia, ib = np.triu_indices(m, k=1)
+            out_a.append(ids[s:e][ia])
+            out_b.append(ids[s:e][ib])
+            out_na.append(dn[s:e][ia])
+            out_nb.append(dn[s:e][ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        na = np.concatenate(out_na) if out_na else np.empty(0, np.int64)
+        nb = np.concatenate(out_nb) if out_nb else np.empty(0, np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64()),
+             "na": pa.array(na, pa.int64()), "nb": pa.array(nb, pa.int64())}
+        )
+
+    shared = hash_partitioned(
+        exploded,
+        lambda t: [t["gram_hash"].to_numpy(zero_copy_only=False)],
+        pairs_in_part,
+        num_parts=64,
+    )
+    counted = shared.groupby(["doc_a", "doc_b", "na", "nb"]).aggregate(
+        Count(alias_name="c")
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["c"].to_numpy(zero_copy_only=False)
+        union = (
+            t["na"].to_numpy(zero_copy_only=False)
+            + t["nb"].to_numpy(zero_copy_only=False)
+            - c
+        )
+        keep = 2 * c >= union
+        return pa.table(
+            {
+                "doc_a": t["doc_a"].filter(pa.array(keep)),
+                "doc_b": t["doc_b"].filter(pa.array(keep)),
+                "jaccard_pct": pa.array((100 * c[keep]) // union[keep], pa.int64()),
+            }
+        )
+
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard_pct": pa.array([], pa.int64())})
+    return _finish_pairs(counted.map_batches(score, batch_format="pyarrow"),
+                         ["doc_a", "doc_b"], empty)
 
 
 # ---- SimHash near-dup (rows-only) ----

@@ -107,6 +107,46 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+# ---- word n-grams (exact-Jaccard dedup, oracle-checkable) ----
+
+
+def ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Distinct word n-gram 64-bit hashes, sorted.  Tokenization is pinned
+    to the DuckDB oracle: ASCII trim + RE2 ``\\s`` split, NO lowercasing
+    (unlike ``shingle_hashes``) so ``' '.join(words[i:i+n])`` is exactly the
+    oracle's ``w[i] || ' ' || w[i+1] || ...`` string."""
+    t = text.strip("\t\n\f\r ") if text else ""
+    words = _WS.split(t) if t else []
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.unique(hash_str64(grams))
+
+
+class NgramExploder:
+    """map_batches (pyarrow): explode each doc into one row per DISTINCT
+    word n-gram: (gram_hash, doc_id, doc_n).  ``doc_n`` (the doc's distinct
+    n-gram count) rides on every row so the pair stage computes Jaccard
+    denominators without a sizes join.  gram_hash is stored as an int64
+    bit-view (uint64 > 2^63 breaks Ray groupby machinery)."""
+
+    def __init__(self, n: int = 3):
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        per = [ngram_hashes(t or "", self.n) for t in batch["text"].to_pylist()]
+        counts = np.array([p.size for p in per], dtype=np.int64)
+        gh = np.concatenate(per) if per else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "gram_hash": pa.array(gh.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "doc_n": pa.array(np.repeat(counts, counts), pa.int64()),
+            }
+        )
+
+
 # ---- simhash ----
 
 

@@ -152,6 +152,51 @@ def test_neardup_clusters_match_union_find_over_pairs():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_matches_brute_force():
+    """Inverted-index exact Jaccard == all-pairs set arithmetic over the
+    same pinned tokenization (incl. the integer floor-div percentage)."""
+    from monocator_ray.pipelines.docs import q_ngram_jaccard_pairs
+    from monocator_ray.stages.dedup import ngram_hashes
+
+    got = _pdf(q_ngram_jaccard_pairs(SF_DIR))
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    sets = [set(ngram_hashes(x or "").tolist()) for x in t["text"].to_pylist()]
+    rows = []
+    for i in range(len(ids)):
+        if not sets[i]:
+            continue
+        for j in range(i + 1, len(ids)):
+            c = len(sets[i] & sets[j])
+            if c == 0:
+                continue
+            union = len(sets[i]) + len(sets[j]) - c
+            if 2 * c >= union:
+                a, b = sorted((ids[i], ids[j]))
+                rows.append((a, b, (100 * c) // union))
+    want = pd.DataFrame(sorted(rows), columns=["doc_a", "doc_b", "jaccard_pct"])
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_ngram_hashes_edges():
+    """Tokenization pinned to the DuckDB oracle: ASCII-only trim/split (NBSP
+    is NOT whitespace), <n tokens -> empty set, distinct grams only."""
+    from monocator_ray.stages.dedup import ngram_hashes
+
+    assert ngram_hashes("").size == 0
+    assert ngram_hashes("a b").size == 0  # < 3 tokens
+    assert ngram_hashes("  a  b   c  ").size == 1
+    # NBSP binds tokens together under RE2 \s semantics (ADVICE r1 class)
+    assert ngram_hashes("a\xa0b c d").size == 1  # tokens: 'a\xa0b','c','d'
+    assert ngram_hashes("a b c d").size == 2
+    # repeated gram counted once
+    rep = ngram_hashes("x y z x y z x y z")
+    assert rep.size == len(np.unique(rep)) and rep.size == 3  # xyz, yzx, zxy
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_large_path_matches_small_path():
     """The adaptive plans (single-task verify / driver dedup under
     _SMALL_PAIRS candidates vs distributed join + aggregate above it) must
@@ -163,6 +208,7 @@ def test_large_path_matches_small_path():
         "minhash": _pdf(docs.q_minhash_pairs(SF_DIR)),
         "simhash": _pdf(docs.q_simhash_pairs(SF_DIR)),
         "emb_lsh": _pdf(docs.q_embedding_neardup_lsh(SF_DIR)),
+        "ngram": _pdf(docs.q_ngram_jaccard_pairs(SF_DIR)),
     }
     old = docs._SMALL_PAIRS
     docs._SMALL_PAIRS = 0
@@ -171,6 +217,7 @@ def test_large_path_matches_small_path():
             "minhash": _pdf(docs.q_minhash_pairs(SF_DIR)),
             "simhash": _pdf(docs.q_simhash_pairs(SF_DIR)),
             "emb_lsh": _pdf(docs.q_embedding_neardup_lsh(SF_DIR)),
+            "ngram": _pdf(docs.q_ngram_jaccard_pairs(SF_DIR)),
         }
     finally:
         docs._SMALL_PAIRS = old
