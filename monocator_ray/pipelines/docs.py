@@ -31,6 +31,7 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.ann import (
     BruteForceTopK,
     LshCoder,
@@ -48,7 +49,12 @@ from monocator_ray.stages.dedup import (
     jaccard,
     shingle_hashes,
 )
-from monocator_ray.stages.grouped import cached_stage, hash_partitioned, run_boundaries
+from monocator_ray.stages.grouped import (
+    cached_stage,
+    hash_partitioned,
+    partitioned_aggregate,
+    run_boundaries,
+)
 from monocator_ray.stages.textstats import (
     C4LineCleaner,
     Fingerprinter,
@@ -69,7 +75,7 @@ _SMALL_PAIRS = int(os.environ.get("MONOCATOR_SMALL_PAIRS", "65536"))
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     ensure_shipped()
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def _collect_table(ds: rd.Dataset) -> pa.Table:
@@ -96,14 +102,20 @@ def _finish_pairs(ds: rd.Dataset, keys: list[str], empty: pa.Table) -> rd.Datase
 # ---- exact dedup (D1 pattern: hash-partitioned first-wins) ----
 def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
+    # first-wins == (min doc_id, group size).  partitioned_aggregate, not the
+    # native aggregate: Ray's sort-based aggregate on a STRING key was
+    # measured 3.7 s for 5 k fingerprint groups vs 0.25 s keyed on int64 —
+    # the coarse-partition + Arrow-C++ group_by path sidesteps the string
+    # sort entirely (the shuffle key is the fingerprint's SipHash).
     return (
-        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas")
-        # first-wins == (min doc_id, group size): a NATIVE vectorized
-        # aggregate, not a per-group Python callback
-        .groupby("fingerprint")
-        .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups"))
-        .sort("doc_id")
+        partitioned_aggregate(
+            ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas"),
+            ["fingerprint"],
+            [("doc_id", "min"), ("doc_id", "count")],
+            ["fingerprint", "doc_id", "n_dups"],
+        )
         .select_columns(["doc_id", "n_dups"])
+        .sort("doc_id")
     )
 
 
@@ -542,7 +554,7 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
 # ---- ANN: brute-force cosine top-k (baseline) ----
 def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     ensure_shipped()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, n_queries)
     qm = table_to_matrix(qtbl)
     qref = ray.put(qm)
@@ -628,7 +640,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
     payload_ref = ray.put((qn, probes))
     index_ref = ray.put(index)
 
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = sized_read_parquet(path, columns=["vec_id", "embedding"])
     local = emb.map_batches(
         cached_stage(_IvfProbe, index_ref=index_ref, payload_ref=payload_ref, k=k),
         batch_format="pyarrow", batch_size=4096,
@@ -641,7 +653,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
 # ---- ANN scale path: LSH-bucketed (rows-only; approximate) ----
 def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     ensure_shipped()
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
         "embedding"][0].as_py())
     return (
@@ -756,7 +768,7 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     full_ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     bcast = ray.put((full, full_ids))
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = emb.map_batches(
         cached_stage(_BlockPairs, ref=bcast, thr=threshold),
         batch_format="pyarrow", batch_size=4096,
@@ -781,7 +793,7 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int
     ensure_shipped()
     path = f"{sf_dir}/embeddings.parquet"
     dim = len(_head_rows(path, ["embedding"], 1)["embedding"][0].as_py())
-    emb = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    emb = sized_read_parquet(path, columns=["vec_id", "embedding"])
 
     def verify_part(g: pa.Table) -> pa.Table:
         """Exact cosine verify over all complete (band, bucket) groups in

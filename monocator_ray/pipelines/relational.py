@@ -25,12 +25,13 @@ import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.shipping import ensure_shipped
-from monocator_ray.stages.grouped import cached_stage
+from monocator_ray.sources.tables import sized_read_parquet
+from monocator_ray.stages.grouped import cached_stage, partitioned_aggregate
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
     ensure_shipped()
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    return sized_read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
@@ -114,14 +115,16 @@ def q_order_rollup(sf_dir: str) -> rd.Dataset:
             ["o_custkey", "n_orders", "first_order", "last_order", "total_cents"]
         )
 
+    # final combine via partitioned_aggregate: the native 4-agg aggregate
+    # over ~98 k partial rows was measured 4.8 s (~25 us/row/agg); the
+    # Arrow-C++ per-partition group_by is milliseconds for the same rows
     return (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("n_orders", alias_name="n_orders"),
-            Min("first_order", alias_name="first_order"),
-            Max("last_order", alias_name="last_order"),
-            Sum("total_cents", alias_name="total_cents"),
+        partitioned_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["o_custkey"],
+            [("n_orders", "sum"), ("first_order", "min"),
+             ("last_order", "max"), ("total_cents", "sum")],
+            ["o_custkey", "n_orders", "first_order", "last_order", "total_cents"],
         )
         .sort("o_custkey")
     )

@@ -17,6 +17,7 @@ from ray.data.aggregate import Count, Max, Sum
 
 from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
 from monocator_ray.urlnorm import host_of
 
@@ -34,7 +35,7 @@ def _read_artifact(out_dir: str, name: str) -> rd.Dataset:
     from monocator_ray.crawl.driver import artifact_files
 
     ensure_shipped()
-    return rd.read_parquet(artifact_files(out_dir), columns=_ARTIFACT_COLS[name])
+    return sized_read_parquet(artifact_files(out_dir), columns=_ARTIFACT_COLS[name])
 
 
 def _hash_as_i64(col: str):
@@ -152,7 +153,7 @@ def domain_rollup(out_dir: str) -> rd.Dataset:
     from monocator_ray.crawl.driver import artifact_files
 
     ensure_shipped()
-    feats = rd.read_parquet(
+    feats = sized_read_parquet(
         artifact_files(out_dir), columns=_ARTIFACT_COLS["features"] + ["seq"]
     )
 
@@ -300,7 +301,7 @@ def _spa_candidates(
     from monocator_ray.crawl.driver import artifact_files
 
     ensure_shipped()
-    ds = rd.read_parquet(
+    ds = sized_read_parquet(
         artifact_files(out_dir),
         columns=["url", "url_hash", "html", "text", "links_internal", "links_external"],
     )

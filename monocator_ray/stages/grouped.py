@@ -32,6 +32,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from monocator_ray.hashing import hash_str64
+
 _instances: dict = {}
 
 
@@ -88,6 +90,43 @@ def hash_partitioned(ds, key_arrays_fn, fn, num_parts: int = 64):
     return ds.map_batches(add_part, batch_format="pyarrow").groupby("_part").map_groups(
         run, batch_format="pyarrow"
     )
+
+
+def _key_arrays(t: pa.Table, key_cols: list[str]) -> list[np.ndarray]:
+    """uint64 hashables for hash_part_column from arbitrary key columns:
+    numeric/temporal columns bit-reinterpret, string columns SipHash."""
+    out = []
+    for c in key_cols:
+        col = t[c]
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            out.append(hash_str64(col.to_pylist()))
+        else:
+            arr = col.to_numpy(zero_copy_only=False)
+            if arr.dtype.kind == "M":  # datetime64 -> int64 view
+                arr = arr.view(np.int64)
+            out.append(arr.astype(np.uint64, copy=False) if arr.dtype != np.uint64 else arr)
+    return out
+
+
+def partitioned_aggregate(ds, key_cols: list[str], aggs: list[tuple], names: list[str], num_parts: int = 32):
+    """Exact ``groupby(key_cols).aggregate(...)`` via coarse hash partitions
+    with an Arrow-native ``pa.TableGroupBy`` inside each: Ray's sort-based
+    aggregate was measured ~25 us/row/agg at driver scale (4.8 s for 98 k
+    rows x 4 aggs), while the C++ kernel does the same in milliseconds — the
+    Ray shuffle then only moves ``num_parts`` coarse groups.  Every fine
+    group lands wholly in one partition (hash of the full key), so results
+    are exact for decomposable aggregates.
+
+    ``aggs``: pyarrow aggregate pairs, e.g. ``[("v", "sum"), ("v", "count")]``
+    (note ``"count"`` counts NON-NULL values of that column — pass a
+    never-null column to count rows).  ``names``: output column names for
+    ``key_cols + aggs`` in that order (pyarrow puts keys first).  Same
+    num_parts sizing rule as ``hash_partitioned``."""
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        return t.group_by(key_cols).aggregate(list(aggs)).rename_columns(list(names))
+
+    return hash_partitioned(ds, lambda t: _key_arrays(t, key_cols), agg_part, num_parts)
 
 
 def run_boundaries(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
