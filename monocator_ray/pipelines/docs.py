@@ -51,6 +51,7 @@ from monocator_ray.stages.dedup import (
 )
 from monocator_ray.stages.grouped import (
     cached_stage,
+    driver_grouped_agg,
     hash_partitioned,
     partitioned_aggregate,
     run_boundaries,
@@ -120,47 +121,42 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
 
 
 # ---- token counting ----
-def q_token_stats(sf_dir: str) -> rd.Dataset:
+def q_token_stats(sf_dir: str):
     ds = _docs(sf_dir, ["text", "lang"])
-    return (
-        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_tokens", alias_name="total_tokens"),
-            Max("n_tokens", alias_name="max_tokens"),
-            Min("n_tokens", alias_name="min_tokens"),
-        )
-        .sort("lang")
-    )
+    # O(langs) result: per-batch Arrow partials + driver combine — no
+    # shuffle at all (grouped.driver_grouped_agg rationale)
+    out = driver_grouped_agg(
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas"),
+        ["lang"],
+        [("n_tokens", "count"), ("n_tokens", "sum"), ("n_tokens", "max"), ("n_tokens", "min")],
+        ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"],
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- quality scoring ----
-def q_quality_stats(sf_dir: str) -> rd.Dataset:
+def q_quality_stats(sf_dir: str):
     ds = _docs(sf_dir, ["lang", "text"])
-    return (
-        ds.map_batches(cached_stage(QualityScorer), batch_format="pandas")
-        .groupby("lang")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("n_chars", alias_name="total_chars"),
-            Sum("n_alpha", alias_name="total_alpha"),
-            Sum("n_punct", alias_name="total_punct"),
-            Sum("n_stop", alias_name="total_stop"),
-        )
-        .sort("lang")
-    )
+    out = driver_grouped_agg(
+        ds.map_batches(cached_stage(QualityScorer), batch_format="pandas"),
+        ["lang"],
+        [("n_chars", "count"), ("n_chars", "sum"), ("n_alpha", "sum"),
+         ("n_punct", "sum"), ("n_stop", "sum")],
+        ["lang", "n_docs", "total_chars", "total_alpha", "total_punct", "total_stop"],
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- language ID distribution ----
-def q_langid(sf_dir: str) -> rd.Dataset:
+def q_langid(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
-    return (
-        ds.map_batches(cached_stage(LangId), batch_format="pandas")
-        .groupby("lang_detected")
-        .aggregate(Count(alias_name="n"))
-        .sort("lang_detected")
-    )
+    out = driver_grouped_agg(
+        ds.map_batches(cached_stage(LangId), batch_format="pandas"),
+        ["lang_detected"],
+        [("doc_id", "count")],
+        ["lang_detected", "n"],
+    ).sort_values("lang_detected")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- PII scrub (oracle: DuckDB regexp_replace chain, RE2-pinned) ----

@@ -26,7 +26,13 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
-from monocator_ray.stages.grouped import cached_stage, partitioned_aggregate
+from monocator_ray.stages.grouped import (
+    _key_arrays,
+    cached_stage,
+    driver_grouped_agg,
+    hash_partitioned,
+    partitioned_aggregate,
+)
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -64,13 +70,18 @@ def q_pricing_summary(sf_dir: str) -> rd.Dataset:
             ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "n"]
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("n", alias_name="n"),
+    # final combine driver-side: O(blocks x 6 groups) partial rows — the
+    # shuffle a native aggregate would run moves nothing the driver can't
+    # hold (grouped.driver_grouped_agg rationale)
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .sum()
+        .sort_values(["l_returnflag", "l_linestatus"])
     )
-    return out.sort(["l_returnflag", "l_linestatus"])
+    out = out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents", "n"]]
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- O3-style top-k ----
@@ -162,14 +173,16 @@ def q_customer_regions(sf_dir: str) -> rd.Dataset:
                 }
             )
 
-    return (
-        # cheap-setup broadcast probe: cached task stage, not an actor pool
-        # (~2 s spin-up per query at any scale — stages/grouped.py)
-        ds.map_batches(cached_stage(JoinRegion, ref=lookup_ref), batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_customers"), Sum("acctbal_cents", alias_name="acctbal_cents"))
-        .sort("r_name")
-    )
+    # cheap-setup broadcast probe: cached task stage, not an actor pool
+    # (~2 s spin-up per query at any scale — stages/grouped.py)
+    mapped = ds.map_batches(cached_stage(JoinRegion, ref=lookup_ref), batch_format="pyarrow")
+    out = driver_grouped_agg(
+        mapped,
+        ["r_name"],
+        [("acctbal_cents", "count"), ("acctbal_cents", "sum")],
+        ["r_name", "n_customers", "acctbal_cents"],
+    ).sort_values("r_name")
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
 # ---- J5: anti join via broadcast key set ----
@@ -282,22 +295,36 @@ def q_event_stats(sf_dir: str) -> rd.Dataset:
 
     # COUNT DISTINCT without giant groups: a single map_groups per
     # event_type would materialize a fifth of the corpus in one call at
-    # scale.  Instead: (a) native count/sum per type, (b) dedup
-    # (type, user) with a native aggregate then count per type; both
-    # results are O(#event types) and merge on the driver.
+    # scale.  Instead: (a) count/sum combine PER BATCH (O(types) rows out of
+    # every block — the driver only ever merges blocks x types partials),
+    # (b) distinct (type, user) inside hash PARTITIONS of the pair key —
+    # each pair lands in exactly one partition, so per-partition
+    # count_distinct partials are disjoint and sum exactly.  No Ray-native
+    # aggregate in either path (measured ~25 us/row/agg; the Arrow C++
+    # group_by inside the partition is milliseconds for the same rows).
     prep_ds = ds.map_batches(prep, batch_format="pyarrow")
-    base = (
-        prep_ds.groupby("event_type")
-        .aggregate(Count(alias_name="n"), Sum("value_cents", alias_name="value_cents"))
-        .to_pandas()
+
+    base = driver_grouped_agg(
+        prep_ds,
+        ["event_type"],
+        [("value_cents", "count"), ("value_cents", "sum")],
+        ["event_type", "n", "value_cents"],
     )
+
+    def users_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["event_type"]).aggregate([("user_id", "count_distinct")])
+        return g.rename_columns(["event_type", "n_users"])
+
     users = (
-        prep_ds.select_columns(["event_type", "user_id"])
-        .groupby(["event_type", "user_id"])
-        .aggregate(Count(alias_name="_c"))
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n_users"))
+        hash_partitioned(
+            prep_ds.select_columns(["event_type", "user_id"]),
+            lambda t: _key_arrays(t, ["event_type", "user_id"]),
+            users_part,
+            num_parts=32,
+        )
         .to_pandas()
+        .groupby("event_type", as_index=False)
+        .sum()
     )
     out = base.merge(users, on="event_type").sort_values("event_type")
     out = out[["event_type", "n", "n_users", "value_cents"]]

@@ -129,6 +129,30 @@ def partitioned_aggregate(ds, key_cols: list[str], aggs: list[tuple], names: lis
     return hash_partitioned(ds, lambda t: _key_arrays(t, key_cols), agg_part, num_parts)
 
 
+def driver_grouped_agg(ds, key_cols: list[str], aggs: list[tuple], names: list[str]) -> pd.DataFrame:
+    """Grouped aggregate whose RESULT is small (O(groups), e.g. stats per
+    language / return flag): Arrow-C++ partial combine per BATCH, final
+    combine driver-side in pandas.  The driver only ever holds
+    O(blocks x groups) partial rows — bounded by the result's own group
+    count times read parallelism, the same driver-smallness argument as a
+    broadcast join's build side.  Versus a Ray-native aggregate this removes
+    the whole shuffle (one map stage instead of map + sort-shuffle + reduce).
+
+    ``aggs``/``names`` as in :func:`partitioned_aggregate`; supported
+    aggregate fns: sum / min / max / count (count partials re-combine by
+    summing).  Returns an UNSORTED pandas frame with ``names`` columns."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        return t.group_by(key_cols).aggregate(list(aggs)).rename_columns(list(names))
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    final = {
+        name: ("sum" if f in ("sum", "count") else f)
+        for (_c, f), name in zip(aggs, names[len(key_cols):])
+    }
+    return pdf.groupby(key_cols, as_index=False).agg(final)
+
+
 def run_boundaries(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(starts, ends) of equal-key runs over pre-sorted key columns."""
     n = len(cols[0])
