@@ -325,8 +325,10 @@ def q_minhash_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16, thresh
 
     # ---- scale path: distributed dedup + text joins + sharded verify ----
     cand = (
-        raw.groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_nb"))  # native dedup (pair <- many bands)
+        partitioned_aggregate(  # dedup (pair <- many bands), Arrow-native
+            raw, ["doc_a", "doc_b"], [("doc_a", "count")],
+            ["doc_a", "doc_b", "_nb"], num_parts=64,
+        )
         .drop_columns(["_nb"])
         # phase barrier (blocks stay in the object store): without it the
         # groupby aggregator pools and the join aggregator pools below are
@@ -540,9 +542,12 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
     if small is not None:
         return rd.from_arrow(small if small.num_rows else empty)
 
-    out = (
-        raw.groupby(["doc_a", "doc_b"])
-        .aggregate(Min("hamming", alias_name="hamming"))  # native first-wins
+    # first-wins dedup across bands: coarse-partitioned Arrow group_by
+    # (a pair's copies all hash to one partition; the native aggregate was
+    # the ~25 us/row cost at >_SMALL_PAIRS scale)
+    out = partitioned_aggregate(
+        raw, ["doc_a", "doc_b"], [("hamming", "min")],
+        ["doc_a", "doc_b", "hamming"], num_parts=64,
     )
     return _finish_pairs(out, ["doc_a", "doc_b"], empty)
 
