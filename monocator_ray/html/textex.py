@@ -49,6 +49,14 @@ BLOCK_TAGS = frozenset(
 SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "head"})
 
 _WS_RUN = re.compile(r"[ \t\n\r\f\xa0]+")
+# Collapse-only-what-changes variant: a plain single space (the overwhelming
+# majority of whitespace in extracted text) is already in canonical form, and
+# matching it makes re.sub rebuild the page string span by span (~0.8 ms/page
+# measured).  This pattern matches exactly the runs whose replacement differs
+# from themselves: a space followed by more whitespace, or a run starting
+# with a non-space whitespace char.  sub(" ") over it is byte-identical to
+# _WS_RUN.sub(" ") (property-tested), at ~half the scan cost.
+_WS_FIX = re.compile(r" [ \t\n\r\f\xa0]+|[\t\n\r\f\xa0][ \t\n\r\f\xa0]*")
 _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?([A-Za-z0-9_\-]+)""", re.IGNORECASE
 )
@@ -184,6 +192,7 @@ _ATTR = re.compile(
     r"""([a-zA-Z_:][-a-zA-Z0-9_:.]*)\s*(?:=\s*("([^"]*)"|'([^']*)'|[^\s>]*))?"""
 )
 _RAWTEXT = frozenset({"script", "style"})  # html.parser CDATA_CONTENT_ELEMENTS
+_RAW_CLOSE = {t: re.compile("</" + t, re.IGNORECASE) for t in _RAWTEXT}
 _ATTR_TAGS = frozenset({"a", "area", "meta", "base"})
 
 from html import unescape as _unescape  # noqa: E402
@@ -208,60 +217,99 @@ def _parse_attrs(raw: str) -> dict:
     return out
 
 
+# Per-tag dispatch flags: one dict lookup per tag instead of 4-5 frozenset
+# membership tests (the scanner sees ~1 tag per 30 bytes of real HTML).
+_F_BLOCK, _F_SKIP, _F_ATTR, _F_TITLE, _F_BR, _F_RAW = 1, 2, 4, 8, 16, 32
+_TAG_FLAGS: dict[str, int] = {}
+for _t in BLOCK_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_BLOCK
+for _t in SKIP_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_SKIP
+for _t in _ATTR_TAGS:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_ATTR
+for _t in _RAWTEXT:
+    _TAG_FLAGS[_t] = _TAG_FLAGS.get(_t, 0) | _F_RAW
+_TAG_FLAGS["title"] = _TAG_FLAGS.get("title", 0) | _F_TITLE
+_TAG_FLAGS["br"] = _TAG_FLAGS.get("br", 0) | _F_BR
+
+
+def _unescape_joined(segments: list[str]) -> str:
+    """Decode HTML entities over a whole page's data segments in ONE
+    ``html.unescape`` call while preserving per-segment semantics.
+
+    Segments are joined on a NUL sentinel: NUL is a valid entity-NAME
+    character to the charref regex but occurs in no html5 entity name, so a
+    candidate spanning two segments can never decode (the longest-known-
+    prefix rule then decodes exactly the first segment's prefix and leaves
+    the rest — including the sentinel — untouched), and NUL terminates
+    numeric/hex digit runs just like a segment boundary.  ``&#0;`` decodes
+    to U+FFFD, never to NUL, so stripping sentinels afterwards recovers the
+    exact concatenation of per-segment unescapes.  Callers must route
+    documents that themselves contain NUL to the per-segment path.
+    """
+    joined = "\x00".join(segments)
+    if "&" in joined:
+        joined = _unescape(joined)
+    return joined.replace("\x00", "")
+
+
 def extract_page(html: bytes | str) -> PageExtract:
     """Parse one page; returns text/title/meta/links in a single pass
     (fast scanner; contract identical to extract_page_htmlparser)."""
     doc = sniff_decode(html) if isinstance(html, (bytes, bytearray)) else html
-    low = doc.lower()
     n = len(doc)
     out = PageExtract()
     # raw accumulation: segments + boundary spaces are concatenated and
     # whitespace-collapsed ONCE at the end — rule 2 is a pure function of
     # the concatenated visible stream, so this is byte-identical to
-    # incremental per-segment collapsing (and ~30% faster)
+    # incremental per-segment collapsing (and ~30% faster).  Entities are
+    # decoded in one batched pass at the end (_unescape_joined) unless the
+    # document itself contains the NUL sentinel (vanishingly rare).
     acc: list[str] = []
     skip = 0
     in_title = False
     title: list[str] = []
     pos = 0
     search = _TOKEN.search
-
-    def emit_data(seg: str) -> None:
-        if "&" in seg:
-            seg = _unescape(seg)
-        if in_title:
-            title.append(seg)
-        if not skip:
-            acc.append(seg)
-
-    def boundary() -> None:
-        acc.append(" ")
+    flags_get = _TAG_FLAGS.get
 
     while pos < n:
         m = search(doc, pos)
         if m is None:
-            emit_data(doc[pos:])
+            seg = doc[pos:]
+            if in_title:
+                title.append(seg)
+            if not skip:
+                acc.append(seg)
             break
-        if m.start() > pos:
-            emit_data(doc[pos : m.start()])
+        start = m.start()
+        if start > pos:
+            seg = doc[pos:start]
+            if in_title:
+                title.append(seg)
+            if not skip:
+                acc.append(seg)
         pos = m.end()
-        end_name = m.group(1)
+        end_name, start_name, attrs_raw, sc = m.group(1, 2, 3, 4)
         if end_name is not None:  # end tag
-            tag = end_name.lower()
-            if tag in SKIP_TAGS and skip > 0:
-                skip -= 1
-            if tag == "title":
-                in_title = False
-            if tag in BLOCK_TAGS:
-                boundary()
+            f = flags_get(end_name.lower(), 0)
+            if f:
+                if f & _F_SKIP and skip > 0:
+                    skip -= 1
+                if f & _F_TITLE:
+                    in_title = False
+                if f & _F_BLOCK:
+                    acc.append(" ")
             continue
-        start_name = m.group(2)
         if start_name is None:
             continue  # comment / doctype / PI
         tag = start_name.lower()
-        selfclose = m.group(4) == "/"
-        if tag in _ATTR_TAGS:
-            a = _parse_attrs(m.group(3))
+        f = flags_get(tag, 0)
+        if not f:
+            continue
+        selfclose = sc == "/"
+        if f & _F_ATTR:
+            a = _parse_attrs(attrs_raw)
             if tag == "a" or tag == "area":
                 href = a.get("href")
                 if href:
@@ -271,24 +319,32 @@ def extract_page(html: bytes | str) -> PageExtract:
                     out.meta_description = a.get("content") or ""
             elif tag == "base" and not out.base_href:
                 out.base_href = a.get("href") or ""
-        if tag in SKIP_TAGS:
-            if tag in _RAWTEXT and not selfclose:
+        if f & _F_SKIP:
+            if f & _F_RAW and not selfclose:
                 # CDATA: skip to the matching close tag without tokenizing
-                k = low.find("</" + tag, pos)
-                if k < 0:
+                # (case-insensitive search instead of a full-page .lower()
+                # copy — raw-text blocks are rare, page copies are not)
+                mraw = _RAW_CLOSE[tag].search(doc, pos)
+                if mraw is None:
                     break  # unterminated raw text: rest is invisible data
-                gt = doc.find(">", k)
-                if tag in BLOCK_TAGS:
-                    boundary()
+                gt = doc.find(">", mraw.start())
+                if f & _F_BLOCK:
+                    acc.append(" ")
                 pos = n if gt < 0 else gt + 1
                 continue
             if not selfclose:
                 skip += 1
-        if tag == "title":
+        if f & _F_TITLE:
             in_title = not selfclose
-        if tag in BLOCK_TAGS or tag == "br":
-            boundary()
+        if f & (_F_BLOCK | _F_BR):
+            acc.append(" ")
 
-    out.text = _WS_RUN.sub(" ", "".join(acc)).strip(" ")
-    out.title = _WS_RUN.sub(" ", "".join(title)).strip(" ")
+    if "\x00" in doc:  # per-segment fallback: sentinel would be ambiguous
+        acc = [_unescape(s) if "&" in s else s for s in acc]
+        title = [_unescape(s) if "&" in s else s for s in title]
+        text_raw, title_raw = "".join(acc), "".join(title)
+    else:
+        text_raw, title_raw = _unescape_joined(acc), _unescape_joined(title)
+    out.text = _WS_FIX.sub(" ", text_raw).strip(" ")
+    out.title = _WS_FIX.sub(" ", title_raw).strip(" ")
     return out

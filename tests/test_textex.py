@@ -60,6 +60,16 @@ _text = st.text(
     alphabet=st.characters(blacklist_characters="<>&", blacklist_categories=("Cs",)),
     max_size=30,
 )
+# Entity fragments, deliberately including SPLIT and MALFORMED pieces: when
+# adjacent data segments are separated only by a tag, per-segment decoding
+# must NOT merge them into one entity (the batched-unescape sentinel relies
+# on exactly this; see textex._unescape_joined).
+_entity_bits = st.sampled_from(
+    ["&amp;", "&amp", "&am", "p;", "&#38;", "&#x26;", "&#x2", "6;", "&nbsp;",
+     "&nb", "sp;", "&notareal;", "&", "&#", "&#0;", "&#xD800;", "&lt", ";",
+     "&Tab;", "&" + "a" * 40 + ";", "&aacute", "x&y", "&#1114112;"]
+)
+_textent = st.one_of(_text, _entity_bits)
 
 
 @st.composite
@@ -70,7 +80,7 @@ def html_soup(draw):
     for _ in range(n):
         kind = draw(st.integers(0, 3))
         if kind == 0:
-            parts.append(draw(_text))
+            parts.append(draw(_textent))
         elif kind == 1:
             t = draw(_tag)
             parts.append(f"<{t}>")
@@ -90,6 +100,36 @@ def html_soup(draw):
 @settings(max_examples=200, deadline=None)
 def test_engine_matches_oracle_on_generated_html(doc):
     assert extract_page(doc).text == jsoup_text(doc)
+
+
+@given(st.text(alphabet=" \t\n\r\f\xa0xy \x0b", max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_ws_fix_equals_ws_run(s):
+    """The collapse-only-what-changes pattern must be byte-identical to the
+    plain run collapse (incl. on \\x0b and unicode spaces OUTSIDE the class)."""
+    from monocator_ray.html.textex import _WS_FIX, _WS_RUN
+
+    assert _WS_FIX.sub(" ", s) == _WS_RUN.sub(" ", s)
+
+
+def test_split_and_malformed_entities_stay_per_segment():
+    """Entities split by a tag must decode per data segment (html.parser
+    semantics), and a NUL in the document must not corrupt batched decode."""
+    from monocator_ray.html.textex import extract_page_htmlparser
+
+    cases = [
+        "<p>&am<span></span>p;</p>",      # split name: no merge
+        "<p>&amp<span></span>x</p>",      # prefix decode + remainder
+        "<p>&<span></span>#38;</p>",      # split numeric introducer
+        "<p>&#3<span></span>8;</p>",      # split digits
+        "<p>&amp</p>",                     # bare known name, no semicolon
+        "<p>&#0;&#xD800;&#1114112;</p>",  # invalid charrefs
+        "<p>a\x00b &amp; c</p>",          # NUL in doc -> fallback path
+        "<title>&am</title><p>&amp;</p>", # title segments too
+    ]
+    for doc in cases:
+        a, b = extract_page(doc), extract_page_htmlparser(doc)
+        assert (a.text, a.title) == (b.text, b.title), doc
 
 
 @given(st.binary(max_size=200))
