@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "media_features",
     "ngram_jaccard_pairs",
+    "top_terms",
+    "token_quantiles",
 ]
 
 

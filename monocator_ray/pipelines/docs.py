@@ -189,6 +189,99 @@ def q_c4_line_clean(sf_dir: str) -> rd.Dataset:
     )
 
 
+# ---- corpus vocabulary heavy-hitters (exact distributed top-k terms) ----
+def q_top_terms(sf_dir: str, k: int = 50) -> pa.Table:
+    """Exact top-``k`` corpus terms by occurrence count (ties: word ASC).
+
+    Scale shape: per-batch partial word counts (one row per distinct word
+    per batch, Arrow/numpy vectorized) -> hash-partition by word so every
+    word's partials land wholly in one partition -> group_by sum + LOCAL
+    top-k inside each partition -> global merge of ``num_parts * k``
+    candidate rows on the driver.  The driver holds O(num_parts * k) rows;
+    the full vocabulary never leaves the workers (the local-topk/global-
+    merge pattern of stages/ann.py applied to counts).  Tokenization is
+    RE2-pinned to the DuckDB oracle (textstats._WS_SPLIT, ASCII-space trim;
+    '' tokens dropped on both sides)."""
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        joined = "\n".join(s.strip(" ") for s in texts if s)
+        if joined:
+            arr = np.array(_WS_SPLIT.split(joined), dtype=object)
+            arr = arr[arr != ""]
+            vals, counts = np.unique(arr, return_counts=True)
+        else:
+            vals, counts = np.empty(0, object), np.empty(0, np.int64)
+        return pa.table(
+            {"word": pa.array(vals, pa.string()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        g = t.group_by(["word"]).aggregate([("n", "sum")]).rename_columns(["word", "n"])
+        df = g.to_pandas().sort_values(
+            ["n", "word"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["word"].to_pylist())],
+        topk_part,
+        num_parts=32,
+    )
+    pdf = _collect_table(cand.materialize()).to_pandas()
+    out = pdf.sort_values(
+        ["n", "word"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ---- exact distributed quantiles (value-histogram, no sort/shuffle) ----
+def q_token_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-lang token-count quantiles at rank ``ceil(q*n)``
+    (1-indexed, q in {.25,.5,.75,.9,.99}) — the length-distribution cutoffs
+    a corpus-quality pass filters on.
+
+    Scale shape: a VALUE HISTOGRAM instead of a distributed sort — per-batch
+    (lang, n_tokens) partial counts combine driver-side (the result is
+    O(langs x distinct lengths), the driver_grouped_agg smallness argument:
+    document token counts at any corpus size collapse to ~1e5 distinct
+    values), then each quantile is read off the cumulative histogram with a
+    searchsorted.  The rank formula is evaluated in double precision on
+    both sides so the oracle (ROW_NUMBER + CEIL) agrees bit-for-bit."""
+    import math
+
+    ds = _docs(sf_dir, ["lang", "text"])
+    hist = driver_grouped_agg(
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas"),
+        ["lang", "n_tokens"],
+        [("n_tokens", "count")],
+        ["lang", "n_tokens", "c"],
+    )
+    rows = []
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        cum = g["c"].to_numpy().cumsum()
+        vals = g["n_tokens"].to_numpy()
+        n = int(cum[-1])
+        row = {"lang": lang}
+        for q, name in [(0.25, "p25"), (0.50, "p50"), (0.75, "p75"),
+                        (0.90, "p90"), (0.99, "p99")]:
+            rank = math.ceil(q * n)  # double math, matches SQL CEIL(q*n)
+            row[name] = int(vals[int(np.searchsorted(cum, rank))])
+        rows.append(row)
+    out = pd.DataFrame(rows).sort_values("lang").reset_index(drop=True)
+    for c in ("p25", "p50", "p75", "p90", "p99"):
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---- multimodal: media decode + feature extraction (rows-only) ----
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Deterministic synthetic media rows (real BMP images + WAV audio,

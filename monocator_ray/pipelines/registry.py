@@ -251,6 +251,35 @@ REGISTRY: dict = {
         FROM c GROUP BY doc_id ORDER BY doc_id
         """,
     ),
+    "top_terms": (
+        D.q_top_terms,
+        """
+        WITH w AS (
+          SELECT unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS word
+          FROM documents),
+        c AS (SELECT word, COUNT(*) AS n FROM w WHERE word <> '' GROUP BY word)
+        SELECT word, n FROM c ORDER BY n DESC, word LIMIT 50
+        """,
+    ),
+    "token_quantiles": (
+        D.q_token_quantiles,
+        """
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS v
+          FROM documents),
+        r AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY lang) AS n FROM t)
+        SELECT lang,
+               MAX(CASE WHEN rn = CAST(CEIL(0.25*n) AS BIGINT) THEN v END) AS p25,
+               MAX(CASE WHEN rn = CAST(CEIL(0.50*n) AS BIGINT) THEN v END) AS p50,
+               MAX(CASE WHEN rn = CAST(CEIL(0.75*n) AS BIGINT) THEN v END) AS p75,
+               MAX(CASE WHEN rn = CAST(CEIL(0.90*n) AS BIGINT) THEN v END) AS p90,
+               MAX(CASE WHEN rn = CAST(CEIL(0.99*n) AS BIGINT) THEN v END) AS p99
+        FROM r GROUP BY lang ORDER BY lang
+        """,
+    ),
     "c4_line_clean": (
         D.q_c4_line_clean,
         """
