@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "neardup_clusters",
     "media_features",
+    "media_frames",
     "ngram_jaccard_pairs",
     "top_terms",
     "token_quantiles",

@@ -300,6 +300,26 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_media_frames(sf_dir: str) -> rd.Dataset:
+    """Video -> sampled key frames -> per-frame image features: the two-hop
+    multimodal pipeline (VideoFrameSampler explodes Y4M rows into BMP image
+    rows; MediaFeatureExtractor then treats them as ordinary images).
+    Rows-only; codecs pinned by roundtrip unit tests."""
+    from monocator_ray.stages.media import (
+        MediaFeatureExtractor, VideoFrameSampler, synth_media_table,
+    )
+
+    ensure_shipped()
+    tbl = synth_media_table(96)
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(cached_stage(VideoFrameSampler, k=4), batch_format="pyarrow", batch_size=32)
+        .map_batches(cached_stage(MediaFeatureExtractor), batch_format="pyarrow", batch_size=32)
+        .select_columns(["media_id", "frame_index", "decoded", "width", "height"])
+        .sort(["media_id", "frame_index"])
+    )
+
+
 # ---- fingerprints (rows-only: hash fn not expressible in SQL) ----
 def q_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])

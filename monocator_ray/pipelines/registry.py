@@ -366,4 +366,5 @@ REGISTRY: dict = {
     "embedding_neardup": (D.q_embedding_neardup, None),
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
     "media_features": (D.q_media_features, None),
+    "media_frames": (D.q_media_frames, None),
 }

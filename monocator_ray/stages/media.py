@@ -2,13 +2,15 @@
 ``binary`` columns with typed metadata.
 
 Round 2: the codec is REAL for the uncompressed public container formats
-that need no external library — BMP (24-bit BI_RGB), PPM (P6) and WAV
-(RIFF PCM16) are parsed with numpy alone, features (dims / mean-RGB / luma
-histogram; duration / RMS / zero-crossings / envelope) are vectorized, and
+that need no external library — BMP (24-bit BI_RGB), PPM (P6), WAV
+(RIFF PCM16) and Y4M video (YUV4MPEG2 C444: frame parse, deterministic
+key-frame sampling, temporal-luma/motion features) are parsed with numpy
+alone, features (dims / mean-RGB / luma histogram; duration / RMS /
+zero-crossings / envelope; frame envelope / motion) are vectorized, and
 nearest-neighbor resize is pure indexing.  Compressed formats (JPEG / PNG /
-MP3 / video containers) are GATED behind ``NotImplementedError`` — their
-decoders (PIL / ffmpeg) are not in this container; the dispatch sniffs
-magic bytes so swapping a real codec in is one branch.
+MP3 / MP4) are GATED behind ``NotImplementedError`` — their decoders
+(PIL / ffmpeg) are not in this container; the dispatch sniffs magic bytes
+so swapping a real codec in is one branch.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -137,6 +139,74 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no data chunk")
 
 
+def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
+    """(T, H, W, 3) uint8 planar-encodable frames -> YUV4MPEG2 C444 stream.
+
+    Channels are stored as the three C444 planes verbatim (callers that
+    synthesize in YUV space get an exact roundtrip; RGB callers must convert
+    first).  Y4M is the standard uncompressed video interchange format
+    (mjpegtools/ffmpeg), parseable with numpy alone — the one video
+    container this engine decodes for real; compressed containers stay
+    gated on ffmpeg."""
+    t, h, w, c = frames.shape
+    if c != 3:
+        raise ValueError("expected 3 channel planes")
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C444\n".encode()
+    parts = [head]
+    for i in range(t):
+        parts.append(b"FRAME\n")
+        # (H, W, 3) -> 3 planes, each H*W
+        parts.append(np.ascontiguousarray(frames[i].transpose(2, 0, 1)).tobytes())
+    return b"".join(parts)
+
+
+def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """YUV4MPEG2 C444 -> ((T, H, W, 3) uint8 frames, (fps_num, fps_den))."""
+    if not data.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    eol = data.index(b"\n")
+    w = h = None
+    fps = (25, 1)
+    chroma = "420"  # Y4M default when C absent
+    for tok in data[9:eol].split():
+        tag, val = tok[:1], tok[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = (int(num), int(den))
+        elif tag == b"C":
+            chroma = val.decode()
+    if w is None or h is None:
+        raise ValueError("missing W/H in Y4M header")
+    if not chroma.startswith("444"):
+        raise NotImplementedError(
+            f"only C444 supported (got C{chroma}; real impl: ffmpeg)")
+    frame_bytes = 3 * w * h
+    frames = []
+    pos = eol + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad FRAME marker")
+        pos = data.index(b"\n", pos) + 1  # FRAME may carry parameters
+        planes = np.frombuffer(data, np.uint8, count=frame_bytes, offset=pos)
+        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), fps
+
+
+def sample_frames(frames: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic k evenly-spaced frame indices (first of each of k
+    equal spans) — the standard cheap video key-frame proxy."""
+    t = frames.shape[0]
+    if t == 0 or k <= 0:
+        return frames[:0]
+    idx = (np.arange(min(k, t)) * t) // min(k, t)
+    return frames[idx]
+
+
 def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """Nearest-neighbor resize, pure indexing."""
     ys = (np.arange(h) * img.shape[0] // h).clip(0, img.shape[0] - 1)
@@ -164,6 +234,8 @@ class PureCodec:
             return "image/x-portable-pixmap"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
             return "audio/wav"
+        if payload[:9] == b"YUV4MPEG2":
+            return "video/x-yuv4mpeg"
         for magic, mime in self._COMPRESSED.items():
             if payload[: len(magic)] == magic:
                 return mime
@@ -183,6 +255,12 @@ class PureCodec:
             return decode_wav(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: ffmpeg)")
 
+    def decode_video(self, payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+        mime = self.sniff(payload)
+        if mime == "video/x-yuv4mpeg":
+            return decode_y4m(payload)
+        raise NotImplementedError(f"no decoder for {mime} in this container (real impl: ffmpeg)")
+
     # fixed-width features (FEATURE_DIM floats), all vectorized
 
     def image_features(self, img: np.ndarray) -> np.ndarray:
@@ -197,6 +275,25 @@ class PureCodec:
         f[13] = luma.std() / 255.0
         f[14] = float(np.abs(np.diff(luma, axis=1)).mean() / 255.0)  # horiz detail
         f[15] = 0.0
+        return f
+
+    def video_features(self, frames: np.ndarray, fps: tuple[int, int]) -> np.ndarray:
+        """Duration / dims / 8-bin temporal luma envelope / motion (mean
+        abs frame diff), computed over <=8 sampled frames — the bounded-
+        work rule for arbitrarily long streams."""
+        f = np.zeros(FEATURE_DIM, np.float32)
+        t = frames.shape[0]
+        f[0] = t * 1000.0 * fps[1] / max(1, fps[0])  # duration_ms
+        f[1], f[2] = frames.shape[2], frames.shape[1]  # w, h
+        if t:
+            sampled = sample_frames(frames, 8).astype(np.float32)
+            luma = sampled[..., 0]  # Y plane
+            env = luma.mean(axis=(1, 2)) / 255.0
+            f[3 : 3 + len(env)] = env
+            f[11] = float(luma.std() / 255.0)
+            if sampled.shape[0] > 1:
+                f[12] = float(np.abs(np.diff(luma, axis=0)).mean() / 255.0)  # motion
+            f[13] = t
         return f
 
     def audio_features(self, samples: np.ndarray, rate: int) -> np.ndarray:
@@ -250,6 +347,10 @@ class MediaFeatureExtractor:
             if kind == "audio":
                 samples, rate = self.codec.decode_audio(payload)
                 return self.codec.audio_features(samples, rate), 0, 0, 1
+            if kind == "video":
+                frames, fps = self.codec.decode_video(payload)
+                return (self.codec.video_features(frames, fps),
+                        frames.shape[2], frames.shape[1], 1)
         except NotImplementedError:
             pass
         except ValueError:
@@ -264,9 +365,14 @@ class MediaFeatureExtractor:
             ws.append(w)
             hs.append(h)
             dec.append(d)
+        passthrough = (
+            {"frame_index": batch["frame_index"]}
+            if "frame_index" in batch.column_names else {}
+        )
         return pa.table(
             {
                 "media_id": batch["media_id"],
+                **passthrough,
                 "kind": batch["kind"],
                 "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
                 "decoded": pa.array(dec, pa.int8()),
@@ -275,6 +381,56 @@ class MediaFeatureExtractor:
                 "n_bytes": pa.array(
                     [len(p.as_py()) if p.is_valid else 0 for p in batch["payload"]], pa.int64()
                 ),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """map_batches stage: explode each decodable video row into k sampled
+    frame rows, each re-encoded as a BMP image payload — the standard
+    video -> key-frame -> image-pipeline handoff (downstream stages treat
+    the frames exactly like any other image rows).  Undecodable videos are
+    dropped (they carry decoded=0 through MediaFeatureExtractor instead).
+
+    Same memory rule as the extractor: small batch_size — output is
+    k x frame_bytes per input row."""
+
+    def __init__(self, k: int = 4):
+        self.codec = PureCodec()
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, payloads, ws, hs = [], [], [], [], []
+        for mid, kind, p in zip(
+            batch["media_id"].to_pylist(), batch["kind"].to_pylist(), batch["payload"]
+        ):
+            if kind != "video":
+                continue
+            try:
+                frames, _fps = self.codec.decode_video(p.as_py() if p.is_valid else b"")
+            except (NotImplementedError, ValueError):
+                continue
+            t = frames.shape[0]
+            if not t:
+                continue
+            kk = min(self.k, t)
+            for j, fi in enumerate(((np.arange(kk) * t) // kk).tolist()):
+                ids.append(mid)
+                fidx.append(fi)
+                # Y4M planes -> a grayscale-ish RGB render of the Y plane
+                # (chroma planes are not RGB; luma is the visual content)
+                y = frames[fi, :, :, 0]
+                payloads.append(encode_bmp(np.repeat(y[:, :, None], 3, axis=2)))
+                ws.append(frames.shape[2])
+                hs.append(frames.shape[1])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_index": pa.array(fidx, pa.int32()),
+                "kind": pa.array(["image"] * len(ids), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
             }
         )
 
@@ -304,7 +460,21 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             ws.append(0)
             hs.append(0)
             durs.append(ms)
-        else:
+        elif i % 2 == 0:  # real decodable video (Y4M C444)
+            w, h, t = 16, 12, 5 + (i % 4)
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.uint8)
+            frames = np.stack(
+                [np.stack([(yy * 16 + xx + 7 * fi) % 256,
+                           np.full((h, w), 128, np.uint8),
+                           np.full((h, w), 128, np.uint8)], axis=-1)
+                 for fi in range(t)]
+            ).astype(np.uint8)
+            payloads.append(encode_y4m(frames, fps=(25, 1)))
+            mimes.append("video/x-yuv4mpeg")
+            ws.append(w)
+            hs.append(h)
+            durs.append(t * 40)
+        else:  # opaque compressed-container stand-in (stays gated)
             payloads.append(rng.bytes(128 + i))
             mimes.append("application/octet-stream")
             ws.append(0)

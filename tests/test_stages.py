@@ -344,6 +344,41 @@ def test_wav_roundtrip_and_features():
     assert 0.3 < f[2] < 0.5  # sine RMS ~ 0.49 * amplitude(0.49)
 
 
+def test_y4m_roundtrip_and_frame_sampling():
+    import numpy as np
+
+    from monocator_ray.stages.media import (
+        PureCodec, VideoFrameSampler, decode_y4m, encode_y4m, sample_frames,
+        synth_media_table,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = rng.randint(0, 256, size=(6, 10, 14, 3), dtype=np.uint8)
+    blob = encode_y4m(frames, fps=(30, 1))
+    back, fps = decode_y4m(blob)
+    assert fps == (30, 1)
+    assert np.array_equal(back, frames)  # exact roundtrip
+    # sampling: deterministic evenly spaced, first frame always included
+    s = sample_frames(frames, 3)
+    assert s.shape == (3, 10, 14, 3)
+    assert np.array_equal(s[0], frames[0]) and np.array_equal(s[1], frames[2])
+    # chroma subsampling other than 444 is gated, not mis-decoded
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
+    # features: video_features reports dims + frame count
+    f = PureCodec().video_features(frames, (30, 1))
+    assert f[1] == 14 and f[2] == 10 and f[13] == 6
+    # frame sampler explodes video rows into decodable BMP image rows
+    tbl = synth_media_table(12)
+    out = VideoFrameSampler(k=3)(tbl)
+    assert out.num_rows > 0
+    assert set(out["kind"].to_pylist()) == {"image"}
+    img = PureCodec().decode_image(out["payload"][0].as_py())
+    assert img.shape == (12, 16, 3)
+
+
 def test_compressed_formats_gated():
     import pytest as _pytest
 
@@ -379,7 +414,13 @@ def test_media_pipeline_plumbing():
         by_kind.setdefault(r["kind"], []).append(r)
     assert all(r["decoded"] == 1 for r in by_kind["image"])
     assert all(r["decoded"] == 1 for r in by_kind["audio"])
-    assert all(r["decoded"] == 0 for r in by_kind["video"])
+    # video rows: Y4M payloads decode for real, opaque containers fall back
+    vdec = sorted(r["decoded"] for r in by_kind["video"])
+    assert vdec[0] == 0 and vdec[-1] == 1
+    for r in by_kind["video"]:
+        if r["decoded"]:
+            assert r["width"] == 16 and r["height"] == 12
+            assert r["feature"][13] >= 5  # frame count
     # decoded image dims come from the actual BMP header
     img0 = by_kind["image"][0]
     assert img0["width"] > 0 and img0["height"] > 0
