@@ -62,6 +62,8 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "top_terms",
     "token_quantiles",
+    "contamination",
+    "boilerplate_lines",
 ]
 
 

@@ -30,6 +30,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.ann import (
@@ -42,6 +43,7 @@ from monocator_ray.stages.ann import (
 from monocator_ray.stages.dedup import (
     MinHasher,
     NgramExploder,
+    ngram_hashes,
     SimHasher,
     connected_components,
     explode_bands,
@@ -297,6 +299,156 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
         .map_batches(cached_stage(MediaFeatureExtractor), batch_format="pyarrow", batch_size=32)
         .select_columns(["media_id", "kind", "decoded", "width", "height", "n_bytes"])
         .sort("media_id")
+    )
+
+
+@ray.remote
+def _eval_grams_task(docs_path: str, n: int, eval_max_id: int) -> np.ndarray:
+    """Distinct n-gram hashes of the eval set, built in ONE worker task
+    (predicate-pushdown read of the eval rows only) -> sorted uint64.  The
+    eval set is bounded by construction (a benchmark, not the corpus)."""
+    t = pq.read_table(docs_path, columns=["doc_id", "text"],
+                      filters=pc.field("doc_id") < eval_max_id)
+    per = [ngram_hashes(x or "", n) for x in t["text"].to_pylist()]
+    return np.unique(np.concatenate(per)) if per else np.empty(0, np.uint64)
+
+
+class ContaminationScorer:
+    """map_batches: per corpus doc, distinct-gram count and overlap count
+    against the broadcast eval-gram set (sorted uint64 membership via
+    searchsorted).  Emits only contaminated rows (n_overlap > 0)."""
+
+    def __init__(self, ref, n: int, eval_max_id: int):
+        self.eval_grams = ray.get(ref)  # shared-memory numpy, zero-copy
+        self.ngram_hashes = ngram_hashes
+        self.n = n
+        self.eval_max_id = eval_max_id
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ids >= self.eval_max_id
+        out_id, out_n, out_ov = [], [], []
+        ev = self.eval_grams
+        for i in np.nonzero(keep)[0]:
+            g = self.ngram_hashes(batch["text"][int(i)].as_py() or "", self.n)
+            if not g.size:
+                continue
+            idx = np.searchsorted(ev, g)
+            idx[idx == len(ev)] = 0
+            ov = int((ev[idx] == g).sum()) if len(ev) else 0
+            if ov:
+                out_id.append(int(ids[i]))
+                out_n.append(int(g.size))
+                out_ov.append(ov)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_grams": pa.array(out_n, pa.int64()),
+             "n_overlap": pa.array(out_ov, pa.int64())}
+        )
+
+
+def q_contamination(sf_dir: str, n: int = 3, eval_max_id: int = 10) -> rd.Dataset:
+    """Benchmark decontamination (the train-corpus hygiene pass every LLM
+    pipeline runs): flag corpus documents sharing word n-grams with a held
+    eval set.  The eval set here is derived deterministically from the same
+    table (doc_id < eval_max_id) so the sandbox needs no external data.
+
+    Scale shape: eval grams are the SMALL side -> built once in a worker
+    task, broadcast via ray.put, membership-tested vectorized inside
+    map_batches (the broadcast-join rule); the corpus streams.  Gram
+    convention identical to ngram_jaccard_pairs (64-bit SipHash of the
+    oracle's gram string; collision analysis in that docstring)."""
+    ensure_shipped()
+    ref = ray.put(ray.get(_eval_grams_task.remote(
+        f"{sf_dir}/documents.parquet", n, eval_max_id)))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return (
+        ds.map_batches(cached_stage(ContaminationScorer, ref=ref, n=n,
+                                    eval_max_id=eval_max_id),
+                       batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
+class LineCounter:
+    """map_batches pass-1 partial: (line_hash, n) occurrence counts within
+    the batch (lines = raw chr(10) splits, hash of the exact line string)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lines: list[str] = []
+        for t in batch["text"].to_pylist():
+            lines.extend((t or "").split("\n"))
+        if lines:
+            vals, counts = np.unique(hash_str64(lines), return_counts=True)
+        else:
+            vals, counts = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return pa.table(
+            {"line_hash": pa.array(vals.view(np.int64), pa.int64()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+
+class BoilerplateMarker:
+    """map_batches pass-2: per doc, count lines whose corpus frequency
+    exceeds the threshold (membership against the broadcast hot-line set)."""
+
+    def __init__(self, ref):
+        self.hot = ray.get(ref)  # sorted int64 line hashes
+        self.hash_str64 = hash_str64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        kept = np.zeros(len(ids), np.int64)
+        dropped = np.zeros(len(ids), np.int64)
+        hot = self.hot
+        for i, t in enumerate(batch["text"].to_pylist()):
+            lines = (t or "").split("\n")
+            h = self.hash_str64(lines).view(np.int64)
+            if len(hot):
+                idx = np.searchsorted(hot, h)
+                idx[idx == len(hot)] = 0
+                isdrop = hot[idx] == h
+            else:
+                isdrop = np.zeros(len(h), bool)
+            dropped[i] = int(isdrop.sum())
+            kept[i] = len(lines) - dropped[i]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_kept": pa.array(kept, pa.int64()),
+             "n_dropped": pa.array(dropped, pa.int64())}
+        )
+
+
+def q_boilerplate_lines(sf_dir: str, max_freq: int = 5) -> rd.Dataset:
+    """Corpus-frequency boilerplate line removal (C4/RefinedWeb-style: a
+    line appearing in the corpus more than ``max_freq`` times is navigation
+    / footer boilerplate, not content).
+
+    Scale shape: the classic two-pass aggregate-then-broadcast — pass 1
+    computes exact line frequencies (per-batch partial counts ->
+    partitioned Arrow-native sum), keeps only the heavy hitters
+    (> max_freq: a corpus-frequency distribution's small tail — the
+    broadcast side is bounded the way any hot-key set is), broadcasts their
+    hashes; pass 2 streams the corpus once more and counts kept/dropped
+    lines per doc vectorized.  No shuffle ever touches the documents
+    themselves."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+    counts = partitioned_aggregate(
+        ds.map_batches(cached_stage(LineCounter), batch_format="pyarrow"),
+        ["line_hash"], [("n", "sum")], ["line_hash", "n"], num_parts=32,
+    ).map_batches(
+        lambda t: t.filter(pc.greater(t["n"], max_freq)).select(["line_hash"]),
+        batch_format="pyarrow",
+    )
+    hot_tbl = _collect_table(counts.materialize())
+    hot = (np.sort(hot_tbl["line_hash"].to_numpy(zero_copy_only=False))
+           if hot_tbl is not None and hot_tbl.num_rows else np.empty(0, np.int64))
+    ref = ray.put(hot)
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(cached_stage(BoilerplateMarker, ref=ref), batch_format="pyarrow")
+        .sort("doc_id")
     )
 
 

@@ -251,6 +251,46 @@ REGISTRY: dict = {
         FROM c GROUP BY doc_id ORDER BY doc_id
         """,
     ),
+    # decontamination: corpus docs sharing word 3-grams with the held eval
+    # set (doc_id < 10, derived from the same table — no external data).
+    # Gram convention == ngram_jaccard_pairs (engine joins on 64-bit
+    # SipHash of the same gram string the SQL builds).
+    "contamination": (
+        D.q_contamination,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)])) AS g
+          FROM toks WHERE len(w) >= 3),
+        eval_g AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+        corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 10),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM corpus GROUP BY doc_id),
+        ov AS (SELECT c.doc_id, COUNT(*) AS n_overlap
+               FROM corpus c JOIN eval_g USING (g) GROUP BY c.doc_id)
+        SELECT s.doc_id, s.n_grams, o.n_overlap
+        FROM sizes s JOIN ov o USING (doc_id) ORDER BY s.doc_id
+        """,
+    ),
+    # corpus-frequency boilerplate lines: a line occurring > 5 times across
+    # the corpus is boilerplate; per-doc kept/dropped line counts.
+    "boilerplate_lines": (
+        D.q_boilerplate_lines,
+        """
+        WITH l AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          FROM documents),
+        freq AS (SELECT line, COUNT(*) AS n FROM l GROUP BY line)
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN n <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM l JOIN freq USING (line) GROUP BY doc_id ORDER BY doc_id
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
