@@ -238,17 +238,25 @@ def screenshot_candidates(out_dir: str, mode: str, prev_out_dir: str | None = No
     (html_sha256 differs from the previous run — the D2 comparison the
     reference's trigger implies); `if_single_page_app` (documented public
     heuristic: script-heavy page whose visible text is a sliver of the HTML
-    and that exposes almost no links — the classic JS-shell signature).
-    `if_developed` / `if_suspicious` need heuristics the reference doesn't
-    document; they raise.  Returns (url, url_hash) rows."""
+    and that exposes almost no links — the classic JS-shell signature);
+    `if_developed` (NOT a parked/placeholder page: substantial visible text
+    or real link structure, and no domain-parking boilerplate — the
+    parked-domain heuristics of the web-measurement literature);
+    `if_suspicious` (link-farm profile or a VAT-bearing near-empty shell —
+    abuse-detection signals computable from extracted features).  The
+    reference documents only the mode NAMES (TODO.MD:62-67); the
+    `if_developed` / `if_suspicious` heuristics are OURS, threshold-tunable
+    and pinned by unit fixtures.  Returns (url, url_hash) rows."""
     from monocator_ray.schemas import SCREENSHOT_MODES
 
     if mode not in SCREENSHOT_MODES:
         raise ValueError(f"unknown screenshot mode {mode!r}")
     if mode == "if_single_page_app":
         return _spa_candidates(out_dir)
-    if mode not in ("always", "if_html_changed"):
-        raise NotImplementedError(f"mode {mode!r} needs undocumented heuristics")
+    if mode == "if_developed":
+        return _developed_candidates(out_dir)
+    if mode == "if_suspicious":
+        return _suspicious_candidates(out_dir)
     feats = _read_artifact(out_dir, "features")
     if mode == "always" or not prev_out_dir:
         # "always", or "if_html_changed" with no prior run (all pages new)
@@ -324,6 +332,89 @@ def _spa_candidates(
         return pa.table({"url": out["url"], "url_hash": out["url_hash"]})
 
     return ds.map_batches(spa, batch_format="pyarrow")
+
+
+# Domain-parking boilerplate phrases (public parked-page heuristic corpus;
+# RE2-compatible, matched case-insensitively over visible text).
+_PARKED_RE = (
+    r"(domain (is )?for sale|buy this domain|parked (free|domain)"
+    r"|domain parking|under construction|coming soon"
+    r"|this (web)?site is for sale|website coming soon)"
+)
+
+
+def _developed_candidates(
+    out_dir: str,
+    min_text_chars: int = 256,
+    min_links: int = 3,
+) -> rd.Dataset:
+    """`if_developed`: screenshot only real, developed sites — substantial
+    visible text OR a real link structure, and no parking boilerplate.
+    (Parked/placeholder pages are the bulk of a registry-wide crawl; the
+    mode exists to skip them.)"""
+    from monocator_ray.crawl.driver import artifact_files
+
+    ensure_shipped()
+    ds = sized_read_parquet(
+        artifact_files(out_dir),
+        columns=["url", "url_hash", "text", "links_internal", "links_external"],
+    )
+
+    def dev(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text = pc.fill_null(batch["text"], "")
+        text_len = pc.utf8_length(text)
+        links = pc.add(batch["links_internal"], batch["links_external"])
+        substantial = pc.or_(
+            pc.greater_equal(text_len, min_text_chars),
+            pc.greater_equal(links, min_links),
+        )
+        parked = pc.match_substring_regex(text, _PARKED_RE, ignore_case=True)
+        out = batch.filter(pc.and_(substantial, pc.invert(parked)))
+        return pa.table({"url": out["url"], "url_hash": out["url_hash"]})
+
+    return ds.map_batches(dev, batch_format="pyarrow")
+
+
+def _suspicious_candidates(
+    out_dir: str,
+    min_ext_links: int = 10,
+    ext_dominance: int = 5,
+    max_shell_text_chars: int = 200,
+) -> rd.Dataset:
+    """`if_suspicious`: abuse-shaped pages worth visual evidence — an
+    external-dominant link profile (link farm / redirect hub: many external
+    links, ~no internal structure) or a VAT-number-bearing page with almost
+    no visible text (shell-shop signature).  Signals come from columns the
+    extractor already computed; thresholds keyword-tunable."""
+    from monocator_ray.crawl.driver import artifact_files
+
+    ensure_shipped()
+    ds = sized_read_parquet(
+        artifact_files(out_dir),
+        columns=["url", "url_hash", "text", "links_internal", "links_external",
+                 "vat_numbers"],
+    )
+
+    def sus(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        text_len = pc.utf8_length(pc.fill_null(batch["text"], ""))
+        li = pc.cast(batch["links_internal"], pa.int64())
+        le = pc.cast(batch["links_external"], pa.int64())
+        linkfarm = pc.and_(
+            pc.greater_equal(le, min_ext_links),
+            pc.greater_equal(le, pc.multiply(pc.max_element_wise(li, 1), ext_dominance)),
+        )
+        n_vat = pc.fill_null(pc.list_value_length(batch["vat_numbers"]), 0)
+        shell_shop = pc.and_(
+            pc.greater(n_vat, 0), pc.less(text_len, max_shell_text_chars)
+        )
+        out = batch.filter(pc.or_(linkfarm, shell_shop))
+        return pa.table({"url": out["url"], "url_hash": out["url_hash"]})
+
+    return ds.map_batches(sus, batch_format="pyarrow")
 
 
 def approx_distinct_urls(out_dir: str, p: int = 12) -> float:

@@ -121,12 +121,13 @@ def test_screenshot_modes(tmp_path):
     # no previous run: everything is "changed"
     all_changed = report.screenshot_candidates(str(out1), "if_html_changed", None).count()
     assert all_changed == n_pages
-    with pytest.raises(NotImplementedError):
-        report.screenshot_candidates(str(out1), "if_suspicious")
     with pytest.raises(ValueError):
         report.screenshot_candidates(str(out1), "nope")
     # synth pages are text-rich multi-link pages: none is a single-page app
     assert report.screenshot_candidates(str(out1), "if_single_page_app").count() == 0
+    # ... every one of them is a developed site, and none is abuse-shaped
+    assert report.screenshot_candidates(str(out1), "if_developed").count() == n_pages
+    assert report.screenshot_candidates(str(out1), "if_suspicious").count() == 0
 
 
 @pytest.mark.usefixtures("ray_session")
