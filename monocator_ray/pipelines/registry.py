@@ -158,6 +158,28 @@ REGISTRY: dict = {
         ORDER BY event_type, window_start
         """,
     ),
+    "event_asof_purchase": (
+        R.q_event_asof_purchase,
+        """
+        WITH p AS (
+          SELECT user_id, ts, arg_max(value, event_id) AS pvalue
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+        )
+        SELECT e.event_id, CAST(ROUND(p.pvalue*100) AS BIGINT) AS last_purchase_cents
+        FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        ORDER BY event_id
+        """,
+    ),
+    "event_error_window": (
+        R.q_event_error_window,
+        """
+        SELECT e.event_id, COUNT(x.ts) AS n_errors_5m
+        FROM events e LEFT JOIN events x
+          ON x.user_id = e.user_id AND x.event_type = 'error'
+          AND x.ts > e.ts AND x.ts <= e.ts + INTERVAL 5 MINUTE
+        GROUP BY e.event_id ORDER BY e.event_id
+        """,
+    ),
     "user_sessions": (
         R.q_user_sessions,
         """

@@ -440,3 +440,73 @@ def q_props_json(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort("k_bucket")
     )
+
+
+# ---- events: AS-OF join (stages/joins.py; operator Ray Data lacks) ----
+def q_event_asof_purchase(sf_dir: str) -> rd.Dataset:
+    """For every event, the value (cents) of that user's most recent
+    purchase at or before the event (NULL when none) — the classic as-of
+    join ("latest quote at or before each trade") over the events table,
+    expressed with :func:`monocator_ray.stages.joins.asof_join`: one hash
+    partition by user, a vectorized forward-fill inside each partition, no
+    per-key Python dispatch.  Oracle: DuckDB ASOF LEFT JOIN."""
+    from monocator_ray.stages.joins import asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def shape_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("purchase")))
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "last_purchase_cents": _cents(t["value"]),
+            }
+        )
+
+    right = _read(
+        sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"]
+    ).map_batches(shape_right, batch_format="pyarrow")
+    out = asof_join(
+        left,
+        right,
+        key="user_id",
+        on="ts",
+        left_cols={"event_id": pa.int64()},
+        value_cols={"last_purchase_cents": pa.int64()},
+        tiebreak="event_id",
+    )
+    return out.sort("event_id")
+
+
+# ---- events: RANGE join (stages/joins.py; interval predicate) ----
+def q_event_error_window(sf_dir: str) -> rd.Dataset:
+    """Per event, how many 'error' events the same user produced within the
+    following 5 minutes (exclusive of the event's own instant) — an interval
+    self-join via :func:`monocator_ray.stages.joins.range_join_count`: one
+    hash partition by user, counts from one sorted prefix-sum timeline per
+    partition (never materializing the qualifying pairs).  Oracle: DuckDB
+    inequality LEFT JOIN + COUNT."""
+    from monocator_ray.stages.joins import range_join_count
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def shape_right(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], pa.scalar("error")))
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"]})
+
+    right = _read(sf_dir, "events", ["user_id", "ts", "event_type"]).map_batches(
+        shape_right, batch_format="pyarrow"
+    )
+    out = range_join_count(
+        left,
+        right,
+        key="user_id",
+        on="ts",
+        lo=np.timedelta64(0, "s"),
+        hi=np.timedelta64(5 * 60, "s"),
+        left_cols={"event_id": pa.int64()},
+        count_name="n_errors_5m",
+    )
+    return out.sort("event_id")

@@ -1,0 +1,128 @@
+"""Kernel tests for stages/joins.py (as-of + range join) against
+brute-force Python oracles on adversarial data: duplicate timestamps
+(tiebreak path), keys present on only one side, empty right side, and
+several partition counts (a key's rows must land wholly in one partition
+for either kernel to be exact)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from monocator_ray.stages.joins import asof_join, range_join_count
+
+
+def _mk_sides(seed: int, n_left: int = 400, n_right: int = 300, n_keys: int = 12):
+    """Timestamps drawn from a COARSE grid so ties are common."""
+    rng = np.random.RandomState(seed)
+    base = np.datetime64("2024-01-01", "us")
+    left = pd.DataFrame(
+        {
+            "event_id": np.arange(n_left, dtype=np.int64),
+            "user_id": rng.randint(0, n_keys, n_left).astype(np.int64),
+            "ts": base + rng.randint(0, 50, n_left).astype("timedelta64[m]").astype("timedelta64[us]"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, n_keys + 4, n_right).astype(np.int64),  # some keys only on right
+            "ts": base + rng.randint(0, 50, n_right).astype("timedelta64[m]").astype("timedelta64[us]"),
+            "event_id": np.arange(1000, 1000 + n_right, dtype=np.int64),
+            "val": rng.randint(0, 10_000, n_right).astype(np.int64),
+        }
+    )
+    # a key with NO right rows at all
+    left.loc[left.index[:20], "user_id"] = n_keys + 100
+    return left, right
+
+
+def _asof_oracle(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    out = []
+    for _, e in left.iterrows():
+        cand = right[(right.user_id == e.user_id) & (right.ts <= e.ts)]
+        if len(cand):
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            out.append((e.event_id, best.val))
+        else:
+            out.append((e.event_id, None))
+    return pd.DataFrame(out, columns=["event_id", "val"]).astype({"event_id": np.int64})
+
+
+def _range_oracle(left: pd.DataFrame, right: pd.DataFrame, lo, hi) -> pd.DataFrame:
+    out = []
+    for _, e in left.iterrows():
+        cand = right[(right.user_id == e.user_id) & (right.ts > e.ts + lo) & (right.ts <= e.ts + hi)]
+        out.append((e.event_id, len(cand)))
+    return pd.DataFrame(out, columns=["event_id", "n"]).astype(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,num_parts", [(1, 1), (2, 7), (3, 64)])
+def test_asof_join_matches_bruteforce(seed, num_parts):
+    left, right = _mk_sides(seed)
+    got = (
+        asof_join(
+            rd.from_pandas(left),
+            rd.from_pandas(right),
+            key="user_id",
+            on="ts",
+            left_cols={"event_id": pa.int64()},
+            value_cols={"val": pa.int64()},
+            tiebreak="event_id",
+            num_parts=num_parts,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = _asof_oracle(left, right)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(
+        got["val"].astype("float64"), want["val"].astype("float64"), check_names=False
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("seed,num_parts", [(4, 1), (5, 64)])
+def test_range_join_count_matches_bruteforce(seed, num_parts):
+    left, right = _mk_sides(seed)
+    lo, hi = np.timedelta64(0, "m"), np.timedelta64(10, "m")
+    got = (
+        range_join_count(
+            rd.from_pandas(left),
+            rd.from_pandas(right.drop(columns=["event_id", "val"])),
+            key="user_id",
+            on="ts",
+            lo=lo,
+            hi=hi,
+            left_cols={"event_id": pa.int64()},
+            count_name="n",
+            num_parts=num_parts,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = _range_oracle(left, right, lo, hi)
+    assert got["n"].tolist() == want["n"].tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_joins_with_empty_right_side():
+    left, right = _mk_sides(9)
+    empty = right.iloc[:0]
+    a = asof_join(
+        rd.from_pandas(left), rd.from_pandas(empty),
+        key="user_id", on="ts",
+        left_cols={"event_id": pa.int64()}, value_cols={"val": pa.int64()},
+        tiebreak="event_id",
+    ).to_pandas()
+    assert len(a) == len(left) and a["val"].isna().all()
+    r = range_join_count(
+        rd.from_pandas(left), rd.from_pandas(empty.drop(columns=["event_id", "val"])),
+        key="user_id", on="ts", lo=0, hi=10**9,
+        left_cols={"event_id": pa.int64()}, count_name="n",
+    ).to_pandas()
+    assert len(r) == len(left) and (r["n"] == 0).all()
