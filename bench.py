@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "token_quantiles",
     "contamination",
     "boilerplate_lines",
+    "stratified_sample",
 ]
 
 

@@ -284,6 +284,47 @@ def q_token_quantiles(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# ---- stratified sampling (corpus balancing; oracle-checked) ----
+def _mix32(x: np.ndarray) -> np.ndarray:
+    """32-bit multiplicative mixer (Knuth + xorshift finalizer) written in
+    int64-safe arithmetic so the EXACT same expression runs as DuckDB
+    BIGINT SQL (every intermediate < 2^63, so neither side overflows).
+    Input is folded mod 2^31 first (a sampling hash, not an identity;
+    the fold keeps the first product under 2^63 for ANY int64 id)."""
+    a = (x.astype(np.int64) % 2**31) * 2654435761 % 2**32
+    b = a ^ (a >> 16)
+    # exact (b * C) mod 2^32 without exceeding int64: 16-bit split —
+    # the SQL side computes the same product via a HUGEINT cast
+    c_hi = (b >> 16) * 2246822519 % 2**32
+    c = ((c_hi << 16) + (b & 0xFFFF) * 2246822519) % 2**32
+    return c ^ (c >> 13)
+
+
+def q_stratified_sample(sf_dir: str) -> rd.Dataset:
+    """Deterministic language-balanced sample: keep a document iff
+    ``mix32(doc_id) % count(lang) < min_lang_count`` — each language's
+    expected sample size is exactly ``min_lang_count`` (the modulo makes the
+    per-language rate ``min/cnt`` in EXACT integer arithmetic, so the DuckDB
+    oracle reproduces the selection bit-for-bit; no floats, no RNG state).
+
+    Scale shape: pass 1 is an O(langs) count (per-batch partials, tiny
+    driver combine); pass 2 broadcasts the O(langs) count map into a
+    vectorized filter — sampling never shuffles, and re-running on a grown
+    corpus is a pure function of (doc_id, lang counts)."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    counts = driver_grouped_agg(ds, ["lang"], [("doc_id", "count")], ["lang", "cnt"])
+    cnt = dict(zip(counts["lang"], counts["cnt"].astype(int)))
+    mn = min(cnt.values())
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _mix32(ids)
+        nlang = pd.Series(t["lang"].to_pandas()).map(cnt).to_numpy(np.int64)
+        return t.filter(pa.array((h % nlang) < mn))
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
+
+
 # ---- multimodal: media decode + feature extraction (rows-only) ----
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Deterministic synthetic media rows (real BMP images + WAV audio,

@@ -313,6 +313,22 @@ REGISTRY: dict = {
         FROM l JOIN freq USING (line) GROUP BY doc_id ORDER BY doc_id
         """,
     ),
+    "stratified_sample": (
+        D.q_stratified_sample,
+        """
+        WITH
+        h1 AS (SELECT doc_id, lang, (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM documents),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, lang, xor(_c, _c >> 13) AS h32 FROM h3),
+        cnt AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+        m AS (SELECT MIN(n_lang) AS mn FROM cnt)
+        SELECT hashed.doc_id, hashed.lang
+        FROM hashed JOIN cnt USING (lang) CROSS JOIN m
+        WHERE h32 % n_lang < mn
+        ORDER BY doc_id
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
