@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "contamination",
     "boilerplate_lines",
     "stratified_sample",
+    "pagerank",
 ]
 
 

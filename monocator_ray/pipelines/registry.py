@@ -12,6 +12,7 @@ sf=0.01 and compares row-count + schema + order-insensitive value hash, so:
 from __future__ import annotations
 
 from monocator_ray.pipelines import docs as D
+from monocator_ray.pipelines import graph as G
 from monocator_ray.pipelines import relational as R
 
 
@@ -445,4 +446,7 @@ REGISTRY: dict = {
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
+    # integer fixed-point PageRank over the derived part-supplier graph —
+    # BIGINT floor math on both sides, so it hash-matches exactly
+    "pagerank": (G.q_pagerank, G.PAGERANK_SQL),
 }

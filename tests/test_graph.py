@@ -1,0 +1,58 @@
+"""PageRank (pipelines/graph.py): integer-kernel properties plus the
+small-vs-large adaptive-plan equivalence (the DuckDB oracle match itself is
+covered by tests/test_queries_oracle.py via the registry)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_pagerank_int_ring_is_uniform():
+    from monocator_ray.pipelines.graph import SCALE, pagerank_int
+
+    # symmetric ring: perfectly regular graph -> stationary == uniform,
+    # and the integer kernel must preserve that exactly at every step
+    n = 10
+    src = np.concatenate([np.arange(n), np.arange(n)])
+    dst = np.concatenate([(np.arange(n) + 1) % n, (np.arange(n) - 1) % n])
+    nodes, r = pagerank_int(src.astype(np.int64), dst.astype(np.int64))
+    assert len(nodes) == n
+    assert len(np.unique(r)) == 1
+    # total mass stays within iters * N floor-loss of SCALE (the ring's
+    # divisions happen to be exact, so the loss here is exactly 0)
+    assert 0 <= SCALE - r.sum() < 3 * 4 * n * 100
+
+
+def test_pagerank_int_star_center_dominates():
+    from monocator_ray.pipelines.graph import pagerank_int
+
+    # star K_{1,8} symmetrized: center collects mass from every leaf
+    leaves = np.arange(1, 9, dtype=np.int64)
+    src = np.concatenate([np.zeros(8, np.int64), leaves])
+    dst = np.concatenate([leaves, np.zeros(8, np.int64)])
+    nodes, r = pagerank_int(src, dst)
+    center = r[np.searchsorted(nodes, 0)]
+    assert (center > r[np.searchsorted(nodes, leaves)]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pagerank_large_path_matches_small():
+    """Forcing the edge threshold to 0 routes sf0.001 through the
+    distributed (broadcast-contrib, static-edge-partition) path; results
+    must be bit-identical to the driver numpy kernel."""
+    import monocator_ray.pipelines.graph as graph
+
+    small = graph.q_pagerank(SF_SMALL).to_pandas()
+    old = graph._SMALL_EDGES
+    graph._SMALL_EDGES = 0
+    try:
+        large = graph.q_pagerank(SF_SMALL).to_pandas()
+    finally:
+        graph._SMALL_EDGES = old
+    assert len(small) > 0
+    pd.testing.assert_frame_equal(
+        small.sort_values("node").reset_index(drop=True),
+        large.sort_values("node").reset_index(drop=True),
+    )
