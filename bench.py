@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "boilerplate_lines",
     "stratified_sample",
     "pagerank",
+    "tfidf_top_terms",
 ]
 
 

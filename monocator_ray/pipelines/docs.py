@@ -325,6 +325,84 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
 
 
+# ---- per-document TF-IDF top terms (exact integer scoring; oracle) ----
+def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Top-``k`` terms per document by EXACT integer TF-IDF-style weight
+    ``score = tf * n_docs // df`` (ties: term ASC) — the float ``log`` of
+    textbook TF-IDF is replaced by a rational inverse-frequency weight so
+    the DuckDB oracle is bit-identical (same ranking behavior: monotone in
+    tf and in 1/df).  Tokenization is RE2-pinned like ``q_top_terms``.
+
+    Scale shape: (1) one streaming pass explodes each doc into DISTINCT
+    (doc_id, term, tf) rows — token arrays never leave the batch, the
+    per-doc grouping is a single lexsort + run detection; (2) term-hash
+    partitions: every term's rows land wholly in one partition, so df is a
+    local run length and the score attaches without a join; (3) doc-hash
+    partitions: per-doc top-k is a local sort inside the partition.  The
+    driver never holds the vocabulary or the pair table; two shuffles
+    total, both on pre-reduced rows (distinct doc-term pairs, not tokens)."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks: list[np.ndarray] = []
+        doc_of: list[np.ndarray] = []
+        for i, s in enumerate(t["text"].to_pylist()):
+            if not s:
+                continue
+            arr = np.array(_WS_SPLIT.split(s.strip(" ")), dtype=object)
+            arr = arr[arr != ""]
+            if len(arr):
+                toks.append(arr)
+                doc_of.append(np.full(len(arr), ids[i], dtype=np.int64))
+        if not toks:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        words = np.concatenate(toks)
+        docs = np.concatenate(doc_of)
+        order = np.lexsort((words, docs))
+        words, docs = words[order], docs[order]
+        starts, ends = run_boundaries(docs, words)
+        return pa.table({"doc_id": pa.array(docs[starts], pa.int64()),
+                         "term": pa.array(words[starts], pa.string()),
+                         "tf": pa.array((ends - starts).astype(np.int64), pa.int64())})
+
+    def score_part(t: pa.Table) -> pa.Table:
+        words = t["term"].to_numpy(zero_copy_only=False)
+        order = np.argsort(words, kind="mergesort")
+        t = t.take(pa.array(order))
+        words = words[order]
+        starts, ends = run_boundaries(words)
+        df = np.repeat((ends - starts).astype(np.int64), ends - starts)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "score": pa.array(tf * n_docs // df, pa.int64())})
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True], kind="mergesort"
+        )
+        df = df.groupby("doc_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = ds.map_batches(explode_tf, batch_format="pyarrow")
+    scored = hash_partitioned(
+        pairs, lambda t: [hash_str64(t["term"].to_pylist())], score_part, num_parts=32
+    )
+    out = hash_partitioned(
+        scored,
+        lambda t: [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        topk_part,
+        num_parts=32,
+    )
+    return out.sort(["doc_id", "term"])
+
+
 # ---- multimodal: media decode + feature extraction (rows-only) ----
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Deterministic synthetic media rows (real BMP images + WAV audio,

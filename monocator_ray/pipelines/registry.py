@@ -330,6 +330,25 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    "tfidf_top_terms": (
+        D.q_tfidf_top_terms,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE term <> ''
+               GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (SELECT doc_id, tf.term AS term, tf.tf * n_docs // df.df AS score
+                   FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        ranked AS (SELECT *, row_number() OVER
+                     (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+                   FROM scored)
+        SELECT doc_id, term, score FROM ranked WHERE rk <= 3
+        ORDER BY doc_id, term
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
