@@ -63,6 +63,27 @@ def _key_order(c: dict) -> np.ndarray:
     return np.lexsort((c["url_hash"], c["discovery_time"], c["host_hash"], c["depth"]))
 
 
+def _pack_keys(c: dict) -> np.ndarray:
+    """Order-preserving byte encoding of the priority key: big-endian
+    (depth, host_hash, discovery_time, url_hash) packed into one ``|S28``
+    per row, signed fields offset so unsigned byte order == numeric order.
+    Lexicographic comparison of these keys is EXACTLY the _key_order
+    comparison — lets the frontier keep ONE cached sorted key column and
+    merge new offers as a sorted run instead of re-lexsorting everything."""
+    n = len(c["depth"])
+    buf = np.empty((n, 28), np.uint8)
+    buf[:, 0:4] = (
+        (c["depth"].astype(np.int64) + 2**31).astype(">u4").view(np.uint8).reshape(n, 4)
+    )
+    buf[:, 4:12] = c["host_hash"].astype(">u8").view(np.uint8).reshape(n, 8)
+    buf[:, 12:20] = (
+        (c["discovery_time"].astype(np.uint64) ^ np.uint64(1 << 63))
+        .astype(">u8").view(np.uint8).reshape(n, 8)
+    )
+    buf[:, 20:28] = c["url_hash"].astype(">u8").view(np.uint8).reshape(n, 8)
+    return buf.reshape(-1).view("|S28")
+
+
 def _take(c: dict, idx: np.ndarray) -> dict:
     return {
         k: (v.take(pa.array(idx)) if isinstance(v, pa.Array) else v[idx])
@@ -117,8 +138,11 @@ class FrontierShard:
         self.seen = SeenSet()
         self.filter = CuckooFilter(seen_capacity)
         # frontier: columnar struct-of-arrays, SORTED by the priority key
-        # (depth, host_hash, discovery_time, url_hash) at all times
+        # (depth, host_hash, discovery_time, url_hash) at all times; _fkey
+        # caches the packed byte key of every row (same order) so a flush
+        # is a sorted-run MERGE, not a full lexsort (ROUND_NOTES r2 idea 4)
         self._f = _empty_cols()
+        self._fkey = np.empty(0, "|S28")
         # host_hash -> [tokens_ms, delay_ms, fetched, last_epoch, cap]
         self.hosts: dict[int, list] = {}
         # peek/pop handshake: indices into self._f arrays, priority order
@@ -188,6 +212,17 @@ class FrontierShard:
             "parent_url_hash": sub["parent_url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64),
             "url": sub["url"].combine_chunks().cast(pa.string()),
         }
+        # sorted-run merge: sort only the n fresh rows, then place both runs
+        # by rank (two searchsorted probes + one O(F+n) permutation) — the
+        # epoch's flush cost is O(F) data movement instead of a 4-key
+        # lexsort of old+new.  Tie order matches the old stable lexsort of
+        # [old; fresh]: equal keys keep old rows first ('left'/'right'
+        # sides), fresh rows in arrival order (stable argsort).
+        new_keys = _pack_keys(fresh)
+        order_new = np.argsort(new_keys, kind="stable")
+        new_keys = new_keys[order_new]
+        fresh = _take(fresh, order_new)
+        nf = len(self._fkey)
         merged = {
             k: (
                 pa.concat_arrays([self._f[k], fresh[k]])
@@ -196,9 +231,18 @@ class FrontierShard:
             )
             for k in self._f
         }
-        # full re-sort of old+new; a sorted-run merge would make this O(F),
-        # but lexsort is C-speed and epochs add a small fraction of F
-        self._f = _take(merged, _key_order(merged))
+        # one searchsorted in the CHEAP direction only (many probes into the
+        # small fresh run stays cache-resident; probing the big run was
+        # measured ~20x slower per probe); the fresh rows' positions are
+        # the complement, in order, since both runs are sorted
+        pos_old = np.arange(nf, dtype=np.int64) + np.searchsorted(new_keys, self._fkey, side="left")
+        perm = np.empty(nf + n_new, dtype=np.int64)
+        mask = np.ones(nf + n_new, dtype=bool)
+        mask[pos_old] = False
+        perm[pos_old] = np.arange(nf, dtype=np.int64)
+        perm[mask] = nf + np.arange(n_new, dtype=np.int64)
+        self._f = _take(merged, perm)
+        self._fkey = np.concatenate([self._fkey, new_keys])[perm]
 
     def _advance_tokens(self, st: list, epoch: int) -> None:
         tokens, delay, _fetched, last = st[0], st[1], st[2], st[3]
@@ -308,6 +352,7 @@ class FrontierShard:
                 k: (v.filter(pa.array(keep)) if isinstance(v, pa.Array) else v[keep])
                 for k, v in f.items()
             }
+            self._fkey = self._fkey[keep]
         self._staged_idx = None
         self._drop_idx = []
         if out is None:
@@ -383,6 +428,7 @@ class FrontierShard:
             "url": f["url"].combine_chunks().cast(pa.string()),
         }
         self._f = _take(cols, _key_order(cols))
+        self._fkey = _pack_keys(self._f)
         hashes = state["seen"]["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
         self.seen = SeenSet.from_sorted(hashes)
         self.filter = CuckooFilter(max(1 << 20, 2 * len(self.seen)))

@@ -1,0 +1,90 @@
+"""FrontierShard's sorted-run flush merge (state/shards.py:_pack_keys +
+the searchsorted placement) must order rows EXACTLY like the old stable
+lexsort of [existing; fresh-in-arrival-order] — the crawl exact-order
+contract depends on it.  Property-tested with adversarial ties."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _rand_cols(rng, n, tie_heavy):
+    # tiny value ranges force massive key collisions when tie_heavy
+    hi_d = 2 if tie_heavy else 6
+    hi_h = 3 if tie_heavy else 50
+    hi_t = 3 if tie_heavy else 1000
+    hi_u = 4 if tie_heavy else 10**6
+    return {
+        "depth": rng.integers(0, hi_d, n).astype(np.int32),
+        "host_hash": rng.integers(0, hi_h, n).astype(np.uint64),
+        "discovery_time": rng.integers(0, hi_t, n).astype(np.int64),
+        "url_hash": rng.integers(0, hi_u, n).astype(np.uint64),
+        "parent_url_hash": rng.integers(0, 10, n).astype(np.uint64),
+        "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+    }
+
+
+def test_pack_keys_order_equals_lexsort_order():
+    from monocator_ray.state.shards import _key_order, _pack_keys
+
+    rng = np.random.default_rng(7)
+    for tie_heavy in (False, True):
+        c = _rand_cols(rng, 5000, tie_heavy)
+        # include sign-edge values for the signed fields
+        c["depth"][0] = np.int32(0)
+        c["discovery_time"][1] = np.int64(2**62)
+        keys = _pack_keys(c)
+        # stable argsort of packed keys == stable lexsort of the tuple key
+        assert np.array_equal(np.argsort(keys, kind="stable"), _key_order(c))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    n_old=st.integers(0, 200),
+    n_new=st.integers(0, 200),
+    seed=st.integers(0, 2**31),
+    tie_heavy=st.booleans(),
+)
+def test_flush_merge_matches_full_lexsort(n_old, n_new, seed, tie_heavy):
+    from monocator_ray.state.shards import FrontierShard, _key_order, _pack_keys, _take
+
+    rng = np.random.default_rng(seed)
+    shard = FrontierShard(0, 1)
+    old = _rand_cols(rng, n_old, tie_heavy)
+    shard._f = _take(old, _key_order(old))
+    shard._fkey = _pack_keys(shard._f)
+
+    fresh = _rand_cols(rng, n_new, tie_heavy)
+    # drive the real flush path via offer() (urls must be unseen: randomize
+    # url_hash widely enough that seen-dedup keeps everything)
+    fresh["url_hash"] = rng.permutation(np.arange(10**6, 10**6 + n_new)).astype(np.uint64)
+    t = pa.table(
+        {
+            "url": fresh["url"],
+            "url_hash": pa.array(fresh["url_hash"], pa.uint64()),
+            "host": pa.array(["h"] * n_new, pa.string()),
+            "host_hash": pa.array(fresh["host_hash"], pa.uint64()),
+            "depth": pa.array(fresh["depth"], pa.int32()),
+            "discovery_time": pa.array(fresh["discovery_time"], pa.int64()),
+            "parent_url_hash": pa.array(fresh["parent_url_hash"], pa.uint64()),
+        }
+    )
+    shard.offer(t)
+    shard.flush_pending()
+
+    # oracle: stable lexsort over [old-sorted; fresh-in-arrival-order]
+    ref = {
+        k: (
+            pa.concat_arrays([_take(old, _key_order(old))[k], fresh[k]])
+            if k == "url"
+            else np.concatenate([_take(old, _key_order(old))[k], fresh[k]])
+        )
+        for k in old
+    }
+    want = _take(ref, _key_order(ref))
+    got = shard._f
+    for k in ("depth", "host_hash", "discovery_time", "url_hash", "parent_url_hash"):
+        assert np.array_equal(got[k], want[k]), k
+    # cached key column stays aligned with the merged rows
+    assert np.array_equal(shard._fkey, _pack_keys(got))
