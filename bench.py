@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pagerank",
     "tfidf_top_terms",
+    "event_gaps",
 ]
 
 

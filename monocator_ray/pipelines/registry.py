@@ -330,6 +330,23 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    "event_gaps": (
+        R.q_event_gaps,
+        """
+        WITH g AS (
+          SELECT user_id,
+                 epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+          FROM events)
+        SELECT user_id,
+               COUNT(gap) AS n_gaps,
+               CAST(SUM(gap) AS BIGINT) AS sum_gap_us,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+               CAST(SUM(gap) AS BIGINT) // COUNT(gap) AS avg_gap_us
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+        """,
+    ),
     "tfidf_top_terms": (
         D.q_tfidf_top_terms,
         """

@@ -424,6 +424,64 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     ).sort("user_id")
 
 
+# ---- events: LAG window (per-user inter-event gap stats) ----
+def q_event_gaps(sf_dir: str) -> rd.Dataset:
+    """Per-user inter-event gap statistics — the LAG window function shape
+    (``ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)``),
+    rendered scale-first: one hash partition by user, then ONE vectorized
+    diff over each partition's (user, ts, event_id)-sorted timeline — no
+    per-user dispatch, no global sort.  Gaps are exact int64 microseconds
+    (timestamp[us] arithmetic) so sums/averages hash-match the oracle."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+
+    def gaps_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        empty = pa.table(
+            {"user_id": pa.array([], pa.int64()), "n_gaps": pa.array([], pa.int64()),
+             "sum_gap_us": pa.array([], pa.int64()), "max_gap_us": pa.array([], pa.int64()),
+             "avg_gap_us": pa.array([], pa.int64())}
+        )
+        if len(uid) == 0:
+            return empty
+        gap = np.empty(len(uid), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        same = np.zeros(len(uid), dtype=bool)
+        same[1:] = uid[1:] == uid[:-1]  # a gap exists only within a user run
+        starts, ends = run_boundaries(uid)
+        n_gaps = (ends - starts) - 1
+        keep = n_gaps > 0  # single-event users produce no gap row
+        if not keep.any():
+            return empty
+        gap = np.where(same, gap, 0)
+        cum = np.concatenate([[0], np.cumsum(gap)])
+        sums = (cum[ends] - cum[starts])[keep]
+        maxes = np.maximum.reduceat(np.where(same, gap, -1), starts)[keep]
+        n_gaps = n_gaps[keep]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts][keep], pa.int64()),
+                "n_gaps": pa.array(n_gaps, pa.int64()),
+                "sum_gap_us": pa.array(sums, pa.int64()),
+                "max_gap_us": pa.array(maxes, pa.int64()),
+                "avg_gap_us": pa.array(sums // n_gaps, pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        gaps_part,
+        num_parts=64,
+    ).sort("user_id")
+
+
 # ---- events: JSON props extraction (§2.8 scalar lib) ----
 def q_props_json(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", ["props"])
