@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "pagerank",
     "tfidf_top_terms",
     "event_gaps",
+    "region_rollup",
 ]
 
 

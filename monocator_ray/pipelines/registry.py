@@ -330,6 +330,20 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    "region_rollup": (
+        R.q_region_rollup,
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY region, nation
+        """,
+    ),
     "event_gaps": (
         R.q_event_gaps,
         """

@@ -424,6 +424,56 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     ).sort("user_id")
 
 
+# ---- hierarchical ROLLUP aggregate (region -> nation -> grand total) ----
+def q_region_rollup(sf_dir: str) -> pa.Table:
+    """Order revenue at every level of the region→nation hierarchy plus the
+    grand total — the GROUP BY ROLLUP shape.  Scale shape: the FINEST level
+    is the only distributed pass (orders streamed once; customer→nation is
+    a broadcast int-array probe like q_customer_regions; per-batch partial
+    sums keep the shuffle at O(nations) rows); every coarser level is a
+    driver-side re-sum of the O(nations) finest partials — rollup levels
+    are decomposable, so nothing is recomputed.  Subtotal rows use the
+    'ALL' marker instead of SQL NULL so the value hash is unambiguous."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    cust_ref = ray.put(dict(zip(customer["c_custkey"].to_pylist(),
+                                customer["c_nationkey"].to_pylist())))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class NationOfCustomer:
+        def __init__(self, ref):
+            lookup = ray.get(ref)
+            self.maxk = max(lookup) if lookup else 0
+            self.lut = np.full(self.maxk + 1, -1, dtype=np.int64)
+            for k, v in lookup.items():
+                self.lut[k] = v
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = self.lut[np.clip(keys, 0, self.maxk)]
+            t = pa.table({"nationkey": pa.array(nk, pa.int64()),
+                          "rev_cents": _cents(batch["o_totalprice"])})
+            g = t.group_by(["nationkey"]).aggregate([("rev_cents", "sum")])
+            return g.rename_columns(["nationkey", "rev_cents"])
+
+    mapped = ds.map_batches(cached_stage(NationOfCustomer, ref=cust_ref), batch_format="pyarrow")
+    fine = mapped.to_pandas().groupby("nationkey", as_index=False).sum()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    fine = fine.merge(dim[["n_nationkey", "n_name", "r_name"]],
+                      left_on="nationkey", right_on="n_nationkey")
+    level2 = fine.rename(columns={"r_name": "region", "n_name": "nation"})[
+        ["region", "nation", "rev_cents"]]
+    level1 = level2.groupby("region", as_index=False)["rev_cents"].sum()
+    level1["nation"] = "ALL"
+    level0 = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                           "rev_cents": [level2["rev_cents"].sum()]})
+    out = pd.concat([level2, level1[["region", "nation", "rev_cents"]], level0],
+                    ignore_index=True).sort_values(["region", "nation"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out[["region", "nation", "rev_cents"]], preserve_index=False)
+
+
 # ---- events: LAG window (per-user inter-event gap stats) ----
 def q_event_gaps(sf_dir: str) -> rd.Dataset:
     """Per-user inter-event gap statistics — the LAG window function shape
