@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "tfidf_top_terms",
     "event_gaps",
     "region_rollup",
+    "curate_corpus",
 ]
 
 

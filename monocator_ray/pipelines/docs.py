@@ -403,6 +403,75 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.sort(["doc_id", "term"])
 
 
+# ---- composed curation pipeline (langid -> quality -> dedup -> balance) ----
+def q_curate_corpus(sf_dir: str, min_tokens: int = 25) -> rd.Dataset:
+    """The end-to-end training-data curation flagship, composed from the
+    library's own stages with ONE chained SQL oracle: language-ID
+    (stopword vote) -> quality gate (>= ``min_tokens`` whitespace tokens)
+    -> exact first-wins dedup (normalized-text fingerprint) -> deterministic
+    per-language balancing (the q_stratified_sample integer-mixer rule,
+    counts taken over the post-dedup survivors).  Output: the kept corpus
+    as (doc_id, lang_pred, n_tokens).
+
+    Scale shape: one streaming annotate pass (cached task stage — langid /
+    token count / fingerprint are per-row pure functions), one fingerprint
+    -hash partition shuffle for the dedup (min-doc_id row per group found
+    by a vectorized lexsort inside each partition), an O(langs) count
+    combine, and a broadcast filter.  No step materializes the corpus on
+    the driver."""
+    from monocator_ray.stages.textstats import Fingerprinter, LangId, token_count
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    class Annotate:
+        def __init__(self):
+            self.langid = LangId()
+            self.fp = Fingerprinter()
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64)})
+            out["lang_pred"] = [self.langid.detect(t) for t in batch["text"].fillna("")]
+            out["n_tokens"] = token_count(batch["text"])
+            fp = self.fp(batch[["text"]].copy())["fingerprint"]
+            out["fp"] = fp.to_numpy().view(np.int64)  # int64 shuffle key
+            return out
+
+    def gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(min_tokens)))
+
+    gated = ds.map_batches(cached_stage(Annotate), batch_format="pandas").map_batches(
+        gate, batch_format="pyarrow"
+    )
+
+    def first_wins(t: pa.Table) -> pa.Table:
+        fp = t["fp"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, fp))
+        t = t.take(pa.array(order))
+        starts, _ends = run_boundaries(fp[order])
+        return t.take(pa.array(starts)).drop_columns(["fp"])
+
+    deduped = hash_partitioned(
+        gated,
+        lambda t: [t["fp"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        first_wins,
+        num_parts=32,
+    ).materialize()
+
+    counts = driver_grouped_agg(deduped, ["lang_pred"], [("doc_id", "count")], ["lang_pred", "cnt"])
+    cnt = dict(zip(counts["lang_pred"], counts["cnt"].astype(int)))
+    mn = min(cnt.values()) if cnt else 0
+
+    def balance(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = _mix32(ids)
+        nlang = pd.Series(t["lang_pred"].to_pandas()).map(cnt).to_numpy(np.int64)
+        return t.filter(pa.array((h % nlang) < mn))
+
+    return deduped.map_batches(balance, batch_format="pyarrow").sort("doc_id")
+
+
 # ---- multimodal: media decode + feature extraction (rows-only) ----
 def q_media_features(sf_dir: str) -> rd.Dataset:
     """Deterministic synthetic media rows (real BMP images + WAV audio,

@@ -330,6 +330,51 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # composed curation flagship: langid -> quality gate -> exact dedup ->
+    # deterministic per-language balance, one chained CTE oracle mirroring
+    # each stage's existing oracle expression verbatim
+    "curate_corpus": (
+        D.q_curate_corpus,
+        """
+        WITH base AS (
+          SELECT doc_id,
+                 CASE WHEN TRIM(text) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(LOWER(TRIM(text)), '\\s+') END AS words,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                 TRIM(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+          FROM documents),
+        v AS (
+          SELECT doc_id, n_tokens, norm,
+            len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','it','that','for'))) AS e,
+            len(list_filter(words, x -> x IN ('le','la','les','de','et','un','une','est','que','pour'))) AS f,
+            len(list_filter(words, x -> x IN ('de','het','een','en','van','ik','dat','die','niet','met'))) AS n
+          FROM base),
+        langed AS (
+          SELECT doc_id, n_tokens, norm,
+                 CASE WHEN n > GREATEST(e, f) AND n > 0 THEN 'nl'
+                      WHEN f > e AND f > 0 THEN 'fr'
+                      WHEN e > 0 THEN 'en'
+                      ELSE 'und' END AS lang_pred
+          FROM v WHERE n_tokens >= 25),
+        dedup AS (
+          SELECT doc_id, lang_pred, n_tokens FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+            FROM langed)
+          WHERE rn = 1),
+        cnt AS (SELECT lang_pred, COUNT(*) AS n_lang FROM dedup GROUP BY lang_pred),
+        m AS (SELECT MIN(n_lang) AS mn FROM cnt),
+        h1 AS (SELECT doc_id, lang_pred, n_tokens,
+                      (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM dedup),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, lang_pred, n_tokens, xor(_c, _c >> 13) AS h32 FROM h3)
+        SELECT hashed.doc_id, hashed.lang_pred, hashed.n_tokens
+        FROM hashed JOIN cnt USING (lang_pred) CROSS JOIN m
+        WHERE h32 % n_lang < mn
+        ORDER BY doc_id
+        """,
+    ),
     "region_rollup": (
         R.q_region_rollup,
         """
