@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "event_gaps",
     "region_rollup",
     "curate_corpus",
+    "sample_k_per_lang",
 ]
 
 

@@ -325,6 +325,40 @@ def q_stratified_sample(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")
 
 
+# ---- exact-k per-language sample (deterministic reservoir analog) ----
+def q_sample_k_per_lang(sf_dir: str, k: int = 50) -> pa.Table:
+    """Exactly ``min(k, n_lang)`` documents per language: the ones with the
+    smallest ``mix32(doc_id)`` (ties: doc_id ASC) — a deterministic
+    uniform-without-replacement sample (hash order is independent of the
+    data), the reservoir-sampling analog with NO RNG state, so the DuckDB
+    oracle reproduces the selection exactly and re-runs are stable.
+
+    Scale shape: per-batch local top-k per language (one vectorized sort +
+    head inside each block), then a driver merge of the O(langs x k x
+    blocks) partial rows — the top_terms local-topk/global-merge pattern;
+    the corpus itself never shuffles and never reaches the driver."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {"doc_id": ids.astype(np.int64), "lang": t["lang"].to_pandas(),
+             "h32": _mix32(ids)}
+        )
+        df = df.sort_values(["lang", "h32", "doc_id"], kind="mergesort")
+        return pa.Table.from_pandas(df.groupby("lang", sort=False).head(k),
+                                    preserve_index=False)
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = (
+        pdf.sort_values(["lang", "h32", "doc_id"], kind="mergesort")
+        .groupby("lang", sort=False).head(k)
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out[["doc_id", "lang", "h32"]], preserve_index=False)
+
+
 # ---- per-document TF-IDF top terms (exact integer scoring; oracle) ----
 def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Top-``k`` terms per document by EXACT integer TF-IDF-style weight

@@ -425,6 +425,20 @@ REGISTRY: dict = {
         ORDER BY doc_id, term
         """,
     ),
+    "sample_k_per_lang": (
+        D.q_sample_k_per_lang,
+        """
+        WITH
+        h1 AS (SELECT doc_id, lang, (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM documents),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, lang, xor(_c, _c >> 13) AS h32 FROM h3),
+        r AS (SELECT doc_id, lang, h32,
+                     ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h32, doc_id) AS rk
+              FROM hashed)
+        SELECT doc_id, lang, h32 FROM r WHERE rk <= 50 ORDER BY doc_id
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
