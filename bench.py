@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "region_rollup",
     "curate_corpus",
     "sample_k_per_lang",
+    "hits",
 ]
 
 

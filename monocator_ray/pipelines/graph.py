@@ -104,10 +104,10 @@ def _lineitem_edges(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(emit, batch_format="pyarrow")
 
 
-def _distinct_edges(sf_dir: str) -> rd.Dataset:
-    """Globally distinct symmetric edges: hash partitions of the (src, dst)
-    pair (each duplicate lands in exactly one partition), vectorized
-    run-dedup inside."""
+def _dedup_pairs(ds: rd.Dataset) -> rd.Dataset:
+    """Globally distinct (src, dst) pairs: hash partitions of the pair key
+    (each duplicate lands in exactly one partition), vectorized run-dedup
+    inside."""
     def dedup_part(t: pa.Table) -> pa.Table:
         src = t["src"].to_numpy(zero_copy_only=False)
         dst = t["dst"].to_numpy(zero_copy_only=False)
@@ -118,7 +118,7 @@ def _distinct_edges(sf_dir: str) -> rd.Dataset:
                          "dst": pa.array(dst[starts], pa.int64())})
 
     return hash_partitioned(
-        _lineitem_edges(sf_dir),
+        ds,
         lambda t: [t["src"].to_numpy(zero_copy_only=False).astype(np.uint64),
                    t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)],
         dedup_part,
@@ -126,23 +126,31 @@ def _distinct_edges(sf_dir: str) -> rd.Dataset:
     )
 
 
-class _RankPass:
-    """Per-batch PageRank partial: looks up broadcast per-node contributions
-    for each edge's src and group-sums them by dst BEFORE leaving the worker
-    (output rows <= distinct dst per batch, so the driver collects O(nodes)
-    rows per iteration, not O(edges)).  Broadcast payload is the O(nodes)
-    (node ids, contrib) pair shipped once per iteration via ray.put."""
+def _distinct_edges(sf_dir: str) -> rd.Dataset:
+    return _dedup_pairs(_lineitem_edges(sf_dir))
 
-    def __init__(self, nodes_ref, contrib_ref):
+
+class _RankPass:
+    """Per-batch propagation partial: looks up broadcast per-node values for
+    each edge's ``from_col`` endpoint and group-sums them by ``to_col``
+    BEFORE leaving the worker (output rows <= distinct to-nodes per batch,
+    so the driver collects O(nodes) rows per iteration, not O(edges)).
+    Broadcast payload is the O(nodes) (node ids, contrib) pair shipped once
+    per iteration via ray.put.  Shared by PageRank (src->dst) and both HITS
+    half-iterations (src->dst for authorities, dst->src for hubs)."""
+
+    def __init__(self, nodes_ref, contrib_ref, from_col: str = "src", to_col: str = "dst"):
         self.nodes = ray.get(nodes_ref)
         self.contrib = ray.get(contrib_ref)
+        self.from_col = from_col
+        self.to_col = to_col
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy(zero_copy_only=False)
-        dst = t["dst"].to_numpy(zero_copy_only=False)
-        c = self.contrib[np.searchsorted(self.nodes, src)]
-        u, inv = np.unique(dst, return_inverse=True)
-        # int64 accumulation keeps the mass exact (sum <= SCALE < 2^63)
+        frm = t[self.from_col].to_numpy(zero_copy_only=False)
+        to = t[self.to_col].to_numpy(zero_copy_only=False)
+        c = self.contrib[np.searchsorted(self.nodes, frm)]
+        u, inv = np.unique(to, return_inverse=True)
+        # int64 accumulation keeps the mass exact (sum < 2^63)
         s = np.zeros(len(u), dtype=np.int64)
         np.add.at(s, inv, c)
         return pa.table({"dst": pa.array(u, pa.int64()), "s": pa.array(s, pa.int64())})
@@ -189,6 +197,137 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         r = base + DAMP_NUM * s // DAMP_DEN
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank_e12": pa.array(r, pa.int64())})
+
+
+HITS_ITERS = 2
+
+
+def hits_int(src: np.ndarray, dst: np.ndarray, iters: int = HITS_ITERS,
+             scale: int = SCALE) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Exact integer HITS over a DISTINCT directed edge list (hubs = src
+    side, authorities = dst side).  Normalization is integer: after each
+    half-iteration the raw scores divide by ``max(sum(raw) // scale, 1)``
+    so the mass returns to ~scale without any value exceeding int64 (raw
+    sums stay < scale * max_degree; document bound: max degree < 9e6).
+    Returns (hub nodes, hub scores, auth nodes, auth scores)."""
+    hubs = np.unique(src)
+    auths = np.unique(dst)
+    si = np.searchsorted(hubs, src)
+    di = np.searchsorted(auths, dst)
+    h = np.full(len(hubs), scale // len(hubs), dtype=np.int64)
+    a = np.zeros(len(auths), dtype=np.int64)
+    for _ in range(iters):
+        raw = np.zeros(len(auths), dtype=np.int64)
+        np.add.at(raw, di, h[si])
+        a = raw // max(int(raw.sum()) // scale, 1)
+        raw = np.zeros(len(hubs), dtype=np.int64)
+        np.add.at(raw, si, a[di])
+        h = raw // max(int(raw.sum()) // scale, 1)
+    return hubs, h, auths, a
+
+
+def _part_supp_edges(sf_dir: str) -> rd.Dataset:
+    """Directed part->supplier candidate edges from lineitem, per-batch
+    pre-deduped; node ids are the RAW keys (the two sides live in separate
+    columns, so no parity encoding is needed)."""
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        src = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        starts, _ends = run_boundaries(src, dst)
+        return pa.table({"src": pa.array(src[starts], pa.int64()),
+                         "dst": pa.array(dst[starts], pa.int64())})
+
+    return ds.map_batches(emit, batch_format="pyarrow")
+
+
+def q_hits(sf_dir: str) -> pa.Table:
+    """Integer HITS hubs/authorities (2 iterations) over the directed
+    distinct part->supplier graph.  Output: (kind 'hub'|'auth', node,
+    score) sorted by (kind, node) — bit-identical to the BIGINT oracle.
+
+    Same adaptive plan and partitioning story as q_pagerank: the distinct
+    edge list stays put; each half-iteration is one shuffle-free
+    ``map_batches`` pass over the static edge blocks with the O(nodes)
+    score vector broadcast (module docstring); normalization sums are
+    O(nodes) driver work."""
+    ensure_shipped()
+    edges = _dedup_pairs(_part_supp_edges(sf_dir)).materialize()
+    n_edges = edges.count()
+
+    if n_edges <= _SMALL_EDGES:
+        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        hubs, h, auths, a = hits_int(t["src"].to_numpy(zero_copy_only=False),
+                                     t["dst"].to_numpy(zero_copy_only=False))
+    else:
+        # large path: static edges + broadcast vectors, like q_pagerank
+        hubs_pd = driver_grouped_agg(edges, ["src"], [("dst", "count")], ["src", "n"])
+        auths_pd = driver_grouped_agg(edges, ["dst"], [("src", "count")], ["dst", "n"])
+        hubs = np.sort(hubs_pd["src"].to_numpy(np.int64))
+        auths = np.sort(auths_pd["dst"].to_numpy(np.int64))
+        hubs_ref, auths_ref = ray.put(hubs), ray.put(auths)
+        h = np.full(len(hubs), SCALE // len(hubs), dtype=np.int64)
+        a = np.zeros(len(auths), dtype=np.int64)
+
+        def sweep(vec: np.ndarray, nodes_ref, out_nodes: np.ndarray,
+                  from_col: str, to_col: str) -> np.ndarray:
+            partials = edges.map_batches(
+                cached_stage(_RankPass, nodes_ref=nodes_ref, contrib_ref=ray.put(vec),
+                             from_col=from_col, to_col=to_col),
+                batch_format="pyarrow", batch_size=65536,
+            ).to_pandas()
+            raw = np.zeros(len(out_nodes), dtype=np.int64)
+            np.add.at(raw, np.searchsorted(out_nodes, partials["dst"].to_numpy(np.int64)),
+                      partials["s"].to_numpy(np.int64))
+            return raw
+
+        for _ in range(HITS_ITERS):
+            raw = sweep(h, hubs_ref, auths, "src", "dst")
+            a = raw // max(int(raw.sum()) // SCALE, 1)
+            raw = sweep(a, auths_ref, hubs, "dst", "src")
+            h = raw // max(int(raw.sum()) // SCALE, 1)
+
+    return pa.table(
+        {
+            "kind": pa.array(["hub"] * len(hubs) + ["auth"] * len(auths), pa.string()),
+            "node": pa.array(np.concatenate([hubs, auths]), pa.int64()),
+            "score": pa.array(np.concatenate([h, a]), pa.int64()),
+        }
+    )
+
+
+def _hits_half_sql(prev: str, raw: str, cur: str, frm: str, to: str) -> str:
+    return f"""
+    {raw} AS (SELECT e.{to} AS node, CAST(SUM({prev}.s) AS BIGINT) AS r
+              FROM e JOIN {prev} ON e.{frm} = {prev}.node GROUP BY e.{to}),
+    {cur} AS (SELECT node, r // GREATEST(CAST((SELECT SUM(r) FROM {raw}) AS BIGINT)
+                                         // 1000000000000, 1) AS s
+              FROM {raw})"""
+
+
+HITS_SQL = (
+    """
+    WITH
+    e AS (SELECT DISTINCT l_partkey AS u, l_suppkey AS v FROM lineitem),
+    np AS (SELECT COUNT(DISTINCT u) AS n_parts FROM e),
+    h0 AS (SELECT DISTINCT u AS node, (1000000000000 // n_parts) AS s
+           FROM e CROSS JOIN np),"""
+    + ",".join(
+        _hits_half_sql(f"h{i}", f"a{i+1}r", f"a{i+1}", "u", "v")
+        + ","
+        + _hits_half_sql(f"a{i+1}", f"h{i+1}r", f"h{i+1}", "v", "u")
+        for i in range(HITS_ITERS)
+    )
+    + f"""
+    SELECT 'hub' AS kind, node, s AS score FROM h{HITS_ITERS}
+    UNION ALL
+    SELECT 'auth' AS kind, node, s AS score FROM a{HITS_ITERS}
+    ORDER BY kind, node
+    """
+)
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:

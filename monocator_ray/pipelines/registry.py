@@ -558,4 +558,6 @@ REGISTRY: dict = {
     # integer fixed-point PageRank over the derived part-supplier graph —
     # BIGINT floor math on both sides, so it hash-matches exactly
     "pagerank": (G.q_pagerank, G.PAGERANK_SQL),
+    # integer HITS hubs/authorities on the directed part->supplier graph
+    "hits": (G.q_hits, G.HITS_SQL),
 }

@@ -37,6 +37,39 @@ def test_pagerank_int_star_center_dominates():
     assert (center > r[np.searchsorted(nodes, leaves)]).all()
 
 
+def test_hits_int_star_center_is_top_authority():
+    from monocator_ray.pipelines.graph import SCALE, hits_int
+
+    # all hubs point at auth 0; one hub also points at auth 1
+    src = np.array([1, 2, 3, 1], dtype=np.int64)
+    dst = np.array([0, 0, 0, 9], dtype=np.int64)
+    hubs, h, auths, a = hits_int(src, dst)
+    assert list(auths) == [0, 9]
+    assert a[0] > a[1]
+    # hub 1 links to both authorities -> strictly best hub
+    assert h[np.searchsorted(hubs, 1)] > h[np.searchsorted(hubs, 2)]
+    # integer normalization keeps total mass near SCALE
+    assert 0 < a.sum() <= 2 * SCALE
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hits_large_path_matches_small():
+    import monocator_ray.pipelines.graph as graph
+
+    small = graph.q_hits(SF_SMALL).to_pandas()
+    old = graph._SMALL_EDGES
+    graph._SMALL_EDGES = 0
+    try:
+        large = graph.q_hits(SF_SMALL).to_pandas()
+    finally:
+        graph._SMALL_EDGES = old
+    assert len(small) > 0
+    pd.testing.assert_frame_equal(
+        small.sort_values(["kind", "node"]).reset_index(drop=True),
+        large.sort_values(["kind", "node"]).reset_index(drop=True),
+    )
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_pagerank_large_path_matches_small():
     """Forcing the edge threshold to 0 routes sf0.001 through the
