@@ -110,3 +110,37 @@ def write_warc(records: list[tuple[str, str, bytes]], path: str, compress: bool 
         data = gzip.compress(data)
     with open(path, "wb") as f:
         f.write(data)
+
+
+def export_warc(ds: rd.Dataset, out_dir: str, compress: bool = True) -> rd.Dataset:
+    """Distributed WARC export sink (S3 companion): a SPEC pages Dataset ->
+    sharded ``.warc[.gz]`` member files, one per input block, written ON THE
+    WORKER that holds the block — the driver sees only the O(blocks)
+    manifest Dataset (path, n_records) this returns.  File names derive
+    from the block's minimum url hash + row count, so re-running the same
+    export overwrites the same members (idempotent, resumable — the
+    partitioned-output rule the crawl artifacts follow).  Reversible by
+    ``read_warc``; the roundtrip is pinned by
+    tests/test_warc_cli.py::test_export_warc_roundtrip."""
+    import os
+
+    from monocator_ray.hashing import hash_str64
+
+    ensure_shipped()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_records": pa.array([], pa.int64())})
+        urls = t["url"].to_pylist()
+        ts = t["warc_ts"].to_numpy(zero_copy_only=False)
+        dates = [str(np.datetime_as_string(x, unit="us")) + "Z" for x in ts]
+        htmls = t["html"].to_pylist()
+        key = int(hash_str64(urls).min())
+        name = f"part-{key:016x}-{t.num_rows}.warc" + (".gz" if compress else "")
+        write_warc(list(zip(urls, dates, htmls)), os.path.join(out_dir, name), compress)
+        return pa.table({"path": pa.array([name], pa.string()),
+                         "n_records": pa.array([t.num_rows], pa.int64())})
+
+    return ds.map_batches(write_block, batch_format="pyarrow")

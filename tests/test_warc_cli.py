@@ -54,3 +54,42 @@ def test_cli_synth_visit_report(tmp_path):
     rep = run("report", "--out", str(out))
     assert rep["fetched"] == v["fetched"]
     assert rep["seen_except_frontier"] == 0
+
+def test_export_warc_roundtrip(tmp_path, ray_session):
+    """pages Dataset -> distributed WARC export -> read_warc == identity
+    on (url, warc_ts, html); manifest counts cover every row."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.schemas import PAGES
+    from monocator_ray.shipping import ensure_shipped
+    from monocator_ray.sources.warc import export_warc, read_warc
+
+    ensure_shipped()
+    n = 37
+    urls = [f"http://h{i % 5}.example/p{i}" for i in range(n)]
+    ts = np.array([np.datetime64("2026-01-02T03:04:05.123456") + np.timedelta64(i, "s")
+                   for i in range(n)], dtype="datetime64[us]")
+    htmls = [f"<html><body>page {i} &amp; more</body></html>".encode() for i in range(n)]
+    pages = pa.Table.from_arrays(
+        [pa.array(urls, pa.string()),
+         pa.Array.from_pandas(ts, type=pa.timestamp("us")),
+         pa.array(htmls, pa.binary()),
+         pa.array([""] * n, pa.string()),
+         pa.array([""] * n, pa.string())],
+        schema=PAGES,
+    )
+    out_dir = str(tmp_path / "warc_out")
+    manifest = export_warc(rd.from_arrow(pages).repartition(4), out_dir).to_pandas()
+    assert manifest["n_records"].sum() == n
+    assert len(manifest) == len(set(manifest["path"]))  # distinct member files
+
+    back = read_warc([str(tmp_path / "warc_out" / p) for p in manifest["path"]])
+    got = back.to_pandas().sort_values("url").reset_index(drop=True)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    assert list(got["warc_ts"]) == list(want["warc_ts"])  # exact us roundtrip
+    assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
+
