@@ -4,6 +4,8 @@
     python -m monocator_ray visit  --domain host0.example --pages /web --out /out
     python -m monocator_ray report --out /out
     python -m monocator_ray synth  --dest /web --pages 10000 --hosts 100
+    python -m monocator_ray warc-import --warc a.warc.gz --out /pages_pq
+    python -m monocator_ray warc-export --pages /pages_pq --out /warc_dir
 
 Owns its Ray session (scripts only; the library never calls ray.init).
 """
@@ -61,6 +63,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--buckets", type=int, default=16)
     s.add_argument("--page-bytes", type=int, default=0)
 
+    wi = sub.add_parser("warc-import", help="WARC file(s) -> pages parquet (S1)")
+    wi.add_argument("--warc", required=True, nargs="+", help="input .warc[.gz] files")
+    wi.add_argument("--out", required=True, help="output parquet dir")
+    wi.add_argument("--extract", action="store_true",
+                    help="also run the text extractor into the text column")
+
+    we = sub.add_parser("warc-export", help="pages parquet -> sharded WARC (S3)")
+    we.add_argument("--pages", required=True, help="input pages parquet file/dir")
+    we.add_argument("--out", required=True, help="output WARC dir")
+    we.add_argument("--plain", action="store_true", help="write uncompressed .warc")
+
     args = p.parse_args(argv)
     import ray
 
@@ -94,6 +107,30 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CrawlConfig(num_shards=2, num_buckets=args.buckets)
         res = visit(args.domain, args.pages, args.out, cfg, max_pages=args.max_pages)
         print(json.dumps({"fetched": res.fetched, "wall_s": round(res.wall_s, 2)}))
+    elif args.cmd == "warc-import":
+        _init_ray(args.num_cpus)
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.pages import fill_text
+        from monocator_ray.sources.warc import read_warc
+
+        ensure_shipped()
+        ds = read_warc(list(args.warc))
+        if args.extract:
+            ds = fill_text(ds)
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out, "rows": ds.count()}))
+    elif args.cmd == "warc-export":
+        _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.warc import export_warc
+
+        ensure_shipped()
+        manifest = export_warc(rd.read_parquet(args.pages), args.out,
+                               compress=not args.plain).to_pandas()
+        print(json.dumps({"out": args.out, "files": len(manifest),
+                          "rows": int(manifest["n_records"].sum())}))
     elif args.cmd == "report":
         _init_ray(args.num_cpus)
         from monocator_ray import report

@@ -93,3 +93,32 @@ def test_export_warc_roundtrip(tmp_path, ray_session):
     assert list(got["warc_ts"]) == list(want["warc_ts"])  # exact us roundtrip
     assert [bytes(b) for b in got["html"]] == [bytes(b) for b in want["html"]]
 
+
+
+def test_cli_warc_import_export(tmp_path, ray_session):
+    """CLI: warc-import -> parquet -> warc-export -> re-import preserves
+    every (url, html) pair."""
+    import json
+
+    from monocator_ray.__main__ import main
+    from monocator_ray.sources.warc import parse_warc_bytes, write_warc
+
+    recs = [(f"http://cli{i}.example/p", "2026-02-03T00:00:00Z",
+             f"<html><body>cli page {i}</body></html>".encode()) for i in range(6)]
+    src = tmp_path / "in.warc.gz"
+    write_warc(recs, str(src), compress=True)
+
+    pq_dir = str(tmp_path / "pages_pq")
+    assert main(["warc-import", "--warc", str(src), "--out", pq_dir]) == 0
+    out_dir = str(tmp_path / "warc_out")
+    assert main(["warc-export", "--pages", pq_dir, "--out", out_dir]) == 0
+
+    import os
+
+    back = []
+    for name in os.listdir(out_dir):
+        with open(os.path.join(out_dir, name), "rb") as f:
+            back.extend(parse_warc_bytes(f.read()))
+    got = sorted((u, bytes(b)) for u, _ts, b in back)
+    want = sorted((u, b) for u, _d, b in recs)
+    assert got == want
