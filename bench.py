@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "curate_corpus",
     "sample_k_per_lang",
     "hits",
+    "cms_term_counts",
 ]
 
 

@@ -437,6 +437,59 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.sort(["doc_id", "term"])
 
 
+# ---- Count-Min-Sketch term counts (mergeable sketch; rows-only) ----
+def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
+    """Approximate term counts from ONE streaming pass via a Count-Min
+    sketch (state/cms.py), evaluated against the exact top-``k`` terms:
+    output (word, n_exact, n_est) with the CMS one-sided guarantee
+    ``n_est >= n_exact`` (pinned by tests/test_graph.py's sketch tests and
+    the >= assertion here being implicit in the columns).
+
+    Scale shape: every batch builds a LOCAL sketch and emits the fixed
+    O(depth x width) matrix (512 KB) — reduce traffic is corpus-size-
+    independent (the HLL register-merge shape); the driver sums blocks'
+    matrices elementwise.  The exact side reuses q_top_terms' local-topk/
+    global-merge pass."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_sketch(t: pa.Table) -> pa.Table:
+        from monocator_ray.state.cms import CountMinSketch
+
+        cms = CountMinSketch()
+        texts = t["text"].to_pylist()
+        joined = "\n".join(s.strip(" ") for s in texts if s)
+        if joined:
+            arr = np.array(_WS_SPLIT.split(joined), dtype=object)
+            arr = arr[arr != ""]
+            vals, counts = np.unique(arr, return_counts=True)
+            cms.add(hash_str64(vals), counts.astype(np.int64))
+        return pa.table({"sketch": pa.array([cms.table.tobytes()], pa.binary())})
+
+    from monocator_ray.state.cms import CountMinSketch
+
+    merged = CountMinSketch()
+    for blob in (
+        ds.map_batches(partial_sketch, batch_format="pyarrow").to_pandas()["sketch"]
+    ):
+        part = CountMinSketch()
+        part.table = np.frombuffer(blob, dtype=np.int64).reshape(part.table.shape).copy()
+        merged.merge(part)
+
+    exact = q_top_terms(sf_dir, k=k)
+    words = exact["word"].to_pylist()
+    est = merged.estimate(hash_str64(np.array(words, dtype=object)))
+    return pa.table(
+        {
+            "word": exact["word"],
+            "n_exact": exact["n"],
+            "n_est": pa.array(est, pa.int64()),
+        }
+    )
+
+
 # ---- composed curation pipeline (langid -> quality -> dedup -> balance) ----
 def q_curate_corpus(sf_dir: str, min_tokens: int = 25) -> rd.Dataset:
     """The end-to-end training-data curation flagship, composed from the

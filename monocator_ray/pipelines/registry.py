@@ -553,6 +553,9 @@ REGISTRY: dict = {
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
+    # Count-Min-Sketch approximate term counts vs exact top-k (sketch op —
+    # no SQL analog; accuracy pinned by tests/test_cms.py)
+    "cms_term_counts": (D.q_cms_term_counts, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
     # integer fixed-point PageRank over the derived part-supplier graph —

@@ -1,0 +1,45 @@
+"""Count-Min sketch (state/cms.py): one-sided bound, epsilon accuracy,
+merge == single-pass — plus the registry query's guarantee on real data."""
+
+import numpy as np
+import pytest
+
+
+def test_cms_bounds_and_merge():
+    from monocator_ray.state.cms import CountMinSketch
+
+    rng = np.random.default_rng(11)
+    # zipf-ish: few heavy items + long tail, 200k total updates
+    items = rng.zipf(1.3, 200_000).astype(np.uint64)
+    hashes = items * np.uint64(0x9E3779B97F4A7C15)  # spread the small ints
+    uniq, true = np.unique(hashes, return_counts=True)
+
+    whole = CountMinSketch()
+    whole.add(hashes)
+
+    est = whole.estimate(uniq)
+    n = len(hashes)
+    eps = np.e / (1 << whole.width_log2)
+    assert (est >= true).all()  # one-sided guarantee is unconditional
+    # eps*N overestimate bound: allow the delta failure probability a
+    # little slack (depth 4 -> <2% of items may exceed; assert 99% within)
+    within = (est - true) <= int(np.ceil(eps * n)) + 1
+    assert within.mean() > 0.99
+
+    # merge of disjoint halves == one sketch over everything, exactly
+    a, b = CountMinSketch(), CountMinSketch()
+    a.add(hashes[: n // 2])
+    b.add(hashes[n // 2 :])
+    a.merge(b)
+    assert np.array_equal(a.table, whole.table)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cms_term_counts_query():
+    from monocator_ray.pipelines.docs import q_cms_term_counts
+
+    t = q_cms_term_counts("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    assert (t["n_est"] >= t["n_exact"]).all()
+    # at driver-table vocabulary sizes the sketch should be near-exact
+    assert (t["n_est"] - t["n_exact"]).max() <= t["n_exact"].sum() // 100 + 5
