@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "sample_k_per_lang",
     "hits",
     "cms_term_counts",
+    "kmeans_clusters",
 ]
 
 

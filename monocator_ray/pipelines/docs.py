@@ -437,6 +437,80 @@ def q_tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     return out.sort(["doc_id", "term"])
 
 
+# ---- distributed k-means over embeddings (SemDeDup-style clustering) ----
+def kmeans_init_centroids(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the embeddings of the k rows with the smallest
+    ``mix32(vec_id)`` — data-independent, RNG-free, stable across runs and
+    partitionings (the q_sample_k_per_lang selection rule)."""
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def cand(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        h = _mix32(ids)
+        keep = np.argsort(h, kind="stable")[:k]
+        return t.take(pa.array(np.sort(keep))).append_column(
+            "h32", pa.array(h[np.sort(keep)], pa.int64())
+        )
+
+    pdf = emb.map_batches(cand, batch_format="pyarrow").to_pandas()
+    pdf = pdf.sort_values(["h32", "vec_id"], kind="mergesort").head(k)
+    return np.vstack(pdf["embedding"].to_numpy())
+
+
+def kmeans_lloyd(m: np.ndarray, centroids: np.ndarray, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """Driver numpy Lloyd oracle (cosine assignment, mean update) — the
+    executable spec the distributed path is pinned against."""
+    from monocator_ray.stages.ann import _normalize
+
+    c = _normalize(centroids.astype(np.float64))
+    mn = _normalize(m.astype(np.float64))
+    assign = np.zeros(len(m), dtype=np.int64)
+    for _ in range(iters):
+        assign = (mn @ c.T).argmax(axis=1)
+        for j in range(len(c)):
+            rows = m[assign == j]
+            if len(rows):
+                c[j] = rows.astype(np.float64).mean(axis=0)
+        c = _normalize(c)
+    return (mn @ c.T).argmax(axis=1), c
+
+
+def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 3) -> pa.Table:
+    """Distributed k-means over the embeddings table (the clustering step
+    of SemDeDup-style curation): deterministic hash init, ``iters`` Lloyd
+    rounds where each round is ONE shuffle-free ``map_batches`` pass
+    emitting O(k x dim) partials per batch (stages/ann.py KMeansPartial)
+    and an O(k x dim) driver update — embeddings never move, reduce
+    traffic is corpus-size-independent.  Output: (cluster, n_vecs) after a
+    final assignment pass.  Pinned against the driver Lloyd oracle in
+    tests/test_cms.py::test_kmeans_distributed_matches_oracle."""
+    from monocator_ray.stages.ann import KMeansPartial, _normalize
+
+    ensure_shipped()
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c = _normalize(kmeans_init_centroids(sf_dir, k).astype(np.float64))
+
+    for it in range(iters + 1):  # final extra pass = assignment counts only
+        partials = emb.map_batches(
+            cached_stage(KMeansPartial, centroids_ref=ray.put(c)),
+            batch_format="pyarrow", batch_size=4096,
+        ).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, c.shape[1]), dtype=np.float64)
+        for cl, n, vs in zip(partials["cluster"], partials["n"], partials["vsum"]):
+            counts[cl] += n
+            sums[cl] += np.asarray(vs, dtype=np.float64)
+        if it == iters:
+            break
+        nz = counts > 0
+        c[nz] = sums[nz] / counts[nz, None]
+        c = _normalize(c)
+
+    present = np.nonzero(counts)[0]
+    return pa.table({"cluster": pa.array(present.astype(np.int32), pa.int32()),
+                     "n_vecs": pa.array(counts[present], pa.int64())})
+
+
 # ---- Count-Min-Sketch term counts (mergeable sketch; rows-only) ----
 def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
     """Approximate term counts from ONE streaming pass via a Count-Min

@@ -556,6 +556,9 @@ REGISTRY: dict = {
     # Count-Min-Sketch approximate term counts vs exact top-k (sketch op —
     # no SQL analog; accuracy pinned by tests/test_cms.py)
     "cms_term_counts": (D.q_cms_term_counts, None),
+    # distributed k-means over embeddings (iterative float op — no SQL
+    # analog; pinned to the driver Lloyd oracle in tests/test_cms.py)
+    "kmeans_clusters": (D.q_kmeans_clusters, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
     # integer fixed-point PageRank over the derived part-supplier graph —

@@ -140,3 +140,36 @@ class LshCoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = table_to_matrix(batch)
         return batch.append_column("lsh_bucket", pa.array(self.code(m), pa.int64()))
+
+
+class KMeansPartial:
+    """map_batches task for one distributed Lloyd iteration: assign each
+    row to its nearest (cosine) broadcast centroid and emit the per-cluster
+    PARTIAL (count, vector sum) — O(k x dim) out of every batch, so the
+    driver's reduce is corpus-size-independent (the Pregel-aggregator shape
+    pipelines/graph.py uses for rank vectors)."""
+
+    def __init__(self, centroids_ref, id_col: str = "vec_id"):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.c = _normalize(np.asarray(c, dtype=np.float64))
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch).astype(np.float64)
+        if not len(m):
+            return pa.table({"cluster": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64()))})
+        assign = (_normalize(m) @ self.c.T).argmax(axis=1)
+        k, dim = self.c.shape
+        counts = np.bincount(assign, minlength=k).astype(np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        np.add.at(sums, assign, m)
+        present = counts > 0
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int32)[present], pa.int32()),
+                "n": pa.array(counts[present], pa.int64()),
+                "vsum": pa.array(list(sums[present]), pa.list_(pa.float64())),
+            }
+        )

@@ -43,3 +43,30 @@ def test_cms_term_counts_query():
     assert (t["n_est"] >= t["n_exact"]).all()
     # at driver-table vocabulary sizes the sketch should be near-exact
     assert (t["n_est"] - t["n_exact"]).max() <= t["n_exact"].sum() // 100 + 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_distributed_matches_oracle():
+    """Distributed Lloyd (per-batch O(k x dim) partials + driver update)
+    must land on the same clusters as the driver numpy oracle run from the
+    same deterministic init."""
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import (
+        kmeans_init_centroids,
+        kmeans_lloyd,
+        q_kmeans_clusters,
+    )
+    from monocator_ray.stages.ann import table_to_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = q_kmeans_clusters(sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = table_to_matrix(t)
+    assign, _c = kmeans_lloyd(m, kmeans_init_centroids(sf, 8), iters=3)
+    want = np.bincount(assign, minlength=8)
+    want_pairs = {(int(c), int(n)) for c, n in enumerate(want) if n > 0}
+    got_pairs = set(zip(got["cluster"].astype(int), got["n_vecs"].astype(int)))
+    assert got_pairs == want_pairs
+    assert got["n_vecs"].sum() == len(m)
