@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 
 from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.state.cms import CountMinSketch
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.ann import (
     BruteForceTopK,
@@ -529,9 +530,9 @@ def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
     ensure_shipped()
     ds = _docs(sf_dir, ["text"])
 
+    # module-top-level import (below) — a lazy import inside this worker fn
+    # breaks under pickle-by-value shipping (graft-environment-quirks)
     def partial_sketch(t: pa.Table) -> pa.Table:
-        from monocator_ray.state.cms import CountMinSketch
-
         cms = CountMinSketch()
         texts = t["text"].to_pylist()
         joined = "\n".join(s.strip(" ") for s in texts if s)
@@ -541,8 +542,6 @@ def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
             vals, counts = np.unique(arr, return_counts=True)
             cms.add(hash_str64(vals), counts.astype(np.int64))
         return pa.table({"sketch": pa.array([cms.table.tobytes()], pa.binary())})
-
-    from monocator_ray.state.cms import CountMinSketch
 
     merged = CountMinSketch()
     for blob in (
