@@ -389,6 +389,34 @@ REGISTRY: dict = {
         ORDER BY region, nation
         """,
     ),
+    "order_rank": (
+        R.q_order_rank,
+        """
+        WITH r AS (
+          SELECT o_orderpriority,
+                 RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                       o_orderkey) AS rnk,
+                 o_orderkey,
+                 CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+          FROM orders)
+        SELECT o_orderpriority, rnk, o_orderkey, price_cents
+        FROM r WHERE rnk <= 3
+        ORDER BY o_orderpriority, rnk
+        """,
+    ),
+    "event_pivot": (
+        R.q_event_pivot,
+        """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
     "event_gaps": (
         R.q_event_gaps,
         """

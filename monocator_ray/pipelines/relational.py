@@ -474,6 +474,99 @@ def q_region_rollup(sf_dir: str) -> pa.Table:
     return pa.Table.from_pandas(out[["region", "nation", "rev_cents"]], preserve_index=False)
 
 
+# ---- orders: RANK window (top-3 per priority by price) ----
+def q_order_rank(sf_dir: str) -> rd.Dataset:
+    """RANK() OVER (PARTITION BY o_orderpriority ORDER BY price DESC,
+    o_orderkey) <= 3 — the per-group rank window shape, rendered as
+    priority-hash partitions with one vectorized sort + rank inside each
+    (every priority lands wholly in one partition; ranks of a group never
+    span partitions).  Integer cents keep the oracle hash-exact."""
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        pr = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = g["price_cents"].to_numpy(zero_copy_only=False)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -cents, pr))
+        pr, cents, key = pr[order], cents[order], key[order]
+        starts, ends = run_boundaries(pr)
+        # rank within each priority run = offset from the run start + 1
+        # (ties impossible: o_orderkey is unique and last in the sort key,
+        # matching the oracle's deterministic ORDER BY)
+        pos = np.arange(len(pr), dtype=np.int64)
+        rank = pos - np.repeat(starts, ends - starts) + 1
+        keep = rank <= 3
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pr[keep], pa.string()),
+                "rnk": pa.array(rank[keep], pa.int64()),
+                "o_orderkey": pa.array(key[keep], pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["o_orderpriority"].to_pylist())],
+        rank_part,
+        num_parts=8,
+    ).sort(["o_orderpriority", "rnk"])
+
+
+# ---- events: PIVOT (per-user event-type count matrix) ----
+def q_event_pivot(sf_dir: str) -> rd.Dataset:
+    """Per-user counts pivoted into one column per event type — the PIVOT /
+    conditional-aggregation shape: per-batch Arrow group_by partials over
+    (user, type) pairs, then user-hash partitions where the pivot is a
+    vectorized scatter into the fixed type->column map.  The type universe
+    is the table's own 5 values (declared, not discovered — a pivot needs
+    a closed column set on both sides)."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    def pivot_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        uid, et, n = uid[order], et[order], n[order]
+        starts, ends = run_boundaries(uid)
+        users = uid[starts]
+        mat = np.zeros((len(users), len(types)), dtype=np.int64)
+        row = np.repeat(np.arange(len(users)), ends - starts)
+        col = pd.Series(et).map({t_: i for i, t_ in enumerate(types)}).to_numpy()
+        np.add.at(mat, (row, col), n)
+        cols = {"user_id": pa.array(users, pa.int64())}
+        for i, t_ in enumerate(types):
+            cols[f"n_{t_}"] = pa.array(mat[:, i], pa.int64())
+        return pa.table(cols)
+
+    return hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        pivot_part,
+        num_parts=32,
+    ).sort("user_id")
+
+
 # ---- events: LAG window (per-user inter-event gap stats) ----
 def q_event_gaps(sf_dir: str) -> rd.Dataset:
     """Per-user inter-event gap statistics — the LAG window function shape
