@@ -417,6 +417,41 @@ REGISTRY: dict = {
         FROM events GROUP BY user_id ORDER BY user_id
         """,
     ),
+    "event_moving_avg": (
+        R.q_event_moving_avg,
+        """
+        WITH s AS (
+          SELECT event_id,
+                 CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS mov_sum_cents,
+                 COUNT(*) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS w
+          FROM events)
+        SELECT event_id, mov_sum_cents, mov_sum_cents // w AS mov_avg_cents
+        FROM s ORDER BY event_id
+        """,
+    ),
+    "customer_running_total": (
+        R.q_customer_running_total,
+        """
+        SELECT o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER
+                 (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS run_cents
+        FROM orders ORDER BY o_orderkey
+        """,
+    ),
+    "order_ntile": (
+        R.q_order_ntile,
+        """
+        SELECT o_orderpriority, o_orderkey,
+               NTILE(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                                       o_orderkey) AS quartile
+        FROM orders ORDER BY o_orderpriority, quartile, o_orderkey
+        """,
+    ),
     "event_gaps": (
         R.q_event_gaps,
         """

@@ -711,3 +711,177 @@ def q_event_error_window(sf_dir: str) -> rd.Dataset:
         count_name="n_errors_5m",
     )
     return out.sort("event_id")
+
+
+# ---- events: frame window (rolling sum/avg over ROWS BETWEEN k PRECEDING) ----
+def q_event_moving_avg(sf_dir: str, window: int = 3) -> rd.Dataset:
+    """Per-event rolling sum/average of the user's last ``window`` event
+    values (``ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW``, ordered by
+    ``(ts, event_id)``) — the frame-window shape, rendered as one user-hash
+    partition + one vectorized prefix-sum per partition: the frame sum is
+    ``cum[i+1] - cum[i+1-w]`` with ``w`` clamped to the user run's start, so
+    there is no per-row or per-user Python dispatch.  Values are integer
+    cents (all nonnegative), the average is integer floor division —
+    identical on both sides (DuckDB ``//`` truncates, but the operands are
+    nonnegative), so the oracle hash-matches exactly."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": _cents(t["value"]),
+            }
+        )
+
+    def window_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {"event_id": pa.array([], pa.int64()),
+                 "mov_sum_cents": pa.array([], pa.int64()),
+                 "mov_avg_cents": pa.array([], pa.int64())}
+            )
+        starts, ends = run_boundaries(uid)
+        run_start = np.repeat(starts, ends - starts)
+        pos = np.arange(n, dtype=np.int64)
+        w = np.minimum(pos - run_start + 1, window)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        mov = cum[pos + 1] - cum[pos + 1 - w]
+        return pa.table(
+            {
+                "event_id": pa.array(eid, pa.int64()),
+                "mov_sum_cents": pa.array(mov, pa.int64()),
+                "mov_avg_cents": pa.array(mov // w, pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        window_part,
+        num_parts=64,
+    ).sort("event_id")
+
+
+# ---- orders: cumulative window (running total per customer) ----
+def q_customer_running_total(sf_dir: str) -> rd.Dataset:
+    """Per-order running revenue total for its customer (``SUM(...) OVER
+    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)``) — the
+    unbounded-preceding cumulative window: customer-hash partitions, one
+    lexsort + cumsum per partition with the partition-global prefix
+    subtracted at each customer run's start.  Integer cents only."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def running_part(g: pa.Table) -> pa.Table:
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        date = g["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, date, cust))
+        cust, key, cents = cust[order], key[order], cents[order]
+        if len(cust) == 0:
+            return pa.table(
+                {"o_orderkey": pa.array([], pa.int64()),
+                 "run_cents": pa.array([], pa.int64())}
+            )
+        starts, ends = run_boundaries(cust)
+        cum = np.cumsum(cents)
+        # subtract the cumulative total just before each customer's run
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        run = cum - np.repeat(base, ends - starts)
+        return pa.table(
+            {"o_orderkey": pa.array(key, pa.int64()),
+             "run_cents": pa.array(run, pa.int64())}
+        )
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        running_part,
+        num_parts=32,
+    ).sort("o_orderkey")
+
+
+# ---- orders: NTILE window (quartile assignment within priority) ----
+def q_order_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
+    """``NTILE(4) OVER (PARTITION BY o_orderpriority ORDER BY price DESC,
+    o_orderkey)`` — the bucket-assignment window.  NTILE's exact contract
+    (first ``n % k`` buckets get ``ceil(n/k)`` rows, the rest ``floor``)
+    is integer arithmetic on the 0-based rank, vectorized per priority run
+    inside priority-hash partitions."""
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": _cents(t["o_totalprice"]),
+            }
+        )
+
+    def ntile_part(g: pa.Table) -> pa.Table:
+        pr = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = g["price_cents"].to_numpy(zero_copy_only=False)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -cents, pr))
+        pr, cents, key = pr[order], cents[order], key[order]
+        if len(pr) == 0:
+            return pa.table(
+                {"o_orderpriority": pa.array([], pa.string()),
+                 "o_orderkey": pa.array([], pa.int64()),
+                 "quartile": pa.array([], pa.int64())}
+            )
+        starts, ends = run_boundaries(pr)
+        counts = ends - starts
+        n = np.repeat(counts, counts)  # run size per row
+        r = np.arange(len(pr), dtype=np.int64) - np.repeat(starts, counts)
+        small, rem = n // tiles, n % tiles
+        big = small + 1
+        cut = rem * big  # first `rem` buckets hold `big` rows each
+        in_big = r < cut
+        # guard small==0 (n < tiles): cut == n there, so the small branch
+        # is never selected; divide by max(small,1) to avoid div-by-zero
+        tile = np.where(
+            in_big, r // big, rem + (r - cut) // np.maximum(small, 1)
+        ) + 1
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(pr, pa.string()),
+                "o_orderkey": pa.array(key, pa.int64()),
+                "quartile": pa.array(tile, pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["o_orderpriority"].to_pylist())],
+        ntile_part,
+        num_parts=8,
+    ).sort(["o_orderpriority", "quartile", "o_orderkey"])
