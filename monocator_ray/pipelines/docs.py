@@ -1456,3 +1456,257 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int
         return rd.from_arrow(small if small.num_rows else empty)
     out = raw.groupby(["vec_a", "vec_b"]).aggregate(Min("sim_pct", alias_name="sim_pct"))
     return _finish_pairs(out, ["vec_a", "vec_b"], empty)
+
+
+# ---- deterministic train/val/test split (corpus partitioning; oracle) ----
+def q_dataset_split(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test assignment — ``mix32(doc_id) % 100``
+    buckets: < 5 test, < 10 val, else train — with per-(split, lang) counts.
+    The assignment is a pure function of doc_id (no RNG state, stable under
+    re-runs, re-partitioning and corpus growth), which is what makes a
+    100-TB split reproducible and incrementally extendable; the DuckDB
+    oracle reproduces the bucket arithmetic bit-for-bit.
+
+    Scale shape: one streaming pass with per-batch Arrow group_by partials,
+    O(splits x langs) driver combine — no shuffle."""
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        b = _mix32(t["doc_id"].to_numpy(zero_copy_only=False)) % 100
+        split = np.where(b < 5, "test", np.where(b < 10, "val", "train"))
+        part = pa.table(
+            {"split": pa.array(split, pa.string()), "lang": t["lang"]}
+        )
+        g = part.group_by(["split", "lang"]).aggregate([("lang", "count")])
+        return g.rename_columns(["split", "lang", "n_docs"])
+
+    pdf = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .to_pandas()
+        .groupby(["split", "lang"], as_index=False)["n_docs"].sum()
+        .sort_values(["split", "lang"])
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---- keyword search (integer-scored retrieval top-k; oracle) ----
+_SEARCH_TERMS = ("the", "of", "la", "van")
+
+
+def q_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """Multi-term keyword search: rank documents by
+    ``score = sum_t tf(t, doc) * (n_docs // df(t))`` over the fixed query
+    terms — the retrieval shape (tf x inverse-document-frequency weight,
+    summed over query terms), with the float ``log`` idf replaced by the
+    integer rational weight q_tfidf_top_terms uses, so the DuckDB oracle
+    ranks and hashes identically.  Top-``k`` by (score DESC, doc_id ASC).
+
+    Scale shape: (1) one streaming pass emits (doc_id, term, tf) for QUERY
+    terms only — O(n_docs x |Q|) rows max, tokens never leave the batch;
+    (2) df per query term via O(|Q|)-result driver combine; (3) doc-hash
+    partitions: per-doc score sum + local top-k inside each partition
+    (weights broadcast as a plain dict); (4) driver merge of O(parts x k)
+    rows.  The corpus itself never shuffles."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+    terms = set(_SEARCH_TERMS)
+
+    def explode_tf(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_term, out_tf = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            if not s:
+                continue
+            arr = np.array(_WS_SPLIT.split(s.strip(" ")), dtype=object)
+            hits = arr[np.isin(arr, list(terms))]
+            if len(hits):
+                vals, counts = np.unique(hits, return_counts=True)
+                out_term.append(vals)
+                out_tf.append(counts.astype(np.int64))
+                out_doc.append(np.full(len(vals), ids[i], dtype=np.int64))
+        if not out_doc:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "term": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                         "term": pa.array(np.concatenate(out_term), pa.string()),
+                         "tf": pa.array(np.concatenate(out_tf), pa.int64())})
+
+    pairs = ds.map_batches(explode_tf, batch_format="pyarrow").materialize()
+    dfc = driver_grouped_agg(pairs, ["term"], [("doc_id", "count")], ["term", "df"])
+    weight = {t_: n_docs // int(d) for t_, d in zip(dfc["term"], dfc["df"])}
+
+    def score_part(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        w = pd.Series(t["term"].to_pandas()).map(weight).to_numpy(np.int64)
+        order = np.argsort(did, kind="mergesort")
+        did, contrib = did[order], (tf * w)[order]
+        starts, ends = run_boundaries(did)
+        cum = np.concatenate([[0], np.cumsum(contrib)])
+        score = cum[ends] - cum[starts]
+        top = np.lexsort((did[starts], -score))[:k]
+        return pa.table({"doc_id": pa.array(did[starts][top], pa.int64()),
+                         "score": pa.array(score[top], pa.int64())})
+
+    local = hash_partitioned(
+        pairs,
+        lambda t: [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        score_part,
+        num_parts=32,
+    ).to_pandas()
+    out = (
+        local.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- compression-ratio quality signal (zlib; rows-only) ----
+def q_compression_ratio(sf_dir: str, low_pct: int = 30) -> pa.Table:
+    """Per-language compression-ratio statistics — the RefinedWeb/MassiveText
+    -style repetition signal: highly compressible text (low compressed/raw
+    percentage) is boilerplate or templated.  Per doc:
+    ``comp_pct = 100 * len(zlib(text, level 6)) // n_bytes``; per language:
+    doc count, docs under ``low_pct`` (flagged repetitive), min/max comp_pct.
+    zlib at a fixed level is deterministic, but no SQL analog exists ->
+    rows-only; the signal itself is pinned by a unit test on planted
+    repetitive vs high-entropy fixtures.
+
+    Scale shape: one streaming pass, per-batch O(langs) partials, driver
+    combine — no shuffle; compression runs where the text already lives."""
+    import zlib
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        langs = t["lang"].to_pylist()
+        rows: dict[str, list[int]] = {}
+        for lang, s in zip(langs, t["text"].to_pylist()):
+            raw = (s or "").encode("utf-8")
+            if not raw:
+                continue
+            pct = 100 * len(zlib.compress(raw, 6)) // len(raw)
+            agg = rows.setdefault(lang, [0, 0, 10**9, -1])
+            agg[0] += 1
+            agg[1] += pct < low_pct
+            agg[2] = min(agg[2], pct)
+            agg[3] = max(agg[3], pct)
+        langs_out = sorted(rows)
+        return pa.table(
+            {
+                "lang": pa.array(langs_out, pa.string()),
+                "n_docs": pa.array([rows[l][0] for l in langs_out], pa.int64()),
+                "n_repetitive": pa.array([rows[l][1] for l in langs_out], pa.int64()),
+                "min_pct": pa.array([rows[l][2] for l in langs_out], pa.int64()),
+                "max_pct": pa.array([rows[l][3] for l in langs_out], pa.int64()),
+            }
+        )
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = pdf.groupby("lang", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_repetitive=("n_repetitive", "sum"),
+        min_pct=("min_pct", "min"), max_pct=("max_pct", "max"),
+    ).sort_values("lang").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- SemDeDup: cluster-then-prune semantic dedup (rows-only) ----
+def semdedup_prune(m: np.ndarray, ids: np.ndarray, threshold: float) -> np.ndarray:
+    """Greedy within-cluster prune (the executable spec, also the per-group
+    worker kernel): scan ids ASCENDING, keep a vector iff its max cosine to
+    every already-kept vector is below ``threshold``.  Returns a keep mask
+    aligned with ``ids`` order."""
+    order = np.argsort(ids, kind="stable")
+    mn = _normalize(m[order].astype(np.float64))
+    kept: list[int] = []
+    keep_sorted = np.zeros(len(ids), dtype=bool)
+    for i in range(len(ids)):
+        if not kept or float((mn[kept] @ mn[i]).max()) < threshold:
+            kept.append(i)
+            keep_sorted[i] = True
+    keep = np.zeros(len(ids), dtype=bool)
+    keep[order] = keep_sorted
+    return keep
+
+
+class _SemAssign:
+    """Assign each embedding row to its nearest broadcast centroid."""
+
+    def __init__(self, centroids_ref):
+        c = ray.get(centroids_ref) if not isinstance(centroids_ref, np.ndarray) else centroids_ref
+        self.c = _normalize(np.asarray(c, dtype=np.float64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        assign = (
+            (_normalize(m.astype(np.float64)) @ self.c.T).argmax(axis=1)
+            if len(m) else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {"vec_id": batch["vec_id"],
+             "cluster": pa.array(assign.astype(np.int32), pa.int32()),
+             "embedding": batch["embedding"]}
+        )
+
+
+def q_semdedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float = 0.45) -> rd.Dataset:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, public method):
+    k-means-cluster the embeddings, then prune near-duplicates WITHIN each
+    cluster only — the clustering turns the O(n^2) all-pairs cosine into
+    k independent O((n/k)^2) problems that run in parallel and never
+    compare across clusters.  Output: (vec_id, cluster, kept).
+
+    Scale shape: centroids come from the shuffle-free distributed Lloyd
+    rounds (stages/ann.KMeansPartial — O(k x dim) partials per batch); the
+    assignment pass is a broadcast-centroid map_batches; the prune is a
+    ``groupby(cluster).map_groups`` where each group holds ONE cluster
+    (documented assumption, same as the SemDeDup paper's per-cluster step:
+    a cluster's vectors fit one worker — k must scale with the corpus).
+    Greedy keep order is id-ascending, so results are partition-invariant;
+    pinned against the driver oracle in tests (semdedup_prune on the full
+    table per cluster)."""
+    from monocator_ray.stages.ann import KMeansPartial
+
+    ensure_shipped()
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    c = _normalize(kmeans_init_centroids(sf_dir, k).astype(np.float64))
+    for _ in range(iters):
+        partials = emb.map_batches(
+            cached_stage(KMeansPartial, centroids_ref=ray.put(c)),
+            batch_format="pyarrow", batch_size=4096,
+        ).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, c.shape[1]), dtype=np.float64)
+        for cl, n, vs in zip(partials["cluster"], partials["n"], partials["vsum"]):
+            counts[cl] += n
+            sums[cl] += np.asarray(vs, dtype=np.float64)
+        nz = counts > 0
+        c[nz] = sums[nz] / counts[nz, None]
+        c = _normalize(c)
+
+    assigned = emb.map_batches(
+        cached_stage(_SemAssign, centroids_ref=ray.put(c)), batch_format="pyarrow"
+    )
+
+    def prune_group(g: pa.Table) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        keep = semdedup_prune(table_to_matrix(g), ids, threshold)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()),
+             "cluster": g["cluster"],
+             "kept": pa.array(keep, pa.bool_())}
+        )
+
+    return (
+        assigned.groupby("cluster")
+        .map_groups(prune_group, batch_format="pyarrow")
+        .sort("vec_id")
+        .select_columns(["vec_id", "cluster", "kept"])
+    )

@@ -502,6 +502,37 @@ REGISTRY: dict = {
         SELECT doc_id, lang, h32 FROM r WHERE rk <= 50 ORDER BY doc_id
         """,
     ),
+    "dataset_split": (
+        D.q_dataset_split,
+        """
+        WITH
+        h1 AS (SELECT doc_id, lang, (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM documents),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, lang, xor(_c, _c >> 13) AS h32 FROM h3),
+        b AS (SELECT lang, h32 % 100 AS bk FROM hashed)
+        SELECT CASE WHEN bk < 5 THEN 'test' WHEN bk < 10 THEN 'val' ELSE 'train' END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM b GROUP BY split, lang ORDER BY split, lang
+        """,
+    ),
+    # keyword search: integer tf x (n_docs // df) retrieval scoring over the
+    # fixed query terms — the tfidf_top_terms weight, summed per doc
+    "keyword_search": (
+        D.q_keyword_search,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term IN ('the', 'of', 'la', 'van') GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY doc_id)
+        SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
@@ -622,6 +653,12 @@ REGISTRY: dict = {
     # distributed k-means over embeddings (iterative float op — no SQL
     # analog; pinned to the driver Lloyd oracle in tests/test_cms.py)
     "kmeans_clusters": (D.q_kmeans_clusters, None),
+    # SemDeDup cluster-then-prune semantic dedup (iterative float op —
+    # pinned to the driver semdedup_prune oracle in tests)
+    "semdedup": (D.q_semdedup, None),
+    # zlib compression-ratio repetition signal (no SQL analog — zlib;
+    # pinned by planted repetitive/high-entropy fixtures in tests)
+    "compression_ratio": (D.q_compression_ratio, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
     # integer fixed-point PageRank over the derived part-supplier graph —

@@ -70,3 +70,72 @@ def test_kmeans_distributed_matches_oracle():
     got_pairs = set(zip(got["cluster"].astype(int), got["n_vecs"].astype(int)))
     assert got_pairs == want_pairs
     assert got["n_vecs"].sum() == len(m)
+
+
+def test_semdedup_matches_driver_oracle():
+    """Distributed SemDeDup (Lloyd centroids -> broadcast assignment ->
+    per-cluster greedy prune) must keep exactly the vectors the driver
+    oracle keeps: same Lloyd rounds, same id-ascending greedy rule per
+    cluster, run on the full table in numpy."""
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import (
+        kmeans_init_centroids,
+        kmeans_lloyd,
+        q_semdedup,
+        semdedup_prune,
+    )
+    from monocator_ray.stages.ann import table_to_matrix
+
+    sf = "/root/testdata/sf0.001"
+    got = q_semdedup(sf).to_pandas()
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = table_to_matrix(t)
+    ids = t["vec_id"].to_numpy()
+    assign, _c = kmeans_lloyd(m, kmeans_init_centroids(sf, 8), iters=3)
+    want_rows = {}
+    for cl in np.unique(assign):
+        sel = assign == cl
+        keep = semdedup_prune(m[sel], ids[sel], threshold=0.45)
+        for vid, kp in zip(ids[sel], keep):
+            want_rows[int(vid)] = (int(cl), bool(kp))
+    got_rows = {
+        int(v): (int(c), bool(k))
+        for v, c, k in zip(got["vec_id"], got["cluster"], got["kept"])
+    }
+    assert got_rows == want_rows
+    assert len(got_rows) == len(ids)
+    # the prune must actually drop something on this table, and never
+    # drop a cluster's smallest id
+    assert 0 < got["kept"].sum() <= len(ids)
+    first = got.sort_values("vec_id").groupby("cluster").first()
+    assert first["kept"].all()
+
+
+def test_compression_ratio_flags_repetitive_text(tmp_path):
+    """Planted fixtures: a highly repetitive doc compresses far below the
+    threshold, an incompressible (hash-soup) doc stays near 100%."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_compression_ratio
+
+    rep = "spam ham " * 500
+    import hashlib
+
+    rand = " ".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(200)
+    )
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([rep, rand], pa.string()),
+            "lang": pa.array(["rep", "rnd"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_compression_ratio(str(tmp_path)).to_pandas().set_index("lang")
+    assert out.loc["rep", "n_repetitive"] == 1 and out.loc["rep", "max_pct"] < 30
+    assert out.loc["rnd", "n_repetitive"] == 0 and out.loc["rnd", "min_pct"] > 50
+    assert (out["n_docs"] == 1).all()
