@@ -130,6 +130,18 @@ REGISTRY: dict = {
         GROUP BY p_type ORDER BY n DESC, p_type LIMIT 5
         """,
     ),
+    # bloom-prefiltered semi-join: exact result (verify join removes the
+    # false positives), so the plain semi-join SQL is the oracle
+    "bloom_semi_join": (
+        R.q_bloom_semi_join,
+        """
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
     "event_stats": (
         R.q_event_stats,
         """

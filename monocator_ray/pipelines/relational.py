@@ -885,3 +885,72 @@ def q_order_ntile(sf_dir: str, tiles: int = 4) -> rd.Dataset:
         ntile_part,
         num_parts=8,
     ).sort(["o_orderpriority", "quartile", "o_orderkey"])
+
+
+# ---- bloom-prefiltered semi-join (J-family; exact via verify join) ----
+def q_bloom_semi_join(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
+    """Revenue of lineitems belonging to high-value orders — a semi-join
+    whose build side is too big to broadcast exactly AT SCALE, rendered as
+    the Bloom-prefilter pattern (state/bloom.py): (1) per-batch partial
+    Bloom filters over qualifying orderkeys, OR-merged on the driver —
+    reduce traffic is a fixed 16 KB blob per block, independent of
+    build-side rows; (2) the merged filter broadcasts (ray.put) into the
+    probe-side map_batches and drops non-matching lineitems (no false
+    negatives — only false positives survive); (3) an EXACT partitioned
+    hash join over the few survivors removes the false positives, so the
+    result equals the plain semi-join and the DuckDB oracle hash-matches.
+    The join's shuffle moves only ``match_rate + fpp`` of the probe side
+    instead of all of it."""
+    from monocator_ray.state.bloom import BloomFilter
+
+    n_bits, k = 1 << 17, 7
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    thresh = pa.scalar(min_total)
+
+    def partial_bloom(t: pa.Table) -> pa.Table:
+        keys = t.filter(pc.greater(t["o_totalprice"], thresh))["o_orderkey"]
+        bf = BloomFilter(n_bits, k)
+        bf.add(keys.to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
+
+    merged = BloomFilter(n_bits, k)
+    for blob in orders.map_batches(partial_bloom, batch_format="pyarrow").to_pandas()["blob"]:
+        merged.merge(BloomFilter.from_bytes(blob, n_bits, k))
+    bloom_ref = ray.put(merged.to_bytes())
+
+    class Prefilter:
+        def __init__(self, blob_ref):
+            self.bf = BloomFilter.from_bytes(ray.get(blob_ref), n_bits, k)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = self.bf.contains(
+                t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            t = t.filter(pa.array(mask))
+            return pa.table(
+                {
+                    "l_orderkey": t["l_orderkey"],
+                    "l_returnflag": t["l_returnflag"],
+                    "price_cents": _cents(t["l_extendedprice"]),
+                }
+            )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    survivors = li.map_batches(
+        cached_stage(Prefilter, blob_ref=bloom_ref), batch_format="pyarrow"
+    )
+
+    def build_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], thresh))
+        return pa.table({"o_orderkey": t["o_orderkey"]})
+
+    keys_ds = orders.map_batches(build_keys, batch_format="pyarrow")
+    joined = survivors.join(
+        keys_ds, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    return (
+        joined.groupby("l_returnflag")
+        .aggregate(Count(alias_name="n_items"), Sum("price_cents", alias_name="revenue_cents"))
+        .sort("l_returnflag")
+    )
