@@ -1710,3 +1710,95 @@ def q_semdedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float = 0.45)
         .sort("vec_id")
         .select_columns(["vec_id", "cluster", "kept"])
     )
+
+
+# ---- repeated n-gram spans (substring-level dedup signal; oracle) ----
+def q_repeated_spans(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """Per-document repeated-span statistics — the substring-level exact
+    dedup signal of Lee et al. 2022 ("Deduplicating Training Data ..."),
+    at word-n-gram granularity: a span (n consecutive words, WITH position
+    multiplicity) is "duplicated" iff its n-gram occurs >= 2 times in the
+    WHOLE corpus (other docs or elsewhere in the same doc).  Output per doc
+    with >= 1 span: (doc_id, n_spans, n_dup_spans).
+
+    Scale shape (inverted-index, one shuffle — no duplicated-gram broadcast
+    set, whose size is unbounded at corpus scale): explode positional
+    (gram_hash, doc_id) rows -> gram-hash partitions, where corpus
+    frequency is a run length and per-doc partials (span count, dup-span
+    count) are grouped vectorized before leaving the worker ->
+    ``partitioned_aggregate`` sums partials per doc.  Gram hashing is the
+    ngram_jaccard convention (64-bit SipHash of the oracle's gram string;
+    collision analysis in that docstring)."""
+    from monocator_ray.stages.dedup import ngram_hashes_positional
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        per = [ngram_hashes_positional(x or "", n) for x in t["text"].to_pylist()]
+        counts = np.array([p.size for p in per], dtype=np.int64)
+        gh = np.concatenate(per) if per else np.empty(0, np.uint64)
+        return pa.table(
+            {"gram_hash": pa.array(gh.view(np.int64), pa.int64()),
+             "doc_id": pa.array(np.repeat(ids, counts), pa.int64())}
+        )
+
+    def dup_part(g: pa.Table) -> pa.Table:
+        gh = g["gram_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gh))
+        gh, ids = gh[order], ids[order]
+        starts, ends = run_boundaries(gh)
+        freq = np.repeat(ends - starts, ends - starts)
+        dup = (freq >= 2).astype(np.int64)
+        # per-doc partial combine inside the partition (order by doc)
+        order2 = np.argsort(ids, kind="mergesort")
+        ids, dup = ids[order2], dup[order2]
+        dstarts, dends = run_boundaries(ids)
+        cum = np.concatenate([[0], np.cumsum(dup)])
+        return pa.table(
+            {"doc_id": pa.array(ids[dstarts], pa.int64()),
+             "n_spans": pa.array(dends - dstarts, pa.int64()),
+             "n_dup_spans": pa.array(cum[dends] - cum[dstarts], pa.int64())}
+        )
+
+    partials = hash_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        lambda t: [t["gram_hash"].to_numpy(zero_copy_only=False)],
+        dup_part,
+        num_parts=64,
+    )
+    return partitioned_aggregate(
+        partials,
+        ["doc_id"],
+        [("n_spans", "sum"), ("n_dup_spans", "sum")],
+        ["doc_id", "n_spans", "n_dup_spans"],
+        num_parts=32,
+    ).sort("doc_id")
+
+
+# ---- connected components over the exact-Jaccard graph (oracle) ----
+def q_jaccard_clusters(sf_dir: str) -> rd.Dataset:
+    """Near-duplicate CLUSTERS with a full SQL oracle: connected components
+    over the exact n-gram-Jaccard pair graph (q_ngram_jaccard_pairs, itself
+    oracle-checked), labeled min-doc_id per component — the grouping step
+    that turns verified pairs into dedup survivor sets.
+
+    Engine: the Dataset-native min-label propagation of
+    stages/dedup.py:label_propagation_components (per-round edges x labels
+    hash join + grouped Min; fixpoint detected by an O(1) label-sum
+    scalar; the driver never holds a per-vertex table).  Oracle: DuckDB
+    WITH RECURSIVE transitive closure + MIN over reachable vertices —
+    viable because the sf0.01 pair graph is tiny; the engine path has no
+    such bound."""
+    from monocator_ray.stages.dedup import label_propagation_components
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    labels = label_propagation_components(pairs.materialize())
+    if labels.count() == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64())})
+        )
+    return labels

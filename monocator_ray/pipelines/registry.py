@@ -651,6 +651,70 @@ REGISTRY: dict = {
         ORDER BY doc_a, doc_b
         """,
     ),
+    # substring-level dedup signal: positional word-5-gram spans whose gram
+    # occurs >= 2x corpus-wide (Lee et al. 2022 shape, word granularity)
+    "repeated_spans": (
+        D.q_repeated_spans,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                         w[i+3] || ' ' || w[i+4]
+                         FOR i IN range(1, len(w) - 3)]) AS g
+          FROM toks WHERE len(w) >= 5),
+        freq AS (SELECT g, COUNT(*) AS f FROM grams GROUP BY g)
+        SELECT doc_id, COUNT(*) AS n_spans,
+               CAST(SUM(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        FROM grams JOIN freq USING (g) GROUP BY doc_id ORDER BY doc_id
+        """,
+    ),
+    # connected components over the exact-Jaccard pair graph: distributed
+    # min-label propagation vs a recursive transitive-closure oracle
+    "jaccard_clusters": (
+        D.q_jaccard_clusters,
+        r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)])) AS g
+          FROM toks WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM grams a JOIN grams b USING (g)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE 2 * c >= sa.n + sb.n - c
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+          UNION SELECT doc_a, doc_a FROM pairs
+          UNION SELECT doc_b, doc_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        )
+        SELECT a AS doc_id, MIN(b) AS cluster FROM reach
+        GROUP BY a ORDER BY doc_id
+        """,
+    ),
     "minhash_pairs": (D.q_minhash_pairs, None),
     "simhash_pairs": (D.q_simhash_pairs, None),
     "ann_topk": (D.q_ann_topk, None),

@@ -123,6 +123,17 @@ def ngram_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(hash_str64(grams))
 
 
+def ngram_hashes_positional(text: str, n: int) -> np.ndarray:
+    """Like :func:`ngram_hashes` but WITH multiplicity, one hash per span
+    position (unsorted) — the repeated-span detector needs every
+    occurrence, so a doc repeating its own n-gram counts as duplication."""
+    t = text.strip("\t\n\f\r ") if text else ""
+    words = _WS.split(t) if t else []
+    if len(words) < n:
+        return np.empty(0, dtype=np.uint64)
+    return hash_str64([" ".join(words[i : i + n]) for i in range(len(words) - n + 1)])
+
+
 class NgramExploder:
     """map_batches (pyarrow): explode each doc into one row per DISTINCT
     word n-gram: (gram_hash, doc_id, doc_n).  ``doc_n`` (the doc's distinct
