@@ -74,6 +74,18 @@ BENCH_QUERIES = [
     "hits",
     "cms_term_counts",
     "kmeans_clusters",
+    # round-2e additions: windows, retrieval, split, bloom join, span dedup,
+    # jaccard components, semantic dedup, compression signal
+    "event_moving_avg",
+    "customer_running_total",
+    "order_ntile",
+    "dataset_split",
+    "keyword_search",
+    "bloom_semi_join",
+    "repeated_spans",
+    "jaccard_clusters",
+    "semdedup",
+    "compression_ratio",
 ]
 
 
