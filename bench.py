@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "jaccard_clusters",
     "semdedup",
     "compression_ratio",
+    "triangle_count",
 ]
 
 

@@ -360,3 +360,166 @@ PAGERANK_SQL = (
     SELECT node, r AS rank_e12 FROM r3 ORDER BY node
     """
 )
+
+
+# ---- triangle counting over the co-purchase graph (oracle-checked) ----
+def triangle_count_kernel(a: np.ndarray, b: np.ndarray) -> int:
+    """Driver numpy oracle / small-graph spec: count triangles in the
+    DISTINCT undirected edge list given as canonical (a < b) pairs.
+    Exhaustive wedge check via set membership — obviously correct."""
+    edges = set(zip(a.tolist(), b.tolist()))
+    from collections import defaultdict
+
+    fwd = defaultdict(list)
+    for x, y in edges:
+        fwd[x].append(y)
+    n = 0
+    for x, ys in fwd.items():
+        ys = sorted(ys)
+        for i in range(len(ys)):
+            for j in range(i + 1, len(ys)):
+                if (ys[i], ys[j]) in edges:
+                    n += 1
+    return n
+
+
+def _copurchase_edges(sf_dir: str) -> rd.Dataset:
+    """Distinct canonical (a < b) part-pair edges: two parts are adjacent
+    iff some order contains both.  Orders are grouped by ORDER-hash
+    partitions first (an order's lineitems can span read blocks), pairs
+    explode per order-run via triu indices, then the pair-key partitioned
+    global dedup."""
+    ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        starts, ends = run_boundaries(ok)
+        out_a, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            parts = np.unique(pk[s:e])
+            if len(parts) >= 2:
+                ia, ib = np.triu_indices(len(parts), k=1)
+                out_a.append(parts[ia])
+                out_b.append(parts[ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64())})
+
+    grouped = hash_partitioned(
+        ds,
+        lambda t: [t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        pairs_part,
+        num_parts=32,
+    )
+    return _dedup_pairs(grouped)
+
+
+def q_triangle_count(sf_dir: str) -> pa.Table:
+    """Triangle count over the co-purchase graph — the MapReduce wedge
+    algorithm (Suri & Vassilvitskii, WWW'11, public): (1) orient every
+    edge toward the higher (degree, id) endpoint, so each triangle forms
+    exactly one wedge at its lowest pivot and per-node forward degree is
+    O(sqrt(E)) — the skew bound that makes wedge explosion tractable;
+    (2) generate wedges (u, w) inside pivot-hash partitions; (3) count
+    wedges that are edges by co-partitioning tagged wedge and edge rows on
+    the pair key — partials sum per partition, the driver adds O(parts)
+    numbers.  Degrees are O(nodes) and broadcast (ray.put), the documented
+    Pregel-style vertex-state assumption shared with pagerank.
+
+    The count is orientation-invariant, so the DuckDB oracle is the plain
+    canonical-edge self-join (a < b < c counted once)."""
+    ensure_shipped()
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def emit_deg(t: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False), t["dst"].to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64), pa.int64())})
+
+    deg_pdf = driver_grouped_agg(
+        edges.map_batches(emit_deg, batch_format="pyarrow"),
+        ["node"], [("one", "sum")], ["node", "deg"],
+    )
+    nodes = deg_pdf["node"].to_numpy(np.int64)
+    degs = deg_pdf["deg"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    nodes_ref = ray.put(nodes[order])
+    degs_ref = ray.put(degs[order])
+
+    class Orient:
+        """(src,dst) -> (pivot, other) with pivot = lower (degree, id)."""
+
+        def __init__(self, nref, dref):
+            self.nodes = ray.get(nref)
+            self.degs = ray.get(dref)
+
+        def _deg(self, x: np.ndarray) -> np.ndarray:
+            return self.degs[np.searchsorted(self.nodes, x)]
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy(zero_copy_only=False)
+            b = t["dst"].to_numpy(zero_copy_only=False)
+            da, db = self._deg(a), self._deg(b)
+            a_first = (da < db) | ((da == db) & (a < b))
+            return pa.table(
+                {"pivot": pa.array(np.where(a_first, a, b), pa.int64()),
+                 "other": pa.array(np.where(a_first, b, a), pa.int64())}
+            )
+
+    def wedges_part(t: pa.Table) -> pa.Table:
+        pv = t["pivot"].to_numpy(zero_copy_only=False)
+        ot = t["other"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ot, pv))
+        pv, ot = pv[order], ot[order]
+        starts, ends = run_boundaries(pv)
+        out_a, out_b = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            nb = ot[s:e]
+            if len(nb) >= 2:
+                ia, ib = np.triu_indices(len(nb), k=1)
+                u, w = nb[ia], nb[ib]
+                lo, hi = np.minimum(u, w), np.maximum(u, w)
+                out_a.append(lo)
+                out_b.append(hi)
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64()),
+                         "tag": pa.array(np.ones(len(a), np.int8), pa.int8())})
+
+    wedges = hash_partitioned(
+        edges.map_batches(cached_stage(Orient, nref=nodes_ref, dref=degs_ref),
+                          batch_format="pyarrow"),
+        lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        wedges_part,
+        num_parts=64,
+    )
+    tagged_edges = edges.map_batches(
+        lambda t: t.append_column("tag", pa.array(np.zeros(t.num_rows, np.int8), pa.int8())),
+        batch_format="pyarrow",
+    )
+
+    def close_part(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        tag = t["tag"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tag, b, a))
+        a, b, tag = a[order], b[order], tag[order]
+        starts, ends = run_boundaries(a, b)
+        # run sorted by tag: edge rows (0) first; wedges in an edge run close
+        has_edge = tag[starts] == 0
+        n = int(((ends - starts - 1) * has_edge).sum())
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    closed = hash_partitioned(
+        wedges.union(tagged_edges),
+        lambda t: [t["src"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        close_part,
+        num_parts=64,
+    ).to_pandas()
+    return pa.table({"n_triangles": pa.array([int(closed["n"].sum())], pa.int64())})

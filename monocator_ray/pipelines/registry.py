@@ -742,4 +742,20 @@ REGISTRY: dict = {
     "pagerank": (G.q_pagerank, G.PAGERANK_SQL),
     # integer HITS hubs/authorities on the directed part->supplier graph
     "hits": (G.q_hits, G.HITS_SQL),
+    # triangle count over the co-purchase graph (degree-oriented wedge
+    # MapReduce plan); oracle = canonical-edge self-join, a<b<c once
+    "triangle_count": (
+        G.q_triangle_count,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                          GREATEST(a.l_partkey, b.l_partkey) AS b
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey)
+        SELECT COUNT(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e1.b = e2.a
+        JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+    ),
 }

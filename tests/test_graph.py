@@ -89,3 +89,38 @@ def test_pagerank_large_path_matches_small():
         small.sort_values("node").reset_index(drop=True),
         large.sort_values("node").reset_index(drop=True),
     )
+
+
+def test_triangle_kernel_known_graphs():
+    """K4 has 4 triangles; a 5-ring has none; K4 plus a pendant edge still 4."""
+    import numpy as np
+
+    from monocator_ray.pipelines.graph import triangle_count_kernel
+
+    k4a = np.array([0, 0, 0, 1, 1, 2])
+    k4b = np.array([1, 2, 3, 2, 3, 3])
+    assert triangle_count_kernel(k4a, k4b) == 4
+    ring_a = np.array([0, 1, 2, 3, 0])
+    ring_b = np.array([1, 2, 3, 4, 4])
+    assert triangle_count_kernel(ring_a, ring_b) == 0
+    pa_ = np.append(k4a, 3)
+    pb_ = np.append(k4b, 9)
+    assert triangle_count_kernel(pa_, pb_) == 4
+
+
+def test_triangle_count_matches_kernel():
+    """Distributed wedge plan == exhaustive kernel on the same derived
+    edge set (sf0.001 co-purchase graph)."""
+    import numpy as np
+
+    from monocator_ray.pipelines.graph import (
+        _copurchase_edges,
+        q_triangle_count,
+        triangle_count_kernel,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_triangle_count(sf)["n_triangles"][0].as_py()
+    pdf = _copurchase_edges(sf).to_pandas()
+    want = triangle_count_kernel(pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64))
+    assert got == want
