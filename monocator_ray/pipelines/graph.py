@@ -26,8 +26,10 @@ Scale shape (the part the judge grades):
 * the documented assumption is vertex state ≪ edge count (true for any
   web-ish graph: 10^9 nodes × 16 B = 16 GB of rank vector vs TBs of
   edges).  For graphs where even O(nodes) exceeds one machine, the
-  join-per-iteration path in stages/dedup.label_propagation_components is
-  the template — same update rule, each round a distributed hash join.
+  join-per-iteration path is implemented too (``pagerank_join_path``:
+  vertex state as a Dataset, 2 joins + 1 aggregate shuffle per
+  iteration, bit-identical results) — pick it when O(nodes) exceeds a
+  machine.
 """
 
 from __future__ import annotations
@@ -46,6 +48,7 @@ from monocator_ray.stages.grouped import (
     cached_stage,
     driver_grouped_agg,
     hash_partitioned,
+    partitioned_aggregate,
     run_boundaries,
 )
 
@@ -197,6 +200,88 @@ def q_pagerank(sf_dir: str) -> pa.Table:
         r = base + DAMP_NUM * s // DAMP_DEN
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "rank_e12": pa.array(r, pa.int64())})
+
+
+def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
+    """Fully distributed PageRank for graphs where even the O(nodes) rank
+    vector exceeds one machine (the bound the broadcast path documents):
+    vertex state lives in a ``(node, outdeg, rank)`` Dataset and each
+    iteration is (a) an edges x contributions hash join on src, (b) a
+    per-batch partial sum grouped by dst + partitioned exact aggregate,
+    (c) a join back to the degree table for the damping update — the
+    label_propagation_components template, 2 joins + 1 aggregate shuffle
+    per iteration and no driver- or worker-held vertex vector.  The
+    integer update rule is IDENTICAL to pagerank_int, so results are
+    bit-equal to the broadcast path (pinned by
+    tests/test_graph.py::test_pagerank_join_path_matches_broadcast).
+    Returns (node, rank_e12)."""
+    ensure_shipped()
+
+    def one_per_src(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+
+    deg = partitioned_aggregate(
+        edges.map_batches(one_per_src, batch_format="pyarrow"),
+        ["node"], [("one", "sum")], ["node", "outdeg"], num_parts=32,
+    ).materialize()
+    n = deg.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "rank_e12": pa.array([], pa.int64())}))
+    r0 = SCALE // n
+    base = (DAMP_DEN - DAMP_NUM) * r0 // DAMP_DEN
+
+    ranks = deg.map_batches(
+        lambda t: t.append_column("rank", pa.array(np.full(t.num_rows, r0, np.int64), pa.int64())),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def to_contrib(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cnode": t["node"],
+             "contrib": pa.array(
+                 t["rank"].to_numpy(zero_copy_only=False)
+                 // t["outdeg"].to_numpy(zero_copy_only=False), pa.int64())}
+        )
+
+    def partial_by_dst(t: pa.Table) -> pa.Table:
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        c = t["contrib"].to_numpy(zero_copy_only=False)
+        u, inv = np.unique(dst, return_inverse=True)
+        s = np.zeros(len(u), dtype=np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"dst": pa.array(u, pa.int64()), "s": pa.array(s, pa.int64())})
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": t["dst"], "outdeg": t["outdeg"],
+             "rank": pa.array(base + DAMP_NUM * s // DAMP_DEN, pa.int64())}
+        )
+
+    for _ in range(iters):
+        contrib = ranks.map_batches(to_contrib, batch_format="pyarrow")
+        joined = edges.join(contrib, join_type="inner", num_partitions=16,
+                            on=("src",), right_on=("cnode",))
+        sums = partitioned_aggregate(
+            joined.map_batches(partial_by_dst, batch_format="pyarrow"),
+            ["dst"], [("s", "sum")], ["dst", "s"], num_parts=32,
+        )
+        # symmetric graph: every node is some edge's dst, so the inner
+        # join back to the degree table loses no vertex
+        ranks = (
+            sums.join(deg, join_type="inner", num_partitions=16,
+                      on=("dst",), right_on=("node",))
+            .map_batches(damp, batch_format="pyarrow")
+            .materialize()
+        )
+
+    return ranks.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank_e12": t["rank"]}),
+        batch_format="pyarrow",
+    ).sort("node")
 
 
 HITS_ITERS = 2

@@ -124,3 +124,24 @@ def test_triangle_count_matches_kernel():
     pdf = _copurchase_edges(sf).to_pandas()
     want = triangle_count_kernel(pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64))
     assert got == want
+
+
+def test_pagerank_join_path_matches_broadcast():
+    """The no-driver-bound join-per-iteration path must be bit-identical to
+    q_pagerank (same integer update rule) on the sf0.001 graph."""
+    from monocator_ray.pipelines.graph import (
+        _distinct_edges,
+        pagerank_join_path,
+        q_pagerank,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    want = q_pagerank(sf).to_pandas().sort_values("node").reset_index(drop=True)
+    got = (
+        pagerank_join_path(_distinct_edges(sf).materialize())
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+    assert got["node"].tolist() == want["node"].tolist()
+    assert got["rank_e12"].tolist() == want["rank_e12"].tolist()
