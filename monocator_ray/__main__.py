@@ -6,6 +6,8 @@
     python -m monocator_ray synth  --dest /web --pages 10000 --hosts 100
     python -m monocator_ray warc-import --warc a.warc.gz --out /pages_pq
     python -m monocator_ray warc-export --pages /pages_pq --out /warc_dir
+    python -m monocator_ray query                      # list registered pipelines
+    python -m monocator_ray query top_terms --sf-dir /root/testdata/sf0.01
 
 Owns its Ray session (scripts only; the library never calls ray.init).
 """
@@ -74,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
     we.add_argument("--out", required=True, help="output WARC dir")
     we.add_argument("--plain", action="store_true", help="write uncompressed .warc")
 
+    q = sub.add_parser("query", help="run a registered pipeline over an sf dir")
+    q.add_argument("name", nargs="?", default=None,
+                   help="registry query name (omit to list all)")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                   help="table dir with the driver parquet tables")
+    q.add_argument("--out", default=None,
+                   help="write the result as parquet here instead of printing")
+    q.add_argument("--limit", type=int, default=20, help="print at most N rows")
+
     args = p.parse_args(argv)
     import ray
 
@@ -131,6 +142,40 @@ def main(argv: list[str] | None = None) -> int:
                                compress=not args.plain).to_pandas()
         print(json.dumps({"out": args.out, "files": len(manifest),
                           "rows": int(manifest["n_records"].sum())}))
+    elif args.cmd == "query":
+        from monocator_ray.pipelines.registry import REGISTRY
+
+        if args.name is None:
+            for name, (_fn, sql) in sorted(REGISTRY.items()):
+                print(f"{name}\t{'sql-oracle' if sql else 'rows-only'}")
+            return 0
+        if args.name not in REGISTRY:
+            print(f"unknown query {args.name!r}; run with no name to list", file=sys.stderr)
+            return 2
+        _init_ray(args.num_cpus)
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        fn, _sql = REGISTRY[args.name]
+        res = fn(args.sf_dir)
+        if args.out:
+            if isinstance(res, rd.Dataset):
+                res.write_parquet(args.out)
+                n = res.count()
+            else:
+                import pyarrow.parquet as pq
+
+                tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(
+                    res, preserve_index=False)
+                pq.write_table(tbl, args.out)
+                n = tbl.num_rows
+            print(json.dumps({"query": args.name, "out": args.out, "rows": int(n)}))
+        else:
+            df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+            with pd.option_context("display.max_columns", None, "display.width", 200):
+                print(df.head(args.limit).to_string(index=False))
+            print(json.dumps({"query": args.name, "rows": int(len(df))}))
     elif args.cmd == "report":
         _init_ray(args.num_cpus)
         from monocator_ray import report

@@ -122,3 +122,39 @@ def test_cli_warc_import_export(tmp_path, ray_session):
     got = sorted((u, bytes(b)) for u, _ts, b in back)
     want = sorted((u, b) for u, _d, b in recs)
     assert got == want
+
+
+def test_cli_query(tmp_path):
+    """`query` subcommand: list mode needs no Ray; run mode executes a
+    registry pipeline and can write parquet."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "monocator_ray", "query"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = dict(l.split("\t") for l in r.stdout.strip().splitlines())
+    assert lines["pricing_summary"] == "sql-oracle"
+    assert lines["ann_topk"] == "rows-only"
+
+    out = str(tmp_path / "split.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "monocator_ray", "--num-cpus", "4", "query",
+         "dataset_split", "--sf-dir", "/root/testdata/sf0.001", "--out", out],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    res = json.loads(r.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(out)
+    assert set(t.column_names) == {"split", "lang", "n_docs"}
+
+    r = subprocess.run(
+        [sys.executable, "-m", "monocator_ray", "query", "nope"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert r.returncode == 2
