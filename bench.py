@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "semdedup",
     "compression_ratio",
     "triangle_count",
+    "token_quantiles_approx",
 ]
 
 

@@ -1802,3 +1802,51 @@ def q_jaccard_clusters(sf_dir: str) -> rd.Dataset:
                       "cluster": pa.array([], pa.int64())})
         )
     return labels
+
+
+# ---- approximate quantiles via the KLL sketch (rows-only) ----
+def q_token_quantiles_approx(sf_dir: str, k: int = 256) -> pa.Table:
+    """Per-language token-length quantiles from ONE streaming pass of
+    mergeable KLL sketches (state/kll.py) — the scale alternative to
+    q_token_quantiles' exact value-histogram (whose memory is O(distinct
+    values); the sketch is O(k log n) for ANY value distribution, including
+    continuous ones where a histogram can't work).  Per-batch local
+    sketches per language ship as blobs; the driver merges O(blocks x
+    langs) of them — the HLL/CMS register-merge shape.
+
+    Below capacity nothing compacts, so at driver-table scale the answers
+    equal the exact query bit-for-bit (pinned by
+    tests/test_kll.py-adjacent test in test_cms.py); at scale the rank
+    error bound is the KLL guarantee (tests/test_kll.py)."""
+    from monocator_ray.stages.textstats import token_count
+    from monocator_ray.state.kll import KLLSketch
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = token_count(b["text"])
+        bl = b["lang"].fillna("").to_numpy()
+        rows = []
+        for lang in np.unique(bl):
+            sk = KLLSketch(k)
+            sk.add(n[bl == lang])
+            rows.append({"lang": lang, "blob": sk.to_bytes()})
+        return pd.DataFrame(rows, columns=["lang", "blob"])
+
+    merged: dict[str, KLLSketch] = {}
+    for _, row in ds.map_batches(partial, batch_format="pandas").to_pandas().iterrows():
+        sk = KLLSketch.from_bytes(row["blob"])
+        if row["lang"] in merged:
+            merged[row["lang"]].merge(sk)
+        else:
+            merged[row["lang"]] = sk
+    qs = [0.25, 0.50, 0.75, 0.90, 0.99]
+    langs = sorted(merged)
+    cols: dict[str, list] = {"lang": langs}
+    for name, q in zip(["p25", "p50", "p75", "p90", "p99"], qs):
+        cols[name] = [int(merged[l].quantile(q)) for l in langs]
+    return pa.table(
+        {"lang": pa.array(cols["lang"], pa.string()),
+         **{c: pa.array(cols[c], pa.int64()) for c in ["p25", "p50", "p75", "p90", "p99"]}}
+    )

@@ -732,6 +732,9 @@ REGISTRY: dict = {
     # SemDeDup cluster-then-prune semantic dedup (iterative float op —
     # pinned to the driver semdedup_prune oracle in tests)
     "semdedup": (D.q_semdedup, None),
+    # KLL-sketch approximate quantiles (sketch op — accuracy pinned by
+    # tests/test_kll.py; equals the exact query below sketch capacity)
+    "token_quantiles_approx": (D.q_token_quantiles_approx, None),
     # zlib compression-ratio repetition signal (no SQL analog — zlib;
     # pinned by planted repetitive/high-entropy fixtures in tests)
     "compression_ratio": (D.q_compression_ratio, None),

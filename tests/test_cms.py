@@ -139,3 +139,17 @@ def test_compression_ratio_flags_repetitive_text(tmp_path):
     assert out.loc["rep", "n_repetitive"] == 1 and out.loc["rep", "max_pct"] < 30
     assert out.loc["rnd", "n_repetitive"] == 0 and out.loc["rnd", "min_pct"] > 50
     assert (out["n_docs"] == 1).all()
+
+
+def test_token_quantiles_approx_equals_exact_below_capacity():
+    """At driver-table scale every per-lang sketch stays below capacity, so
+    the KLL path must equal the exact value-histogram query bit-for-bit
+    (same ceil-rank convention)."""
+    from monocator_ray.pipelines.docs import q_token_quantiles, q_token_quantiles_approx
+
+    sf = "/root/testdata/sf0.01"
+    exact = q_token_quantiles(sf).to_pandas().sort_values("lang").reset_index(drop=True)
+    approx = q_token_quantiles_approx(sf).to_pandas().sort_values("lang").reset_index(drop=True)
+    assert exact["lang"].tolist() == approx["lang"].tolist()
+    for c in ("p25", "p50", "p75", "p90", "p99"):
+        assert exact[c].astype(int).tolist() == approx[c].astype(int).tolist(), c
