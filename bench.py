@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "compression_ratio",
     "triangle_count",
     "token_quantiles_approx",
+    "region_cube",
 ]
 
 

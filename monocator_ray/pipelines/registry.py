@@ -401,6 +401,20 @@ REGISTRY: dict = {
         ORDER BY region, nation
         """,
     ),
+    "region_cube": (
+        R.q_region_cube,
+        """
+        SELECT COALESCE(r_name, 'ALL') AS region,
+               COALESCE(n_name, 'ALL') AS nation,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY CUBE (r_name, n_name)
+        ORDER BY region, nation
+        """,
+    ),
     "order_rank": (
         R.q_order_rank,
         """

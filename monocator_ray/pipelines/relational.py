@@ -425,15 +425,11 @@ def q_user_sessions(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
 
 
 # ---- hierarchical ROLLUP aggregate (region -> nation -> grand total) ----
-def q_region_rollup(sf_dir: str) -> pa.Table:
-    """Order revenue at every level of the region→nation hierarchy plus the
-    grand total — the GROUP BY ROLLUP shape.  Scale shape: the FINEST level
-    is the only distributed pass (orders streamed once; customer→nation is
-    a broadcast int-array probe like q_customer_regions; per-batch partial
-    sums keep the shuffle at O(nations) rows); every coarser level is a
-    driver-side re-sum of the O(nations) finest partials — rollup levels
-    are decomposable, so nothing is recomputed.  Subtotal rows use the
-    'ALL' marker instead of SQL NULL so the value hash is unambiguous."""
+def _region_nation_fine(sf_dir: str) -> pd.DataFrame:
+    """Finest-level (region, nation, rev_cents) revenue frame — the ONE
+    distributed pass shared by the ROLLUP and CUBE queries (orders streamed
+    once; customer→nation is a broadcast int-array probe; per-batch partial
+    sums keep the shuffle at O(nations) rows)."""
     nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
     region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
     customer = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
@@ -463,8 +459,18 @@ def q_region_rollup(sf_dir: str) -> pa.Table:
     dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
     fine = fine.merge(dim[["n_nationkey", "n_name", "r_name"]],
                       left_on="nationkey", right_on="n_nationkey")
-    level2 = fine.rename(columns={"r_name": "region", "n_name": "nation"})[
+    return fine.rename(columns={"r_name": "region", "n_name": "nation"})[
         ["region", "nation", "rev_cents"]]
+
+
+def q_region_rollup(sf_dir: str) -> pa.Table:
+    """Order revenue at every level of the region→nation hierarchy plus the
+    grand total — the GROUP BY ROLLUP shape.  Every coarser level is a
+    driver-side re-sum of the O(nations) finest partials — rollup levels
+    are decomposable, so nothing is recomputed (distributed pass:
+    :func:`_region_nation_fine`).  Subtotal rows use the 'ALL' marker
+    instead of SQL NULL so the value hash is unambiguous."""
+    level2 = _region_nation_fine(sf_dir)
     level1 = level2.groupby("region", as_index=False)["rev_cents"].sum()
     level1["nation"] = "ALL"
     level0 = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
@@ -472,6 +478,24 @@ def q_region_rollup(sf_dir: str) -> pa.Table:
     out = pd.concat([level2, level1[["region", "nation", "rev_cents"]], level0],
                     ignore_index=True).sort_values(["region", "nation"]).reset_index(drop=True)
     return pa.Table.from_pandas(out[["region", "nation", "rev_cents"]], preserve_index=False)
+
+
+def q_region_cube(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE (region, nation): the ROLLUP grouping sets PLUS the
+    nation-only marginal — same single distributed finest pass, all four
+    grouping sets re-summed driver-side from the O(nations) result (CUBE
+    of a decomposable aggregate never needs a second scan)."""
+    level2 = _region_nation_fine(sf_dir)
+    by_region = level2.groupby("region", as_index=False)["rev_cents"].sum()
+    by_region["nation"] = "ALL"
+    by_nation = level2.groupby("nation", as_index=False)["rev_cents"].sum()
+    by_nation["region"] = "ALL"
+    total = pd.DataFrame({"region": ["ALL"], "nation": ["ALL"],
+                          "rev_cents": [level2["rev_cents"].sum()]})
+    cols = ["region", "nation", "rev_cents"]
+    out = pd.concat([level2[cols], by_region[cols], by_nation[cols], total[cols]],
+                    ignore_index=True).sort_values(["region", "nation"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---- orders: RANK window (top-3 per priority by price) ----
