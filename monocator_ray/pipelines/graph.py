@@ -262,12 +262,16 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
 
     for _ in range(iters):
         contrib = ranks.map_batches(to_contrib, batch_format="pyarrow")
+        # materialize() between each shuffle phase: a pipelined
+        # join -> groupby -> join chain spins up every stage's aggregator
+        # pool at once and deadlocks small sessions (graft hard-won fact 1;
+        # same barriers as pipelines/docs.py)
         joined = edges.join(contrib, join_type="inner", num_partitions=16,
-                            on=("src",), right_on=("cnode",))
+                            on=("src",), right_on=("cnode",)).map_batches(
+            partial_by_dst, batch_format="pyarrow").materialize()
         sums = partitioned_aggregate(
-            joined.map_batches(partial_by_dst, batch_format="pyarrow"),
-            ["dst"], [("s", "sum")], ["dst", "s"], num_parts=32,
-        )
+            joined, ["dst"], [("s", "sum")], ["dst", "s"], num_parts=32,
+        ).materialize()
         # symmetric graph: every node is some edge's dst, so the inner
         # join back to the degree table loses no vertex
         ranks = (
