@@ -411,9 +411,9 @@ HITS_SQL = (
         for i in range(HITS_ITERS)
     )
     + f"""
-    SELECT 'hub' AS kind, node, s AS score FROM h{HITS_ITERS}
+    SELECT 'hub' AS kind, node, CAST(s AS BIGINT) AS score FROM h{HITS_ITERS}
     UNION ALL
-    SELECT 'auth' AS kind, node, s AS score FROM a{HITS_ITERS}
+    SELECT 'auth' AS kind, node, CAST(s AS BIGINT) AS score FROM a{HITS_ITERS}
     ORDER BY kind, node
     """
 )
@@ -446,7 +446,7 @@ PAGERANK_SQL = (
            FROM e CROSS JOIN n),"""
     + ",".join(_pr_iter_sql(f"r{i}", f"r{i+1}") for i in range(ITERS))
     + """
-    SELECT node, r AS rank_e12 FROM r3 ORDER BY node
+    SELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r3 ORDER BY node
     """
 )
 
