@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "triangle_count",
     "token_quantiles_approx",
     "region_cube",
+    "event_funnel",
+    "user_retention",
 ]
 
 

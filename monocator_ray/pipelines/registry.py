@@ -207,6 +207,34 @@ REGISTRY: dict = {
         FROM gaps GROUP BY user_id ORDER BY user_id
         """,
     ),
+    "event_funnel": (
+        R.q_event_funnel,
+        """
+        WITH s AS (SELECT user_id, MIN(ts) AS signup_ts FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        c AS (SELECT s.user_id,
+                     MAX(CASE WHEN e.event_type = 'purchase' AND e.ts > s.signup_ts
+                               AND e.ts <= s.signup_ts + INTERVAL 7 DAY
+                              THEN 1 ELSE 0 END) AS conv
+              FROM s JOIN events e ON e.user_id = s.user_id GROUP BY s.user_id)
+        SELECT COUNT(*) AS n_signup_users, CAST(SUM(conv) AS BIGINT) AS n_converted
+        FROM c
+        """,
+    ),
+    "user_retention": (
+        R.q_user_retention,
+        """
+        WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+                   FROM events GROUP BY user_id),
+        a AS (SELECT DISTINCT e.user_id, f.cohort_week,
+                     CAST(epoch(date_trunc('week', e.ts)) - epoch(f.cohort_week) AS BIGINT)
+                       // 604800 AS week_offset
+              FROM events e JOIN f USING (user_id))
+        SELECT cohort_week, week_offset, COUNT(*) AS n_users
+        FROM a GROUP BY cohort_week, week_offset
+        ORDER BY cohort_week, week_offset
+        """,
+    ),
     "props_json": (
         R.q_props_json,
         """

@@ -978,3 +978,109 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
         .aggregate(Count(alias_name="n_items"), Sum("price_cents", alias_name="revenue_cents"))
         .sort("l_returnflag")
     )
+
+
+# ---- events: funnel conversion (signup -> purchase within 7 days) ----
+def q_event_funnel(sf_dir: str, window_days: int = 7) -> pa.Table:
+    """Signup→purchase funnel: of the users with a signup event, how many
+    made a purchase within ``window_days`` AFTER their FIRST signup — the
+    conversion-funnel shape every event pipeline ships.  One user-hash
+    partition pass, all-vectorized inside (first-signup via masked
+    minimum.reduceat over each user run, conversion via a flag
+    maximum.reduceat — no per-user Python); O(2) result rows, summed on
+    the driver."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    win_us = np.int64(window_days * 86_400_000_000)
+
+    def funnel_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        if len(uid) == 0:
+            return pa.table({"n_signup_users": pa.array([0], pa.int64()),
+                             "n_converted": pa.array([0], pa.int64())})
+        starts, _ends = run_boundaries(uid)
+        big = np.iinfo(np.int64).max
+        signup_ts = np.where(et == "signup", ts, big)
+        first_signup_run = np.minimum.reduceat(signup_ts, starts)
+        fs = np.repeat(first_signup_run, np.diff(np.append(starts, len(uid))))
+        converted_row = (
+            (et == "purchase") & (fs != big) & (ts > fs) & (ts <= fs + win_us)
+        ).astype(np.int64)
+        conv_run = np.maximum.reduceat(converted_row, starts)
+        has_signup = first_signup_run != big
+        return pa.table(
+            {"n_signup_users": pa.array([int(has_signup.sum())], pa.int64()),
+             "n_converted": pa.array([int(conv_run[has_signup].sum())], pa.int64())}
+        )
+
+    pdf = hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        funnel_part,
+        num_parts=32,
+    ).to_pandas()
+    return pa.table(
+        {"n_signup_users": pa.array([int(pdf["n_signup_users"].sum())], pa.int64()),
+         "n_converted": pa.array([int(pdf["n_converted"].sum())], pa.int64())}
+    )
+
+
+# ---- events: cohort retention (first-event week x activity-week offset) ----
+def q_user_retention(sf_dir: str) -> rd.Dataset:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    event; for each (cohort_week, week_offset) the count of cohort users
+    active that week — the retention-matrix shape.  A user's rows all land
+    in one user-hash partition, so first-event week, per-user distinct
+    (cohort, offset) pairs, and the partial counts are all one vectorized
+    pass; a partitioned sum merges the O(cohorts x offsets) partials.
+    Weeks are integer microsecond buckets epoch-anchored to Monday
+    1970-01-05 (DuckDB date_trunc('week') semantics)."""
+    from monocator_ray.stages.grouped import hash_partitioned, partitioned_aggregate, run_boundaries
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    week_us = np.int64(7 * 86_400_000_000)
+    monday_off = np.int64(4 * 86_400_000_000)  # 1970-01-01 is a Thursday
+
+    def retention_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        empty = pa.table({"cohort_week": pa.array([], pa.timestamp("us")),
+                          "week_offset": pa.array([], pa.int64()),
+                          "n_users": pa.array([], pa.int64())})
+        if len(uid) == 0:
+            return empty
+        week = (ts - monday_off) // week_us  # floor: all driver ts are > 1970
+        starts, ends = run_boundaries(uid)
+        cohort = np.repeat(week[starts], ends - starts)  # first event's week
+        off = week - cohort
+        # distinct (user, cohort, offset) then count per (cohort, offset)
+        o2 = np.lexsort((off, uid))
+        u2, c2, f2 = uid[o2], cohort[o2], off[o2]
+        s2, _e2 = run_boundaries(u2, f2)
+        c2, f2 = c2[s2], f2[s2]
+        o3 = np.lexsort((f2, c2))
+        c3, f3 = c2[o3], f2[o3]
+        s3, e3 = run_boundaries(c3, f3)
+        return pa.table(
+            {"cohort_week": pa.array((c3[s3] * week_us + monday_off).view("datetime64[us]")),
+             "week_offset": pa.array(f3[s3], pa.int64()),
+             "n_users": pa.array(e3 - s3, pa.int64())}
+        )
+
+    partials = hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        retention_part,
+        num_parts=32,
+    )
+    return partitioned_aggregate(
+        partials, ["cohort_week", "week_offset"], [("n_users", "sum")],
+        ["cohort_week", "week_offset", "n_users"], num_parts=16,
+    ).sort(["cohort_week", "week_offset"])
