@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "region_cube",
     "event_funnel",
     "user_retention",
+    "crawl_corpus",
 ]
 
 

@@ -579,10 +579,17 @@ def q_curate_corpus(sf_dir: str, min_tokens: int = 25) -> rd.Dataset:
     by a vectorized lexsort inside each partition), an O(langs) count
     combine, and a broadcast filter.  No step materializes the corpus on
     the driver."""
+    ensure_shipped()
+    return curate_dataset(_docs(sf_dir, ["doc_id", "text"]), min_tokens)
+
+
+def curate_dataset(ds: rd.Dataset, min_tokens: int = 25) -> rd.Dataset:
+    """The q_curate_corpus pipeline over ANY (doc_id, text) Dataset —
+    shared by the driver-table query and the crawl→corpus bridge
+    (registry.q_crawl_corpus feeds it the crawl's pages artifact)."""
     from monocator_ray.stages.textstats import Fingerprinter, LangId, token_count
 
     ensure_shipped()
-    ds = _docs(sf_dir, ["doc_id", "text"])
 
     class Annotate:
         def __init__(self):

@@ -45,6 +45,31 @@ def q_domain_rollup_crawl(sf_dir: str):
     q_crawl_flagship(sf_dir)  # ensure artifacts exist
     return report.domain_rollup("/tmp/monocator_q_crawl_out")
 
+
+def q_crawl_corpus(sf_dir: str):
+    """Crawl→corpus bridge (rows-only): the flagship crawl's extracted-page
+    artifact fed straight into the training-data curation pipeline
+    (langid -> token gate -> exact first-wins dedup -> per-language
+    balance) — the end-to-end "web to training corpus" composition the
+    engine exists for.  doc_id is the 64-bit url hash (int64 view), the
+    same identity the crawl used."""
+    import numpy as np
+    import pyarrow as pa
+
+    from monocator_ray import report
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.pipelines.docs import curate_dataset
+
+    q_crawl_flagship(sf_dir)  # ensure artifacts exist
+    pages = report._read_artifact("/tmp/monocator_q_crawl_out", "pages")
+
+    def to_docs(t: pa.Table) -> pa.Table:
+        ids = hash_str64(t["url"].to_pylist()).view(np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": t["text"]})
+
+    return curate_dataset(pages.map_batches(to_docs, batch_format="pyarrow"),
+                          min_tokens=10)
+
 # name -> (callable(sf_dir) -> Dataset|Table|DataFrame, oracle_sql | None)
 REGISTRY: dict = {
     # --- relational (SURVEY.md §2.5-2.7) ---
@@ -632,6 +657,9 @@ REGISTRY: dict = {
     # crawl pipelines (non-SQL: stateful frontier/politeness iteration)
     "crawl_flagship": (q_crawl_flagship, None),
     "crawl_domain_rollup": (q_domain_rollup_crawl, None),
+    # crawl pages artifact -> curated corpus (composition of the two engine
+    # halves; rows-only — the crawl side has no SQL analog)
+    "crawl_corpus": (q_crawl_corpus, None),
     "langid": (
         D.q_langid,
         # mirror of LangId.detect: stopword votes per language, first-wins

@@ -185,3 +185,18 @@ def test_visit_single_domain_with_cap(tmp_path):
                              host_caps={"host0.example": 5}))
     assert vl.num_rows == len(sim.visit_log)
     assert vl["url"].to_pylist() == [r[1] for r in sim.visit_log]
+
+
+def test_crawl_corpus_bridge():
+    """The crawl pages artifact feeds the curation pipeline end to end:
+    every kept row passes the token gate, doc_id is the url-hash identity,
+    and the kept set is within the fetched set."""
+    from monocator_ray.pipelines.registry import q_crawl_corpus, q_crawl_flagship
+
+    vl = q_crawl_flagship("/root/testdata/sf0.001")
+    fetched = vl.num_rows
+    df = q_crawl_corpus("/root/testdata/sf0.001").to_pandas()
+    assert 0 < len(df) <= fetched
+    assert set(df.columns) == {"doc_id", "lang_pred", "n_tokens"}
+    assert (df["n_tokens"] >= 10).all()
+    assert df["doc_id"].is_unique
