@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "event_funnel",
     "user_retention",
     "crawl_corpus",
+    "ann_pq_topk",
 ]
 
 

@@ -1857,3 +1857,39 @@ def q_token_quantiles_approx(sf_dir: str, k: int = 256) -> pa.Table:
         {"lang": pa.array(cols["lang"], pa.string()),
          **{c: pa.array(cols[c], pa.int64()) for c in ["p25", "p50", "p75", "p90", "p99"]}}
     )
+
+
+# ---- ANN scale path: product quantization (rows-only; approximate) ----
+def q_ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+                  m: int = 8, nbits: int = 8) -> pa.Table:
+    """PQ-compressed ANN top-k (stages/ann.py:PqIndex): train per-subspace
+    codebooks on a bounded head sample (driver-side numpy — training is
+    small-side work like IVF), ENCODE the corpus to m-byte codes in one
+    map_batches pass, then score queries against the encoded dataset only
+    — the scan that matters reads m bytes/vector (32x compression at
+    dim=64) and never touches the raw embeddings again.  Recall vs the
+    exact brute force is pinned in tests/test_cms.py.  NOTE the driver
+    embeddings are synthetic near-RANDOM vectors — PQ's worst case (no
+    cluster structure to exploit): recall ~0.6 at 32x compression here is
+    the floor, not the ceiling; structured real embeddings quantize far
+    better at the same rate."""
+    from monocator_ray.stages.ann import PqEncoder, PqIndex, PqScorer
+
+    ensure_shipped()
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    sample = table_to_matrix(_head_rows(f"{sf_dir}/embeddings.parquet", ["embedding"], 1024))
+    index = PqIndex.train(sample, m=m, nbits=nbits)
+    qm = table_to_matrix(
+        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, n_queries)
+    )
+
+    encoded = emb.map_batches(
+        cached_stage(PqEncoder, index_ref=ray.put(index)),
+        batch_format="pyarrow", batch_size=4096,
+    ).materialize()
+    local = encoded.map_batches(
+        cached_stage(PqScorer, tables_ref=ray.put(index.adc_tables(qm)), m=m, k=k),
+        batch_format="pyarrow", batch_size=8192,
+    )
+    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    return global_topk(merged, k).select(["query_id", "vec_id", "rank"])

@@ -790,6 +790,9 @@ REGISTRY: dict = {
     "ann_topk": (D.q_ann_topk, None),
     "ann_ivf_topk": (D.q_ann_ivf_topk, None),
     "ann_lsh_buckets": (D.q_ann_lsh_buckets, None),
+    # PQ-compressed ANN (m-byte codes, ADC lookup scoring; recall pinned
+    # vs brute force in tests/test_cms.py)
+    "ann_pq_topk": (D.q_ann_pq_topk, None),
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),

@@ -173,3 +173,117 @@ class KMeansPartial:
                 "vsum": pa.array(list(sums[present]), pa.list_(pa.float64())),
             }
         )
+
+
+class PqIndex:
+    """Product quantization (Jégou et al., PAMI'11 — public method): split
+    the (L2-normalized) vector into ``m`` subspaces, k-means each subspace
+    to ``2**nbits`` centroids, store each vector as ``m`` code bytes.  At
+    100-TB scale the search scan reads ``m`` bytes/vector instead of
+    ``4*dim`` (32x at dim=64, m=8) and scoring is table lookups — the
+    memory-compression ANN path that complements IVF's candidate pruning.
+
+    Cosine rendering: data and queries are normalized first; the
+    asymmetric-distance (ADC) score is ``sum_j <q_j, c_{j, code_j}>``, the
+    inner product of the query with the RECONSTRUCTED vector — exact for
+    vectors equal to their reconstruction, approximate otherwise."""
+
+    def __init__(self, codebooks: np.ndarray):
+        self.codebooks = np.asarray(codebooks, dtype=np.float32)  # (m, ksub, dsub)
+        self.m, self.ksub, self.dsub = self.codebooks.shape
+
+    @classmethod
+    def train(cls, sample: np.ndarray, m: int = 8, nbits: int = 4,
+              iters: int = 10, seed: int = 17) -> "PqIndex":
+        x = _normalize(np.asarray(sample, dtype=np.float32))
+        n, dim = x.shape
+        assert dim % m == 0, "dim must divide into m subspaces"
+        dsub, ksub = dim // m, 1 << nbits
+        rng = np.random.RandomState(seed)
+        books = np.empty((m, ksub, dsub), dtype=np.float32)
+        for j in range(m):
+            xs = x[:, j * dsub:(j + 1) * dsub]
+            cent = xs[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+            for _ in range(iters):
+                d = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = d.argmin(axis=1)
+                for c in range(len(cent)):
+                    members = xs[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j, :len(cent)] = cent
+            if len(cent) < ksub:  # degenerate tiny sample: repeat centroids
+                books[j, len(cent):] = cent[-1]
+        return cls(books)
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        """(n, dim) -> (n, m) uint8 codes (nearest subspace centroid)."""
+        x = _normalize(np.asarray(x, dtype=np.float32))
+        n = len(x)
+        codes = np.empty((n, self.m), dtype=np.uint8)
+        for j in range(self.m):
+            xs = x[:, j * self.dsub:(j + 1) * self.dsub]
+            d = ((xs[:, None, :] - self.codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def adc_tables(self, queries: np.ndarray) -> np.ndarray:
+        """(nq, dim) -> (nq, m, ksub) inner-product lookup tables."""
+        q = _normalize(np.asarray(queries, dtype=np.float32))
+        nq = len(q)
+        t = np.empty((nq, self.m, self.ksub), dtype=np.float32)
+        for j in range(self.m):
+            t[:, j, :] = q[:, j * self.dsub:(j + 1) * self.dsub] @ self.codebooks[j].T
+        return t
+
+
+class PqEncoder:
+    """map_batches task: (vec_id, embedding) -> (vec_id, code: m-byte
+    binary).  The encoded dataset is what a PQ deployment stores and
+    scans — embeddings are dropped right here."""
+
+    def __init__(self, index_ref):
+        self.index = ray.get(index_ref) if not isinstance(index_ref, PqIndex) else index_ref
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = table_to_matrix(batch)
+        codes = self.index.encode(m) if len(m) else np.empty((0, self.index.m), np.uint8)
+        return pa.table(
+            {"vec_id": batch["vec_id"],
+             "code": pa.array([c.tobytes() for c in codes], pa.binary())}
+        )
+
+
+class PqScorer:
+    """map_batches task over the ENCODED dataset: ADC-score every code row
+    against the broadcast query tables, emit per-batch local top-k (the
+    BruteForceTopK output contract, so global_topk finishes it)."""
+
+    def __init__(self, tables_ref, m: int, k: int = 5):
+        self.tables = ray.get(tables_ref) if not isinstance(tables_ref, np.ndarray) else tables_ref
+        self.m = m
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blob = b"".join(batch["code"].to_pylist())
+        codes = np.frombuffer(blob, dtype=np.uint8).reshape(-1, self.m)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        nq = self.tables.shape[0]
+        if len(codes) == 0:
+            return pa.table({"query_id": pa.array([], pa.int32()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        j_idx = np.arange(self.m)
+        out_q, out_id, out_sim = [], [], []
+        k = min(self.k, len(codes))
+        for qi in range(nq):
+            sims = self.tables[qi][j_idx, codes].sum(axis=1)  # (n,)
+            sel = np.argpartition(-sims, k - 1)[:k]
+            out_q.extend([qi] * k)
+            out_id.extend(ids[sel].tolist())
+            out_sim.extend(sims[sel].astype(np.float64).tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int32()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "sim": pa.array(out_sim, pa.float64())}
+        )

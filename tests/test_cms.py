@@ -153,3 +153,40 @@ def test_token_quantiles_approx_equals_exact_below_capacity():
     assert exact["lang"].tolist() == approx["lang"].tolist()
     for c in ("p25", "p50", "p75", "p90", "p99"):
         assert exact[c].astype(int).tolist() == approx[c].astype(int).tolist(), c
+
+
+def test_pq_recall_vs_brute_force():
+    """PQ ADC search must land most of the exact top-k: recall@5 >= 0.5
+    averaged over queries at (m=8, nbits=4) on the sf0.001 embeddings —
+    loose because the driver embeddings are near-random (PQ's worst
+    case), tight enough to catch a broken codebook/encode/table path."""
+    from monocator_ray.pipelines.docs import q_ann_pq_topk, q_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    exact = q_ann_topk(sf).to_pandas()
+    approx = q_ann_pq_topk(sf).to_pandas()
+    recalls = []
+    for qi, grp in exact.groupby("query_id"):
+        want = set(grp["vec_id"])
+        got = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_pq_encode_roundtrip_properties():
+    """Codes are m bytes; encoding the codebook centroids themselves is
+    lossless (each subvector is its own nearest centroid)."""
+    import numpy as np
+
+    from monocator_ray.stages.ann import PqIndex
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(500, 64)).astype(np.float32)
+    idx = PqIndex.train(x, m=8, nbits=4)  # small books: keeps this unit test fast
+    codes = idx.encode(x)
+    assert codes.shape == (500, 8) and codes.dtype == np.uint8
+    # reconstruct centroid-exact vectors: build from codebooks directly
+    recon = np.concatenate([idx.codebooks[j][codes[:, j]] for j in range(8)], axis=1)
+    codes2 = idx.encode(recon / np.linalg.norm(recon, axis=1, keepdims=True))
+    # re-encoding a reconstruction must be stable (idempotent codes)
+    assert (codes2 == codes).mean() > 0.95
