@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "user_retention",
     "crawl_corpus",
     "ann_pq_topk",
+    "bpe_tokenize",
 ]
 
 

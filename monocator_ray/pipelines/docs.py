@@ -1893,3 +1893,66 @@ def q_ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     )
     merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
     return global_topk(merged, k).select(["query_id", "vec_id", "rank"])
+
+
+# ---- BPE tokenizer training + encoding (rows-only) ----
+def _word_histogram(sf_dir: str) -> dict[str, int]:
+    """Exact corpus word histogram in ONE distributed pass: per-batch
+    Arrow group-by partials, driver combine.  The histogram is
+    vocabulary-sized — the documented assumption (vocab ≪ corpus) every
+    production tokenizer trainer shares."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = [s.strip(" ") for s in t["text"].to_pylist() if s and s.strip(" ")]
+        if not texts:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        arr = np.array(_WS_SPLIT.split("\n".join(texts)), dtype=object)
+        arr = arr[arr != ""]
+        vals, counts = np.unique(arr, return_counts=True)
+        return pa.table({"word": pa.array(vals, pa.string()),
+                         "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("word", as_index=False)["n"].sum()
+    )
+    return dict(zip(pdf["word"], pdf["n"].astype(int)))
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = 40) -> pa.Table:
+    """Train a BPE tokenizer on the corpus (stages/bpe.py): distributed
+    word histogram -> driver merge loop (each round touches O(vocab), the
+    corpus is read exactly once).  Output: the ordered merge table
+    (rank, left, right) — deterministic (frequency desc, pair asc ties),
+    pinned against a hand-verified classic fixture and a direct-read
+    histogram in tests."""
+    from monocator_ray.stages.bpe import bpe_train_from_histogram
+
+    ensure_shipped()
+    merges = bpe_train_from_histogram(_word_histogram(sf_dir), n_merges)
+    return pa.table(
+        {"rank": pa.array(range(len(merges)), pa.int64()),
+         "left": pa.array([a for a, _b in merges], pa.string()),
+         "right": pa.array([b for _a, b in merges], pa.string())}
+    )
+
+
+def q_bpe_tokenize(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
+    """Train (as q_bpe_train) then ENCODE the corpus under the learned
+    merges: merge table broadcasts once, a map_batches stage counts BPE
+    pieces per document with a per-worker word memo (Zipf hit rate).
+    Output: (doc_id, n_bpe_tokens)."""
+    from monocator_ray.stages.bpe import BpeEncoder, bpe_train_from_histogram
+
+    ensure_shipped()
+    merges = bpe_train_from_histogram(_word_histogram(sf_dir), n_merges)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        cached_stage(BpeEncoder, merges_ref=ray.put(merges)),
+        batch_format="pyarrow",
+    ).sort("doc_id")

@@ -793,6 +793,11 @@ REGISTRY: dict = {
     # PQ-compressed ANN (m-byte codes, ADC lookup scoring; recall pinned
     # vs brute force in tests/test_cms.py)
     "ann_pq_topk": (D.q_ann_pq_topk, None),
+    # BPE tokenizer: distributed word histogram -> driver merge loop;
+    # encode = broadcast merge table + memoized per-word piece counts
+    # (no SQL analog; pinned by classic-fixture + direct-read tests)
+    "bpe_train": (D.q_bpe_train, None),
+    "bpe_tokenize": (D.q_bpe_tokenize, None),
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),

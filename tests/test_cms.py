@@ -190,3 +190,58 @@ def test_pq_encode_roundtrip_properties():
     codes2 = idx.encode(recon / np.linalg.norm(recon, axis=1, keepdims=True))
     # re-encoding a reconstruction must be stable (idempotent codes)
     assert (codes2 == codes).mean() > 0.95
+
+
+def test_bpe_train_classic_fixture(tmp_path):
+    """The Sennrich walk-through shape: with 'low'x5 and 'lower'x2 the
+    first merges must build 'low' from its characters (l+o then lo+w),
+    and encoding under the merges reproduces whole-word tokens."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.stages.bpe import (
+        bpe_encode_word,
+        bpe_train_from_histogram,
+    )
+
+    hist = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = bpe_train_from_histogram(hist, 10)
+    assert merges[0] == ("e", "s")  # 'es' appears 9x — the most frequent
+    assert ("l", "o") in merges and ("lo", "w") in merges
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe_encode_word("lowest", ranks)[0] == "low"  # learned subword
+
+
+def test_bpe_distributed_histogram_matches_direct():
+    """The one-pass distributed histogram -> merge table must equal the
+    merge table from a direct single-process read of the same corpus."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_bpe_train
+    from monocator_ray.stages.bpe import bpe_train_from_histogram
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    sf = "/root/testdata/sf0.001"
+    got = q_bpe_train(sf).to_pandas()
+
+    hist: dict[str, int] = {}
+    for s in pq.read_table(f"{sf}/documents.parquet", columns=["text"])["text"].to_pylist():
+        if not s or not s.strip(" "):
+            continue
+        for w in _WS_SPLIT.split(s.strip(" ")):
+            if w:
+                hist[w] = hist.get(w, 0) + 1
+    want = bpe_train_from_histogram(hist, 40)
+    assert list(zip(got["left"], got["right"])) == want
+
+
+def test_bpe_tokenize_counts(tmp_path):
+    """Encoding yields fewer pieces than characters and at least one piece
+    per word; a fully-merged frequent word is one token."""
+    from monocator_ray.pipelines.docs import q_bpe_tokenize
+
+    df = q_bpe_tokenize("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert (df["n_bpe_tokens"] > 0).all()
