@@ -21,6 +21,10 @@ import pyarrow as pa
 
 import ray
 
+# module-top-level: a lazy import inside worker-executed code breaks under
+# pickle-by-value shipping (graft-environment-quirks)
+from monocator_ray.stages.textstats import _WS_SPLIT
+
 
 def bpe_train_from_histogram(
     word_counts: dict[str, int], n_merges: int
@@ -94,8 +98,6 @@ class BpeEncoder:
         return n
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from monocator_ray.stages.textstats import _WS_SPLIT
-
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         counts = np.zeros(len(ids), dtype=np.int64)
         for i, s in enumerate(batch["text"].to_pylist()):
