@@ -57,6 +57,9 @@ DAMP_NUM, DAMP_DEN = 85, 100
 ITERS = 3
 
 _SMALL_EDGES = int(os.environ.get("MONOCATOR_SMALL_EDGES", "65536"))
+# triangle closure: broadcast the packed edge set at or under this many
+# distinct edges (~16 MB per million), co-partition shuffle above
+_TRI_BCAST_EDGES = int(os.environ.get("MONOCATOR_TRI_BCAST_EDGES", str(4_000_000)))
 
 
 def pagerank_int(src: np.ndarray, dst: np.ndarray, iters: int = ITERS,
@@ -512,16 +515,19 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     edge toward the higher (degree, id) endpoint, so each triangle forms
     exactly one wedge at its lowest pivot and per-node forward degree is
     O(sqrt(E)) — the skew bound that makes wedge explosion tractable;
-    (2) generate wedges (u, w) inside pivot-hash partitions; (3) count
-    wedges that are edges by co-partitioning tagged wedge and edge rows on
-    the pair key — partials sum per partition, the driver adds O(parts)
-    numbers.  Degrees are O(nodes) and broadcast (ray.put), the documented
-    Pregel-style vertex-state assumption shared with pagerank.
+    (2) generate wedges (u, w) inside pivot-hash partitions; (3) close
+    wedges against the edge set — via the broadcast packed-edge fast path
+    when the edge set is small enough, else by co-partitioning tagged
+    wedge and edge rows on the pair key (partials sum per partition, the
+    driver adds O(parts) numbers).  Degrees are O(nodes) and broadcast
+    (ray.put), the documented Pregel-style vertex-state assumption shared
+    with pagerank.
 
     The count is orientation-invariant, so the DuckDB oracle is the plain
     canonical-edge self-join (a < b < c counted once)."""
     ensure_shipped()
     edges = _copurchase_edges(sf_dir).materialize()
+    n_edges = edges.count()
 
     def emit_deg(t: pa.Table) -> pa.Table:
         n = np.concatenate(
@@ -560,7 +566,8 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                  "other": pa.array(np.where(a_first, b, a), pa.int64())}
             )
 
-    def wedges_part(t: pa.Table) -> pa.Table:
+    def _gen_wedges(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """All canonical (lo, hi) wedge pairs of a pivot partition."""
         pv = t["pivot"].to_numpy(zero_copy_only=False)
         ot = t["other"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ot, pv))
@@ -577,12 +584,56 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                 out_b.append(hi)
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
         b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        return a, b
+
+    oriented = edges.map_batches(
+        cached_stage(Orient, nref=nodes_ref, dref=degs_ref), batch_format="pyarrow"
+    )
+
+    # Broadcast-closure fast path: when the DISTINCT edge set packs small
+    # enough to broadcast (node ids < 2^31 -> one int64 per edge; ~16 MB/M
+    # edges), wedge closure is an in-partition searchsorted against the
+    # sorted packed array — no wedge shuffle, no union, partitions emit one
+    # count each.  Above the bound (or with wide ids) the co-partitioned
+    # tagged-union path below runs; both paths are pinned equal in tests.
+    et = pa.concat_tables(ray.get(edges.to_arrow_refs())) if (
+        n_edges <= _TRI_BCAST_EDGES
+    ) else None
+    if et is not None:
+        ea = et["src"].to_numpy(zero_copy_only=False)
+        eb = et["dst"].to_numpy(zero_copy_only=False)
+        if len(ea) == 0 or (ea.max() < 2**31 and eb.max() < 2**31 and ea.min() >= 0):
+            packed_ref = ray.put(np.sort((ea << 32) | eb))
+
+            class CountClosed:
+                def __init__(self, pref):
+                    self.packed = ray.get(pref)
+
+                def __call__(self, t: pa.Table) -> pa.Table:
+                    a, b = _gen_wedges(t)
+                    if len(a) == 0 or len(self.packed) == 0:
+                        return pa.table({"n": pa.array([0], pa.int64())})
+                    keys = (a << 32) | b
+                    idx = np.searchsorted(self.packed, keys)
+                    idx[idx == len(self.packed)] = 0
+                    n = int((self.packed[idx] == keys).sum())
+                    return pa.table({"n": pa.array([n], pa.int64())})
+
+            counts = hash_partitioned(
+                oriented,
+                lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+                cached_stage(CountClosed, pref=packed_ref),
+                num_parts=64,
+            ).to_pandas()
+            return pa.table({"n_triangles": pa.array([int(counts["n"].sum())], pa.int64())})
+
+    def wedges_part(t: pa.Table) -> pa.Table:
+        a, b = _gen_wedges(t)
         return pa.table({"src": pa.array(a, pa.int64()), "dst": pa.array(b, pa.int64()),
                          "tag": pa.array(np.ones(len(a), np.int8), pa.int8())})
 
     wedges = hash_partitioned(
-        edges.map_batches(cached_stage(Orient, nref=nodes_ref, dref=degs_ref),
-                          batch_format="pyarrow"),
+        oriented,
         lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
         wedges_part,
         num_parts=64,

@@ -145,3 +145,15 @@ def test_pagerank_join_path_matches_broadcast():
     )
     assert got["node"].tolist() == want["node"].tolist()
     assert got["rank_e12"].tolist() == want["rank_e12"].tolist()
+
+
+def test_triangle_shuffle_path_matches_broadcast(monkeypatch):
+    """Force the co-partition closure path and pin it equal to the
+    broadcast fast path (which the kernel test already pins)."""
+    import monocator_ray.pipelines.graph as G
+
+    sf = "/root/testdata/sf0.001"
+    fast = G.q_triangle_count(sf)["n_triangles"][0].as_py()
+    monkeypatch.setattr(G, "_TRI_BCAST_EDGES", 0)
+    slow = G.q_triangle_count(sf)["n_triangles"][0].as_py()
+    assert fast == slow
