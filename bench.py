@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "crawl_corpus",
     "ann_pq_topk",
     "bpe_tokenize",
+    "ngram_jaccard_prefix",
 ]
 
 

@@ -1956,3 +1956,212 @@ def q_bpe_tokenize(sf_dir: str, n_merges: int = 40) -> rd.Dataset:
         cached_stage(BpeEncoder, merges_ref=ray.put(merges)),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+# ---- exact Jaccard with prefix filtering (Xiao et al., WWW'08) ----
+_PREFIX_VOCAB_BCAST = int(os.environ.get("MONOCATOR_PREFIX_VOCAB", str(8_000_000)))
+
+
+def q_ngram_jaccard_pairs_prefix(sf_dir: str, n: int = 3) -> rd.Dataset:
+    """The SCALE path for exact n-gram Jaccard (threshold 1/2), same
+    result as q_ngram_jaccard_pairs: PREFIX FILTERING (Xiao et al.,
+    WWW'08) prunes candidate generation — two docs with J >= 1/2 must
+    share a gram among each one's ``floor(|d|/2) + 1`` RAREST grams (any
+    consistent global order works for exactness; rarest-first minimizes
+    candidates), so the quadratic pairs-per-gram step runs over prefixes
+    only.  Verification stays exact and vectorized: the full shared-gram
+    count reruns over ONLY the candidate docs' gram rows (broadcast doc-id
+    set), and the resulting pairs semi-join the candidate set (broadcast
+    packed int64 pairs) before the integer threshold/percentage.
+
+    Gram document-frequencies come from one partitioned count; the df
+    vector broadcasts while the vocabulary fits (``MONOCATOR_PREFIX_VOCAB``,
+    16 B/gram) — above that this falls back to the unfiltered plan (the
+    df lookup then needs a join, which costs what the prefix step saves
+    at these thresholds).  Pinned equal to the unfiltered plan by
+    tests and by sharing its DuckDB oracle."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    exploded = ds.map_batches(
+        cached_stage(NgramExploder, n=n), batch_format="pyarrow"
+    ).materialize()
+
+    dfc = partitioned_aggregate(
+        exploded.map_batches(
+            lambda t: pa.table({"gram_hash": t["gram_hash"],
+                                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["gram_hash"], [("one", "sum")], ["gram_hash", "df"], num_parts=32,
+    ).materialize()
+    if dfc.count() > _PREFIX_VOCAB_BCAST:
+        return q_ngram_jaccard_pairs(sf_dir, n)
+    dft = _collect_table(dfc)
+    gh_sorted = dft["gram_hash"].to_numpy(zero_copy_only=False) if dft else np.empty(0, np.int64)
+    order = np.argsort(gh_sorted, kind="mergesort")
+    gh_ref = ray.put(gh_sorted[order])
+    df_ref = ray.put(
+        (dft["df"].to_numpy(zero_copy_only=False) if dft else np.empty(0, np.int64))[order]
+    )
+
+    class PrefixSelect:
+        """Keep each doc's floor(|d|/2)+1 rarest grams (df asc, hash asc)."""
+
+        def __init__(self, ghr, dfr):
+            self.gh = ray.get(ghr)
+            self.df = ray.get(dfr)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            gh = t["gram_hash"].to_numpy(zero_copy_only=False)
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            dn = t["doc_n"].to_numpy(zero_copy_only=False)
+            if len(gh) == 0:
+                return t
+            df = self.df[np.searchsorted(self.gh, gh)]
+            order = np.lexsort((gh, df, did))  # per doc: df asc, hash asc
+            gh, did, dn = gh[order], did[order], dn[order]
+            starts, ends = run_boundaries(did)
+            sizes = ends - starts
+            pos = np.arange(len(did)) - np.repeat(starts, sizes)
+            keep = pos < (np.repeat(dn[starts], sizes) // 2 + 1)
+            return pa.table({"gram_hash": pa.array(gh[keep], pa.int64()),
+                             "doc_id": pa.array(did[keep], pa.int64()),
+                             "doc_n": pa.array(dn[keep], pa.int64())})
+
+    def cand_part(g: pa.Table) -> pa.Table:
+        gh = g["gram_hash"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, gh))
+        gh, ids = gh[order], ids[order]
+        starts, ends = run_boundaries(gh)
+        sizes = ends - starts
+        out_a, out_b = [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            ia, ib = np.triu_indices(e - s, k=1)
+            out_a.append(ids[s:e][ia])
+            out_b.append(ids[s:e][ib])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        # local pre-dedup of (a, b)
+        if len(a):
+            o = np.lexsort((b, a))
+            a, b = a[o], b[o]
+            s2, _ = run_boundaries(a, b)
+            a, b = a[s2], b[s2]
+        return pa.table({"doc_a": pa.array(a, pa.int64()),
+                         "doc_b": pa.array(b, pa.int64())})
+
+    prefixes = exploded.map_batches(
+        cached_stage(PrefixSelect, ghr=gh_ref, dfr=df_ref), batch_format="pyarrow"
+    )
+    cand = hash_partitioned(
+        prefixes, lambda t: [t["gram_hash"].to_numpy(zero_copy_only=False)],
+        cand_part, num_parts=64,
+    )
+
+    def dedup_cand(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy(zero_copy_only=False)
+        b = g["doc_b"].to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        s, _ = run_boundaries(a, b)
+        return pa.table({"doc_a": pa.array(a[s], pa.int64()),
+                         "doc_b": pa.array(b[s], pa.int64())})
+
+    cand = hash_partitioned(
+        cand,
+        lambda t: [t["doc_a"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["doc_b"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        dedup_cand, num_parts=64,
+    ).materialize()
+
+    ct = _collect_table(cand)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+                      "jaccard_pct": pa.array([], pa.int64())})
+    if ct is None:
+        return rd.from_arrow(empty)
+    ca = ct["doc_a"].to_numpy(zero_copy_only=False)
+    cb = ct["doc_b"].to_numpy(zero_copy_only=False)
+    # candidate doc-id set and packed pair set broadcast for the verify
+    # (bounded by the candidate count, which prefix filtering just pruned;
+    # doc ids here are table row ids < 2^31 — packing bound asserted)
+    assert len(ca) == 0 or (ca.max() < 2**31 and cb.max() < 2**31 and ca.min() >= 0)
+    docs_ref = ray.put(np.unique(np.concatenate([ca, cb])))
+    pairs_ref = ray.put(np.sort((ca << 32) | cb))
+
+    class CandGrams:
+        def __init__(self, dref):
+            self.docs = ray.get(dref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.docs, did)
+            idx[idx == len(self.docs)] = 0
+            return t.filter(pa.array(self.docs[idx] == did)) if len(self.docs) else t.slice(0, 0)
+
+    class VerifyPart:
+        def __init__(self, pref):
+            self.pairs = ray.get(pref)
+
+        def __call__(self, g: pa.Table) -> pa.Table:
+            gh = g["gram_hash"].to_numpy(zero_copy_only=False)
+            ids = g["doc_id"].to_numpy(zero_copy_only=False)
+            dn = g["doc_n"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, gh))
+            gh, ids, dn = gh[order], ids[order], dn[order]
+            starts, ends = run_boundaries(gh)
+            sizes = ends - starts
+            out = []
+            for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+                ia, ib = np.triu_indices(e - s, k=1)
+                sub_a, sub_b = ids[s:e][ia], ids[s:e][ib]
+                na, nb = dn[s:e][ia], dn[s:e][ib]
+                keys = (sub_a << 32) | sub_b
+                j = np.searchsorted(self.pairs, keys)
+                j[j == len(self.pairs)] = 0
+                m = self.pairs[j] == keys
+                if m.any():
+                    out.append((sub_a[m], sub_b[m], na[m], nb[m]))
+            if not out:
+                return pa.table({"doc_a": pa.array([], pa.int64()),
+                                 "doc_b": pa.array([], pa.int64()),
+                                 "na": pa.array([], pa.int64()),
+                                 "nb": pa.array([], pa.int64())})
+            return pa.table(
+                {"doc_a": pa.array(np.concatenate([o[0] for o in out]), pa.int64()),
+                 "doc_b": pa.array(np.concatenate([o[1] for o in out]), pa.int64()),
+                 "na": pa.array(np.concatenate([o[2] for o in out]), pa.int64()),
+                 "nb": pa.array(np.concatenate([o[3] for o in out]), pa.int64())})
+
+    shared = hash_partitioned(
+        exploded.map_batches(cached_stage(CandGrams, dref=docs_ref), batch_format="pyarrow"),
+        lambda t: [t["gram_hash"].to_numpy(zero_copy_only=False)],
+        cached_stage(VerifyPart, pref=pairs_ref),
+        num_parts=64,
+    )
+
+    def score_part(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy(zero_copy_only=False)
+        b = g["doc_b"].to_numpy(zero_copy_only=False)
+        na = g["na"].to_numpy(zero_copy_only=False)
+        nb = g["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, na, nb = a[order], b[order], na[order], nb[order]
+        starts, ends = run_boundaries(a, b)
+        c = ends - starts
+        A, B, NA, NB = a[starts], b[starts], na[starts], nb[starts]
+        union = NA + NB - c
+        keep = 2 * c >= union
+        return pa.table(
+            {"doc_a": pa.array(A[keep], pa.int64()),
+             "doc_b": pa.array(B[keep], pa.int64()),
+             "jaccard_pct": pa.array((100 * c[keep]) // union[keep], pa.int64())}
+        )
+
+    scored = hash_partitioned(
+        shared,
+        lambda t: [t["doc_a"].to_numpy(zero_copy_only=False),
+                   t["doc_b"].to_numpy(zero_copy_only=False)],
+        score_part, num_parts=64,
+    )
+    return _finish_pairs(scored, ["doc_a", "doc_b"], empty)

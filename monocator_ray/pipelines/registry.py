@@ -785,6 +785,38 @@ REGISTRY: dict = {
         GROUP BY a ORDER BY doc_id
         """,
     ),
+    # prefix-filtered scale path — SAME result and oracle as
+    # ngram_jaccard_pairs (candidate pruning is exact at threshold 1/2)
+    "ngram_jaccard_prefix": (
+        D.q_ngram_jaccard_pairs_prefix,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)])) AS g
+          FROM toks WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM grams a JOIN grams b USING (g)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST((100 * c) // (sa.n + sb.n - c) AS BIGINT) AS jaccard_pct
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE 2 * c >= sa.n + sb.n - c
+        ORDER BY doc_a, doc_b
+        """,
+    ),
     "minhash_pairs": (D.q_minhash_pairs, None),
     "simhash_pairs": (D.q_simhash_pairs, None),
     "ann_topk": (D.q_ann_topk, None),

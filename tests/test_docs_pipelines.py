@@ -258,3 +258,19 @@ def test_embedding_neardup_lsh_recall_on_planted_dups(tmp_path):
     assert got_pairs <= want  # exact verify: no false positives
     assert len(got_pairs & want) / len(want) >= 0.95  # near-total recall
     assert len(want) >= 20  # the planted dups are in the oracle set
+
+
+def test_prefix_filtered_jaccard_equals_unfiltered():
+    """Prefix filtering is exact at threshold 1/2: the pruned plan must
+    produce the identical pair set and percentages on both small tables."""
+    from monocator_ray.pipelines.docs import (
+        q_ngram_jaccard_pairs,
+        q_ngram_jaccard_pairs_prefix,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        full = q_ngram_jaccard_pairs(sf).to_pandas().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        pref = q_ngram_jaccard_pairs_prefix(sf).to_pandas().sort_values(
+            ["doc_a", "doc_b"]).reset_index(drop=True)
+        assert full.values.tolist() == pref.values.tolist(), sf
