@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ann_pq_topk",
     "bpe_tokenize",
     "ngram_jaccard_prefix",
+    "click_purchase_coverage",
 ]
 
 

@@ -232,6 +232,21 @@ REGISTRY: dict = {
         FROM gaps GROUP BY user_id ORDER BY user_id
         """,
     ),
+    # FULL OUTER join: users with high-value clicks vs purchases
+    "click_purchase_coverage": (
+        R.q_click_purchase_coverage,
+        """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_clicks FROM events
+                   WHERE event_type = 'click' AND value > 200 GROUP BY user_id),
+        p AS (SELECT user_id, COUNT(*) AS n_purchases FROM events
+              WHERE event_type = 'purchase' AND value > 200 GROUP BY user_id)
+        SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+               COALESCE(n_clicks, 0) AS n_clicks,
+               COALESCE(n_purchases, 0) AS n_purchases
+        FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+        ORDER BY user_id
+        """,
+    ),
     "event_funnel": (
         R.q_event_funnel,
         """

@@ -1084,3 +1084,51 @@ def q_user_retention(sf_dir: str) -> rd.Dataset:
         partials, ["cohort_week", "week_offset"], [("n_users", "sum")],
         ["cohort_week", "week_offset", "n_users"], num_parts=16,
     ).sort(["cohort_week", "week_offset"])
+
+
+# ---- events: FULL OUTER join (high-value click/purchase coverage) ----
+def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Dataset:
+    """Per-user high-value click and purchase counts with users present on
+    EITHER side — the FULL OUTER join shape, run as Ray Data's native
+    ``join_type="full_outer"`` over two pre-aggregated sides (each side is
+    per-batch partial counts + a partitioned exact sum, so the join's
+    shuffle moves one row per user per side, not events).  NULL sides
+    coalesce to 0 like the oracle."""
+    thresh = pa.scalar(min_value)
+
+    def side(event_type: str, out_col: str, key: str) -> rd.Dataset:
+        ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.and_(pc.equal(t["event_type"], pa.scalar(event_type)),
+                        pc.greater(t["value"], thresh))
+            )
+            g = pa.table({key: t["user_id"]}).group_by([key]).aggregate([(key, "count")])
+            return g.rename_columns([key, out_col])
+
+        return partitioned_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            [key], [(out_col, "sum")], [key, out_col], num_parts=8,
+        ).materialize()
+
+    clicks = side("click", "n_clicks", "user_id")
+    purchases = side("purchase", "n_purchases", "uid_p")
+    joined = clicks.join(
+        purchases, join_type="full_outer", num_partitions=8,
+        on=("user_id",), right_on=("uid_p",),
+    )
+
+    def coalesce(t: pa.Table) -> pa.Table:
+        # the hash join already coalesces the key pair into user_id
+        # (acero coalesce_keys); only the value sides need NULL -> 0
+        uid = t["user_id"]
+        if "uid_p" in t.column_names:
+            uid = pc.coalesce(uid, t["uid_p"])
+        return pa.table(
+            {"user_id": uid,
+             "n_clicks": pc.coalesce(t["n_clicks"], pa.scalar(0, pa.int64())),
+             "n_purchases": pc.coalesce(t["n_purchases"], pa.scalar(0, pa.int64()))}
+        )
+
+    return joined.map_batches(coalesce, batch_format="pyarrow").sort("user_id")
