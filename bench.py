@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "bpe_tokenize",
     "ngram_jaccard_prefix",
     "click_purchase_coverage",
+    "parts_never_bulk",
 ]
 
 

@@ -232,6 +232,17 @@ REGISTRY: dict = {
         FROM gaps GROUP BY user_id ORDER BY user_id
         """,
     ),
+    # native LEFT ANTI join: parts with no bulk (qty >= 45) shipment
+    "parts_never_bulk": (
+        R.q_parts_never_bulk,
+        """
+        SELECT p_type, COUNT(*) AS n
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+        GROUP BY p_type ORDER BY p_type
+        """,
+    ),
     # FULL OUTER join: users with high-value clicks vs purchases
     "click_purchase_coverage": (
         R.q_click_purchase_coverage,

@@ -1132,3 +1132,45 @@ def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Datas
         )
 
     return joined.map_batches(coalesce, batch_format="pyarrow").sort("user_id")
+
+
+# ---- native LEFT ANTI join (parts never shipped in bulk) ----
+def q_parts_never_bulk(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
+    """Parts with NO bulk lineitem (quantity >= 45), counted per p_type —
+    the large×large anti-join shape where neither side broadcasts at
+    scale, run as Ray Data's native ``join_type="left_anti"``.  The right
+    side pre-reduces to distinct bulk partkeys inside partitions (the
+    anti probe needs keys, not rows), so the join shuffle moves one row
+    per distinct key."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    qty = pa.scalar(min_qty)
+
+    def bulk_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["l_quantity"], qty))
+        keys = np.unique(t["l_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bulk_partkey": pa.array(keys, pa.int64())})
+
+    def dedup_part_keys(g: pa.Table) -> pa.Table:
+        keys = np.unique(g["bulk_partkey"].to_numpy(zero_copy_only=False))
+        return pa.table({"bulk_partkey": pa.array(keys, pa.int64())})
+
+    keys_ds = hash_partitioned(
+        li.map_batches(bulk_keys, batch_format="pyarrow"),
+        lambda t: [t["bulk_partkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        dedup_part_keys, num_parts=16,
+    ).materialize()
+
+    anti = part.join(
+        keys_ds, join_type="left_anti", num_partitions=8,
+        on=("p_partkey",), right_on=("bulk_partkey",),
+    )
+    out = driver_grouped_agg(
+        anti.map_batches(
+            lambda t: pa.table({"p_type": t["p_type"],
+                                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64())}),
+            batch_format="pyarrow",
+        ),
+        ["p_type"], [("one", "sum")], ["p_type", "n"],
+    ).sort_values("p_type").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
