@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_prefix",
     "click_purchase_coverage",
     "parts_never_bulk",
+    "lm_perplexity",
 ]
 
 

@@ -2165,3 +2165,91 @@ def q_ngram_jaccard_pairs_prefix(sf_dir: str, n: int = 3) -> rd.Dataset:
         score_part, num_parts=64,
     )
     return _finish_pairs(scored, ["doc_a", "doc_b"], empty)
+
+
+# ---- LM perplexity quality scoring (KenLM-filter analog; rows-only) ----
+class _TrigramScorer:
+    """Score documents under broadcast byte-trigram counts: average
+    negative log2 P(byte | prev two bytes) with Laplace smoothing —
+    vectorized end to end (trigram/bigram keys are integer packs,
+    lookups are searchsorted into the broadcast sorted count arrays)."""
+
+    def __init__(self, tri_ref, bi_ref):
+        self.tri_keys, self.tri_counts = ray.get(tri_ref)
+        self.bi_keys, self.bi_counts = ray.get(bi_ref)
+
+    @staticmethod
+    def _lookup(keys: np.ndarray, counts: np.ndarray, probe: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(len(probe), np.int64)
+        idx = np.searchsorted(keys, probe)
+        idx[idx == len(keys)] = 0
+        return np.where(keys[idx] == probe, counts[idx], 0)
+
+    def bits_per_byte(self, raw: bytes) -> float:
+        a = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        if len(a) < 3:
+            return 0.0
+        tri = a[:-2] * 65536 + a[1:-1] * 256 + a[2:]
+        bi = a[:-2] * 256 + a[1:-1]
+        c3 = self._lookup(self.tri_keys, self.tri_counts, tri)
+        c2 = self._lookup(self.bi_keys, self.bi_counts, bi)
+        nll = -np.log2((c3 + 1.0) / (c2 + 256.0))
+        return float(nll.mean())
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        milli = np.zeros(len(ids), np.int64)
+        nb = np.zeros(len(ids), np.int64)
+        for i, s in enumerate(t["text"].to_pylist()):
+            raw = (s or "").encode("utf-8")
+            nb[i] = len(raw)
+            milli[i] = int(round(1000.0 * self.bits_per_byte(raw)))
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "n_bytes": pa.array(nb, pa.int64()),
+             "nll_milli_bits": pa.array(milli, pa.int64())}
+        )
+
+
+def q_lm_perplexity(sf_dir: str, ref_max_id: int = 50) -> rd.Dataset:
+    """Language-model quality scoring — the KenLM-style perplexity filter
+    every web-corpus pipeline runs: train a byte-trigram LM on a reference
+    subset (doc_id < ``ref_max_id``, derived from the same table — no
+    external data), score every document by mean bits/byte under it
+    (Laplace-smoothed; reported as integer milli-bits for stable
+    comparisons).  High score = unlike the reference = drop candidate.
+
+    Scale shape: counts come from one streaming pass over the reference
+    rows only (predicate-pushdown read, per-batch partial count tables,
+    driver combine bounded by the ≤ 2^24 trigram space, in practice the
+    reference's observed trigrams); the count arrays broadcast once and
+    the scoring pass streams the corpus."""
+    ensure_shipped()
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+                      filters=pc.field("doc_id") < ref_max_id)
+    tri: dict[int, int] = {}
+    bi: dict[int, int] = {}
+    for s in t["text"].to_pylist():
+        a = np.frombuffer((s or "").encode("utf-8"), dtype=np.uint8).astype(np.int64)
+        if len(a) < 3:
+            continue
+        k3 = a[:-2] * 65536 + a[1:-1] * 256 + a[2:]
+        k2 = a[:-2] * 256 + a[1:-1]
+        for ks, d in ((k3, tri), (k2, bi)):
+            vals, counts = np.unique(ks, return_counts=True)
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                d[v] = d.get(v, 0) + c
+
+    def pack(d: dict[int, int]):
+        keys = np.array(sorted(d), dtype=np.int64)
+        return keys, np.array([d[k] for k in keys], dtype=np.int64)
+
+    tri_ref = ray.put(pack(tri))
+    bi_ref = ray.put(pack(bi))
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        cached_stage(_TrigramScorer, tri_ref=tri_ref, bi_ref=bi_ref),
+        batch_format="pyarrow",
+    ).sort("doc_id")

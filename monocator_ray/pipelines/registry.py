@@ -855,6 +855,9 @@ REGISTRY: dict = {
     # encode = broadcast merge table + memoized per-word piece counts
     # (no SQL analog; pinned by classic-fixture + direct-read tests)
     "bpe_train": (D.q_bpe_train, None),
+    # byte-trigram LM perplexity quality scoring (KenLM-filter analog;
+    # float log — rows-only; separation pinned by planted fixtures)
+    "lm_perplexity": (D.q_lm_perplexity, None),
     "bpe_tokenize": (D.q_bpe_tokenize, None),
     "neardup_clusters": (D.q_neardup_clusters, None),
     "embedding_neardup": (D.q_embedding_neardup, None),

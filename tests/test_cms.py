@@ -245,3 +245,30 @@ def test_bpe_tokenize_counts(tmp_path):
     df = q_bpe_tokenize("/root/testdata/sf0.001").to_pandas()
     assert len(df) == 500
     assert (df["n_bpe_tokens"] > 0).all()
+
+
+def test_lm_perplexity_separates_reference_like_from_gibberish(tmp_path):
+    """Planted corpus: docs 0-9 are the reference style; doc 100 repeats
+    the style, doc 101 is hash gibberish — the gibberish must score
+    strictly higher (more bits/byte) than the in-style doc."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_lm_perplexity
+
+    style = "the quick brown fox jumps over the lazy dog and runs far away "
+    rows = [(i, style * 20) for i in range(10)]
+    rows.append((100, style * 25))
+    rows.append((101, " ".join(hashlib.sha256(str(i).encode()).hexdigest() for i in range(40))))
+    tbl = pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string()),
+         "lang": pa.array(["en"] * len(rows), pa.string())}
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    df = q_lm_perplexity(str(tmp_path), ref_max_id=50).to_pandas().set_index("doc_id")
+    assert df.loc[100, "nll_milli_bits"] < df.loc[101, "nll_milli_bits"]
+    assert df.loc[100, "nll_milli_bits"] < 2000  # near-memorized style
+    assert (df["n_bytes"] > 0).all()
