@@ -1114,10 +1114,26 @@ def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Datas
 
     clicks = side("click", "n_clicks", "user_id")
     purchases = side("purchase", "n_purchases", "uid_p")
-    joined = clicks.join(
-        purchases, join_type="full_outer", num_partitions=8,
-        on=("user_id",), right_on=("uid_p",),
-    )
+    # an EMPTY Dataset has no schema and aborts the acero hash join —
+    # short-circuit an all-empty side to the other side alone (the full
+    # outer result degenerates to it)
+    if purchases.count() == 0:
+        joined = clicks.map_batches(
+            lambda t: t.append_column("uid_p", pa.nulls(t.num_rows, pa.int64()))
+                       .append_column("n_purchases", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    elif clicks.count() == 0:
+        joined = purchases.map_batches(
+            lambda t: t.append_column("user_id", pa.nulls(t.num_rows, pa.int64()))
+                       .append_column("n_clicks", pa.nulls(t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    else:
+        joined = clicks.join(
+            purchases, join_type="full_outer", num_partitions=8,
+            on=("user_id",), right_on=("uid_p",),
+        )
 
     def coalesce(t: pa.Table) -> pa.Table:
         # the hash join already coalesces the key pair into user_id

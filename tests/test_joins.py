@@ -126,3 +126,32 @@ def test_joins_with_empty_right_side():
         left_cols={"event_id": pa.int64()}, count_name="n",
     ).to_pandas()
     assert len(r) == len(left) and (r["n"] == 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_full_outer_coverage_empty_side(tmp_path):
+    """An empty side (no qualifying purchases) must not crash the full
+    outer join; all users come from the click side with 0 purchases."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.relational import q_click_purchase_coverage
+
+    n = 50
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(
+                np.arange(n).astype("datetime64[s]").astype("datetime64[us]")
+            ),
+            "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+            "event_type": pa.array(["click"] * n, pa.string()),
+            "value": pa.array([300.0] * n, pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    df = q_click_purchase_coverage(str(tmp_path)).to_pandas()
+    assert len(df) == 5
+    assert (df["n_purchases"] == 0).all()
+    assert (df["n_clicks"] == 10).all()
