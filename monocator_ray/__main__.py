@@ -161,6 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         res = fn(args.sf_dir)
         if args.out:
             if isinstance(res, rd.Dataset):
+                res = res.materialize()  # one execution for write AND count
                 res.write_parquet(args.out)
                 n = res.count()
             else:

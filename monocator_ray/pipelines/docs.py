@@ -1466,7 +1466,7 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int
 
 
 # ---- deterministic train/val/test split (corpus partitioning; oracle) ----
-def q_dataset_split(sf_dir: str) -> rd.Dataset:
+def q_dataset_split(sf_dir: str) -> pa.Table:
     """Deterministic train/val/test assignment — ``mix32(doc_id) % 100``
     buckets: < 5 test, < 10 val, else train — with per-(split, lang) counts.
     The assignment is a pure function of doc_id (no RNG state, stable under
@@ -1566,6 +1566,10 @@ def q_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
         score_part,
         num_parts=32,
     ).to_pandas()
+    if "score" not in local.columns:  # no doc contains any query term:
+        # a groupby over zero groups yields a schema-less empty frame
+        local = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="int64")})
     out = (
         local.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         .head(k)
@@ -1879,9 +1883,7 @@ def q_ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     sample = table_to_matrix(_head_rows(f"{sf_dir}/embeddings.parquet", ["embedding"], 1024))
     index = PqIndex.train(sample, m=m, nbits=nbits)
-    qm = table_to_matrix(
-        pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"]).slice(0, n_queries)
-    )
+    qm = table_to_matrix(_head_rows(f"{sf_dir}/embeddings.parquet", ["embedding"], n_queries))
 
     encoded = emb.map_batches(
         cached_stage(PqEncoder, index_ref=ray.put(index)),

@@ -931,14 +931,21 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
     thresh = pa.scalar(min_total)
 
+    def build_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["o_totalprice"], thresh))
+        return pa.table({"o_orderkey": t["o_orderkey"]})
+
+    # ONE scan of the build side: the filtered key dataset feeds both the
+    # bloom partials and the verify join
+    keys_ds = orders.map_batches(build_keys, batch_format="pyarrow").materialize()
+
     def partial_bloom(t: pa.Table) -> pa.Table:
-        keys = t.filter(pc.greater(t["o_totalprice"], thresh))["o_orderkey"]
         bf = BloomFilter(n_bits, k)
-        bf.add(keys.to_numpy(zero_copy_only=False).astype(np.uint64))
+        bf.add(t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64))
         return pa.table({"blob": pa.array([bf.to_bytes()], pa.binary())})
 
     merged = BloomFilter(n_bits, k)
-    for blob in orders.map_batches(partial_bloom, batch_format="pyarrow").to_pandas()["blob"]:
+    for blob in keys_ds.map_batches(partial_bloom, batch_format="pyarrow").to_pandas()["blob"]:
         merged.merge(BloomFilter.from_bytes(blob, n_bits, k))
     bloom_ref = ray.put(merged.to_bytes())
 
@@ -964,11 +971,6 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
         cached_stage(Prefilter, blob_ref=bloom_ref), batch_format="pyarrow"
     )
 
-    def build_keys(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater(t["o_totalprice"], thresh))
-        return pa.table({"o_orderkey": t["o_orderkey"]})
-
-    keys_ds = orders.map_batches(build_keys, batch_format="pyarrow")
     joined = survivors.join(
         keys_ds, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
@@ -1116,7 +1118,15 @@ def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Datas
     purchases = side("purchase", "n_purchases", "uid_p")
     # an EMPTY Dataset has no schema and aborts the acero hash join —
     # short-circuit an all-empty side to the other side alone (the full
-    # outer result degenerates to it)
+    # outer result degenerates to it).  Two scans + a join is deliberate:
+    # this op exists to exercise the NATIVE full_outer join (the one-pass
+    # conditional-aggregation shape is q_event_pivot).
+    if clicks.count() == 0 and purchases.count() == 0:
+        return rd.from_arrow(pa.table(
+            {"user_id": pa.array([], pa.int64()),
+             "n_clicks": pa.array([], pa.int64()),
+             "n_purchases": pa.array([], pa.int64())}
+        ))
     if purchases.count() == 0:
         joined = clicks.map_batches(
             lambda t: t.append_column("uid_p", pa.nulls(t.num_rows, pa.int64()))
@@ -1151,7 +1161,7 @@ def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Datas
 
 
 # ---- native LEFT ANTI join (parts never shipped in bulk) ----
-def q_parts_never_bulk(sf_dir: str, min_qty: float = 45.0) -> rd.Dataset:
+def q_parts_never_bulk(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
     """Parts with NO bulk lineitem (quantity >= 45), counted per p_type —
     the large×large anti-join shape where neither side broadcasts at
     scale, run as Ray Data's native ``join_type="left_anti"``.  The right

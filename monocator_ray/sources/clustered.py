@@ -81,18 +81,30 @@ def write_clustered(ds: rd.Dataset, key: str, out_dir: str, num_ranges: int = 16
         .groupby("_range")
         .map_groups(write_range, batch_format="pyarrow")
         .to_pandas()
-        .sort_values("range_id")
     )
+    if len(entries) == 0:  # empty input: valid empty manifest, no files
+        entries = entries.reindex(columns=["range_id", "file", "key_min", "key_max", "n_rows"])
+    entries = entries.sort_values("range_id")
     manifest = {
         "key": key,
         "files": entries.to_dict("records"),
-        "n_rows": int(entries["n_rows"].sum()),
+        "n_rows": int(entries["n_rows"].sum()) if len(entries) else 0,
     }
     # manifest written LAST = success marker (a crashed write leaves no
     # manifest; rerun overwrites range files idempotently)
     with open(os.path.join(out_dir, "_manifest.json"), "w") as f:
         json.dump(manifest, f)
     return manifest
+
+
+def _overlapping(manifest: dict, out_dir: str, lo: int | None, hi: int | None) -> list[str]:
+    """Full paths of the manifest files whose span overlaps [lo, hi] —
+    the ONE overlap predicate both the reader and pruned_files use."""
+    return [
+        os.path.join(out_dir, e["file"])
+        for e in manifest["files"]
+        if (hi is None or e["key_min"] <= hi) and (lo is None or e["key_max"] >= lo)
+    ]
 
 
 def read_clustered(out_dir: str, lo: int | None = None, hi: int | None = None) -> rd.Dataset:
@@ -102,13 +114,12 @@ def read_clustered(out_dir: str, lo: int | None = None, hi: int | None = None) -
     with open(os.path.join(out_dir, "_manifest.json")) as f:
         manifest = json.load(f)
     key = manifest["key"]
-    files = [
-        os.path.join(out_dir, e["file"])
-        for e in manifest["files"]
-        if (hi is None or e["key_min"] <= hi) and (lo is None or e["key_max"] >= lo)
-    ]
+    files = _overlapping(manifest, out_dir, lo, hi)
     if not files:
-        return rd.from_arrow(pa.table({}))
+        if manifest["files"]:  # schema-pinned empty from any real file
+            first = os.path.join(out_dir, manifest["files"][0]["file"])
+            return rd.from_arrow(pq.read_table(first).slice(0, 0))
+        return rd.from_arrow(pa.table({}))  # empty write: no schema exists
     ds = rd.read_parquet(files)
     if lo is None and hi is None:
         return ds
@@ -128,10 +139,7 @@ def read_clustered(out_dir: str, lo: int | None = None, hi: int | None = None) -
 
 
 def pruned_files(out_dir: str, lo: int | None = None, hi: int | None = None) -> list[str]:
-    """The file subset read_clustered would touch (for tests/telemetry)."""
+    """The file subset (full paths) read_clustered would touch."""
     with open(os.path.join(out_dir, "_manifest.json")) as f:
         manifest = json.load(f)
-    return [
-        e["file"] for e in manifest["files"]
-        if (hi is None or e["key_min"] <= hi) and (lo is None or e["key_max"] >= lo)
-    ]
+    return _overlapping(manifest, out_dir, lo, hi)
