@@ -361,12 +361,24 @@ class CrawlDriver:
             n_fetch = max(2, n // 3)
             n_extract = max(1, n - n_fetch)
             # shrink until the pools actually fit the session's CPU budget —
-            # over-subscribed actors pend forever (no preemption in Ray)
-            while n_extract > 1 and (n_fetch * 0.5 + n_extract * 1.0) > avail:
-                if n_extract >= n_fetch * 2:
+            # over-subscribed actors pend forever (no preemption in Ray);
+            # the floor is ONE fetcher + ONE extractor
+            fetch_cpu, extract_cpu = 0.5, 1.0
+            while (n_fetch > 1 or n_extract > 1) and (
+                n_fetch * fetch_cpu + n_extract * extract_cpu
+            ) > avail:
+                if n_extract > 1 and (n_extract >= n_fetch * 2 or n_fetch == 1):
                     n_extract -= 1
                 else:
-                    n_fetch = max(1, n_fetch - 1)
+                    n_fetch -= 1
+            # tiny sessions (shards already reserve most CPUs): scale the
+            # per-actor request down so the minimum pool still schedules
+            # instead of pending forever
+            min_demand = n_fetch * fetch_cpu + n_extract * extract_cpu
+            if min_demand > max(avail, 0.2):
+                scale = max(avail, 0.2) / min_demand
+                fetch_cpu = max(0.1, fetch_cpu * scale)
+                extract_cpu = max(0.1, extract_cpu * scale)
             kwargs = dict(
                 pages_dir=self.pages_dir,
                 num_buckets=cfg.num_buckets,
@@ -378,8 +390,8 @@ class CrawlDriver:
                 shards=self.shards,
             )
             # fetchers are mostly cache hits after warmup: half a CPU each
-            Fetcher = ray.remote(num_cpus=0.5)(EpochWorker)
-            Extractor = ray.remote(num_cpus=1)(EpochWorker)
+            Fetcher = ray.remote(num_cpus=fetch_cpu)(EpochWorker)
+            Extractor = ray.remote(num_cpus=extract_cpu)(EpochWorker)
             self._fetchers = [Fetcher.remote(**kwargs) for _ in range(n_fetch)]
             self._workers = [Extractor.remote(**kwargs) for _ in range(n_extract)]
         return self._workers
@@ -567,6 +579,7 @@ class CrawlDriver:
         t0 = time.monotonic()
         fetched = 0
         idle = 0
+        errors_at_start = sum(r["errors"] for r in self.lineage_rows)
         while self.epoch < self.cfg.max_epochs:
             got = self.run_epoch()
             if got == -1:
@@ -585,6 +598,7 @@ class CrawlDriver:
             out_dir=self.out_dir,
             epochs=self.epoch,
             fetched=fetched,
+            errors=sum(r["errors"] for r in self.lineage_rows) - errors_at_start,
             seen=sum(s["seen"] for s in stats),
             wall_s=time.monotonic() - t0,
             lineage=self.lineage_rows,
@@ -690,7 +704,10 @@ def read_visit_log(out_dir: str) -> pa.Table:
     projection of the combined epoch files)."""
     parts = [pq.read_table(f, columns=VISIT_COLS) for f in artifact_files(out_dir)]
     if not parts:
-        return pa.table({c: [] for c in VISIT_COLS})
+        # typed empty (empty python lists infer null columns otherwise)
+        from monocator_ray.schemas import VISIT_LOG
+
+        return pa.table({c: pa.array([], VISIT_LOG.field(c).type) for c in VISIT_COLS})
     tbl = pa.concat_tables(parts)
     order = np.argsort(tbl["seq"].to_numpy(zero_copy_only=False))
     return tbl.take(pa.array(order))

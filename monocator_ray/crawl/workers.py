@@ -90,28 +90,3 @@ class EpochWorker:
             print(f"[we] n={fetched.num_rows} extract={t1 - t0:.2f} rest={_t.monotonic() - t1:.2f}")
         return (links, errors) if not offer_refs else (offer_refs, errors)
 
-    def process(self, chunk: pa.Table, out_file: str) -> tuple[pa.Table, int]:
-        """fetch -> extract -> write combined parquet -> filtered child links.
-        Returns (links_table, n_errors)."""
-        import os as _os
-        import time as _t
-
-        trace = _os.environ.get("MONOCATOR_TRACE_WORKER")
-        t0 = _t.monotonic()
-        fetched = self.fetch(chunk)
-        t1 = _t.monotonic()
-        full = self.extract(fetched)
-        t2 = _t.monotonic()
-        os.makedirs(os.path.dirname(out_file), exist_ok=True)
-        pq.write_table(full, out_file)
-        t3 = _t.monotonic()
-        import pyarrow.compute as pc
-
-        errors = int(pc.sum(pc.not_equal(full["fetch_status"], 200)).as_py() or 0)
-        links = self.link_filter(explode_links(full.select(["links", "seq", "depth", "url_hash"])))
-        if trace:
-            print(
-                f"[worker] n={chunk.num_rows} fetch={t1 - t0:.2f} extract={t2 - t1:.2f} "
-                f"write={t3 - t2:.2f} links={_t.monotonic() - t3:.2f}"
-            )
-        return links, errors

@@ -38,6 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from monocator_ray.stages.filters import first_wins_dedup
+from monocator_ray.urlnorm import host_of
 from monocator_ray.state.cuckoo import CuckooFilter
 from monocator_ray.state.seen import SeenSet
 
@@ -362,10 +363,10 @@ class FrontierShard:
             {
                 "url": pa.array(urls, pa.string()),
                 "url_hash": pa.array(out["url_hash"], pa.uint64()),
-                "host": pa.array(
-                    [u.split("://", 1)[1].split("/", 1)[0].split(":", 1)[0] for u in urls],
-                    pa.string(),
-                ),
+                # ONE host-extraction definition engine-wide (urlnorm.host_of
+                # — the function that produced host_hash); frontier urls are
+                # canonical, so this is drift-proof rather than a re-split
+                "host": pa.array([host_of(u) for u in urls], pa.string()),
                 "host_hash": pa.array(out["host_hash"], pa.uint64()),
                 "depth": pa.array(out["depth"], pa.int32()),
                 "discovery_time": pa.array(out["discovery_time"], pa.int64()),
@@ -377,6 +378,12 @@ class FrontierShard:
         return len(self._f["depth"]) + sum(t.num_rows for t in self._pending_tables)
 
     def stats(self) -> dict:
+        # resolve pending offers first so the counters reflect every offer
+        # made up to this call: lineage rows then attribute an epoch's link
+        # resolution to THAT epoch, and the in-memory deltas equal the
+        # checkpoint manifest's counters — which is what makes lineage
+        # accounting identical across kill/resume (review finding r2e)
+        self.flush_pending()
         return dict(
             self.counters, shard_id=self.shard_id, frontier=len(self._f["depth"]), seen=len(self.seen)
         )

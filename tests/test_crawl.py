@@ -210,3 +210,21 @@ def test_resume_purges_uncheckpointed_epoch_artifacts(web, tmp_path):
     assert len(seqs) == len(set(seqs)), "stale parts duplicated seq rows"
     assert resumed_log.num_rows == full_log.num_rows
     assert resumed_log.equals(full_log)
+
+
+def test_crawl_tiny_session_does_not_hang(tmp_path):
+    """A session whose shards reserve most CPUs (8 shards x 0.25 on the
+    4-cpu test session) must still schedule the worker pools instead of
+    pending forever: the sizing loop shrinks to (1,1) and scales the
+    per-actor CPU request to fit (review finding r2e)."""
+    from monocator_ray.crawl.driver import CrawlConfig, crawl
+    from monocator_ray.sources.synth import SynthSpec, write_synth_pages
+
+    web = str(tmp_path / "web")
+    write_synth_pages(web, 400, 10, 4, use_ray=False)
+    spec = SynthSpec(400, 10)
+    cfg = CrawlConfig(num_shards=8, budget_per_epoch=256, max_depth=3,
+                      link_cap=8, num_buckets=4, inline_threshold=0,
+                      fetch_concurrency=2, extract_concurrency=2)
+    res = crawl(spec.seeds(6), web, str(tmp_path / "out"), cfg)
+    assert res.fetched > 0
