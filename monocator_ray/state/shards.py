@@ -277,28 +277,49 @@ class FrontierShard:
             # walk would stage (token state untouched when delay == 0)
             self._staged_idx = np.arange(min(budget, n), dtype=np.int64)
             return self._staged_keys()
-        staged: list[int] = []
-        per_host: dict[int, int] = {}
-        hh_col = f["host_hash"]
-        for i in range(n):
-            if len(staged) >= budget:
-                break
-            hh = int(hh_col[i])
+        # Vectorized staging walk (review r2e: the old per-row Python loop
+        # cost O(frontier) interpreter time per epoch whenever ANY
+        # politeness constraint existed — the politeness TAIL is exactly
+        # where the frontier is large and the budget tiny).  Per-host
+        # allowance is FIXED during one walk (tokens are consumed at pop,
+        # not stage), so row i stages iff its within-host occurrence rank
+        # < allowance — computable with one stable argsort.  The budget
+        # stop truncates staging AND the capped-drop accounting at the
+        # budget-th staged row, exactly like the sequential walk's break.
+        # Advancing tokens for every frontier host (not just visited ones)
+        # is equivalent: the saturating update min(burst, t + dt*rate)
+        # composes to the same value whether applied per epoch or once.
+        hh_arr = f["host_hash"]
+        uniq, inv = np.unique(hh_arr, return_inverse=True)
+        allow = np.empty(len(uniq), dtype=np.int64)
+        drop_host = np.zeros(len(uniq), dtype=bool)
+        for j, hh in enumerate(uniq.tolist()):
             st = self.hosts[hh]
             self._advance_tokens(st, epoch)
             tokens, delay, fetched, cap = st[0], st[1], st[2], st[4]
             if cap and fetched >= cap:
-                self.counters["capped_dropped"] += 1
-                self._drop_idx.append(i)
-                continue
-            allowance = int(tokens // delay) if delay > 0 else self.default_host_cap
-            if cap:
-                allowance = min(allowance, cap - fetched)
-            if per_host.get(hh, 0) < allowance:
-                per_host[hh] = per_host.get(hh, 0) + 1
-                staged.append(i)
-            # else: deferred — stays in the frontier untouched
-        self._staged_idx = np.array(staged, dtype=np.int64)
+                drop_host[j] = True
+                allow[j] = 0
+            else:
+                a = int(tokens // delay) if delay > 0 else self.default_host_cap
+                allow[j] = min(a, cap - fetched) if cap else a
+        counts = np.bincount(inv, minlength=len(uniq))
+        group_starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        order = np.argsort(inv, kind="stable")
+        occ = np.empty(n, dtype=np.int64)
+        occ[order] = np.arange(n, dtype=np.int64) - np.repeat(group_starts, counts)
+        drop_mask = drop_host[inv]
+        stage_mask = ~drop_mask & (occ < allow[inv])
+        staged_pos = np.nonzero(stage_mask)[0]
+        if staged_pos.size > budget:
+            stop = staged_pos[budget - 1]
+            staged_pos = staged_pos[:budget]
+            drop_mask = drop_mask & (np.arange(n) <= stop)
+        n_drop = int(drop_mask.sum())
+        if n_drop:
+            self.counters["capped_dropped"] += n_drop
+            self._drop_idx.extend(np.nonzero(drop_mask)[0].tolist())
+        self._staged_idx = staged_pos.astype(np.int64)
         return self._staged_keys()
 
     def _staged_keys(self) -> pa.Table:
