@@ -2255,3 +2255,133 @@ def q_lm_perplexity(sf_dir: str, ref_max_id: int = 50) -> rd.Dataset:
         cached_stage(_TrigramScorer, tri_ref=tri_ref, bi_ref=bi_ref),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+# ---- edit-distance near-dup (banded Levenshtein; full SQL oracle) ----
+def q_edit_distance_pairs(sf_dir: str, k: int = 32) -> rd.Dataset:
+    """Same-lang document pairs within a ``k``-codepoint length band whose
+    UTF-8 byte Levenshtein distance is <= ``k`` — the character-level
+    member of the dedup family (catches typo-level near-dups that survive
+    word-shingle sketches), with a FULL DuckDB oracle (``levenshtein()``
+    is byte-based on UTF-8, measured: 'é'->2, '中'->3 — the kernel in
+    stages/dedup.py runs over the same bytes).
+
+    The length band ``abs(a.n_chars - b.n_chars) <= k`` is DEFINITIONAL
+    (in the oracle's join clause too): byte-distance <= k bounds the BYTE
+    length gap, but a char-count band is what the column provides, so both
+    sides apply it explicitly rather than proving byte/char interplay.
+
+    Plan (exact, no driver materialization):
+    1. replicate each doc to length buckets ``n_chars // k`` and ``+1``
+       (band width = k, so any in-band pair shares a cell; the pair is
+       generated only where ``max(obkt_a, obkt_b) == cell`` — each pair
+       exactly once),
+    2. ``hash_partitioned`` on (lang, bucket): per cell, sort by n_chars
+       and enumerate in-band pairs with one searchsorted + repeat/arange
+       (no Python pair loops),
+    3. byte-histogram L1 prefilter (L1 <= 2k is NECESSARY for dist <= k —
+       exact, kills nearly all random-soup pairs),
+    4. banded DP verify (``banded_levenshtein`` — vectorized across pairs).
+
+    Scale note: candidate volume is quadratic per (lang, length-bucket)
+    cell; at corpus scale shrink cells by sub-bucketing on a content key
+    (PassJoin chunk signatures — each of a doc's k+1 disjoint chunks must
+    appear verbatim in any <=k partner — is the published exact filter);
+    the driver tables' cells are tiny so the band+histogram plan runs
+    as-is.  Reference family: src/TODO.MD dedup notes; Li et al.,
+    PassJoin (PVLDB'11) for the scale filter."""
+    from monocator_ray.stages.dedup import (
+        banded_levenshtein,
+        byte_histogram_l1_bound,
+        hist_l1_filter,
+    )
+
+    ds = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def replicate(t: pa.Table) -> pa.Table:
+        nc = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        obkt = nc // k
+        n = len(t)
+        idx = np.repeat(np.arange(n), 2)
+        bkt = np.empty(2 * n, np.int64)
+        bkt[0::2] = obkt
+        bkt[1::2] = obkt + 1
+        lang_h = hash_str64(t["lang"].to_pylist()).view(np.int64)
+        out = t.take(pa.array(idx, pa.int64()))
+        out = out.append_column("obkt", pa.array(obkt[idx], pa.int64()))
+        out = out.append_column("bkt", pa.array(bkt, pa.int64()))
+        return out.append_column("lang_h", pa.array(lang_h[idx], pa.int64()))
+
+    _SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("dist", pa.int64())]
+    )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _SCHEMA.empty_table()
+        lang_h = g["lang_h"].to_numpy(zero_copy_only=False)
+        bkt = g["bkt"].to_numpy(zero_copy_only=False)
+        obkt = g["obkt"].to_numpy(zero_copy_only=False)
+        nc = g["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nc, bkt, lang_h))
+        lang_h, bkt, obkt, nc, ids = (
+            lang_h[order], bkt[order], obkt[order], nc[order], ids[order]
+        )
+        texts = g["text"].take(pa.array(order, pa.int64())).to_pylist()
+        starts, ends = run_boundaries(lang_h, bkt)
+        ii_all, jj_all = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            m = e - s
+            if m < 2:
+                continue
+            sub = nc[s:e]
+            hi = np.searchsorted(sub, sub + k, side="right")
+            cnt = hi - np.arange(m) - 1
+            tot = int(cnt.sum())
+            if tot == 0:
+                continue
+            ii = np.repeat(np.arange(m), cnt)
+            offs = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            jj = np.arange(tot) - np.repeat(offs, cnt) + ii + 1
+            # one cell per pair: the one equal to max of the two home buckets
+            keep = np.maximum(obkt[s + ii], obkt[s + jj]) == bkt[s]
+            ii_all.append(s + ii[keep])
+            jj_all.append(s + jj[keep])
+        if not ii_all:
+            return _SCHEMA.empty_table()
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        enc = [x.encode() for x in texts]
+        hist = byte_histogram_l1_bound(enc)
+        band_ok = hist_l1_filter(hist, ii, jj, 2 * k)
+        ii, jj = ii[band_ok], jj[band_ok]
+        if len(ii) == 0:
+            return _SCHEMA.empty_table()
+        dist = banded_levenshtein([enc[x] for x in ii.tolist()],
+                                  [enc[x] for x in jj.tolist()], k)
+        keep = dist <= k
+        ii, jj, dist = ii[keep], jj[keep], dist[keep]
+        a, b = ids[ii], ids[jj]
+        return pa.table(
+            {
+                "doc_a": pa.array(np.minimum(a, b), pa.int64()),
+                "doc_b": pa.array(np.maximum(a, b), pa.int64()),
+                "dist": pa.array(dist, pa.int64()),
+            }
+        )
+
+    # the doc table is tiny in rows (the pair work is quadratic in them), so
+    # without an explicit split the sort-groupby yields 1-2 blocks and the
+    # 32 partition tasks run serially on them — spread the input first
+    rep = ds.map_batches(replicate, batch_format="pyarrow").repartition(32)
+    out = hash_partitioned(
+        rep,
+        lambda t: [
+            t["lang_h"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["bkt"].to_numpy(zero_copy_only=False).view(np.uint64),
+        ],
+        pairs_in_part,
+        num_parts=32,
+    )
+    return out.sort(["doc_a", "doc_b"])

@@ -900,4 +900,18 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # character-level near-dup: banded Levenshtein over UTF-8 bytes (DuckDB
+    # levenshtein is byte-based — measured in q_edit_distance_pairs's
+    # docstring); the n_chars length band is definitional on both sides
+    "edit_distance_pairs": (
+        D.q_edit_distance_pairs,
+        """
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 32
+        WHERE levenshtein(a.text, b.text) <= 32
+        """,
+    ),
 }

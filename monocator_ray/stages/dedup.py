@@ -264,3 +264,168 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     return {x: find(x) for x in {i for p in pairs for i in p}}
+
+
+# ---- edit distance (Levenshtein over UTF-8 bytes) ----
+#
+# DuckDB's levenshtein() is BYTE-based on the UTF-8 encoding (measured:
+# levenshtein('é','a') = 2, levenshtein('中文','中') = 3), so the engine
+# kernel runs over uint8 byte arrays — which is also the numpy-friendly
+# representation (one fixed-width 2-D array per pair chunk, no codepoint
+# decode).
+
+_LEV_INF = np.int32(1 << 20)
+
+
+def levenshtein_ref(a: bytes, b: bytes) -> int:
+    """Plain O(len*len) reference DP (tests only)."""
+    la, lb = len(a), len(b)
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def banded_levenshtein(pairs_a: list[bytes], pairs_b: list[bytes], k: int) -> np.ndarray:
+    """Exact Levenshtein distance for each (a, b) byte-string pair, banded
+    at ``k``: returns int64 distances, with ``k + 1`` for any pair whose
+    true distance exceeds ``k`` (the band makes larger values unknowable —
+    callers filter on ``<= k``).
+
+    Vectorized ACROSS PAIRS: the whole chunk advances one DP row per step,
+    each row a (P, 2k+1) band array.  The in-row horizontal dependency
+    dp[i][j-1]+1 is a min-plus prefix scan, done with one
+    ``np.minimum.accumulate`` over the band axis (dp[i][j] <= dp[i][j']+
+    (j-j') for j' < j, so subtracting the band index turns the running
+    lower envelope into a plain cumulative min).  Cost: max_len rows x
+    (2k+1) band x P pairs of elementwise ops — ~20k vector steps for
+    600-byte docs at k=32, independent of P.
+
+    Pairs are oriented so len(a) <= len(b); pairs with a length gap over
+    ``k`` short-circuit to ``k + 1`` without entering the DP.
+    """
+    n = len(pairs_a)
+    out = np.full(n, k + 1, dtype=np.int64)
+    if n == 0:
+        return out
+    # orient: a is the shorter side; band then covers j - i in [-k, k]
+    a_sz = np.fromiter((len(x) for x in pairs_a), np.int64, n)
+    b_sz = np.fromiter((len(x) for x in pairs_b), np.int64, n)
+    swap = a_sz > b_sz
+    la = np.where(swap, b_sz, a_sz)
+    lb = np.where(swap, a_sz, b_sz)
+    live = (lb - la) <= k
+    idx = np.nonzero(live)[0]
+    if len(idx) == 0:
+        return out
+    p = len(idx)
+    la_l, lb_l = la[idx], lb[idx]
+    max_a, max_b = int(la_l.max()), int(lb_l.max())
+    w = 2 * k + 1
+    # int16 throughout: values stay under _LEV_INF16 + max rows << 2^15,
+    # and halving the element width halves the DP's memory traffic.
+    inf = np.int16(16000)
+    # A padded with 0x100; B LEFT-padded by k with 0x101 (and right-padded
+    # far enough) so row i's needed b[j-1] window, j in [i-k, i+k], is the
+    # CONTIGUOUS slice B[:, i-1 : i-1+w] — no per-row take_along_axis.
+    A = np.full((p, max_a), 0x100, dtype=np.int16)
+    B = np.full((p, max(max_b, max_a + k) + k), 0x101, dtype=np.int16)
+    for r, i in enumerate(idx.tolist()):
+        sa, sb = pairs_a[i], pairs_b[i]
+        if swap[i]:
+            sa, sb = sb, sa
+        A[r, : len(sa)] = np.frombuffer(sa, np.uint8)
+        B[r, k : k + len(sb)] = np.frombuffer(sb, np.uint8)
+    d_idx = np.arange(w, dtype=np.int16)  # band offset d-k in [-k, k]
+    # row 0: dp[0][j] = j at band d = j (j = 0 + (d - k))
+    W = np.where(d_idx >= k, d_idx - k, inf).astype(np.int16)
+    W = np.broadcast_to(W, (p, w)).copy()
+    res = np.full(p, k + 1, dtype=np.int64)
+    done0 = la_l == 0
+    if done0.any():
+        res[done0] = np.minimum(lb_l[done0], k + 1)
+    lb_col = lb_l[:, None].astype(np.int16)
+    # `own` maps the live working set back to positions in `res`; pairs
+    # retire EARLY when their whole band exceeds k — the band minimum is
+    # monotone non-decreasing down rows (every dp value derives from prior
+    # values plus non-negative costs), so band_min > k at any row proves
+    # final distance > k.  Random-soup survivors of the histogram filter
+    # die within ~2k rows instead of paying the full doc length.
+    own = np.arange(p)
+    for i in range(1, max_a + 1):
+        # band slot d holds column j = i + (d - k)
+        j_row = np.int16(i) + d_idx - np.int16(k)  # (w,)
+        # substitution/match: dp[i-1][j-1] is W[d] of the previous row;
+        # b[j-1] for the whole band is one contiguous slice (see padding)
+        ai = A[:, i - 1][:, None]  # (p, 1)
+        bj = B[:, i - 1 : i - 1 + w]
+        sub = W + (ai != bj)
+        # deletion from a: dp[i-1][j] lives at previous-row slot d+1
+        dele = np.empty_like(W)
+        dele[:, :-1] = W[:, 1:] + np.int16(1)
+        dele[:, -1] = inf
+        T = np.minimum(sub, dele)
+        # out-of-range j (j < 0 or j > lb): INF.  j == 0 means dp[i][0] = i
+        T = np.where((j_row[None, :] < 1) | (j_row[None, :] > lb_col), inf, T)
+        if i <= k:
+            T[:, k - i] = i  # slot where j == 0
+        # insertion into a: dp[i][j-1] + 1 -> min-plus prefix scan over d
+        U = T - d_idx[None, :]
+        np.minimum.accumulate(U, axis=1, out=U)
+        W = U + d_idx[None, :]
+        fin = la_l == i
+        if fin.any():
+            slot = (lb_l[fin] - i + k).astype(np.int64)
+            v = W[np.nonzero(fin)[0], slot].astype(np.int64)
+            res[own[np.nonzero(fin)[0]]] = np.minimum(v, k + 1)
+        alive = (la_l > i) & (W.min(axis=1) <= k)
+        if not alive.all():
+            if not alive.any():
+                break
+            keep = np.nonzero(alive)[0]
+            own, la_l, lb_l = own[keep], la_l[keep], lb_l[keep]
+            A, B, W, lb_col = A[keep], B[keep], W[keep], lb_col[keep]
+    out[idx] = res
+    return out
+
+
+def hist_l1_filter(h: np.ndarray, ii: np.ndarray, jj: np.ndarray, thresh: int) -> np.ndarray:
+    """Boolean mask: L1(h[ii], h[jj]) <= thresh, computed in fixed 2048-pair
+    chunks over PREALLOCATED buffers.  The obvious one-liner
+    ``np.abs(h[ii]-h[jj]).sum(1)`` allocates fresh multi-MB temporaries per
+    call, and under 32 concurrent Ray tasks those fresh pages fault at
+    ~4 ms/MB on this VM — measured 128 s of task CPU for work that takes
+    0.3 s chunked (the buffers stay cache-resident AND no new pages are
+    touched)."""
+    n = len(ii)
+    out = np.empty(n, bool)
+    C = 2048
+    bufA = np.empty((C, h.shape[1]), np.int16)
+    bufB = np.empty((C, h.shape[1]), np.int16)
+    for s in range(0, n, C):
+        e = min(s + C, n)
+        m = e - s
+        np.take(h, ii[s:e], axis=0, out=bufA[:m])
+        np.take(h, jj[s:e], axis=0, out=bufB[:m])
+        np.subtract(bufA[:m], bufB[:m], out=bufA[:m])
+        np.abs(bufA[:m], out=bufA[:m])
+        out[s:e] = bufA[:m].sum(axis=1, dtype=np.int32) <= thresh
+    return out
+
+
+def byte_histogram_l1_bound(texts: list[bytes]) -> np.ndarray:
+    """(n, 256) int16 byte histograms (doc lengths are far below 2^15).
+    For any pair, the L1 distance of these is <= 2 * levenshtein(a, b)
+    (each edit changes at most two counts), so ``L1 > 2k`` exactly excludes
+    pairs with distance > k — a vectorizable prefilter that kills nearly
+    all random-soup pairs before the banded DP.  Pair it with
+    :func:`hist_l1_filter`, never with fresh fancy-index temporaries."""
+    h = np.zeros((len(texts), 256), dtype=np.int16)
+    for i, t in enumerate(texts):
+        if t:
+            h[i] = np.bincount(np.frombuffer(t, np.uint8), minlength=256)
+    return h

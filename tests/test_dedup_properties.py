@@ -88,3 +88,88 @@ def test_export_pages(tmp_path, ray_session):
     assert t.schema.names == PAGES.names
     assert t.num_rows > 0
     assert all(x for x in t["text"].to_pylist()[:5])  # engine filled text
+
+
+# ---- banded Levenshtein kernel (edit_distance_pairs verify step) ----
+def test_banded_levenshtein_matches_reference():
+    """Fuzz the vectorized banded DP against the plain O(n*m) reference:
+    exact when true distance <= k, the k+1 sentinel otherwise; multibyte
+    UTF-8 included (the kernel and DuckDB both work on bytes)."""
+    import random
+
+    import numpy as np
+
+    from monocator_ray.stages.dedup import banded_levenshtein, levenshtein_ref
+
+    rng = random.Random(1234)
+    alphabet = "abcdefg 中文é"
+    pa_, pb_ = [], []
+    for _ in range(400):
+        a = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 50)))
+        b = list(a)
+        for _ in range(rng.randrange(0, 8)):
+            op = rng.randrange(3)
+            p = rng.randrange(len(b)) if b else 0
+            if op == 0 and b:
+                b[p] = rng.choice(alphabet)
+            elif op == 1 and b:
+                del b[p]
+            else:
+                b.insert(p, rng.choice(alphabet))
+        if rng.random() < 0.25:
+            b = [rng.choice(alphabet) for _ in range(rng.randrange(0, 50))]
+        pa_.append(a.encode())
+        pb_.append("".join(b).encode())
+    want = np.array([levenshtein_ref(a, b) for a, b in zip(pa_, pb_)])
+    for k in (0, 1, 4, 16, 32):
+        got = banded_levenshtein(pa_, pb_, k)
+        exact = want <= k
+        assert np.array_equal(got[exact], want[exact]), f"k={k}"
+        assert np.all(got[~exact] == k + 1), f"k={k}"
+
+
+def test_edit_distance_pairs_planted_fixture(tmp_path, ray_session):
+    """Planted near-dups (incl. multibyte + cross-length-bucket pairs) --
+    engine vs DuckDB levenshtein on the same parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_edit_distance_pairs
+    from monocator_ray.pipelines.registry import REGISTRY
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    texts = [
+        base,                                   # 0
+        base[:-10] + "plus tail!",              # 1: close to 0
+        base.replace("quick", "quack"),         # 2: 2 edits from 0
+        "中文文档内容 " * 12,                     # 3 multibyte
+        "中文文档内容 " * 12 + "x",               # 4: 1 byte edit from 3
+        "completely different words entirely " * 5,  # 5 far away
+        base + "Z" * 31,                        # 6: crosses a length bucket vs 0
+    ]
+    langs = ["en", "en", "en", "zh", "zh", "en", "en"]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = (
+        q_edit_distance_pairs(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    _fn, sql = REGISTRY["edit_distance_pairs"]
+    want = con.execute(sql).df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert len(want) >= 3  # the plant worked
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
