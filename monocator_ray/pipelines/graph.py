@@ -663,3 +663,79 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
         num_parts=64,
     ).to_pandas()
     return pa.table({"n_triangles": pa.array([int(closed["n"].sum())], pa.int64())})
+
+
+# ---- multi-source BFS depths (frontier broadcast per level) ----
+class _FrontierPass:
+    """Per-batch BFS expansion: emit the distinct neighbors of the
+    broadcast frontier found in this edge block.  Output rows per batch
+    <= distinct dst in the batch, so each level's driver collect is
+    O(newly reachable nodes), never O(edges)."""
+
+    def __init__(self, fref):
+        self.frontier = ray.get(fref)  # sorted int64 node ids
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.frontier, src)
+        pos[pos == len(self.frontier)] = 0
+        hit = self.frontier[pos] == src
+        return pa.table({"node": pa.array(np.unique(dst[hit]), pa.int64())})
+
+
+def q_bfs_depths(sf_dir: str, max_partkey: int = 5, max_depth: int = 10) -> pa.Table:
+    """Multi-source BFS hop distance over the symmetric part–supplier
+    graph, sources = part nodes with ``l_partkey <= max_partkey``:
+    (node, depth) for every node reachable within ``max_depth`` hops.
+
+    Level-synchronous frontier iteration in the Pregel-aggregator shape
+    shared with PageRank/HITS: the edge list is partition-deduped and
+    materialized ONCE; each level is one shuffle-free ``map_batches`` pass
+    with the sorted frontier broadcast via ``ray.put``, returning only the
+    per-batch distinct neighbors.  Driver state is the O(nodes) visited
+    set — the documented "vertex state fits one machine" bound (the
+    join-per-iteration template in ``pagerank_join_path`` lifts it if
+    ever needed).  Terminates when a level adds nothing, so the depth cap
+    only matters on graphs with diameter > ``max_depth`` (the oracle's
+    recursion needs the same cap to be finite on this cyclic graph).
+
+    Oracle: WITH RECURSIVE over the same derived edge set, MIN(depth)
+    per node — see registry.py (depth < max_depth join guard there
+    mirrors the loop bound here)."""
+    ensure_shipped()
+    edges = _distinct_edges(sf_dir).materialize()
+
+    src_ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def emit_sources(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.unique(p[p <= max_partkey]) * 2
+        return pa.table({"node": pa.array(keep, pa.int64())})
+
+    seeds = np.unique(
+        src_ds.map_batches(emit_sources, batch_format="pyarrow")
+        .to_pandas()["node"]
+        .to_numpy()
+    )
+    depth_of: dict[int, int] = {int(n): 0 for n in seeds}
+    frontier = seeds
+    for level in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        fref = ray.put(np.sort(frontier))
+        found = (
+            edges.map_batches(cached_stage(_FrontierPass, fref=fref),
+                              batch_format="pyarrow")
+            .to_pandas()["node"]
+            .to_numpy()
+        )
+        found = np.unique(found)
+        fresh = found[~np.isin(found, np.fromiter(depth_of, np.int64, len(depth_of)))]
+        for n in fresh.tolist():
+            depth_of[n] = level
+        frontier = fresh
+    nodes = np.array(sorted(depth_of), dtype=np.int64)
+    depths = np.array([depth_of[int(n)] for n in nodes], dtype=np.int64)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "depth": pa.array(depths, pa.int64())})

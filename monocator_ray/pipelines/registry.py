@@ -900,6 +900,49 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # multi-source BFS hop distances over the derived symmetric graph;
+    # oracle = recursive CTE with the same depth cap (UNION, not UNION
+    # ALL — the graph is cyclic), MIN(depth) per node
+    "bfs_depths": (
+        G.q_bfs_depths,
+        """
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS src,
+                          CAST(l_suppkey*2+1 AS BIGINT) AS dst FROM lineitem
+          UNION
+          SELECT DISTINCT CAST(l_suppkey*2+1 AS BIGINT) AS src,
+                          CAST(l_partkey*2 AS BIGINT) AS dst FROM lineitem
+        ),
+        bfs AS (
+          SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS node, 0 AS depth
+          FROM lineitem WHERE l_partkey <= 5
+          UNION
+          SELECT e.dst AS node, b.depth + 1 AS depth
+          FROM bfs b JOIN edges e ON e.src = b.node
+          WHERE b.depth < 10
+        )
+        SELECT node, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM bfs GROUP BY node ORDER BY node
+        """,
+    ),
+    # corr/covar aggregate as exact-integer sufficient statistics (the
+    # division stays out of the query so the value hash is bit-identical)
+    "corr_stats": (
+        R.q_corr_stats,
+        """
+        WITH t AS (SELECT l_returnflag,
+                          CAST(ROUND(l_quantity) AS BIGINT) AS x,
+                          CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+                   FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x,
+               CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+               CAST(SUM(y*y) AS BIGINT) AS sum_yy,
+               CAST(SUM(x*y) AS BIGINT) AS sum_xy
+        FROM t GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+    ),
     # character-level near-dup: banded Levenshtein over UTF-8 bytes (DuckDB
     # levenshtein is byte-based — measured in q_edit_distance_pairs's
     # docstring); the n_chars length band is definitional on both sides

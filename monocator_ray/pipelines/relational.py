@@ -1200,3 +1200,50 @@ def q_parts_never_bulk(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
         ["p_type"], [("one", "sum")], ["p_type", "n"],
     ).sort_values("p_type").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- correlation / covariance sufficient statistics (exact integers) ----
+def q_corr_stats(sf_dir: str) -> pa.Table:
+    """Per return flag, the EXACT-INTEGER sufficient statistics of the
+    (quantity, extended-price-dollars) correlation: n, Σx, Σy, Σx², Σy²,
+    Σxy as BIGINT — the mergeable-partials form of the corr/covar
+    aggregate (cov = (nΣxy − ΣxΣy)/n², corr follows; the division stays
+    OUT of the query so both sides hash bit-identically — the EXACT-INTEGER
+    SPEC pattern).  Partials combine per batch in Arrow C++, the driver
+    folds O(blocks × 3 groups) rows (driver_grouped_agg rationale); at any
+    scale the shuffle-free partial tree is exactly how a distributed corr
+    is built.  Ranges: y ≤ ~10^5 dollars, so Σy² ≤ ~2·10^15 per group at
+    sf0.1 — int64-safe by ~4 orders (dollars, not cents, for that reason)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(batch["l_extendedprice"]), pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "x": x,
+                "y": y,
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+                "xy": pc.multiply(x, y),
+            }
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    out = out[["l_returnflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
