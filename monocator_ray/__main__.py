@@ -76,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
     we.add_argument("--out", required=True, help="output WARC dir")
     we.add_argument("--plain", action="store_true", help="write uncompressed .warc")
 
+    je = sub.add_parser("jsonl-export",
+                        help="parquet table -> sharded JSONL corpus (S3)")
+    je.add_argument("--table", required=True, help="input parquet file/dir")
+    je.add_argument("--out", required=True, help="output JSONL dir")
+    je.add_argument("--columns", nargs="*", default=None,
+                    help="project to these columns first")
+    je.add_argument("--plain", action="store_true", help="write uncompressed .jsonl")
+
     q = sub.add_parser("query", help="run a registered pipeline over an sf dir")
     q.add_argument("name", nargs="?", default=None,
                    help="registry query name (omit to list all)")
@@ -140,6 +148,18 @@ def main(argv: list[str] | None = None) -> int:
         ensure_shipped()
         manifest = export_warc(rd.read_parquet(args.pages), args.out,
                                compress=not args.plain).to_pandas()
+        print(json.dumps({"out": args.out, "files": len(manifest),
+                          "rows": int(manifest["n_records"].sum())}))
+    elif args.cmd == "jsonl-export":
+        _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.jsonl import export_jsonl
+
+        ensure_shipped()
+        ds = rd.read_parquet(args.table, columns=args.columns or None)
+        manifest = export_jsonl(ds, args.out, compress=not args.plain).to_pandas()
         print(json.dumps({"out": args.out, "files": len(manifest),
                           "rows": int(manifest["n_records"].sum())}))
     elif args.cmd == "query":

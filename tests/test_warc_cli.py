@@ -158,3 +158,29 @@ def test_cli_query(tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
     )
     assert r.returncode == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_jsonl_roundtrip(tmp_path):
+    """documents -> sharded .jsonl.gz -> read back: same rows/values; the
+    binary/timestamp guard raises instead of mangling."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.sources.jsonl import export_jsonl, read_jsonl
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = str(tmp_path / "corpus")
+    manifest = export_jsonl(ds, out).to_pandas()
+    assert manifest["n_records"].sum() == ds.count()
+    back = read_jsonl(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back[sorted(back.columns)], want[sorted(want.columns)])
+
+    bad = rd.from_arrow(pa.table({"b": pa.array([b"x"], pa.binary())}))
+    with pytest.raises(Exception) as ei:
+        export_jsonl(bad, str(tmp_path / "bad")).materialize()
+    assert "JSON-unfriendly" in str(ei.value)
