@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "click_purchase_coverage",
     "parts_never_bulk",
     "lm_perplexity",
+    # round-2f additions: char-level near-dup, corr partials, BFS depths
+    "edit_distance_pairs",
+    "corr_stats",
+    "bfs_depths",
+    "source_overlap",
 ]
 
 

@@ -2385,3 +2385,35 @@ def q_edit_distance_pairs(sf_dir: str, k: int = 32) -> rd.Dataset:
         num_parts=32,
     )
     return out.sort(["doc_a", "doc_b"])
+
+
+# ---- cross-source duplicate content (set-op family, full SQL oracle) ----
+def q_source_overlap(sf_dir: str) -> rd.Dataset:
+    """Cross-``source`` spread of every content group: per normalized
+    text, how many distinct feeds it appears in (n_sources >= 2 →
+    cross-feed overlap) and how many copies exist — the "which corpus
+    shards overlap" question a multi-feed training pipeline asks before
+    mixing (the driver tables contain no cross-feed dups, so the value is
+    the exact per-group profile, not a non-empty overlap list).  One hash-partitioned aggregate keyed on
+    the dedup fingerprint (same normalization and SipHash key as
+    dedup_exact; every fingerprint group lands whole in one partition, so
+    the COUNT(DISTINCT source) inside Arrow C++ is exact).  Output rows
+    are identified by the group's MIN(doc_id), not the text itself."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    agg = partitioned_aggregate(
+        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas"),
+        ["fingerprint"],
+        [("source", "count_distinct"), ("doc_id", "min"), ("doc_id", "count")],
+        ["fingerprint", "n_sources", "doc_id", "n_docs"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_sources": pc.cast(t["n_sources"], pa.int64()),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")

@@ -900,6 +900,21 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # duplicate-content groups with cross-source spread: same normalization
+    # + first-wins id as dedup_exact, plus COUNT(DISTINCT source) per group
+    "source_overlap": (
+        D.q_source_overlap,
+        """
+        WITH t AS (SELECT doc_id, source,
+                          TRIM(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+                   FROM documents)
+        SELECT MIN(doc_id) AS doc_id,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               COUNT(*) AS n_docs
+        FROM t GROUP BY norm
+        ORDER BY doc_id
+        """,
+    ),
     # multi-source BFS hop distances over the derived symmetric graph;
     # oracle = recursive CTE with the same depth cap (UNION, not UNION
     # ALL — the graph is cyclic), MIN(depth) per node
