@@ -947,7 +947,7 @@ REGISTRY: dict = {
         """
         WITH t AS (SELECT l_returnflag,
                           CAST(ROUND(l_quantity) AS BIGINT) AS x,
-                          CAST(ROUND(l_extendedprice) AS BIGINT) AS y
+                          CAST(FLOOR(l_extendedprice) AS BIGINT) AS y
                    FROM lineitem)
         SELECT l_returnflag, COUNT(*) AS n,
                CAST(SUM(x) AS BIGINT) AS sum_x,

@@ -1209,7 +1209,8 @@ def q_corr_stats(sf_dir: str) -> pa.Table:
     Σxy as BIGINT — the mergeable-partials form of the corr/covar
     aggregate (cov = (nΣxy − ΣxΣy)/n², corr follows; the division stays
     OUT of the query so both sides hash bit-identically — the EXACT-INTEGER
-    SPEC pattern).  Partials combine per batch in Arrow C++, the driver
+    SPEC pattern; y is FLOOR(price) because Arrow/DuckDB round .5 in
+    opposite directions).  Partials combine per batch in Arrow C++, the driver
     folds O(blocks × 3 groups) rows (driver_grouped_agg rationale); at any
     scale the shuffle-free partial tree is exactly how a distributed corr
     is built.  Ranges: y ≤ ~10^5 dollars, so Σy² ≤ ~2·10^15 per group at
@@ -1218,7 +1219,9 @@ def q_corr_stats(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         x = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
-        y = pc.cast(pc.round(batch["l_extendedprice"]), pa.int64())
+        # FLOOR, not ROUND: Arrow rounds half-to-even, DuckDB half-away —
+        # they disagree on every $x.50 price; floor is identical on both
+        y = pc.cast(pc.floor(batch["l_extendedprice"]), pa.int64())
         t = pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],

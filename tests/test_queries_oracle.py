@@ -66,7 +66,11 @@ def test_query_matches_duckdb_oracle(con, name, fn, sql):
     want = _normalize(con.execute(sql).df())
     assert list(got.columns) == list(want.columns), f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     assert len(got) == len(want), f"{name}: rowcount {len(got)} != {len(want)}"
-    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, atol=1e-6)
+    # rtol=0: the default relative tolerance (1e-5) silently passes
+    # 14-digit integer sums that differ by 10^7 — the driver's value-hash
+    # gate is exact, so this gate must be too (floats are pre-rounded in
+    # _normalize; atol only absorbs that representation noise)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, rtol=0, atol=1e-6)
 
 
 @pytest.mark.usefixtures("ray_session")
