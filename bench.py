@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "corr_stats",
     "bfs_depths",
     "source_overlap",
+    "pack_sequences",
 ]
 
 

@@ -2417,3 +2417,75 @@ def q_source_overlap(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- sequence packing (sample packing; stateful-scan shape) ----
+def q_pack_sequences(sf_dir: str, budget: int = 1024, chunk: int = 256) -> rd.Dataset:
+    """Deterministic NEXT-FIT sequence packing (the T5/"sample packing"
+    batch-construction step): docs are walked in doc_id order and appended
+    to the current bin until adding one would exceed ``budget`` tokens,
+    which starts a new bin (an oversized doc gets a bin alone).  Output is
+    the per-doc assignment (doc_id, bin_id, n_tokens).
+
+    The scan is stateful, so the parallel decomposition is BY ID SPACE,
+    not by physical layout: bins never cross ``doc_id // chunk``
+    boundaries, making the result independent of partitioning/parallelism
+    (bin_id = chunk_no * 2^20 + bin-within-chunk).  Each chunk lands whole
+    in one hash partition and packs with one cumsum + a searchsorted per
+    bin.  Token counts reuse the token_stats tokenizer (RE2-pinned).
+    Oracle: per-chunk WITH RECURSIVE walk with the same accumulate/reset
+    rule — the first stateful-scan query with a full SQL oracle."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+
+    _SCHEMA = pa.schema(
+        [("doc_id", pa.int64()), ("bin_id", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def pack_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, tok = ids[order], tok[order]
+        chunks = ids // chunk
+        starts, ends = run_boundaries(chunks)
+        out_bin = np.empty(len(ids), np.int64)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            csum = np.cumsum(tok[s:e])
+            base = np.int64(chunks[s]) << np.int64(20)
+            i, b = 0, 0
+            while i < e - s:
+                # maximal prefix from i with sum <= budget; at least 1 doc
+                j = int(np.searchsorted(csum, (csum[i - 1] if i else 0) + budget,
+                                        side="right"))
+                j = max(j, i + 1)
+                out_bin[s + i : s + j] = base + b
+                i, b = j, b + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bin_id": pa.array(out_bin, pa.int64()),
+                "n_tokens": pa.array(tok, pa.int64()),
+            }
+        )
+
+    out = hash_partitioned(
+        counted.map_batches(
+            lambda t: pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        lambda t: [
+            (t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) // chunk)
+            .astype(np.uint64)
+        ],
+        pack_part,
+        num_parts=32,
+    )
+    return out.sort("doc_id")

@@ -900,6 +900,32 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # deterministic next-fit sequence packing (sample packing): stateful
+    # scan decomposed by id space; oracle = per-chunk recursive walk with
+    # the same accumulate/reset rule
+    "pack_sequences": (
+        D.q_pack_sequences,
+        """
+        WITH RECURSIVE t AS (
+          SELECT doc_id, doc_id // 256 AS chunk,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id // 256 ORDER BY doc_id) AS rn
+          FROM documents),
+        walk AS (
+          SELECT chunk, rn, doc_id, n_tokens, n_tokens AS acc, 0 AS bin
+          FROM t WHERE rn = 1
+          UNION ALL
+          SELECT t.chunk, t.rn, t.doc_id, t.n_tokens,
+                 CASE WHEN w.acc + t.n_tokens > 1024
+                      THEN t.n_tokens ELSE w.acc + t.n_tokens END,
+                 CASE WHEN w.acc + t.n_tokens > 1024 THEN w.bin + 1 ELSE w.bin END
+          FROM walk w JOIN t ON t.chunk = w.chunk AND t.rn = w.rn + 1)
+        SELECT doc_id, CAST(chunk * 1048576 + bin AS BIGINT) AS bin_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM walk ORDER BY doc_id
+        """,
+    ),
     # duplicate-content groups with cross-source spread: same normalization
     # + first-wins id as dedup_exact, plus COUNT(DISTINCT source) per group
     "source_overlap": (

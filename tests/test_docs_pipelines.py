@@ -274,3 +274,49 @@ def test_prefix_filtered_jaccard_equals_unfiltered():
         pref = q_ngram_jaccard_pairs_prefix(sf).to_pandas().sort_values(
             ["doc_a", "doc_b"]).reset_index(drop=True)
         assert full.values.tolist() == pref.values.tolist(), sf
+
+
+def test_pack_sequences_oversize_and_budget(tmp_path, ray_session):
+    """Planted packing fixture: an oversized doc gets a bin alone, every
+    other bin's token sum respects the budget, bins never cross the
+    id-space chunk boundary, and the result matches the registry's
+    recursive-CTE oracle on the same parquet."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_pack_sequences
+    from monocator_ray.pipelines.registry import REGISTRY
+
+    texts = {}
+    for i in range(60):
+        texts[i] = "tok " * (200 if i % 7 else 900)  # mixed sizes
+    texts[13] = "tok " * 2000          # oversized: alone in its bin
+    texts[300] = "tok " * 100          # second chunk (id 300 // 256 = 1)
+    texts[301] = "tok " * 100
+    ids = sorted(texts)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([texts[i].strip() for i in ids], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = q_pack_sequences(str(tmp_path)).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    _fn, sql = REGISTRY["pack_sequences"]
+    want = con.execute(sql).df()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+        want.sort_values("doc_id").reset_index(drop=True).astype("int64"),
+    )
+    sums = got.groupby("bin_id").agg(tok=("n_tokens", "sum"), n=("doc_id", "count"))
+    over = sums[sums.tok > 1024]
+    assert (over.n == 1).all(), "multi-doc bin exceeded the budget"
+    assert (got[got.doc_id == 13].n_tokens > 1024).all()
+    # bins never cross the chunk boundary
+    assert (got.bin_id // 2**20 == got.doc_id // 256).all()
