@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "bfs_depths",
     "source_overlap",
     "pack_sequences",
+    "knn_graph",
 ]
 
 

@@ -2489,3 +2489,143 @@ def q_pack_sequences(sf_dir: str, budget: int = 1024, chunk: int = 256) -> rd.Da
         num_parts=32,
     )
     return out.sort("doc_id")
+
+
+# ---- k-NN graph (per-doc neighbors; IVF co-partitioned) ----
+def q_knn_graph(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 8) -> rd.Dataset:
+    """Approximate k-nearest-neighbor GRAPH over the embedding table —
+    every vector's top-k cosine neighbors, the substrate for SemDeDup-style
+    clustering and graph-based retrieval.  Unlike q_ann_ivf_topk (fixed
+    query set broadcast to every batch), the query set here IS the corpus,
+    so the plan co-partitions by IVF list: each vector ships once as DATA
+    to its nearest list and ``nprobe`` times as a QUERY to its closest
+    lists, one hash-partitioned pass does per-list (Q @ D.T) local top-k
+    (list matrices are corpus/nlist rows — the documented partition-size
+    bound), and a second partitioned pass merges each vector's per-list
+    winners.  A data vector lives in exactly one list, so no candidate
+    appears twice.  ``nprobe == nlist`` degrades to exact brute force —
+    pinned in tests; at default nprobe it is approximate (rows-only)."""
+    from monocator_ray.stages.ann import IvfIndex
+
+    ensure_shipped()
+    path = f"{sf_dir}/embeddings.parquet"
+    head = _head_rows(path, ["vec_id", "embedding"], 2048)
+    index = IvfIndex.train(table_to_matrix(head), nlist=nlist)
+    index_ref = ray.put(index)
+
+    class _Explode:
+        """Per batch: one data row (role=0, own list) + nprobe query rows
+        (role=1, probed lists) per vector, normalized embedding attached."""
+
+        def __init__(self, iref):
+            self.index = ray.get(iref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            m = table_to_matrix(t)
+            mn = _normalize(m)
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            own = self.index.assign(mn).astype(np.int64)
+            probes = self.index.probe_lists(m, nprobe).astype(np.int64)
+            n, d = mn.shape
+            lists = np.concatenate([own, probes.reshape(-1)])
+            rid = np.concatenate([ids, np.repeat(ids, nprobe)])
+            role = np.concatenate(
+                [np.zeros(n, np.int8), np.ones(n * nprobe, np.int8)]
+            )
+            vecs = np.vstack([mn, np.repeat(mn, nprobe, axis=0)])
+            return pa.table(
+                {
+                    "list_id": pa.array(lists, pa.int64()),
+                    "vec_id": pa.array(rid, pa.int64()),
+                    "role": pa.array(role, pa.int8()),
+                    "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+                }
+            )
+
+    _OUT = pa.schema(
+        [("vec_id", pa.int64()), ("neighbor_id", pa.int64()), ("sim", pa.float64())]
+    )
+
+    def local_knn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        lists = t["list_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lists, kind="mergesort")
+        t = t.take(pa.array(order, pa.int64()))
+        lists = lists[order]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        m = table_to_matrix(t).astype(np.float64)
+        starts, ends = run_boundaries(lists)
+        out_q, out_n, out_s = [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            dmask = role[s:e] == 0
+            qmask = ~dmask
+            if not dmask.any() or not qmask.any():
+                continue
+            D, Q = m[s:e][dmask], m[s:e][qmask]
+            did, qid = ids[s:e][dmask], ids[s:e][qmask]
+            sims = Q @ D.T
+            sims[qid[:, None] == did[None, :]] = -2.0  # no self edges
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(qid)), kk)
+            cols = top.reshape(-1)
+            sel = sims[rows, cols] > -2.0
+            out_q.append(np.repeat(qid, kk)[sel])
+            out_n.append(did[cols][sel])
+            out_s.append(sims[rows, cols][sel])
+        if not out_q:
+            return _OUT.empty_table()
+        return pa.table(
+            {
+                "vec_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "neighbor_id": pa.array(np.concatenate(out_n), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    def merge_per_vec(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        nb = t["neighbor_id"].to_numpy(zero_copy_only=False)
+        sim = t["sim"].to_numpy(zero_copy_only=False)
+        # per vec: top-k by (sim desc, neighbor asc); dedupe (vec, nb) pairs
+        # first (a neighbor reachable from several probed lists repeats)
+        order = np.lexsort((nb, ids))
+        ids, nb, sim = ids[order], nb[order], sim[order]
+        starts, _ends = run_boundaries(ids, nb)
+        ids, nb, sim = ids[starts], nb[starts], sim[starts]
+        order = np.lexsort((nb, -sim, ids))
+        ids, nb, sim = ids[order], nb[order], sim[order]
+        starts, ends = run_boundaries(ids)
+        keep = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        ) if len(starts) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "neighbor_id": pa.array(nb[keep], pa.int64()),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+    emb = sized_read_parquet(path, columns=["vec_id", "embedding"])
+    exploded = emb.map_batches(
+        cached_stage(_Explode, iref=index_ref), batch_format="pyarrow",
+        batch_size=4096,
+    ).repartition(32)
+    local = hash_partitioned(
+        exploded,
+        lambda t: [t["list_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        local_knn,
+        num_parts=32,
+    )
+    out = hash_partitioned(
+        local,
+        lambda t: [t["vec_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        merge_per_vec,
+        num_parts=32,
+    )
+    return out.sort(["vec_id", "neighbor_id"])

@@ -877,6 +877,9 @@ REGISTRY: dict = {
     # zlib compression-ratio repetition signal (no SQL analog — zlib;
     # pinned by planted repetitive/high-entropy fixtures in tests)
     "compression_ratio": (D.q_compression_ratio, None),
+    # approximate k-NN graph (IVF co-partitioned; nprobe==nlist is pinned
+    # exact vs brute force in tests) — rows-only
+    "knn_graph": (D.q_knn_graph, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
     # integer fixed-point PageRank over the derived part-supplier graph —

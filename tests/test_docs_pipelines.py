@@ -320,3 +320,35 @@ def test_pack_sequences_oversize_and_budget(tmp_path, ray_session):
     assert (got[got.doc_id == 13].n_tokens > 1024).all()
     # bins never cross the chunk boundary
     assert (got.bin_id // 2**20 == got.doc_id // 256).all()
+
+
+def test_knn_graph_full_probe_is_exact(ray_session):
+    """knn_graph with nprobe == nlist probes every list, so it must equal
+    the brute-force k-NN graph (numpy, same tie rule) exactly."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_knn_graph
+    from monocator_ray.stages.ann import _normalize, table_to_matrix
+
+    sf = "/root/testdata/sf0.001"
+    k, nlist = 5, 8
+    got = (
+        q_knn_graph(sf, k=k, nlist=nlist, nprobe=nlist)
+        .to_pandas()
+        .sort_values(["vec_id", "neighbor_id"])
+        .reset_index(drop=True)
+    )
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _normalize(table_to_matrix(t)).astype(np.float64)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -2.0)
+    want_rows = []
+    for i in range(len(ids)):
+        order = np.lexsort((ids, -sims[i]))[:k]
+        for j in order:
+            want_rows.append((int(ids[i]), int(ids[j])))
+    want = sorted(want_rows)
+    got_pairs = sorted(zip(got["vec_id"].astype(int), got["neighbor_id"].astype(int)))
+    assert got_pairs == want
