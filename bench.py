@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "source_overlap",
     "pack_sequences",
     "knn_graph",
+    "mix_corpus",
 ]
 
 

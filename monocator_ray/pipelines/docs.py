@@ -2629,3 +2629,68 @@ def q_knn_graph(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 8) -> rd
         num_parts=32,
     )
     return out.sort(["vec_id", "neighbor_id"])
+
+
+# ---- token-budget corpus mixing (window-cumsum oracle) ----
+def q_mix_corpus(sf_dir: str, budget_tokens: int = 2000) -> rd.Dataset:
+    """Deterministic token-budget mixing: from every ``source`` feed, keep
+    documents in mix32(doc_id) order (a seedless shuffle) while the feed's
+    running token total stays <= ``budget_tokens`` — the "mix N sources to
+    a per-source token budget" step of corpus recipes (Pile/Dolma-style),
+    as an exact-integer spec.  One hash-partitioned pass (each source
+    lands whole in a partition; inside: lexsort by (mix32, doc_id) +
+    cumsum + one searchsorted).  At corpus scale a whole feed exceeds a
+    partition — the documented upgrade is a sampled quantile of the mix32
+    key to pre-estimate the cutoff hash, then one filtered pass (same
+    result, no per-source sort).  Oracle: window SUM OVER (PARTITION BY
+    source ORDER BY h32, doc_id) <= budget."""
+    ds = _docs(sf_dir, ["doc_id", "text", "source"])
+    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": t["source"],
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "h32": pa.array(_mix32(ids), pa.int64()),
+                "src_h": pa.array(
+                    hash_str64(t["source"].to_pylist()).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def cut_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        src = t["src_h"].to_numpy(zero_copy_only=False)
+        h32 = t["h32"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tok = t["n_tokens"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h32, src))
+        src, h32, ids, tok = src[order], h32[order], ids[order], tok[order]
+        keep_idx = []
+        starts, ends = run_boundaries(src)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            csum = np.cumsum(tok[s:e])
+            j = int(np.searchsorted(csum, budget_tokens, side="right"))
+            if j:
+                keep_idx.append(np.arange(s, s + j))
+        if not keep_idx:
+            return _OUT.empty_table()
+        keep = np.concatenate(keep_idx)
+        out = t.take(pa.array(order[keep], pa.int64()))
+        return out.select(["doc_id", "source", "n_tokens"])
+
+    out = hash_partitioned(
+        counted.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["src_h"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        cut_part,
+        num_parts=32,
+    )
+    return out.sort("doc_id")

@@ -903,6 +903,29 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # token-budget corpus mixing: per-source cumulative cutoff in
+    # mix32 order (seedless shuffle); oracle = window cumsum
+    "mix_corpus": (
+        D.q_mix_corpus,
+        """
+        WITH
+        h1 AS (SELECT doc_id, source, text,
+                      (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a
+               FROM documents),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        t AS (SELECT doc_id, source, xor(_c, _c >> 13) AS h32,
+                     CASE WHEN TRIM(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+              FROM h3),
+        w AS (SELECT doc_id, source, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY source ORDER BY h32, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM w WHERE cum <= 2000 ORDER BY doc_id
+        """,
+    ),
     # deterministic next-fit sequence packing (sample packing): stateful
     # scan decomposed by id space; oracle = per-chunk recursive walk with
     # the same accumulate/reset rule
