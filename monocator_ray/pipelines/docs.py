@@ -2632,7 +2632,7 @@ def q_knn_graph(sf_dir: str, k: int = 5, nlist: int = 16, nprobe: int = 8) -> rd
 
 
 # ---- token-budget corpus mixing (window-cumsum oracle) ----
-def q_mix_corpus(sf_dir: str, budget_tokens: int = 2000) -> rd.Dataset:
+def q_mix_corpus(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
     """Deterministic token-budget mixing: from every ``source`` feed, keep
     documents in mix32(doc_id) order (a seedless shuffle) while the feed's
     running token total stays <= ``budget_tokens`` — the "mix N sources to

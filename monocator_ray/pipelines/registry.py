@@ -923,7 +923,7 @@ REGISTRY: dict = {
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM t)
         SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens
-        FROM w WHERE cum <= 2000 ORDER BY doc_id
+        FROM w WHERE cum <= 600 ORDER BY doc_id
         """,
     ),
     # deterministic next-fit sequence packing (sample packing): stateful
