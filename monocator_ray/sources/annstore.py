@@ -1,0 +1,154 @@
+"""Persistent IVF index store: build once, query many times with PRUNED
+reads — the serving layout q_ann_ivf_topk's docstring points at (its
+per-call index makes batch-side pruning the right choice there; a store
+amortizes the index across query batches and lets every search read only
+``nprobe / nlist`` of the corpus bytes from disk).
+
+Layout under ``store_dir``:
+
+* ``list=<id>.parquet`` — one file per IVF list, rows ``(vec_id,
+  embedding)`` assigned to that centroid, written ON THE WORKER holding
+  them (one partitioned pass over the corpus);
+* ``centroids.npz`` — the trained centroid matrix plus per-list row
+  counts, written LAST as the success marker (same manifest-last
+  discipline as ``sources/clustered.py``).
+
+``search`` reads ONLY the union of the query batch's probed list files
+(`read_parquet` over that explicit file list), scores per list and merges
+— at 10^9 vectors and nprobe/nlist = 1/4 that is a 4x I/O cut before any
+compute, and the per-list files shard naturally across a cluster.
+Results are identical to the in-memory probe by construction (same
+centroids, same per-list brute force, same tie rule); pinned in tests.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.stages.ann import IvfIndex, _normalize, global_topk, table_to_matrix
+
+
+def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
+                    train_sample: int = 2048) -> IvfIndex:
+    """Partition the embedding Dataset into per-list parquet files.
+
+    Centroids train on a bounded head sample (never the full table); the
+    corpus streams through one assignment pass; each (list, block) group
+    is appended worker-side.  Multiple blocks may hold rows of one list —
+    files are ``list=<id>-<minvec>.parquet`` so writers never collide and
+    re-runs overwrite idempotently."""
+    ensure_shipped()
+    os.makedirs(store_dir, exist_ok=True)
+    head = emb.limit(train_sample).take_all()
+    sample = np.array([r["embedding"] for r in head], dtype=np.float32)
+    index = IvfIndex.train(sample, nlist=nlist)
+    index_ref = ray.put(index)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        inst = ray.get(index_ref)
+        lists = inst.assign(table_to_matrix(t))
+        order = np.argsort(lists, kind="mergesort")
+        t = t.take(pa.array(order, pa.int64()))
+        lists = lists[order]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_l, out_n = [], []
+        starts = np.nonzero(np.r_[True, lists[1:] != lists[:-1]])[0]
+        ends = np.append(starts[1:], len(lists))
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            lid = int(lists[s])
+            part = t.slice(s, e - s)
+            pq.write_table(
+                part.select(["vec_id", "embedding"]),
+                os.path.join(store_dir, f"list={lid}-{int(ids[s:e].min())}.parquet"),
+            )
+            out_l.append(lid)
+            out_n.append(e - s)
+        return pa.table({"list_id": pa.array(out_l, pa.int32()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    manifest = emb.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    counts = manifest.groupby("list_id")["n"].sum()
+    sizes = np.zeros(len(index.centroids), np.int64)
+    sizes[counts.index.to_numpy()] = counts.to_numpy()
+    np.savez(os.path.join(store_dir, "centroids.npz"),
+             centroids=index.centroids, sizes=sizes)
+    return index
+
+
+def load_ivf_store(store_dir: str) -> tuple[IvfIndex, np.ndarray]:
+    marker = os.path.join(store_dir, "centroids.npz")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(f"no complete IVF store at {store_dir} "
+                                "(centroids.npz is written last)")
+    z = np.load(marker)
+    return IvfIndex(z["centroids"]), z["sizes"]
+
+
+def search_ivf_store(store_dir: str, queries: np.ndarray, k: int = 5,
+                     nprobe: int = 4) -> pa.Table:
+    """Top-k cosine over ONLY the probed lists' files."""
+    ensure_shipped()
+    index, _sizes = load_ivf_store(store_dir)
+    probes = index.probe_lists(queries, nprobe)  # (nq, nprobe)
+    wanted = sorted({int(x) for x in probes.reshape(-1)})
+    files = sorted(
+        os.path.join(store_dir, f)
+        for f in os.listdir(store_dir)
+        if f.startswith("list=") and int(f.split("=", 1)[1].split("-", 1)[0]) in wanted
+    )
+    qn = _normalize(queries)
+    payload_ref = ray.put((qn, probes))
+    index_ref = ray.put(index)
+
+    class _StoreProbe:
+        """Identical scoring to docs._IvfProbe, but rows arrive pre-pruned
+        (only probed lists were read), so `assign` re-derives the row's
+        list for the per-query probe mask."""
+
+        def __init__(self, iref, pref, k: int):
+            self.index = ray.get(iref)
+            self.qn, self.probes = ray.get(pref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = table_to_matrix(batch)
+            lists = self.index.assign(m)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            mn = _normalize(m)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.probes.shape[0]):
+                sel = np.isin(lists, self.probes[qi])
+                if not sel.any():
+                    continue
+                sims = self.qn[qi] @ mn[sel].T
+                sub_ids = ids[sel]
+                kk = min(self.k, len(sub_ids))
+                order = np.lexsort((sub_ids, -sims))[:kk]
+                out_q.extend([qi] * kk)
+                out_id.extend(sub_ids[order].tolist())
+                out_sim.extend(sims[order].astype(np.float64).tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int32()),
+                    "vec_id": pa.array(out_id, pa.int64()),
+                    "sim": pa.array(out_sim, pa.float64()),
+                }
+            )
+
+    from monocator_ray.stages.grouped import cached_stage
+
+    local = rd.read_parquet(files).map_batches(
+        cached_stage(_StoreProbe, iref=index_ref, pref=payload_ref, k=k),
+        batch_format="pyarrow", batch_size=4096,
+    )
+    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    return global_topk(merged, k).select(["query_id", "vec_id", "rank"])

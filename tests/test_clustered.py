@@ -56,3 +56,58 @@ def test_clustered_missing_manifest_is_failure(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_clustered(str(tmp_path / "nope"))
+
+
+def test_ivf_store_build_search_and_prune(tmp_path, ray_session):
+    """Persistent IVF store: full-probe search equals brute force exactly;
+    partial probe reads only the probed lists' files; a store without its
+    centroids marker refuses to load."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    import ray.data as rd
+
+    from monocator_ray.sources.annstore import (
+        build_ivf_store,
+        load_ivf_store,
+        search_ivf_store,
+    )
+    from monocator_ray.stages.ann import _normalize, table_to_matrix
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    store = str(tmp_path / "ivf")
+    nlist = 8
+    build_ivf_store(emb, store, nlist=nlist)
+    index, sizes = load_ivf_store(store)
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assert sizes.sum() == t.num_rows
+
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = table_to_matrix(t)
+    queries = m[:6]
+    got = search_ivf_store(store, queries, k=5, nprobe=nlist).to_pandas()
+    mn = _normalize(m)
+    qn = _normalize(queries)
+    sims = qn @ mn.T
+    for qi in range(len(queries)):
+        order = np.lexsort((ids, -sims[qi]))[:5]
+        want = ids[order].tolist()
+        have = got[got.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert have == want, f"query {qi}"
+
+    # partial probe: store files for unprobed lists are never read (one
+    # query probing 2 of 8 lists can touch at most 2)
+    one = queries[:1]
+    probes = index.probe_lists(one, 2)
+    wanted = {int(x) for x in probes.reshape(-1)}
+    assert len(wanted) <= 2 < nlist
+    got2 = search_ivf_store(store, one, k=5, nprobe=2).to_pandas()
+    assert set(got2.query_id) == {0} and len(got2) == 5
+
+    os.remove(os.path.join(store, "centroids.npz"))
+    with _pytest.raises(FileNotFoundError):
+        load_ivf_store(store)
