@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "knn_graph",
     "mix_corpus",
+    "ann_store_topk",
 ]
 
 

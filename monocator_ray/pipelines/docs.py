@@ -2694,3 +2694,29 @@ def q_mix_corpus(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
         num_parts=32,
     )
     return out.sort("doc_id")
+
+
+# ---- ANN via the persistent IVF store (rows-only) ----
+def q_ann_store_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+                     nlist: int = 16, nprobe: int = 4) -> pa.Table:
+    """The build-once-query-many ANN path: materialize the per-list IVF
+    store for this table (cached per sf_dir under /tmp), then answer the
+    same head-query top-k as q_ann_ivf_topk by reading ONLY the probed
+    lists' parquet files — I/O pruning before compute, vs that query's
+    batch-side compute pruning over a full scan.  Same centroids (same
+    train sample/seed), same scoring, same tie rule."""
+    import hashlib
+
+    from monocator_ray.sources.annstore import build_ivf_store, search_ivf_store
+
+    ensure_shipped()
+    path = f"{sf_dir}/embeddings.parquet"
+    tag = hashlib.sha1(f"{path}:{nlist}".encode()).hexdigest()[:12]
+    store = f"/tmp/monocator_ivf_store_{tag}"
+    if not os.path.exists(os.path.join(store, "centroids.npz")):
+        build_ivf_store(
+            sized_read_parquet(path, columns=["vec_id", "embedding"]), store,
+            nlist=nlist,
+        )
+    qm = table_to_matrix(_head_rows(path, ["vec_id", "embedding"], n_queries))
+    return search_ivf_store(store, qm, k=k, nprobe=nprobe)

@@ -880,6 +880,8 @@ REGISTRY: dict = {
     # approximate k-NN graph (IVF co-partitioned; nprobe==nlist is pinned
     # exact vs brute force in tests) — rows-only
     "knn_graph": (D.q_knn_graph, None),
+    # persistent-store ANN (rows-only; store search pinned exact in tests)
+    "ann_store_topk": (D.q_ann_store_topk, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
     # integer fixed-point PageRank over the derived part-supplier graph —
