@@ -2352,8 +2352,15 @@ def q_edit_distance_pairs(sf_dir: str, k: int = 32) -> rd.Dataset:
             return _SCHEMA.empty_table()
         ii = np.concatenate(ii_all)
         jj = np.concatenate(jj_all)
-        enc = [x.encode() for x in texts]
-        hist = byte_histogram_l1_bound(enc)
+        # encode/histogram only pair PARTICIPANTS: the partition holds two
+        # replicas of every doc plus pairless rows — at least half the
+        # encode+bincount work on this quadratic hot path is dead otherwise
+        part = np.unique(np.concatenate([ii, jj]))
+        enc: list = [b""] * len(texts)
+        for x in part.tolist():
+            enc[x] = texts[x].encode()
+        hist = np.zeros((len(texts), 256), np.int32)
+        hist[part] = byte_histogram_l1_bound([enc[x] for x in part.tolist()])
         band_ok = hist_l1_filter(hist, ii, jj, 2 * k)
         ii, jj = ii[band_ok], jj[band_ok]
         if len(ii) == 0:
@@ -2711,7 +2718,12 @@ def q_ann_store_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
 
     ensure_shipped()
     path = f"{sf_dir}/embeddings.parquet"
-    tag = hashlib.sha1(f"{path}:{nlist}".encode()).hexdigest()[:12]
+    st = os.stat(path)
+    # content fingerprint (mtime+size), not just the path: a regenerated
+    # table at the same path must rebuild, never serve the old corpus
+    tag = hashlib.sha1(
+        f"{path}:{nlist}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     store = f"/tmp/monocator_ivf_store_{tag}"
     if not os.path.exists(os.path.join(store, "centroids.npz")):
         build_ivf_store(

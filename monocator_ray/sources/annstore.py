@@ -33,6 +33,7 @@ import ray.data as rd
 
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.ann import IvfIndex, _normalize, global_topk, table_to_matrix
+from monocator_ray.stages.grouped import run_boundaries
 
 
 def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
@@ -42,10 +43,19 @@ def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
     Centroids train on a bounded head sample (never the full table); the
     corpus streams through one assignment pass; each (list, block) group
     is appended worker-side.  Multiple blocks may hold rows of one list —
-    files are ``list=<id>-<minvec>.parquet`` so writers never collide and
-    re-runs overwrite idempotently."""
+    files are ``list=<id>-<minvec>.parquet`` so concurrent writers never
+    collide; the build starts by CLEARING prior shards (names depend on
+    block splits, so a crashed attempt's leftovers would otherwise
+    duplicate vectors) and only a build that reaches the final
+    ``centroids.npz`` write counts as complete."""
     ensure_shipped()
     os.makedirs(store_dir, exist_ok=True)
+    # clear any previous/partial build: shard names depend on block splits,
+    # so a retry with different blocks would otherwise leave stale shards
+    # that search would read alongside the new ones (duplicate vectors)
+    for f in os.listdir(store_dir):
+        if f.startswith("list=") or f == "centroids.npz":
+            os.remove(os.path.join(store_dir, f))
     head = emb.limit(train_sample).take_all()
     sample = np.array([r["embedding"] for r in head], dtype=np.float32)
     index = IvfIndex.train(sample, nlist=nlist)
@@ -61,8 +71,7 @@ def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
         lists = lists[order]
         ids = t["vec_id"].to_numpy(zero_copy_only=False)
         out_l, out_n = [], []
-        starts = np.nonzero(np.r_[True, lists[1:] != lists[:-1]])[0]
-        ends = np.append(starts[1:], len(lists))
+        starts, ends = run_boundaries(lists)
         for s, e in zip(starts.tolist(), ends.tolist()):
             lid = int(lists[s])
             part = t.slice(s, e - s)

@@ -63,7 +63,10 @@ def export_jsonl(ds: rd.Dataset, out_dir: str, compress: bool = True) -> rd.Data
         data = payload.encode("utf-8")
         if compress:
             data = gzip.compress(data, 6)
-        key = int(hash_str64([payload[:4096]]).min()) & 0x7FFFFFFFFFFFFFFF
+        # hash the WHOLE payload: a prefix key collides for blocks sharing
+        # a long first document (near-duplicates are this tooling's normal
+        # input) and the second write would silently clobber the first
+        key = int(hash_str64([payload]).min()) & 0x7FFFFFFFFFFFFFFF
         name = f"part-{key:016x}-{t.num_rows}.jsonl" + (".gz" if compress else "")
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(data)

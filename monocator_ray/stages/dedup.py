@@ -274,9 +274,6 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 # representation (one fixed-width 2-D array per pair chunk, no codepoint
 # decode).
 
-_LEV_INF = np.int32(1 << 20)
-
-
 def levenshtein_ref(a: bytes, b: bytes) -> int:
     """Plain O(len*len) reference DP (tests only)."""
     la, lb = len(a), len(b)
@@ -326,29 +323,33 @@ def banded_levenshtein(pairs_a: list[bytes], pairs_b: list[bytes], k: int) -> np
     la_l, lb_l = la[idx], lb[idx]
     max_a, max_b = int(la_l.max()), int(lb_l.max())
     w = 2 * k + 1
-    # int16 throughout: values stay under _LEV_INF16 + max rows << 2^15,
-    # and halving the element width halves the DP's memory traffic.
-    inf = np.int16(16000)
+    # int16 lanes while lengths permit (halves the DP's memory traffic):
+    # the inf sentinel creeps by at most +1 per row, and lb/j/row values
+    # must fit, so int16 needs max(max_b + k, max_a) + inf < 2^15 — above
+    # that bound the lanes promote to int32 (same math, wider traffic).
+    big = max(max_b + k, max_a) > 16000
+    dt = np.int32 if big else np.int16
+    inf = dt(1 << 20) if big else dt(16000)
     # A padded with 0x100; B LEFT-padded by k with 0x101 (and right-padded
     # far enough) so row i's needed b[j-1] window, j in [i-k, i+k], is the
     # CONTIGUOUS slice B[:, i-1 : i-1+w] — no per-row take_along_axis.
-    A = np.full((p, max_a), 0x100, dtype=np.int16)
-    B = np.full((p, max(max_b, max_a + k) + k), 0x101, dtype=np.int16)
+    A = np.full((p, max_a), 0x100, dtype=dt)
+    B = np.full((p, max(max_b, max_a + k) + k), 0x101, dtype=dt)
     for r, i in enumerate(idx.tolist()):
         sa, sb = pairs_a[i], pairs_b[i]
         if swap[i]:
             sa, sb = sb, sa
         A[r, : len(sa)] = np.frombuffer(sa, np.uint8)
         B[r, k : k + len(sb)] = np.frombuffer(sb, np.uint8)
-    d_idx = np.arange(w, dtype=np.int16)  # band offset d-k in [-k, k]
+    d_idx = np.arange(w, dtype=dt)  # band offset d-k in [-k, k]
     # row 0: dp[0][j] = j at band d = j (j = 0 + (d - k))
-    W = np.where(d_idx >= k, d_idx - k, inf).astype(np.int16)
+    W = np.where(d_idx >= k, d_idx - k, inf).astype(dt)
     W = np.broadcast_to(W, (p, w)).copy()
     res = np.full(p, k + 1, dtype=np.int64)
     done0 = la_l == 0
     if done0.any():
         res[done0] = np.minimum(lb_l[done0], k + 1)
-    lb_col = lb_l[:, None].astype(np.int16)
+    lb_col = lb_l[:, None].astype(dt)
     # `own` maps the live working set back to positions in `res`; pairs
     # retire EARLY when their whole band exceeds k — the band minimum is
     # monotone non-decreasing down rows (every dp value derives from prior
@@ -358,7 +359,7 @@ def banded_levenshtein(pairs_a: list[bytes], pairs_b: list[bytes], k: int) -> np
     own = np.arange(p)
     for i in range(1, max_a + 1):
         # band slot d holds column j = i + (d - k)
-        j_row = np.int16(i) + d_idx - np.int16(k)  # (w,)
+        j_row = dt(i) + d_idx - dt(k)  # (w,)
         # substitution/match: dp[i-1][j-1] is W[d] of the previous row;
         # b[j-1] for the whole band is one contiguous slice (see padding)
         ai = A[:, i - 1][:, None]  # (p, 1)
@@ -366,7 +367,7 @@ def banded_levenshtein(pairs_a: list[bytes], pairs_b: list[bytes], k: int) -> np
         sub = W + (ai != bj)
         # deletion from a: dp[i-1][j] lives at previous-row slot d+1
         dele = np.empty_like(W)
-        dele[:, :-1] = W[:, 1:] + np.int16(1)
+        dele[:, :-1] = W[:, 1:] + dt(1)
         dele[:, -1] = inf
         T = np.minimum(sub, dele)
         # out-of-range j (j < 0 or j > lb): INF.  j == 0 means dp[i][0] = i
@@ -404,8 +405,8 @@ def hist_l1_filter(h: np.ndarray, ii: np.ndarray, jj: np.ndarray, thresh: int) -
     n = len(ii)
     out = np.empty(n, bool)
     C = 2048
-    bufA = np.empty((C, h.shape[1]), np.int16)
-    bufB = np.empty((C, h.shape[1]), np.int16)
+    bufA = np.empty((C, h.shape[1]), h.dtype)
+    bufB = np.empty((C, h.shape[1]), h.dtype)
     for s in range(0, n, C):
         e = min(s + C, n)
         m = e - s
@@ -418,13 +419,13 @@ def hist_l1_filter(h: np.ndarray, ii: np.ndarray, jj: np.ndarray, thresh: int) -
 
 
 def byte_histogram_l1_bound(texts: list[bytes]) -> np.ndarray:
-    """(n, 256) int16 byte histograms (doc lengths are far below 2^15).
+    """(n, 256) int32 byte histograms (int16 would wrap at 32 KB docs).
     For any pair, the L1 distance of these is <= 2 * levenshtein(a, b)
     (each edit changes at most two counts), so ``L1 > 2k`` exactly excludes
     pairs with distance > k — a vectorizable prefilter that kills nearly
     all random-soup pairs before the banded DP.  Pair it with
     :func:`hist_l1_filter`, never with fresh fancy-index temporaries."""
-    h = np.zeros((len(texts), 256), dtype=np.int16)
+    h = np.zeros((len(texts), 256), dtype=np.int32)
     for i, t in enumerate(texts):
         if t:
             h[i] = np.bincount(np.frombuffer(t, np.uint8), minlength=256)

@@ -173,3 +173,24 @@ def test_edit_distance_pairs_planted_fixture(tmp_path, ray_session):
     want = con.execute(sql).df().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert len(want) >= 3  # the plant worked
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_banded_levenshtein_large_docs_promote_lanes():
+    """Docs past the int16 lane bound (32 KB+) promote to int32 and stay
+    exact; int32 histograms don't wrap on them (review finding r2f)."""
+    import numpy as np
+
+    from monocator_ray.stages.dedup import (
+        banded_levenshtein,
+        byte_histogram_l1_bound,
+        hist_l1_filter,
+    )
+
+    a = b"x" * 40000
+    b = a + b"yyyy"
+    c = b"z" * 40000
+    assert banded_levenshtein([a, a, a], [b, c, a], 32).tolist() == [4, 33, 0]
+    h = byte_histogram_l1_bound([a, b, c])
+    assert h.dtype == np.int32 and h[0, ord("x")] == 40000
+    keep = hist_l1_filter(h, np.array([0, 0]), np.array([1, 2]), 64)
+    assert keep.tolist() == [True, False]
