@@ -107,6 +107,10 @@ BENCH_QUERIES = [
     "knn_graph",
     "mix_corpus",
     "ann_store_topk",
+    # round-2g additions: grouped order stats, histogram, epoch shuffle
+    "customer_median_order",
+    "value_histogram",
+    "corpus_shuffle",
 ]
 
 

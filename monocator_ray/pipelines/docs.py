@@ -2732,3 +2732,67 @@ def q_ann_store_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
         )
     qm = table_to_matrix(_head_rows(path, ["vec_id", "embedding"], n_queries))
     return search_ivf_store(store, qm, k=k, nprobe=nprobe)
+
+
+# ---- deterministic epoch shuffle: global dense row numbering (oracle) ----
+def q_corpus_shuffle(sf_dir: str) -> rd.Dataset:
+    """Deterministic training-epoch shuffle: every document gets a dense
+    global position ``pos`` — its rank under ``(mix32(doc_id), doc_id)``,
+    the seedless permutation a data loader reads the corpus in.  The
+    permutation is a pure function of doc_id (stable under re-runs and
+    re-partitioning), and ``pos`` is what lets shuffled SHARDS be written
+    resumably (shard i = pos range [i*S, (i+1)*S)).
+
+    Scale shape: a global dense rank WITHOUT a global sort — pass 1
+    streams per-batch counts of the 256 ORDERED hash buckets
+    (``h32 >> 24``) into an O(256) driver combine whose exclusive prefix
+    sum gives each bucket's starting position; pass 2 hash-partitions by
+    bucket (each bucket lands whole in a partition) and assigns
+    ``pos = bucket_offset + local_rank`` with one lexsort per partition.
+    Driver state and the broadcast are O(256) regardless of corpus size;
+    the only shuffle is the one hash partition.  Oracle:
+    ``ROW_NUMBER() OVER (ORDER BY h32, doc_id) - 1``."""
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix32(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "h32": pa.array(h.astype(np.int64), pa.int64()),
+                "bucket": pa.array((h >> 24).astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = ds.map_batches(bucketed, batch_format="pyarrow")
+    counts = driver_grouped_agg(keyed, ["bucket"], [("doc_id", "count")], ["bucket", "n"])
+    full = np.zeros(256, dtype=np.int64)
+    full[counts["bucket"].to_numpy(np.int64)] = counts["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(full)[:-1]])
+
+    _OUT = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+
+    def number_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        h = t["h32"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, b))
+        b, ids = b[order], ids[order]
+        starts, ends = run_boundaries(b)
+        pos = np.empty(len(b), dtype=np.int64)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            pos[s:e] = offsets[b[s]] + np.arange(e - s, dtype=np.int64)
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "pos": pa.array(pos, pa.int64())}
+        )
+
+    out = hash_partitioned(
+        keyed,
+        lambda t: [t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        number_part,
+        num_parts=32,
+    )
+    return out.sort("pos")

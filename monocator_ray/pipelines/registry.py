@@ -1026,4 +1026,46 @@ REGISTRY: dict = {
         WHERE levenshtein(a.text, b.text) <= 32
         """,
     ),
+    # grouped order statistics: exact lower median per customer — the
+    # aggregate partial trees cannot combine; quantile_disc(.5) IS the
+    # lower median (verified: {1,2,3,4} -> 2), matching the engine's
+    # start + ceil(n/2) - 1 gather bit-for-bit
+    "customer_median_order": (
+        R.q_customer_median_order,
+        """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)
+                    AS BIGINT) AS median_cents
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+    ),
+    # fixed-width value histogram; values are nonnegative so DuckDB's
+    # truncating // and numpy's flooring // agree on every bin
+    "value_histogram": (
+        R.q_value_histogram,
+        """
+        WITH t AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
+        SELECT CAST(cents // 2000 AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM t GROUP BY bin ORDER BY bin
+        """,
+    ),
+    # deterministic epoch shuffle: dense global rank under (mix32, doc_id)
+    # — the ROW_NUMBER oracle checks the PERMUTATION itself, not just
+    # membership; engine side never globally sorts (bucket-offset
+    # broadcast + per-partition local ranks)
+    "corpus_shuffle": (
+        D.q_corpus_shuffle,
+        """
+        WITH
+        h1 AS (SELECT doc_id, (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM documents),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, xor(_c, _c >> 13) AS h32 FROM h3)
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY h32, doc_id) - 1 AS BIGINT) AS pos
+        FROM hashed ORDER BY pos
+        """,
+    ),
 }

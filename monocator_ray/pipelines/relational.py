@@ -32,6 +32,7 @@ from monocator_ray.stages.grouped import (
     driver_grouped_agg,
     hash_partitioned,
     partitioned_aggregate,
+    run_boundaries,
 )
 
 
@@ -1250,3 +1251,86 @@ def q_corr_stats(sf_dir: str) -> pa.Table:
     )
     out = out[["l_returnflag", "n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"]]
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- grouped order statistics: exact per-customer median (oracle) ----
+def q_customer_median_order(sf_dir: str) -> rd.Dataset:
+    """Exact per-customer median order value (cents) — grouped order
+    statistics, the aggregate a shuffle-free partial tree CANNOT compute
+    (medians don't combine): one hash partition by ``o_custkey`` brings
+    every customer's complete order set to one worker, one lexsort per
+    partition ranks all runs at once, and the median is a vectorized
+    gather at ``start + ceil(n/2) - 1`` per run — the DISCRETE (lower)
+    median, matching DuckDB ``quantile_disc(x, 0.5)`` exactly so the
+    value hash is bit-stable (no float interpolation between the two
+    middle elements on even counts).
+
+    Scale shape: the only shuffle is the one hash partition; per-partition
+    memory is O(rows/num_parts) with no per-group Python dispatch
+    (grouped.hash_partitioned rationale)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+         ("median_cents", pa.int64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def median_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, key))
+        key, cents = key[order], cents[order]
+        starts, ends = run_boundaries(key)
+        n = ends - starts
+        mid = starts + (n + 1) // 2 - 1  # lower median == quantile_disc .5
+        return pa.table(
+            {
+                "o_custkey": pa.array(key[starts], pa.int64()),
+                "n_orders": pa.array(n.astype(np.int64), pa.int64()),
+                "median_cents": pa.array(cents[mid], pa.int64()),
+            }
+        )
+
+    out = hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        median_part,
+        num_parts=32,
+    )
+    return out.sort("o_custkey")
+
+
+# ---- fixed-width value histogram (O(bins) result, shuffle-free) ----
+def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
+    """Histogram of event values in fixed $20 bins: ``bin = cents //
+    width`` (values are nonnegative, so DuckDB's truncating ``//`` and
+    numpy's flooring ``//`` agree), with per-bin count and exact cents
+    total.  Shuffle-free: per-batch Arrow group_by partials, O(bins)
+    driver combine (driver_grouped_agg rationale) — the distribution
+    sketch every corpus-stats dashboard needs, as one streaming pass."""
+    ds = _read(sf_dir, "events", ["value"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"])
+        b = pc.cast(
+            pc.floor(pc.divide(pc.cast(cents, pa.float64()), float(width_cents))),
+            pa.int64(),
+        )
+        return pa.table({"bin": b, "cents": cents})
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(binned, batch_format="pyarrow"),
+        ["bin"],
+        [("cents", "count"), ("cents", "sum")],
+        ["bin", "n", "sum_cents"],
+    )
+    pdf = pdf.sort_values("bin").reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype(np.int64)
+    pdf["sum_cents"] = pdf["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
