@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "customer_median_order",
     "value_histogram",
     "corpus_shuffle",
+    "dedup_substrings",
 ]
 
 

@@ -2796,3 +2796,144 @@ def q_corpus_shuffle(sf_dir: str) -> rd.Dataset:
         num_parts=32,
     )
     return out.sort("pos")
+
+
+# ---- substring-level exact dedup REMOVAL (Lee et al. 2022; oracle) ----
+def q_dedup_substrings(sf_dir: str, n: int = 5) -> rd.Dataset:
+    """The removal half of substring-level exact dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): delete
+    from every document each word position covered by an n-gram span that
+    occurs >= 2 times in the WHOLE corpus (with positional multiplicity, so
+    a doc repeating its own span counts), and emit the cleaned corpus —
+    (doc_id, n_words, n_removed, clean_text) — not just the signal
+    q_repeated_spans computes.
+
+    Scale shape: the inverted-index shuffle of q_repeated_spans extended
+    with the write-back path — (1) explode positional (gram_hash, doc_id,
+    start) rows; (2) gram-hash partitions emit the dup span starts (corpus
+    frequency is a run length; only duplicated starts leave the worker);
+    (3) a doc_id partition packs each doc's starts into ONE list row; (4) a
+    hash join puts the list next to its text and the cleanup is a
+    vectorized coverage mask per doc.  The duplicated-gram set is never
+    broadcast and the driver never holds texts or spans.  Gram hashing is
+    the ngram_jaccard 64-bit SipHash convention (collision analysis there);
+    the oracle builds the same gram strings in SQL."""
+    from monocator_ray.stages.dedup import ngram_hashes_positional
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        per = [ngram_hashes_positional(x or "", n) for x in t["text"].to_pylist()]
+        counts = np.array([p.size for p in per], dtype=np.int64)
+        gh = np.concatenate(per) if per else np.empty(0, np.uint64)
+        total = int(counts.sum())
+        # start index within each doc: arange minus each row's doc offset
+        offs = np.repeat(np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
+        return pa.table(
+            {
+                "gram_hash": pa.array(gh.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, counts), pa.int64()),
+                "start": pa.array(np.arange(total, dtype=np.int64) - offs, pa.int64()),
+            }
+        )
+
+    _DUP = pa.schema([("doc_id", pa.int64()), ("start", pa.int64())])
+
+    def dup_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _DUP.empty_table()
+        gh = g["gram_hash"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gh, kind="mergesort")
+        gh = gh[order]
+        starts, ends = run_boundaries(gh)
+        freq = np.repeat(ends - starts, ends - starts)
+        keep = order[freq >= 2]
+        return pa.table(
+            {
+                "doc_id": pc.take(g["doc_id"], pa.array(keep, pa.int64())),
+                "start": pc.take(g["start"], pa.array(keep, pa.int64())),
+            }
+        )
+
+    dup = hash_partitioned(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        lambda t: [t["gram_hash"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        dup_part,
+        num_parts=64,
+        # phase barrier before the joins below (multi-shuffle deadlock rule)
+    ).materialize()
+
+    # packed int64-LE blob, not list<int64>: acero joins reject list-typed
+    # non-key payload columns
+    _LISTS = pa.schema([("doc_id", pa.int64()), ("dup_starts", pa.binary())])
+
+    def pack_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _LISTS.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        st = t["start"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((st, ids))
+        ids, st = ids[order], st[order]
+        rs, re_ = run_boundaries(ids)
+        blobs = [st[s:e].astype("<i8").tobytes() for s, e in zip(rs, re_)]
+        return pa.table(
+            {"doc_id": pa.array(ids[rs], pa.int64()),
+             "dup_starts": pa.array(blobs, pa.binary())}
+        )
+
+    dup_lists = hash_partitioned(
+        dup,
+        lambda t: [t["doc_id"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        pack_part,
+        num_parts=32,
+    ).materialize()
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64()),
+         ("n_removed", pa.int64()), ("clean_text", pa.string())]
+    )
+
+    def clean(batch: pa.Table) -> pa.Table:
+        out_id, out_nw, out_rm, out_txt = [], [], [], []
+        has_lists = "dup_starts" in batch.column_names
+        starts_col = (
+            batch["dup_starts"].to_pylist() if has_lists else [None] * batch.num_rows
+        )
+        for did, text, blob in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist(), starts_col
+        ):
+            t = (text or "").strip("\t\n\f\r ")
+            if not t:
+                continue  # oracle's toks excludes whitespace-only docs
+            words = _WS_SPLIT.split(t)
+            nw = len(words)
+            sts = np.frombuffer(blob, dtype="<i8") if blob else None
+            if sts is not None and sts.size:
+                covered = np.zeros(nw, dtype=bool)
+                for s in sts.tolist():
+                    covered[s : s + n] = True
+                kept = [w for w, c in zip(words, covered) if not c]
+                removed = int(covered.sum())
+            else:
+                kept, removed = words, 0
+            out_id.append(did)
+            out_nw.append(nw)
+            out_rm.append(removed)
+            out_txt.append(" ".join(kept))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_words": pa.array(out_nw, pa.int64()),
+                "n_removed": pa.array(out_rm, pa.int64()),
+                "clean_text": pa.array(out_txt, pa.string()),
+            }
+        )
+
+    if dup_lists.count() == 0:
+        # join with an empty side crashes acero; nothing to remove anyway
+        return ds.map_batches(clean, batch_format="pyarrow").sort("doc_id")
+    joined = ds.join(dup_lists, join_type="left_outer", num_partitions=8, on=("doc_id",))
+    return joined.map_batches(clean, batch_format="pyarrow").sort("doc_id")

@@ -1051,6 +1051,38 @@ REGISTRY: dict = {
         FROM t GROUP BY bin ORDER BY bin
         """,
     ),
+    # substring-level exact dedup REMOVAL (Lee et al. 2022): cleaned corpus
+    # after deleting every word position covered by a corpus-duplicated
+    # n-gram span (positional multiplicity).  Gram convention ==
+    # ngram_jaccard (engine hashes the same gram string the SQL builds).
+    "dedup_substrings": (
+        D.q_dedup_substrings,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents WHERE trim(text) <> ''),
+        grams AS (
+          SELECT doc_id, w, unnest(range(1, len(w) - 3)) AS i
+          FROM toks WHERE len(w) >= 5),
+        g2 AS (SELECT doc_id, i, array_to_string(w[i:i+4], ' ') AS g FROM grams),
+        freq AS (SELECT g, COUNT(*) AS f FROM g2 GROUP BY g),
+        dupstarts AS (SELECT doc_id, i FROM g2 JOIN freq USING (g) WHERE f >= 2),
+        covered AS (SELECT DISTINCT doc_id, unnest(range(i, i + 5)) AS p FROM dupstarts),
+        posns AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM toks),
+        kept AS (
+          SELECT posns.doc_id, p, w[p] AS word
+          FROM posns ANTI JOIN covered USING (doc_id, p)),
+        agg AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY p) AS clean_text
+          FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_words,
+               CAST(len(t.w) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+        ORDER BY t.doc_id
+        """,
+    ),
     # deterministic epoch shuffle: dense global rank under (mix32, doc_id)
     # — the ROW_NUMBER oracle checks the PERMUTATION itself, not just
     # membership; engine side never globally sorts (bucket-offset

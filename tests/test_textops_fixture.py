@@ -87,3 +87,40 @@ def test_c4_line_clean_matches_oracle(fixture_dir):
     assert int(doc2["n_kept"]) == 1 and int(doc2["n_dropped"]) == 2
     doc1 = got[got["doc_id"] == 1].iloc[0]
     assert int(doc1["n_kept"]) == 2 and int(doc1["n_dropped"]) == 1
+
+
+@pytest.fixture(scope="module")
+def span_fixture_dir(tmp_path_factory):
+    """Planted duplicated 5-gram spans: docs 0/1 share 'one two three four
+    five'; doc 2 repeats its own span; doc 3 is clean; doc 4 is whitespace."""
+    d = tmp_path_factory.mktemp("spans")
+    texts = [
+        "one two three four five alpha beta gamma delta epsilon zeta",
+        "prefix one two three four five suffix words here",
+        "a b c d e f g a b c d e x",
+        "totally unique words that never repeat anywhere at all",
+        "   ",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_substrings_matches_oracle_on_planted_spans(span_fixture_dir):
+    got = _compare("dedup_substrings", span_fixture_dir)
+    by = {int(r["doc_id"]): r for _, r in got.iterrows()}
+    assert 4 not in by  # whitespace-only doc excluded on both sides
+    # docs 0/1: the shared 5-gram's positions removed, the rest kept
+    assert int(by[0]["n_removed"]) == 5
+    assert by[0]["clean_text"] == "alpha beta gamma delta epsilon zeta"
+    assert by[1]["clean_text"] == "prefix suffix words here"
+    # doc 2: self-repeated span 'a b c d e' covers positions 0-4 and 7-11
+    assert int(by[2]["n_removed"]) == 10 and by[2]["clean_text"] == "f g x"
+    # doc 3: untouched
+    assert int(by[3]["n_removed"]) == 0
