@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "corpus_shuffle",
     "dedup_substrings",
+    "lang_classifier",
 ]
 
 

@@ -2937,3 +2937,110 @@ def q_dedup_substrings(sf_dir: str, n: int = 5) -> rd.Dataset:
         return ds.map_batches(clean, batch_format="pyarrow").sort("doc_id")
     joined = ds.join(dup_lists, join_type="left_outer", num_partitions=8, on=("doc_id",))
     return joined.map_batches(clean, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- learned text classifier (distributed train + broadcast classify) ----
+def q_lang_classifier(sf_dir: str) -> rd.Dataset:
+    """Supervised text classification as a distributed pipeline: train a
+    centroid-difference bag-of-words classifier on (text, lang) and label
+    every document — the multinomial-NB shape (per-class token statistics
+    -> per-doc argmax of a sparse dot product) with EXACT-INTEGER rational
+    weights instead of float log-probs, so the DuckDB oracle reproduces
+    training AND inference bit-for-bit (the exact-integer-spec pattern:
+    floats never cross a partition boundary).
+
+    ``wt(tok, c) = cnt(tok,c)*1e6 // tot(c) - cnt(tok)*1e6 // tot``
+    for (tok, c) pairs seen in class c (0 otherwise — the oracle's join
+    only scores seen pairs); ``score(d, c) = sum_tok n_dt * wt``;
+    prediction = argmax, ties to the lexicographically smallest lang.
+
+    Scale shape: training is one partitioned count shuffle producing the
+    O(vocab x langs) model, built once on the driver and broadcast via
+    ray.put; inference is embarrassingly parallel (sorted-vocab
+    searchsorted lookup + per-class bincount accumulation — no per-token
+    Python, no fresh per-pair temporaries).  At open-web vocab the
+    documented upgrade is the hashing trick (fixed 2^k feature buckets),
+    which removes the vocab-sized driver step; the driver tables' vocab
+    is bounded so the exact-token model keeps the oracle checkable."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        langs, toks = [], []
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            s = (text or "").strip("\t\n\f\r ")
+            if not s:
+                continue
+            ws = _WS_SPLIT.split(s)
+            langs.extend([lang] * len(ws))
+            toks.extend(ws)
+        part = pa.table(
+            {"lang": pa.array(langs, pa.string()), "tok": pa.array(toks, pa.string())}
+        )
+        g = part.group_by(["lang", "tok"]).aggregate([("tok", "count")])
+        return g.rename_columns(["lang", "tok", "c"])
+
+    cnt = partitioned_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        ["lang", "tok"],
+        [("c", "sum")],
+        ["lang", "tok", "c"],
+        num_parts=32,
+    ).to_pandas()  # O(vocab x langs): this IS the model, it lands driver-side
+
+    langs = np.array(sorted(cnt["lang"].unique()))
+    vocab = np.array(sorted(cnt["tok"].unique()))
+    li = pd.Series(np.arange(len(langs)), index=langs)
+    vi = pd.Series(np.arange(len(vocab)), index=vocab)
+    C = np.zeros((len(vocab), len(langs)), dtype=np.int64)
+    C[vi[cnt["tok"]].to_numpy(), li[cnt["lang"]].to_numpy()] = cnt["c"].to_numpy(np.int64)
+    tot = C.sum(axis=0)  # per-class token totals
+    gcnt = C.sum(axis=1)  # corpus token counts
+    gt = int(gcnt.sum())
+    W = np.where(
+        C > 0, C * 1_000_000 // tot[None, :] - (gcnt * 1_000_000 // gt)[:, None], 0
+    ).astype(np.int64)
+    model_ref = ray.put((vocab, langs, W))
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("lang", pa.string()), ("pred_lang", pa.string())]
+    )
+
+    def classify(t: pa.Table) -> pa.Table:
+        voc, lgs, w = ray.get(model_ref)
+        ids_out, lang_out, toks, doc_ix = [], [], [], []
+        for i, (text,) in enumerate(zip(t["text"].to_pylist())):
+            s = (text or "").strip("\t\n\f\r ")
+            if not s:
+                continue
+            ws = _WS_SPLIT.split(s)
+            k = len(ids_out)
+            ids_out.append(t["doc_id"][i].as_py())
+            lang_out.append(t["lang"][i].as_py())
+            toks.extend(ws)
+            doc_ix.extend([k] * len(ws))
+        if not ids_out:
+            return _OUT.empty_table()
+        tk = np.array(toks, dtype=object)
+        pos = np.searchsorted(voc, tk)
+        valid = (pos < len(voc)) & (voc[np.minimum(pos, len(voc) - 1)] == tk)
+        pos, dix = pos[valid], np.array(doc_ix, np.int64)[valid]
+        scores = np.zeros((len(ids_out), len(lgs)), dtype=np.int64)
+        for l in range(len(lgs)):
+            # float64 bincount is exact here: |wt| <= 1e6 and per-doc token
+            # counts keep every partial far under 2^53
+            scores[:, l] = np.bincount(
+                dix, weights=w[pos, l].astype(np.float64), minlength=len(ids_out)
+            ).astype(np.int64)
+        pred = lgs[np.argmax(scores, axis=1)]  # first max == smallest lang
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_out, pa.int64()),
+                "lang": pa.array(lang_out, pa.string()),
+                "pred_lang": pa.array(pred, pa.string()),
+            }
+        )
+
+    return ds.map_batches(classify, batch_format="pyarrow").sort("doc_id")

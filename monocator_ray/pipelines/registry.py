@@ -1083,6 +1083,40 @@ REGISTRY: dict = {
         ORDER BY t.doc_id
         """,
     ),
+    # learned centroid-difference classifier: exact-integer train+infer
+    # (NB shape, rational weights instead of float log-probs); only
+    # (tok, lang) pairs seen in training carry weight on either side
+    "lang_classifier": (
+        D.q_lang_classifier,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE trim(text) <> ''),
+        cnt AS (SELECT lang, tok, COUNT(*) AS c FROM toks GROUP BY lang, tok),
+        tot AS (SELECT lang, SUM(c) AS t FROM cnt GROUP BY lang),
+        gcnt AS (SELECT tok, SUM(c) AS gc FROM cnt GROUP BY tok),
+        gtot AS (SELECT SUM(c) AS gt FROM cnt),
+        w AS (SELECT cnt.lang, cnt.tok,
+                     CAST(c * 1000000 // t - gc * 1000000 // gt AS BIGINT) AS wt
+              FROM cnt JOIN tot USING (lang)
+                       JOIN gcnt ON cnt.tok = gcnt.tok CROSS JOIN gtot),
+        doc_tok AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+        scores AS (SELECT d.doc_id, w.lang, SUM(d.n * w.wt) AS score
+                   FROM doc_tok d JOIN w USING (tok) GROUP BY d.doc_id, w.lang),
+        grid AS (SELECT d.doc_id, l.lang
+                 FROM (SELECT DISTINCT doc_id FROM toks) d
+                 CROSS JOIN (SELECT DISTINCT lang FROM toks) l),
+        sc2 AS (SELECT g.doc_id, g.lang, COALESCE(s.score, 0) AS score
+                FROM grid g LEFT JOIN scores s USING (doc_id, lang)),
+        pred AS (SELECT doc_id, lang AS pred_lang,
+                        ROW_NUMBER() OVER (PARTITION BY doc_id
+                                           ORDER BY score DESC, lang ASC) AS rn
+                 FROM sc2)
+        SELECT p.doc_id, d.lang, p.pred_lang
+        FROM pred p JOIN documents d USING (doc_id)
+        WHERE rn = 1 ORDER BY p.doc_id
+        """,
+    ),
     # deterministic epoch shuffle: dense global rank under (mix32, doc_id)
     # — the ROW_NUMBER oracle checks the PERMUTATION itself, not just
     # membership; engine side never globally sorts (bucket-offset

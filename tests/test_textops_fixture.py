@@ -124,3 +124,36 @@ def test_dedup_substrings_matches_oracle_on_planted_spans(span_fixture_dir):
     assert int(by[2]["n_removed"]) == 10 and by[2]["clean_text"] == "f g x"
     # doc 3: untouched
     assert int(by[3]["n_removed"]) == 0
+
+
+@pytest.fixture(scope="module")
+def classifier_fixture_dir(tmp_path_factory):
+    """Separable vocabularies (the driver tables share one vocab across
+    langs, so registry-level accuracy is chance): here a learned
+    classifier must recover every label."""
+    d = tmp_path_factory.mktemp("clf")
+    rows = []
+    for i in range(12):
+        rows.append((i, "le chat mange le poisson dans la maison", "fr"))
+    for i in range(12, 24):
+        rows.append((i, "the cat eats the fish in the house", "en"))
+    for i in range(24, 36):
+        rows.append((i, "de kat eet de vis in het huis", "nl"))
+    # one mixed doc: majority-French tokens
+    rows.append((36, "le chat the fish le poisson", "fr"))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lang_classifier_matches_oracle_and_separates(classifier_fixture_dir):
+    got = _compare("lang_classifier", classifier_fixture_dir)
+    acc = (got["lang"] == got["pred_lang"]).mean()
+    assert acc == 1.0, f"separable vocab must classify perfectly, got {acc}"
