@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "corpus_shuffle",
     "dedup_substrings",
     "lang_classifier",
+    "anchor_texts",
 ]
 
 

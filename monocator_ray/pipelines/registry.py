@@ -46,6 +46,16 @@ def q_domain_rollup_crawl(sf_dir: str):
     return report.domain_rollup("/tmp/monocator_q_crawl_out")
 
 
+def q_anchor_texts(sf_dir: str):
+    """Inbound anchor-text aggregation over the flagship crawl's pages
+    (rows-only: HTML parsing has no SQL analog; semantics pinned by
+    tests/test_report_and_ext.py on planted anchors)."""
+    from monocator_ray import report
+
+    q_crawl_flagship(sf_dir)  # ensure artifacts exist
+    return report.anchor_texts("/tmp/monocator_q_crawl_out")
+
+
 def q_crawl_corpus(sf_dir: str):
     """Crawl→corpus bridge (rows-only): the flagship crawl's extracted-page
     artifact fed straight into the training-data curation pipeline
@@ -686,6 +696,8 @@ REGISTRY: dict = {
     # crawl pages artifact -> curated corpus (composition of the two engine
     # halves; rows-only — the crawl side has no SQL analog)
     "crawl_corpus": (q_crawl_corpus, None),
+    # inbound anchor-text aggregation over crawled pages (rows-only)
+    "anchor_texts": (q_anchor_texts, None),
     "langid": (
         D.q_langid,
         # mirror of LangId.detect: stopword votes per language, first-wins

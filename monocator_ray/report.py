@@ -19,7 +19,7 @@ from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
-from monocator_ray.urlnorm import host_of
+from monocator_ray.urlnorm import canonicalize_url, host_of, join_url
 
 
 _ARTIFACT_COLS = {
@@ -466,3 +466,109 @@ def seen_except_frontier(out_dir: str) -> int:
             if f.startswith("frontier-"):
                 frontier |= set(pq.read_table(os.path.join(ckpt, f))["url_hash"].to_pylist())
     return len(seen - visited - frontier)
+
+
+# ---- anchor-text aggregation (the classic web-graph text signal) ----
+import html as _html
+
+# Scanner regex for well-formed anchors; the crawl's own link extraction
+# (html/textex.py) handles malformed HTML for frontier purposes — this
+# stage additionally needs the INNER TEXT, which the crawl contract's
+# PageExtract deliberately omits (visit-order goldens pin that schema).
+import re as _re
+
+_ANCHOR_RE = _re.compile(
+    rb'<a\s[^>]*?href="([^"]*)"[^>]*>(.*?)</a>', _re.DOTALL | _re.IGNORECASE
+)
+# script/style bodies and comments hold anchor-looking text that is not a
+# link (the synth pages plant exactly that trap) — drop them before scanning
+_NOSCAN_RE = _re.compile(
+    rb"<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->",
+    _re.DOTALL | _re.IGNORECASE,
+)
+_TAG_RE = _re.compile(r"<[^>]*>")
+_WS_RUN = _re.compile(r"[\t\n\f\r ]+")
+
+
+def _anchor_rows(batch: pa.Table) -> pa.Table:
+    """(target_url, anchor) rows from a pages batch: href resolved against
+    the page url and canonicalized (the crawl's URL identity), anchor text
+    tag-stripped, entity-decoded and whitespace-collapsed."""
+    targets, anchors = [], []
+    for url, doc in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        for href, inner in _ANCHOR_RE.findall(_NOSCAN_RE.sub(b" ", doc or b"")):
+            try:
+                t = canonicalize_url(join_url(url, href.decode("utf-8", "replace")))
+            except Exception:
+                continue
+            if not t:
+                continue  # canonicalize_url: "" == unusable / non-http(s)
+            text = _TAG_RE.sub(" ", inner.decode("utf-8", "replace"))
+            text = _WS_RUN.sub(" ", _html.unescape(text)).strip()
+            targets.append(t)
+            anchors.append(text)
+    return pa.table(
+        {"target_url": pa.array(targets, pa.string()),
+         "anchor": pa.array(anchors, pa.string())}
+    )
+
+
+def anchor_texts(out_dir: str) -> rd.Dataset:
+    """Per-target anchor aggregation over the crawled pages artifact —
+    see :func:`anchor_texts_from_pages`."""
+    ensure_shipped()
+    return anchor_texts_from_pages(
+        _read_artifact(out_dir, "pages").select_columns(["url", "html"])
+    )
+
+
+def anchor_texts_from_pages(pages: rd.Dataset) -> rd.Dataset:
+    """Per-target anchor aggregation over a (url, html) dataset: how many
+    links point at each URL, how many distinct anchor strings, and the most
+    common anchor (ties: lexicographically smallest) — the inbound-text
+    signal web search and link-graph corpora extract.  One map over the
+    pages + one hash partition by target; per-target mode is a vectorized
+    run count inside the partition (no per-group dispatch)."""
+    ensure_shipped()
+    rows = pages.map_batches(_anchor_rows, batch_format="pyarrow")
+
+    _OUT = pa.schema(
+        [("target_url", pa.string()), ("n_anchors", pa.int64()),
+         ("n_unique_anchors", pa.int64()), ("top_anchor", pa.string())]
+    )
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        df = pd.DataFrame(
+            {"u": t["target_url"].to_pandas(), "a": t["anchor"].to_pandas()}
+        )
+        df = df.sort_values(["u", "a"], kind="mergesort").reset_index(drop=True)
+        u = df["u"].to_numpy(object)
+        a = df["a"].to_numpy(object)
+        ps, pe = run_boundaries(u)  # per-target runs (targets dense 0..T-1)
+        bs, be = run_boundaries(u, a)  # per-(target, anchor) runs
+        cnt = be - bs
+        tgt_of_pair = np.searchsorted(ps, bs, side="right") - 1
+        # mode per target = max count, tie smallest anchor: order pairs by
+        # (target, -count, anchor-rank) — pairs are anchor-sorted within a
+        # target, so arange is the anchor tiebreak — and take run firsts
+        order2 = np.lexsort((np.arange(cnt.size), -cnt, tgt_of_pair))
+        fs, _fe = run_boundaries(tgt_of_pair[order2])
+        top_idx = order2[fs]  # targets ascending (dense ordinals)
+        return pa.table(
+            {"target_url": pa.array(u[ps], pa.string()),
+             "n_anchors": pa.array((pe - ps).astype(np.int64), pa.int64()),
+             "n_unique_anchors": pa.array(
+                 np.bincount(tgt_of_pair, minlength=len(ps)).astype(np.int64),
+                 pa.int64()),
+             "top_anchor": pa.array(a[bs[top_idx]], pa.string())}
+        )
+
+    out = hash_partitioned(
+        rows,
+        lambda t: [hash_str64(t["target_url"].to_pylist())],
+        agg_part,
+        num_parts=32,
+    )
+    return out.sort("target_url")

@@ -200,3 +200,51 @@ def test_crawl_corpus_bridge():
     assert set(df.columns) == {"doc_id", "lang_pred", "n_tokens"}
     assert (df["n_tokens"] >= 10).all()
     assert df["doc_id"].is_unique
+
+
+def test_anchor_texts_on_planted_pages():
+    """Planted anchors pin resolution (relative hrefs against the page URL,
+    canonicalization), tag stripping, entity decode, mode + ties."""
+    import ray.data as rd
+
+    from monocator_ray.report import anchor_texts_from_pages
+
+    pages = pa.table(
+        {
+            "url": pa.array(
+                [
+                    "http://a.test/p1",
+                    "http://a.test/p2",
+                    "http://b.test/x",
+                ],
+                pa.string(),
+            ),
+            "html": pa.array(
+                [
+                    b'<html><body>'
+                    b'<a href="/t">Home&amp;Start</a>'
+                    b'<a href="http://b.test/x">click <b>here</b></a>'
+                    b"</body></html>",
+                    b'<a href="http://a.test/t">Home&amp;Start</a>'
+                    b'<a href="http://a.test/t">other\n  text</a>'
+                    b'<a href="http://b.test/x">click here</a>',
+                    b'<a href="http://a.test/t">aaa</a>'
+                    b'<a href="http://a.test/t">other text</a>',
+                ],
+                pa.binary(),
+            ),
+        }
+    )
+    out = (
+        anchor_texts_from_pages(rd.from_arrow(pages))
+        .to_pandas()
+        .set_index("target_url")
+    )
+    t = out.loc["http://a.test/t"]
+    # 4 inbound: Home&Start x2, 'other text' x2 (ws-collapsed), aaa x1 -> 5
+    assert int(t["n_anchors"]) == 5
+    assert int(t["n_unique_anchors"]) == 3
+    # tie 2-2 between 'Home&Start' and 'other text' -> lexicographically first
+    assert t["top_anchor"] == "Home&Start"
+    b = out.loc["http://b.test/x"]
+    assert int(b["n_anchors"]) == 2 and b["top_anchor"] == "click here"
