@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "dedup_substrings",
     "lang_classifier",
     "anchor_texts",
+    "gopher_filter",
 ]
 
 

@@ -76,6 +76,11 @@ from monocator_ray.stages.textstats import (
 # size — the big path has no such bound and is the 100-TB route.
 _SMALL_PAIRS = int(os.environ.get("MONOCATOR_SMALL_PAIRS", "65536"))
 
+import re as _re_mod
+
+_RE_ALPHA = _re_mod.compile(r"[A-Za-z]")
+_WS_SPLIT_G = _re_mod.compile(r"[\t\n\f\r ]+")
+
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
     ensure_shipped()
@@ -3044,3 +3049,82 @@ def q_lang_classifier(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(classify, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- Gopher quality rules (Rae et al. 2021; exact-integer oracle) ----
+_GOPHER_STOPS = frozenset(
+    ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+
+
+def q_gopher_filter(sf_dir: str) -> rd.Dataset:
+    """The Gopher corpus-quality rule set (Rae et al. 2021, Appendix A)
+    as one vectorizable map: word-count band, mean-word-length band,
+    symbol-to-word ratio, bullet-/ellipsis-line fractions, alphabetic-word
+    fraction, and the minimum-stopword requirement — every ratio cast as
+    an integer cross-multiplication (``10*symbols <= n_words`` instead of
+    ``symbols/n_words <= 0.1``) so the DuckDB oracle reproduces each rule
+    flag and the final keep decision bit-for-bit.
+
+    Scale shape: embarrassingly parallel (one map_batches, no shuffle,
+    per-doc counts only) — the filter every web-corpus recipe runs before
+    the expensive dedup stages, so it must cost one streaming pass."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("n_words", pa.int64())]
+        + [(f, pa.bool_()) for f in (
+            "r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+            "r_ellipsis", "r_alpha", "r_stop", "keep")]
+    )
+
+    def flags(t: pa.Table) -> pa.Table:
+        ids, rows = [], []
+        alpha = _RE_ALPHA
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            raw = text or ""
+            s = raw.strip("\t\n\f\r ")
+            if not s:
+                continue
+            words = _WS_SPLIT_G.split(s)
+            nw = len(words)
+            twc = sum(len(w) for w in words)
+            n_sym = raw.count("#") + raw.count("...")
+            lines = raw.split("\n")
+            nl = len(lines)
+            n_bullet = sum(
+                1 for x in lines if x.lstrip(" ").startswith(("-", "•", "*"))
+            )
+            n_ell = sum(
+                1 for x in lines
+                if x.rstrip(" ").endswith(("...", "…"))
+            )
+            n_alpha_w = sum(1 for w in words if alpha.search(w))
+            n_stop = len({w.lower() for w in words} & _GOPHER_STOPS)
+            r = (
+                50 <= nw <= 100000,
+                3 * nw <= twc <= 10 * nw,
+                10 * n_sym <= nw,
+                10 * n_bullet < 9 * nl,
+                10 * n_ell < 3 * nl,
+                5 * n_alpha_w >= 4 * nw,
+                n_stop >= 2,
+            )
+            ids.append((did, nw))
+            rows.append(r + (all(r),))
+        if not ids:
+            return _OUT.empty_table()
+        cols = list(zip(*rows))
+        data = {
+            "doc_id": pa.array([i for i, _ in ids], pa.int64()),
+            "n_words": pa.array([n for _, n in ids], pa.int64()),
+        }
+        for name, col in zip(
+            ("r_wordcount", "r_meanlen", "r_symbol", "r_bullet",
+             "r_ellipsis", "r_alpha", "r_stop", "keep"), cols
+        ):
+            data[name] = pa.array(col, pa.bool_())
+        return pa.table(data)
+
+    return ds.map_batches(flags, batch_format="pyarrow").sort("doc_id")

@@ -1095,6 +1095,49 @@ REGISTRY: dict = {
         ORDER BY t.doc_id
         """,
     ),
+    # Gopher quality rules (Rae et al. 2021 App. A) as exact-integer
+    # cross-multiplied predicates; per-rule flags + final keep
+    "gopher_filter": (
+        D.q_gopher_filter,
+        r"""
+        WITH base AS (
+          SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w,
+                 string_split(text, chr(10)) AS lines
+          FROM documents WHERE trim(text) <> ''),
+        c AS (
+          SELECT doc_id,
+            len(w) AS n_words,
+            len(array_to_string(w, '')) AS total_word_chars,
+            len(text) - len(replace(text, '#', '')) AS n_hash,
+            (len(text) - len(replace(text, '...', ''))) // 3 AS n_ellipsis,
+            len(lines) AS n_lines,
+            len(list_filter(lines, x -> starts_with(ltrim(x, ' '), '-')
+                                   OR starts_with(ltrim(x, ' '), chr(8226))
+                                   OR starts_with(ltrim(x, ' '), '*'))) AS n_bullet_lines,
+            len(list_filter(lines, x -> ends_with(rtrim(x, ' '), '...')
+                                   OR ends_with(rtrim(x, ' '), chr(8230)))) AS n_ellipsis_lines,
+            len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha_words,
+            len(list_distinct(list_filter(list_transform(w, x -> lower(x)),
+                x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stop
+          FROM base)
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+          (n_words >= 50 AND n_words <= 100000) AS r_wordcount,
+          (3 * n_words <= total_word_chars AND total_word_chars <= 10 * n_words) AS r_meanlen,
+          (10 * (n_hash + n_ellipsis) <= n_words) AS r_symbol,
+          (10 * n_bullet_lines < 9 * n_lines) AS r_bullet,
+          (10 * n_ellipsis_lines < 3 * n_lines) AS r_ellipsis,
+          (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+          (n_stop >= 2) AS r_stop,
+          (n_words >= 50 AND n_words <= 100000
+           AND 3 * n_words <= total_word_chars AND total_word_chars <= 10 * n_words
+           AND 10 * (n_hash + n_ellipsis) <= n_words
+           AND 10 * n_bullet_lines < 9 * n_lines
+           AND 10 * n_ellipsis_lines < 3 * n_lines
+           AND 5 * n_alpha_words >= 4 * n_words
+           AND n_stop >= 2) AS keep
+        FROM c ORDER BY doc_id
+        """,
+    ),
     # learned centroid-difference classifier: exact-integer train+infer
     # (NB shape, rational weights instead of float log-probs); only
     # (tok, lang) pairs seen in training carry weight on either side

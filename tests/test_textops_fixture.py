@@ -157,3 +157,45 @@ def test_lang_classifier_matches_oracle_and_separates(classifier_fixture_dir):
     got = _compare("lang_classifier", classifier_fixture_dir)
     acc = (got["lang"] == got["pred_lang"]).mean()
     assert acc == 1.0, f"separable vocab must classify perfectly, got {acc}"
+
+
+@pytest.fixture(scope="module")
+def gopher_fixture_dir(tmp_path_factory):
+    """Each rule must bind at least once (driver docs are single-line word
+    soup where bullet/ellipsis/symbol rules are trivially true)."""
+    d = tmp_path_factory.mktemp("gopher")
+    filler = "the cat and dog have fun with all of that house " * 5  # 50 words
+    texts = [
+        filler,                                    # passes everything
+        "short one",                               # fails r_wordcount
+        "xx " * 60 + "the of",                     # fails r_meanlen (mean 2)
+        filler + "# " * 20,                        # fails r_symbol + meanlen
+        "\n".join(["- b"] * 10 + [filler, filler]),  # 10/12 = 83% < 90% ok
+        "\n".join(["- bullet point here"] * 10),   # fails r_bullet (10/10)
+        "\n".join(["dots..."] * 9 + [filler]),     # fails r_ellipsis (9/10)
+        "0 1 2 3 4 " * 10 + "the of",              # fails r_alpha
+        "zz yy " * 30,                             # fails r_stop
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_filter_rules_bind(gopher_fixture_dir):
+    got = _compare("gopher_filter", gopher_fixture_dir).set_index("doc_id")
+    assert bool(got.loc[0, "keep"])
+    assert not got.loc[1, "r_wordcount"]
+    assert not got.loc[2, "r_meanlen"]
+    assert not got.loc[3, "r_symbol"]
+    assert got.loc[4, "r_bullet"] and not got.loc[5, "r_bullet"]
+    assert not got.loc[6, "r_ellipsis"]
+    assert not got.loc[7, "r_alpha"]
+    assert not got.loc[8, "r_stop"]
+    assert bool(got.loc[4, "keep"])  # bullet fraction under the bar
+    assert not got.drop(index=[0, 4])["keep"].any()
