@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "lang_classifier",
     "anchor_texts",
     "gopher_filter",
+    "image_dupes",
 ]
 
 

@@ -3128,3 +3128,91 @@ def q_gopher_filter(sf_dir: str) -> rd.Dataset:
         return pa.table(data)
 
     return ds.map_batches(flags, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- multimodal near-dup: perceptual-hash image dedup (rows-only) ----
+def q_image_dupes(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
+    """Image-level near-duplicate pairs over a binary image column: decode
+    (real BMP codec, per-actor state) -> 64-bit dHash (integer luma,
+    nearest 9x8 resize, adjacent-column bits) -> the simhash band plan
+    (4 x 16-bit bands, hash-partitioned pair generation + vectorized
+    hamming verify).  With ``max_hamming < 4`` the banding is EXACT by
+    pigeonhole — any pair within the threshold shares at least one intact
+    band — so the pytest oracle is a brute-force O(n^2) hamming scan.
+    Rows-only at the registry (binary decode has no SQL analog).
+
+    sf_dir only seeds determinism: the input is the planted-duplicate
+    synthetic image table (exact copies + single-pixel perturbations),
+    mirroring how the media suite feeds q_media_features."""
+    from monocator_ray.stages.media import ImageDHasher, synth_image_dup_table
+
+    ensure_shipped()
+    tbl = synth_image_dup_table(96)
+    hashed = rd.from_arrow(tbl).map_batches(
+        cached_stage(ImageDHasher), batch_format="pyarrow", batch_size=16
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hs = batch["dhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        n = len(ids)
+        shifts = (0, 16, 32, 48)
+        vals = [
+            ((hs >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64) for s in shifts
+        ]
+        return pa.table(
+            {
+                "band_id": pa.array(np.repeat(np.arange(4, dtype=np.int32), n), pa.int32()),
+                "band_val": pa.array(np.concatenate(vals), pa.int64()),
+                "media_id": pa.array(np.tile(ids, 4), pa.int64()),
+                "dhash": pa.array(np.tile(hs.view(np.int64), 4), pa.int64()),
+            }
+        )
+
+    def pairs_in_part(g: pa.Table) -> pa.Table:
+        bid = g["band_id"].to_numpy(zero_copy_only=False)
+        bv = g["band_val"].to_numpy(zero_copy_only=False)
+        ids = g["media_id"].to_numpy(zero_copy_only=False)
+        hs = g["dhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        order = np.lexsort((ids, bv, bid))
+        bid, bv, ids, hs = bid[order], bv[order], ids[order], hs[order]
+        starts, ends = run_boundaries(bid, bv)
+        sizes = ends - starts
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts[sizes >= 2].tolist(), ends[sizes >= 2].tolist()):
+            m = e - s
+            ia, ib = np.triu_indices(m, k=1)
+            d = hamming64(hs[s:e][ia], hs[s:e][ib])
+            keep = d <= max_hamming
+            if keep.any():
+                out_a.append(ids[s:e][ia[keep]])
+                out_b.append(ids[s:e][ib[keep]])
+                out_d.append(d[keep].astype(np.int64))
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        d = np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+        return pa.table(
+            {"media_a": pa.array(a, pa.int64()), "media_b": pa.array(b, pa.int64()),
+             "hamming": pa.array(d, pa.int64())}
+        )
+
+    raw = hash_partitioned(
+        hashed.map_batches(explode, batch_format="pyarrow"),
+        lambda t: [t["band_id"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["band_val"].to_numpy(zero_copy_only=False)],
+        pairs_in_part,
+        num_parts=32,
+    ).materialize()
+
+    empty = pa.table({"media_a": pa.array([], pa.int64()),
+                      "media_b": pa.array([], pa.int64()),
+                      "hamming": pa.array([], pa.int64())})
+    small = _dedup_pairs_small(raw, ["media_a", "media_b"],
+                               ["media_a", "media_b", "hamming"])
+    if small is not None:
+        return rd.from_arrow(small if small.num_rows else empty)
+    out = partitioned_aggregate(
+        raw, ["media_a", "media_b"], [("hamming", "min")],
+        ["media_a", "media_b", "hamming"], num_parts=32,
+    )
+    return _finish_pairs(out, ["media_a", "media_b"], empty)

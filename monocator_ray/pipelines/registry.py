@@ -698,6 +698,9 @@ REGISTRY: dict = {
     "crawl_corpus": (q_crawl_corpus, None),
     # inbound anchor-text aggregation over crawled pages (rows-only)
     "anchor_texts": (q_anchor_texts, None),
+    # multimodal: perceptual-hash image near-dup pairs (rows-only; exact
+    # for hamming < num_bands, pinned by a brute-force pytest oracle)
+    "image_dupes": (D.q_image_dupes, None),
     "langid": (
         D.q_langid,
         # mirror of LangId.detect: stopword votes per language, first-wins

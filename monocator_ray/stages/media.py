@@ -491,3 +491,88 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             "duration_ms": pa.array(durs, pa.int32()),
         }
     )
+
+
+def luma_u8(img: np.ndarray) -> np.ndarray:
+    """Integer BT.601 luma ((299R + 587G + 114B) // 1000) — exact integer
+    so perceptual hashes are bit-stable across platforms."""
+    r = img[..., 0].astype(np.int64)
+    g = img[..., 1].astype(np.int64)
+    b = img[..., 2].astype(np.int64)
+    return ((299 * r + 587 * g + 114 * b) // 1000).astype(np.uint8)
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash: nearest-resize luma to 9x8, one bit per
+    adjacent-column comparison (left < right), row-major MSB-first."""
+    g = resize_nearest(luma_u8(img)[..., None].repeat(3, axis=-1), 9, 8)[..., 0]
+    bits = (g[:, :-1] < g[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+class ImageDHasher:
+    """map_batches (pyarrow): decode image payloads -> 64-bit dHash rows
+    (media_id, dhash int64 bit-view).  Non-image / undecodable rows are
+    dropped.  Codec state is per-actor (__init__), batches stay small —
+    the multimodal actor-pool shape from the task brief."""
+
+    def __init__(self):
+        self.codec = PureCodec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, hashes = [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "image":
+                continue
+            try:
+                img = self.codec.decode_image(payload)
+            except Exception:
+                continue
+            ids.append(mid)
+            hashes.append(dhash64(img))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "dhash": pa.array(
+                    np.array(hashes, dtype=np.uint64).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+
+def synth_image_dup_table(n: int = 48, seed: int = 7) -> pa.Table:
+    """Deterministic image table with PLANTED duplicates: for every base
+    image (i % 4 == 0) the next row is an exact byte copy and the one after
+    a +3-on-one-channel single-pixel perturbation (tiny luma shift -> tiny
+    dhash hamming); i % 4 == 3 rows are fresh unrelated images."""
+    rng = np.random.RandomState(seed)
+    payloads = []
+    base = None
+    for i in range(n):
+        k = i % 4
+        if k == 0 or k == 3 or base is None:
+            w, h = 12 + (i % 3) * 4, 8 + (i % 2) * 4
+            img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+            if k == 0:
+                base = img
+            payloads.append(encode_bmp(img))
+        elif k == 1:
+            payloads.append(encode_bmp(base))
+        else:
+            img = base.copy()
+            # invert one pixel: flips at most the 2 dhash bits its resized
+            # cell touches — a guaranteed-near, never-far perturbation
+            y, x = img.shape[0] // 2, img.shape[1] // 2
+            img[y, x] = 255 - img[y, x]
+            payloads.append(encode_bmp(img))
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), pa.int64()),
+            "kind": pa.array(["image"] * n, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )

@@ -352,3 +352,36 @@ def test_knn_graph_full_probe_is_exact(ray_session):
     want = sorted(want_rows)
     got_pairs = sorted(zip(got["vec_id"].astype(int), got["neighbor_id"].astype(int)))
     assert got_pairs == want
+
+
+def test_image_dupes_matches_bruteforce_oracle():
+    """max_hamming=3 < 4 bands => the band plan is exact (pigeonhole), so
+    the full O(n^2) hamming scan is the oracle; planted exact copies must
+    appear at hamming 0 and perturbed copies within the threshold."""
+    import numpy as np
+
+    from monocator_ray.pipelines.docs import q_image_dupes
+    from monocator_ray.stages.dedup import hamming64
+    from monocator_ray.stages.media import ImageDHasher, synth_image_dup_table
+
+    got = (
+        q_image_dupes("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["media_a", "media_b"])
+        .reset_index(drop=True)
+    )
+    hs = ImageDHasher()(synth_image_dup_table(96))
+    h = hs["dhash"].to_numpy().astype(np.int64).view(np.uint64)
+    ids = hs["media_id"].to_numpy()
+    want = []
+    for a in range(len(ids)):
+        d = hamming64(np.full(len(ids) - a - 1, h[a]), h[a + 1:])
+        for off in np.nonzero(d <= 3)[0]:
+            want.append((int(ids[a]), int(ids[a + 1 + off]), int(d[off])))
+    want.sort()
+    got_pairs = list(map(tuple, got.to_numpy()))
+    assert got_pairs == want
+    # planted structure: every base (i%4==0) pairs its exact copy at 0
+    zero = {(a, b) for a, b, d in want if d == 0}
+    for base in range(0, 96, 4):
+        assert (base, base + 1) in zero
