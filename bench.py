@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "anchor_texts",
     "gopher_filter",
     "image_dupes",
+    "watermark_windows",
 ]
 
 

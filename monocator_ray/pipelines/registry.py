@@ -1098,6 +1098,31 @@ REGISTRY: dict = {
         ORDER BY t.doc_id
         """,
     ),
+    # streaming watermark semantics: arrival = the mix32 permutation,
+    # watermark = running MAX(ts) - delay over arrival order, late events
+    # dropped from their hour window.  The window function oracle checks
+    # the whole scan; the engine never globally sorts (bucket prefix max)
+    "watermark_windows": (
+        R.q_watermark_windows,
+        """
+        WITH
+        h1 AS (SELECT event_id, ts, (event_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM events),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT event_id, ts, xor(_c, _c >> 13) AS h32 FROM h3),
+        w AS (SELECT ts,
+                     MAX(ts) OVER (ORDER BY h32, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+              FROM hashed),
+        f AS (SELECT date_trunc('hour', ts) AS window_start,
+                     (prevmax IS NOT NULL AND ts < prevmax - INTERVAL 5 MINUTE) AS late
+              FROM w)
+        SELECT window_start,
+               CAST(COUNT(*) FILTER (NOT late) AS BIGINT) AS n_kept,
+               CAST(COUNT(*) FILTER (late) AS BIGINT) AS n_late
+        FROM f GROUP BY window_start ORDER BY window_start
+        """,
+    ),
     # Gopher quality rules (Rae et al. 2021 App. A) as exact-integer
     # cross-multiplied predicates; per-rule flags + final keep
     "gopher_filter": (

@@ -1334,3 +1334,107 @@ def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
     pdf["n"] = pdf["n"].astype(np.int64)
     pdf["sum_cents"] = pdf["sum_cents"].astype(np.int64)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---- streaming watermark: late-event windowed aggregate (oracle) ----
+def q_watermark_windows(sf_dir: str, delay_min: int = 5) -> pa.Table:
+    """Event-time windowing with WATERMARK late-data dropping — the
+    streaming semantics batch engines usually punt on: events are
+    processed in ARRIVAL order, the watermark trails the running max event
+    time by ``delay_min``, and an event whose timestamp is behind the
+    watermark at its arrival is dropped from its hour window.  The driver
+    tables carry no ingest offset, so arrival is the deterministic mix32
+    permutation (the corpus_shuffle convention — a simulated network
+    reordering; in production this column IS the ingest offset).
+
+    Scale shape: the watermark is a prefix MAX over arrival order — an
+    associative scan, decomposed like corpus_shuffle's ranks: pass 1
+    streams per-batch maxima of the 256 ORDERED arrival buckets
+    (``h32 >> 24``) into an O(256) driver combine whose exclusive prefix
+    max seeds each bucket; pass 2 partitions by bucket, runs the local
+    running max seeded with the incoming watermark, flags late rows and
+    pre-aggregates per (window, late) before leaving the worker.  No
+    global sort, driver state O(256).  Oracle: MAX(ts) OVER (ORDER BY
+    h32, event_id ROWS ... 1 PRECEDING)."""
+    from monocator_ray.pipelines.docs import _mix32
+
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    delay_us = np.int64(delay_min * 60 * 1_000_000)
+    _NOPREV = np.int64(np.iinfo(np.int64).min)
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _mix32(ids)
+        return pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts_us": pa.array(
+                    t["ts"].to_numpy(zero_copy_only=False).view(np.int64), pa.int64()
+                ),
+                "h32": pa.array(h.astype(np.int64), pa.int64()),
+                "bucket": pa.array((h >> 24).astype(np.int64), pa.int64()),
+            }
+        )
+
+    kd = ds.map_batches(keyed, batch_format="pyarrow")
+    bmax = driver_grouped_agg(kd, ["bucket"], [("ts_us", "max")], ["bucket", "mx"])
+    full = np.full(256, _NOPREV, dtype=np.int64)
+    full[bmax["bucket"].to_numpy(np.int64)] = bmax["mx"].to_numpy(np.int64)
+    # exclusive prefix max: the watermark each bucket INHERITS
+    incoming = np.full(256, _NOPREV, dtype=np.int64)
+    np.maximum.accumulate(full[:-1], out=full[:-1])
+    incoming[1:] = full[:-1]
+
+    _OUT = pa.schema(
+        [("window_start", pa.timestamp("us")), ("late", pa.bool_()),
+         ("n", pa.int64())]
+    )
+
+    def flag_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        h = t["h32"].to_numpy(zero_copy_only=False)
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_us"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h, b))
+        b, ts = b[order], ts[order]
+        starts, ends = run_boundaries(b)
+        prevmax = np.empty(len(b), dtype=np.int64)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            run = np.empty(e - s, dtype=np.int64)
+            run[0] = incoming[b[s]]
+            if e - s > 1:
+                np.maximum.accumulate(ts[s : e - 1], out=run[1:])
+                np.maximum(run[1:], run[0], out=run[1:])
+            prevmax[s:e] = run
+        valid = prevmax != _NOPREV
+        late = valid & (ts < np.where(valid, prevmax, 0) - delay_us)
+        wnd = (ts // 3_600_000_000) * 3_600_000_000  # floor to the hour
+        part = pa.table(
+            {
+                "window_start": pa.array(wnd.view("datetime64[us]"), pa.timestamp("us")),
+                "late": pa.array(late, pa.bool_()),
+                "one": pa.array(np.ones(len(b), np.int64), pa.int64()),
+            }
+        )
+        g = part.group_by(["window_start", "late"]).aggregate([("one", "sum")])
+        return g.rename_columns(["window_start", "late", "n"])
+
+    partials = hash_partitioned(
+        kd,
+        lambda t: [t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        flag_part,
+        num_parts=32,
+    )
+    pdf = partials.to_pandas().groupby(["window_start", "late"], as_index=False)["n"].sum()
+    piv = pdf.pivot_table(index="window_start", columns="late", values="n",
+                          fill_value=0, aggfunc="sum")
+    out = pd.DataFrame(
+        {
+            "window_start": piv.index,
+            "n_kept": piv[False].to_numpy(np.int64) if False in piv else 0,
+            "n_late": piv[True].to_numpy(np.int64) if True in piv else 0,
+        }
+    ).sort_values("window_start").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
