@@ -54,6 +54,7 @@ from monocator_ray.stages.dedup import (
 )
 from monocator_ray.stages.grouped import (
     cached_stage,
+    collect_arrow,
     driver_grouped_agg,
     hash_partitioned,
     partitioned_aggregate,
@@ -1189,7 +1190,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
         batch_format="pyarrow",
         batch_size=4096,
     )
-    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    merged = collect_arrow(local)
     out = global_topk(merged, k)
     return out.select(["query_id", "vec_id", "rank"])
 
@@ -1271,7 +1272,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
         cached_stage(_IvfProbe, index_ref=index_ref, payload_ref=payload_ref, k=k),
         batch_format="pyarrow", batch_size=4096,
     )
-    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    merged = collect_arrow(local)
     out = global_topk(merged, k)
     return out.select(["query_id", "vec_id", "rank"])
 
@@ -1898,7 +1899,7 @@ def q_ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
         cached_stage(PqScorer, tables_ref=ray.put(index.adc_tables(qm)), m=m, k=k),
         batch_format="pyarrow", batch_size=8192,
     )
-    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    merged = collect_arrow(local)
     return global_topk(merged, k).select(["query_id", "vec_id", "rank"])
 
 

@@ -46,6 +46,7 @@ from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.grouped import (
     cached_stage,
+    collect_arrow,
     driver_grouped_agg,
     hash_partitioned,
     partitioned_aggregate,
@@ -173,10 +174,18 @@ def q_pagerank(sf_dir: str) -> pa.Table:
     each iteration is one broadcast + one map pass (module docstring)."""
     ensure_shipped()
     edges = _distinct_edges(sf_dir).materialize()
+    return _pagerank_adaptive(edges)
+
+
+def _pagerank_adaptive(edges: rd.Dataset) -> pa.Table:
+    """Adaptive PageRank over a pre-deduped DISTINCT symmetric edge
+    Dataset (columns src, dst int64): collected numpy kernel at or under
+    _SMALL_EDGES, else broadcast-iteration large path (q_pagerank
+    docstring).  Returns (node, rank_e12)."""
     n_edges = edges.count()
 
     if n_edges <= _SMALL_EDGES:
-        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        t = collect_arrow(edges)
         nodes, r = pagerank_int(t["src"].to_numpy(zero_copy_only=False),
                                 t["dst"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(nodes, pa.int64()),
@@ -351,7 +360,7 @@ def q_hits(sf_dir: str) -> pa.Table:
     n_edges = edges.count()
 
     if n_edges <= _SMALL_EDGES:
-        t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+        t = collect_arrow(edges)
         hubs, h, auths, a = hits_int(t["src"].to_numpy(zero_copy_only=False),
                                      t["dst"].to_numpy(zero_copy_only=False))
     else:
@@ -596,7 +605,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     # sorted packed array — no wedge shuffle, no union, partitions emit one
     # count each.  Above the bound (or with wide ids) the co-partitioned
     # tagged-union path below runs; both paths are pinned equal in tests.
-    et = pa.concat_tables(ray.get(edges.to_arrow_refs())) if (
+    et = collect_arrow(edges) if (
         n_edges <= _TRI_BCAST_EDGES
     ) else None
     if et is not None:

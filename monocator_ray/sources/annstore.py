@@ -33,7 +33,7 @@ import ray.data as rd
 
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.ann import IvfIndex, _normalize, global_topk, table_to_matrix
-from monocator_ray.stages.grouped import run_boundaries
+from monocator_ray.stages.grouped import collect_arrow, run_boundaries
 
 
 def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
@@ -159,5 +159,5 @@ def search_ivf_store(store_dir: str, queries: np.ndarray, k: int = 5,
         cached_stage(_StoreProbe, iref=index_ref, pref=payload_ref, k=k),
         batch_format="pyarrow", batch_size=4096,
     )
-    merged = pa.concat_tables(ray.get(local.to_arrow_refs()))
+    merged = collect_arrow(local)
     return global_topk(merged, k).select(["query_id", "vec_id", "rank"])

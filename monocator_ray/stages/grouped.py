@@ -165,3 +165,17 @@ def run_boundaries(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     starts = np.nonzero(new)[0]
     ends = np.append(starts[1:], n)
     return starts, ends
+
+
+def collect_arrow(ds) -> pa.Table:
+    """Driver-side collect of a SMALL Dataset as one Arrow table.
+
+    Ray Data occasionally emits schema-LESS empty blocks (zero columns —
+    the "RefBundle with a different schema" warning); ``pa.concat_tables``
+    rejects them, which made every ``concat_tables(ray.get(...))`` site a
+    latent flake (observed: q_triangle_count, bench r2g).  Dropping
+    zero-column blocks is lossless: an empty block carries no rows."""
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
+    return pa.concat_tables(tabs) if tabs else pa.table({})
