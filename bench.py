@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "gopher_filter",
     "image_dupes",
     "watermark_windows",
+    "host_pagerank",
 ]
 
 

@@ -42,8 +42,11 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from monocator_ray.hashing import hash_str64
+from monocator_ray.html.textex import extract_page
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
+from monocator_ray.urlnorm import canonicalize_url, host_of, join_url
 from monocator_ray.stages.grouped import (
     cached_stage,
     collect_arrow,
@@ -748,3 +751,73 @@ def q_bfs_depths(sf_dir: str, max_partkey: int = 5, max_depth: int = 10) -> pa.T
     depths = np.array([depth_of[int(n)] for n in nodes], dtype=np.int64)
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "depth": pa.array(depths, pa.int64())})
+
+
+# ---- host-level PageRank over the crawled web (rows-only) ----
+def _host_edge_rows(batch: pa.Table) -> pa.Table:
+    """(src, dst, src_host, dst_host) symmetric host-graph rows from a
+    pages batch: links re-extracted with the crawl's own extractor, hrefs
+    resolved exactly like ExtractStage (base href, canonicalization),
+    self-loops dropped.  Host identity is the crawl's 64-bit hash (int64
+    view); the strings ride along once so the driver can label nodes
+    without a second parse."""
+    srcs, dsts, sh, dh = [], [], [], []
+    for url, doc in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        src_host = host_of(url)
+        if not src_host:
+            continue
+        ex = extract_page(doc or b"")
+        base = ex.base_href or url
+        seen = set()
+        for href in ex.links:
+            child = canonicalize_url(join_url(base, href))
+            if not child:
+                continue
+            dst_host = host_of(child)
+            if not dst_host or dst_host == src_host or dst_host in seen:
+                continue
+            seen.add(dst_host)
+            srcs.append(src_host)
+            dsts.append(dst_host)
+    a = hash_str64(np.asarray(srcs, dtype=object)).view(np.int64)
+    b = hash_str64(np.asarray(dsts, dtype=object)).view(np.int64)
+    return pa.table(
+        {
+            "src": pa.array(np.concatenate([a, b]), pa.int64()),
+            "dst": pa.array(np.concatenate([b, a]), pa.int64()),
+            "src_host": pa.array(srcs + dsts, pa.string()),
+            "dst_host": pa.array(dsts + srcs, pa.string()),
+        }
+    )
+
+
+def host_pagerank(out_dir: str) -> pa.Table:
+    """PageRank over the crawled web's HOST graph — "which sites matter in
+    this crawl": links re-extracted from the pages artifact, host-level
+    symmetric distinct edges (crawl host-hash identity), then the same
+    adaptive exact-integer PageRank the relational graph queries use.
+    Output (host, rank_e12) sorted by host; rows-only (HTML parsing has no
+    SQL analog) — pinned by a driver-side recompute equivalence test.
+
+    Scale shape: the parse is the streaming map; edges pre-dedup per batch
+    and hash-partition for the global distinct; node labels are O(hosts)
+    on the driver (the same bound as PageRank's own vertex state)."""
+    from monocator_ray.report import _read_artifact
+
+    ensure_shipped()
+    pages = _read_artifact(out_dir, "pages").select_columns(["url", "html"])
+    rows = pages.map_batches(_host_edge_rows, batch_format="pyarrow").materialize()
+    labels = driver_grouped_agg(
+        rows, ["src", "src_host"], [("dst", "count")], ["src", "src_host", "_n"]
+    )
+    name_of = dict(zip(labels["src"].astype(np.int64), labels["src_host"]))
+    edges = _dedup_pairs(rows.select_columns(["src", "dst"])).materialize()
+    ranked = _pagerank_adaptive(edges)
+    nodes = ranked["node"].to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {
+            "host": pa.array([name_of[int(x)] for x in nodes], pa.string()),
+            "rank_e12": ranked["rank_e12"],
+        }
+    )
+    return out.sort_by("host")

@@ -56,6 +56,15 @@ def q_anchor_texts(sf_dir: str):
     return report.anchor_texts("/tmp/monocator_q_crawl_out")
 
 
+def q_host_pagerank(sf_dir: str):
+    """Host-level PageRank over the flagship crawl's web (rows-only;
+    pinned by a driver-recompute equivalence test)."""
+    from monocator_ray.pipelines.graph import host_pagerank
+
+    q_crawl_flagship(sf_dir)  # ensure artifacts exist
+    return host_pagerank("/tmp/monocator_q_crawl_out")
+
+
 def q_crawl_corpus(sf_dir: str):
     """Crawl→corpus bridge (rows-only): the flagship crawl's extracted-page
     artifact fed straight into the training-data curation pipeline
@@ -701,6 +710,8 @@ REGISTRY: dict = {
     # multimodal: perceptual-hash image near-dup pairs (rows-only; exact
     # for hamming < num_bands, pinned by a brute-force pytest oracle)
     "image_dupes": (D.q_image_dupes, None),
+    # host-graph PageRank over the crawled web (rows-only)
+    "host_pagerank": (q_host_pagerank, None),
     "langid": (
         D.q_langid,
         # mirror of LangId.detect: stopword votes per language, first-wins

@@ -248,3 +248,43 @@ def test_anchor_texts_on_planted_pages():
     assert t["top_anchor"] == "Home&Start"
     b = out.loc["http://b.test/x"]
     assert int(b["n_anchors"]) == 2 and b["top_anchor"] == "click here"
+
+
+def test_host_pagerank_matches_driver_recompute(mini_crawl):
+    """Engine host PageRank == a single-process recompute: same extractor,
+    same URL identity, same integer kernel — over the mini crawl's pages."""
+    import numpy as np
+
+    from monocator_ray.crawl.driver import artifact_files
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.html.textex import extract_page
+    from monocator_ray.pipelines.graph import host_pagerank, pagerank_int
+    from monocator_ray.urlnorm import canonicalize_url, host_of, join_url
+
+    got = host_pagerank(mini_crawl).to_pandas()
+
+    import pyarrow.parquet as pq
+
+    pairs, names = set(), {}
+    for f in artifact_files(mini_crawl):
+        t = pq.read_table(f, columns=["url", "html"])
+        for url, doc in zip(t["url"].to_pylist(), t["html"].to_pylist()):
+            s = host_of(url)
+            ex = extract_page(doc or b"")
+            base = ex.base_href or url
+            for href in ex.links:
+                child = canonicalize_url(join_url(base, href))
+                d = host_of(child) if child else ""
+                if not s or not d or s == d:
+                    continue
+                ha = int(hash_str64(np.array([s], object))[0].view(np.int64))
+                hb = int(hash_str64(np.array([d], object))[0].view(np.int64))
+                names[ha], names[hb] = s, d
+                pairs.add((ha, hb))
+                pairs.add((hb, ha))
+    src = np.array([a for a, _ in sorted(pairs)], np.int64)
+    dst = np.array([b for _, b in sorted(pairs)], np.int64)
+    nodes, r = pagerank_int(src, dst)
+    want = sorted(zip((names[int(n)] for n in nodes), map(int, r)))
+    assert sorted(zip(got["host"], got["rank_e12"].astype(int))) == want
+    assert len(want) > 2
