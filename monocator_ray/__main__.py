@@ -84,6 +84,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="project to these columns first")
     je.add_argument("--plain", action="store_true", help="write uncompressed .jsonl")
 
+    ce = sub.add_parser(
+        "corpus",
+        help="end-to-end: crawl -> curate (langid/quality/dedup/balance) -> JSONL shards")
+    ce.add_argument("--seeds", required=True, help="seed VisitRequest file")
+    ce.add_argument("--pages", required=True, help="page-store dir")
+    ce.add_argument("--out", required=True, help="crawl artifact dir")
+    ce.add_argument("--corpus", required=True, help="JSONL shard output dir")
+    ce.add_argument("--shards", type=int, default=4)
+    ce.add_argument("--budget", type=int, default=4096)
+    ce.add_argument("--max-depth", type=int, default=8)
+    ce.add_argument("--buckets", type=int, default=16)
+    ce.add_argument("--min-tokens", type=int, default=10)
+    ce.add_argument("--plain", action="store_true", help="no gzip")
+
     q = sub.add_parser("query", help="run a registered pipeline over an sf dir")
     q.add_argument("name", nargs="?", default=None,
                    help="registry query name (omit to list all)")
@@ -162,6 +176,52 @@ def main(argv: list[str] | None = None) -> int:
         manifest = export_jsonl(ds, args.out, compress=not args.plain).to_pandas()
         print(json.dumps({"out": args.out, "files": len(manifest),
                           "rows": int(manifest["n_records"].sum())}))
+    elif args.cmd == "corpus":
+        _init_ray(args.num_cpus)
+        import numpy as np
+        import pyarrow as pa
+
+        from monocator_ray import report
+        from monocator_ray.crawl.driver import CrawlConfig, crawl
+        from monocator_ray.hashing import hash_str64
+        from monocator_ray.pipelines.docs import curate_dataset
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.jsonl import export_jsonl
+        from monocator_ray.sources.seeds import read_seeds, requests_to_seed_urls
+
+        ensure_shipped()
+        # a seed file of full URLs seeds those exact pages; a domain list
+        # goes through VisitRequests and seeds each host's root
+        with open(args.seeds) as fh:
+            lines = [x.strip() for x in fh if x.strip()]
+        if lines and "://" in lines[0]:
+            from monocator_ray.urlnorm import canonicalize_url
+
+            seed_urls = [u for u in (canonicalize_url(x) for x in lines) if u]
+        else:
+            reqs = pa.Table.from_pandas(read_seeds(args.seeds).to_pandas())
+            seed_urls = requests_to_seed_urls(reqs)
+        cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
+                          max_depth=args.max_depth, num_buckets=args.buckets)
+        res = crawl(seed_urls, args.pages, args.out, cfg)
+        pages = report._read_artifact(args.out, "pages")
+
+        def to_docs(t: pa.Table) -> pa.Table:
+            ids = hash_str64(t["url"].to_pylist()).view(np.int64)
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": t["text"]})
+
+        corpus = curate_dataset(
+            pages.map_batches(to_docs, batch_format="pyarrow"),
+            min_tokens=args.min_tokens, keep_text=True,
+        ).materialize()
+        manifest = export_jsonl(corpus, args.corpus,
+                                compress=not args.plain).to_pandas()
+        print(json.dumps({
+            "fetched": res.fetched, "epochs": res.epochs,
+            "corpus_docs": int(manifest["n_records"].sum()),
+            "shards": len(manifest), "corpus": args.corpus,
+        }))
     elif args.cmd == "query":
         from monocator_ray.pipelines.registry import REGISTRY
 

@@ -589,10 +589,13 @@ def q_curate_corpus(sf_dir: str, min_tokens: int = 25) -> rd.Dataset:
     return curate_dataset(_docs(sf_dir, ["doc_id", "text"]), min_tokens)
 
 
-def curate_dataset(ds: rd.Dataset, min_tokens: int = 25) -> rd.Dataset:
+def curate_dataset(ds: rd.Dataset, min_tokens: int = 25,
+                   keep_text: bool = False) -> rd.Dataset:
     """The q_curate_corpus pipeline over ANY (doc_id, text) Dataset —
     shared by the driver-table query and the crawl→corpus bridge
-    (registry.q_crawl_corpus feeds it the crawl's pages artifact)."""
+    (registry.q_crawl_corpus feeds it the crawl's pages artifact).
+    ``keep_text`` carries the text through the dedup shuffle (the corpus
+    EXPORT path needs the payload; the counting queries do not)."""
     from monocator_ray.stages.textstats import Fingerprinter, LangId, token_count
 
     ensure_shipped()
@@ -608,6 +611,8 @@ def curate_dataset(ds: rd.Dataset, min_tokens: int = 25) -> rd.Dataset:
             out["n_tokens"] = token_count(batch["text"])
             fp = self.fp(batch[["text"]].copy())["fingerprint"]
             out["fp"] = fp.to_numpy().view(np.int64)  # int64 shuffle key
+            if keep_text:
+                out["text"] = batch["text"].fillna("")
             return out
 
     def gate(t: pa.Table) -> pa.Table:

@@ -184,3 +184,39 @@ def test_export_jsonl_roundtrip(tmp_path):
     with pytest.raises(Exception) as ei:
         export_jsonl(bad, str(tmp_path / "bad")).materialize()
     assert "JSON-unfriendly" in str(ei.value)
+
+
+def test_cli_corpus_end_to_end(tmp_path):
+    """One command: crawl -> curate -> JSONL shards; the shards read back
+    as curated docs (exact dedup + token gate applied)."""
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "monocator_ray", "--num-cpus", "4", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    web = tmp_path / "web"
+    run("synth", "--dest", str(web), "--pages", "200", "--hosts", "5",
+        "--buckets", "2")
+    seeds = tmp_path / "seeds.txt"
+    # URL seeds: the synth store serves /p0.. pages, not host roots
+    seeds.write_text("".join(f"http://host{i}.example/p0\n" for i in range(5)))
+    out = run("corpus", "--seeds", str(seeds), "--pages", str(web),
+              "--out", str(tmp_path / "crawl"), "--corpus", str(tmp_path / "jsonl"),
+              "--shards", "2", "--buckets", "2", "--budget", "64")
+    assert out["fetched"] > 50
+    assert out["corpus_docs"] > 0 and out["shards"] >= 1
+
+    import ray.data as rd
+
+    from monocator_ray.sources.jsonl import read_jsonl
+
+    back = read_jsonl(str(tmp_path / "jsonl")).to_pandas()
+    assert len(back) == out["corpus_docs"]
+    assert {"doc_id", "text"} <= set(back.columns)
+    assert back["doc_id"].is_unique
