@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "image_dupes",
     "watermark_windows",
     "host_pagerank",
+    "dedup_keep_longest",
+    "customer_order_list",
 ]
 
 

@@ -3222,3 +3222,46 @@ def q_image_dupes(sf_dir: str, max_hamming: int = 3) -> rd.Dataset:
         ["media_a", "media_b", "hamming"], num_parts=32,
     )
     return _finish_pairs(out, ["media_a", "media_b"], empty)
+
+
+# ---- exact dedup, keep-LONGEST survivor (oracle) ----
+def q_dedup_keep_longest(sf_dir: str) -> rd.Dataset:
+    """Exact dedup with the other production keep-rule: per normalized-text
+    group keep the LONGEST document (by the table's n_chars attribute),
+    ties to the smallest doc_id — "keep the richest copy", vs
+    q_dedup_exact's first-wins.  The argmax is ENCODED as one max-able
+    int64 (``score = (n_chars+1) * 2^31 - doc_id``; doc_id < 2^31 by the
+    table contract), so the plan is the same single partitioned aggregate
+    as dedup_exact — no per-group argmax pass — and the DuckDB oracle
+    decodes the identical arithmetic.  Output (doc_id, n_chars, n_dups)."""
+    ds = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["score"] = (
+            (batch["n_chars"].astype(np.int64) + 1) * np.int64(2**31)
+            - batch["doc_id"].astype(np.int64)
+        )
+        return batch
+
+    scored = ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas").map_batches(
+        score, batch_format="pandas"
+    )
+    agg = partitioned_aggregate(
+        scored, ["fingerprint"],
+        [("score", "max"), ("doc_id", "count")],
+        ["fingerprint", "ms", "n_dups"],
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        ms = t["ms"].to_numpy(zero_copy_only=False)
+        nc = (ms + (2**31 - 1)) // np.int64(2**31) - 1
+        did = (nc + 1) * np.int64(2**31) - ms
+        return pa.table(
+            {
+                "doc_id": pa.array(did, pa.int64()),
+                "n_chars": pa.array(nc, pa.int64()),
+                "n_dups": pc.cast(t["n_dups"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(decode, batch_format="pyarrow").sort("doc_id")

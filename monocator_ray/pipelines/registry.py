@@ -322,6 +322,23 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # exact dedup, keep-LONGEST survivor: argmax encoded as one max-able
+    # int64 (score = (n_chars+1)*2^31 - doc_id), same decode both sides
+    "dedup_keep_longest": (
+        D.q_dedup_keep_longest,
+        r"""
+        WITH s AS (
+          SELECT TRIM(regexp_replace(text, '\s+', ' ', 'g')) AS norm,
+                 (n_chars + 1) * 2147483648 - doc_id AS score
+          FROM documents),
+        m AS (SELECT norm, MAX(score) AS ms, COUNT(*) AS n_dups
+              FROM s GROUP BY norm)
+        SELECT CAST(((ms + 2147483647) // 2147483648) * 2147483648 - ms AS BIGINT) AS doc_id,
+               CAST((ms + 2147483647) // 2147483648 - 1 AS BIGINT) AS n_chars,
+               CAST(n_dups AS BIGINT) AS n_dups
+        FROM m ORDER BY doc_id
+        """,
+    ),
     "token_stats": (
         D.q_token_stats,
         """
@@ -1050,6 +1067,15 @@ REGISTRY: dict = {
           ON a.lang = b.lang AND a.doc_id < b.doc_id
          AND abs(a.n_chars - b.n_chars) <= 32
         WHERE levenshtein(a.text, b.text) <= 32
+        """,
+    ),
+    # ordered grouped string aggregation (string_agg ... ORDER BY shape)
+    "customer_order_list": (
+        R.q_customer_order_list,
+        """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orders_csv
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
     # grouped order statistics: exact lower median per customer — the

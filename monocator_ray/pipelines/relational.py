@@ -1438,3 +1438,43 @@ def q_watermark_windows(sf_dir: str, delay_min: int = 5) -> pa.Table:
         }
     ).sort_values("window_start").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- ordered grouped string aggregation (oracle) ----
+def q_customer_order_list(sf_dir: str) -> rd.Dataset:
+    """Per-customer comma-joined order-key list in key order — the ordered
+    string_agg shape (feature lists, session traces).  One hash partition
+    by customer; inside, one lexsort and a per-run join (string building
+    is inherently per-group; the sort and run detection stay vectorized).
+    Strings only materialize in the output rows, never on the driver."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey"])
+
+    _OUT = pa.schema(
+        [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+         ("orders_csv", pa.string())]
+    )
+
+    def agg_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, cust))
+        cust, okey = cust[order], okey[order]
+        starts, ends = run_boundaries(cust)
+        okey_str = okey.astype(str)
+        csv = [",".join(okey_str[s:e]) for s, e in zip(starts.tolist(), ends.tolist())]
+        return pa.table(
+            {
+                "o_custkey": pa.array(cust[starts], pa.int64()),
+                "n_orders": pa.array(ends - starts, pa.int64()),
+                "orders_csv": pa.array(csv, pa.string()),
+            }
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        agg_part,
+        num_parts=32,
+    ).sort("o_custkey")
