@@ -209,6 +209,7 @@ def label_propagation_components(pairs_ds, max_rounds: int = 20):
     """
     import pandas as pd
 
+    import ray.data as rd
     from ray.data.aggregate import Min, Sum
 
     def to_edges(b: pd.DataFrame) -> pd.DataFrame:
@@ -218,6 +219,33 @@ def label_propagation_components(pairs_ds, max_rounds: int = 20):
         self_a = pd.DataFrame({"doc_id": b["doc_a"], "nbr": b["doc_a"]})
         self_b = pd.DataFrame({"doc_id": b["doc_b"], "nbr": b["doc_b"]})
         return pd.concat([fwd, rev, self_a, self_b], ignore_index=True)
+
+    # adaptive small path (same bound as docs._SMALL_PAIRS): the pair list
+    # is fixed-width 16 B/row, so below the threshold a driver union-find
+    # beats rounds of distributed joins by their fixed cost alone; the
+    # large path stays the 100-TB route and tests force it via
+    # MONOCATOR_FORCE_LABELPROP=1
+    import os as _os
+
+    small = int(_os.environ.get("MONOCATOR_SMALL_PAIRS", "65536"))
+    forced = _os.environ.get("MONOCATOR_FORCE_LABELPROP") == "1"
+    if not forced and pairs_ds.count() <= small:
+        from monocator_ray.stages.grouped import collect_arrow
+
+        t = collect_arrow(pairs_ds)
+        if t.num_rows == 0:
+            return rd.from_arrow(
+                pa.table({"doc_id": pa.array([], pa.int64()),
+                          "cluster": pa.array([], pa.int64())})
+            )
+        comp = connected_components(
+            list(zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()))
+        )
+        ids = sorted(comp)
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array(ids, pa.int64()),
+                      "cluster": pa.array([comp[i] for i in ids], pa.int64())})
+        )
 
     edges = pairs_ds.map_batches(to_edges, batch_format="pandas").materialize()
     labels = (

@@ -290,9 +290,18 @@ def test_label_propagation_matches_union_find():
     pairs = [tuple(sorted(p)) for p in rng.randint(0, 40, size=(60, 2)).tolist()]
     want = connected_components(pairs)
     ds = rd.from_items([{"doc_a": a, "doc_b": b} for a, b in pairs])
-    got = label_propagation_components(ds).to_pandas()
+    import os
+
+    os.environ["MONOCATOR_FORCE_LABELPROP"] = "1"  # pin the DISTRIBUTED path
+    try:
+        got = label_propagation_components(ds).to_pandas()
+    finally:
+        del os.environ["MONOCATOR_FORCE_LABELPROP"]
     got_map = dict(zip(got["doc_id"], got["cluster"]))
     assert got_map == want
+    # the adaptive small path must agree exactly
+    small = label_propagation_components(ds).to_pandas()
+    assert dict(zip(small["doc_id"], small["cluster"])) == want
 
 
 # ---- text stats ----
