@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "host_pagerank",
     "dedup_keep_longest",
     "customer_order_list",
+    "incremental_dedup",
 ]
 
 

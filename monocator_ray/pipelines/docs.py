@@ -3265,3 +3265,44 @@ def q_dedup_keep_longest(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(decode, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- incremental exact dedup via the fingerprint store (oracle) ----
+def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
+    """Continuous-ingestion exact dedup: the corpus arrives in TWO
+    increments (doc_id below/above the median — arrival follows id order),
+    each ingested through :mod:`monocator_ray.sources.fpstore` — novel
+    docs survive, fingerprints of survivors append to the persistent
+    store as a new sorted-run generation, and the second increment's
+    probe reads only fence-intersecting shard files.  Because arrival
+    follows doc_id order, the union of both increments' survivors equals
+    one-shot first-wins dedup (MIN(doc_id) per normalized text), which is
+    the oracle.  The store is built fresh in a temp dir per call (a
+    rerun against a persisted store would correctly return zero novel
+    rows — not what the oracle compares)."""
+    import shutil
+    import tempfile
+
+    from monocator_ray.sources.fpstore import ingest
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    # split at the median id: one tiny sorted-head pass
+    ids = ds.select_columns(["doc_id"])
+    n = ids.count()
+    mid = ids.sort("doc_id").limit(max(1, n // 2)).max("doc_id")
+
+    first = ds.filter(expr=f"doc_id <= {mid}")
+    second = ds.filter(expr=f"doc_id > {mid}")
+    store = tempfile.mkdtemp(prefix="monocator_fpstore_")
+    try:
+        a = ingest(first, store)
+        b = ingest(second, store)
+        return (
+            a.select_columns(["doc_id"])
+            .union(b.select_columns(["doc_id"]))
+            .sort("doc_id")
+            .materialize()  # the store dir is removed in finally
+        )
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

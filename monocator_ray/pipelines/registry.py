@@ -322,6 +322,17 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # incremental exact dedup through the persistent fingerprint store:
+    # id-ordered two-increment arrival == one-shot first-wins
+    "incremental_dedup": (
+        D.q_incremental_dedup,
+        r"""
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY TRIM(regexp_replace(text, '\s+', ' ', 'g'))
+        ORDER BY doc_id
+        """,
+    ),
     # exact dedup, keep-LONGEST survivor: argmax encoded as one max-able
     # int64 (score = (n_chars+1)*2^31 - doc_id), same decode both sides
     "dedup_keep_longest": (

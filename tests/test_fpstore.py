@@ -1,0 +1,61 @@
+"""Persistent fingerprint store (sources/fpstore.py): incremental exact
+dedup — generation layout, fence-pruned probes, idempotent re-ingest."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs_tbl(rows):
+    return rd.from_arrow(pa.table(
+        {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+         "text": pa.array([r[1] for r in rows], pa.string())}
+    ))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_ingest_equals_one_shot_dedup(tmp_path):
+    from monocator_ray.sources.fpstore import ingest, store_size
+
+    batch1 = [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha  beta "),
+              (3, "unique one")]
+    batch2 = [(10, "alpha beta"), (11, "new text here"), (12, "gamma delta"),
+              (13, "new text here"), (14, "another fresh doc")]
+    store = str(tmp_path / "fp")
+    a = ingest(_docs_tbl(batch1), store).to_pandas()
+    # within-increment first-wins: doc 2 is a whitespace-dup of doc 0
+    assert sorted(a["doc_id"]) == [0, 1, 3]
+    b = ingest(_docs_tbl(batch2), store).to_pandas()
+    # 10/12 already in the store; 13 dups 11 within the increment
+    assert sorted(b["doc_id"]) == [11, 14]
+    assert store_size(store) == 5
+
+    # idempotence: re-ingesting anything already accepted yields nothing
+    again = ingest(_docs_tbl(batch1 + batch2), store).to_pandas()
+    assert len(again) == 0
+    assert store_size(store) == 5
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fpstore_generations_and_fences(tmp_path):
+    import json
+    import os
+
+    from monocator_ray.sources.fpstore import _fences, ingest
+
+    store = str(tmp_path / "fp")
+    ingest(_docs_tbl([(i, f"text number {i}") for i in range(50)]), store)
+    ingest(_docs_tbl([(100 + i, f"other {i}") for i in range(30)]), store)
+    runs = sorted(d for d in os.listdir(store) if d.startswith("run="))
+    assert runs == ["run=0", "run=1"]
+    fences = _fences(store)
+    assert sum(1 for f in fences) >= 2
+    # every fence is a real sorted shard within its declared range
+    import pyarrow.parquet as pq
+
+    for f in fences:
+        fp = pq.read_table(f["path"])["fp"].to_numpy()
+        assert fp[0] == f["lo"] and fp[-1] == f["hi"]
+        assert (np.diff(fp) > 0).all()
