@@ -106,6 +106,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--out", default=None,
                    help="write the result as parquet here instead of printing")
     q.add_argument("--limit", type=int, default=20, help="print at most N rows")
+    q.add_argument("--stats", action="store_true",
+                   help="print ds.stats() (per-stage wall/CPU breakdown)")
 
     args = p.parse_args(argv)
     import ray
@@ -253,9 +255,13 @@ def main(argv: list[str] | None = None) -> int:
                 n = tbl.num_rows
             print(json.dumps({"query": args.name, "out": args.out, "rows": int(n)}))
         else:
+            if args.stats and isinstance(res, rd.Dataset):
+                res = res.materialize()
             df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
             with pd.option_context("display.max_columns", None, "display.width", 200):
                 print(df.head(args.limit).to_string(index=False))
+            if args.stats and isinstance(res, rd.Dataset):
+                print(res.stats())
             print(json.dumps({"query": args.name, "rows": int(len(df))}))
     elif args.cmd == "report":
         _init_ray(args.num_cpus)

@@ -59,3 +59,31 @@ def test_fpstore_generations_and_fences(tmp_path):
         fp = pq.read_table(f["path"])["fp"].to_numpy()
         assert fp[0] == f["lo"] and fp[-1] == f["hi"]
         assert (np.diff(fp) > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fpstore_ignores_and_overwrites_crashed_generation(tmp_path):
+    """A generation without _MANIFEST.json (crashed before commit) must be
+    invisible to probes and safely overwritten by the next ingest."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monocator_ray.sources.fpstore import ingest, store_size
+
+    store = str(tmp_path / "fp")
+    ingest(_docs_tbl([(0, "committed doc")]), store)
+    # simulate a crashed second ingest: shard written, manifest missing
+    crashed = os.path.join(store, "run=1")
+    os.makedirs(crashed)
+    pq.write_table(
+        pa.table({"fp": pa.array([123456789], pa.int64())}),
+        os.path.join(crashed, "fp-deadbeef.parquet"),
+    )
+    assert store_size(store) == 1  # uncommitted run not counted
+    out = ingest(_docs_tbl([(5, "after the crash"), (6, "committed doc")]),
+                 store).to_pandas()
+    # 6 dups the committed doc; 5 is novel even though a stale shard existed
+    assert sorted(out["doc_id"]) == [5]
+    assert store_size(store) == 2
+    assert os.path.exists(os.path.join(crashed, "_MANIFEST.json"))
