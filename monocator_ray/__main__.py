@@ -206,7 +206,13 @@ def main(argv: list[str] | None = None) -> int:
         cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
                           max_depth=args.max_depth, num_buckets=args.buckets)
         res = crawl(seed_urls, args.pages, args.out, cfg)
-        pages = report._read_artifact(args.out, "pages")
+        from monocator_ray.crawl.driver import artifact_files
+        from monocator_ray.sources.tables import sized_read_parquet
+
+        # read ONLY url+text: the html payload dominates the artifact's
+        # bytes and to_docs discards it
+        pages = sized_read_parquet(artifact_files(args.out),
+                                   columns=["url", "text"])
 
         def to_docs(t: pa.Table) -> pa.Table:
             ids = hash_str64(t["url"].to_pylist()).view(np.int64)

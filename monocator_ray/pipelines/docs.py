@@ -79,8 +79,9 @@ _SMALL_PAIRS = int(os.environ.get("MONOCATOR_SMALL_PAIRS", "65536"))
 
 import re as _re_mod
 
+from monocator_ray.stages.textstats import _WS_SPLIT as _WS_SPLIT_G
+
 _RE_ALPHA = _re_mod.compile(r"[A-Za-z]")
-_WS_SPLIT_G = _re_mod.compile(r"[\t\n\f\r ]+")
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
@@ -2835,7 +2836,13 @@ def q_dedup_substrings(sf_dir: str, n: int = 5) -> rd.Dataset:
     ensure_shipped()
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    _EXP = pa.schema(
+        [("gram_hash", pa.int64()), ("doc_id", pa.int64()), ("start", pa.int64())]
+    )
+
     def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty blocks occur; np.repeat would raise
+            return _EXP.empty_table()
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         per = [ngram_hashes_positional(x or "", n) for x in t["text"].to_pylist()]
         counts = np.array([p.size for p in per], dtype=np.int64)

@@ -1318,10 +1318,9 @@ def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
 
     def binned(t: pa.Table) -> pa.Table:
         cents = _cents(t["value"])
-        b = pc.cast(
-            pc.floor(pc.divide(pc.cast(cents, pa.float64()), float(width_cents))),
-            pa.int64(),
-        )
+        # exact int64 division (values nonnegative): the float path loses
+        # exactness past 2^53 and can round across a bin boundary
+        b = pc.divide(cents, pa.scalar(width_cents, pa.int64()))
         return pa.table({"bin": b, "cents": cents})
 
     pdf = driver_grouped_agg(

@@ -88,12 +88,12 @@ class _ShardProber:
 
     def _shard(self, path: str) -> np.ndarray:
         key = (path, os.stat(path).st_mtime_ns)
-        arr = self.cache.get(key)
+        arr = self.cache.pop(key, None)  # pop+reinsert = move-to-end (LRU)
         if arr is None:
             if len(self.cache) >= self.cache_shards:
                 self.cache.pop(next(iter(self.cache)))
             arr = pq.read_table(path)["fp"].to_numpy(zero_copy_only=False)
-            self.cache[key] = arr
+        self.cache[key] = arr
         return arr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -181,8 +181,17 @@ def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset
     ).materialize()
 
     # append the new generation: range partition by fingerprint so each
-    # shard file is a sorted, fence-able run
-    gen = len(_runs(store_dir))
+    # shard file is a sorted, fence-able run.  Number by MAX existing run
+    # index (committed or not) — len(committed) would renumber into a gap
+    # and destroy a committed generation; a crashed (manifest-less) dir at
+    # the max index is the only thing safe to overwrite, so reuse it
+    idx = [int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
+           if d.startswith("run=")] if os.path.isdir(store_dir) else []
+    gen = max(idx) + 1 if idx else 0
+    if idx and not os.path.exists(
+        os.path.join(store_dir, f"run={max(idx)}", "_MANIFEST.json")
+    ):
+        gen = max(idx)  # crashed attempt: rewrite in place
     run_dir = os.path.join(store_dir, f"run={gen}")
     os.makedirs(run_dir, exist_ok=True)
     for f in os.listdir(run_dir):  # crashed attempt: clear before rewrite

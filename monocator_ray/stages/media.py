@@ -547,8 +547,10 @@ class ImageDHasher:
 def synth_image_dup_table(n: int = 48, seed: int = 7) -> pa.Table:
     """Deterministic image table with PLANTED duplicates: for every base
     image (i % 4 == 0) the next row is an exact byte copy and the one after
-    a +3-on-one-channel single-pixel perturbation (tiny luma shift -> tiny
-    dhash hamming); i % 4 == 3 rows are fresh unrelated images."""
+    a SINGLE-PIXEL INVERSION — nearness comes from resize bit locality
+    (one source pixel maps to ~one 9x8 cell at these sizes, so at most
+    ~2 dhash bits flip), not from the perturbation's luma magnitude;
+    i % 4 == 3 rows are fresh unrelated images."""
     rng = np.random.RandomState(seed)
     payloads = []
     base = None

@@ -87,3 +87,27 @@ def test_fpstore_ignores_and_overwrites_crashed_generation(tmp_path):
     assert sorted(out["doc_id"]) == [5]
     assert store_size(store) == 2
     assert os.path.exists(os.path.join(crashed, "_MANIFEST.json"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fpstore_gap_in_runs_never_clobbers_committed_generation(tmp_path):
+    """run=0 removed out-of-band (compaction/cleanup): the next ingest must
+    number PAST the surviving committed run, not renumber into the gap and
+    destroy it (review finding r2g)."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.fpstore import ingest, store_size
+
+    store = str(tmp_path / "fp")
+    ingest(_docs_tbl([(0, "gen zero doc")]), store)
+    ingest(_docs_tbl([(1, "gen one doc")]), store)
+    shutil.rmtree(os.path.join(store, "run=0"))
+    out = ingest(_docs_tbl([(2, "gen one doc"), (3, "fresh doc")]),
+                 store).to_pandas()
+    # doc 2 must still be recognized as a dup of the SURVIVING run=1
+    assert sorted(out["doc_id"]) == [3]
+    assert sorted(d for d in os.listdir(store) if d.startswith("run=")) == [
+        "run=1", "run=2"
+    ]
+    assert store_size(store) == 2
