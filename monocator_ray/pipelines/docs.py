@@ -90,9 +90,10 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 def _collect_table(ds: rd.Dataset) -> pa.Table:
-    refs = ds.to_arrow_refs()
-    tables = [t for t in ray.get(refs) if t.num_rows]
-    return pa.concat_tables(tables) if tables else None
+    """collect_arrow with this module's None-on-empty convention (callers
+    branch on None); one implementation of the zero-column-block filter."""
+    t = collect_arrow(ds)
+    return t if t.num_rows else None
 
 
 def _finish_pairs(ds: rd.Dataset, keys: list[str], empty: pa.Table) -> rd.Dataset:
