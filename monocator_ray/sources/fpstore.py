@@ -238,3 +238,76 @@ def store_size(store_dir: str) -> int:
     """Total accepted fingerprints across all complete generations."""
     return sum(f["rows"] for d in _runs(store_dir)
                for f in json.load(open(os.path.join(d, "_MANIFEST.json"))))
+
+
+def compact(store_dir: str, num_shards: int = 16) -> int:
+    """LSM compaction: merge every committed generation into ONE new
+    generation of sorted shards, then drop the inputs.  Probe cost scales
+    with the fence count, so periodic compaction keeps a long-lived store's
+    probes at one shard read per range instead of one per ingest.
+
+    Crash-safe in the store's own terms: the merged generation is written
+    at the next run index with the usual manifest-last commit, and the
+    input runs are deleted only AFTER that commit — a crash in between
+    leaves duplicate fingerprints across runs, which probes tolerate
+    (membership is idempotent) and the next compaction removes.  Returns
+    the number of fingerprints in the compacted generation."""
+    ensure_shipped()
+    runs = _runs(store_dir)
+    if len(runs) <= 1:
+        return store_size(store_dir)
+    files = [f["path"] for f in _fences(store_dir)]
+    merged = rd.read_parquet(files) if files else None
+
+    # distinct (generations may share a fingerprint only via the
+    # crash-window above, but compaction must converge regardless)
+    _OUT = pa.schema([("fp", pa.int64())])
+
+    def distinct_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        fp = np.unique(t["fp"].to_numpy(zero_copy_only=False))
+        return pa.table({"fp": pa.array(fp, pa.int64())})
+
+    gen = max(int(d.split("=", 1)[1]) for d in os.listdir(store_dir)
+              if d.startswith("run=")) + 1
+    run_dir = os.path.join(store_dir, f"run={gen}")
+    os.makedirs(run_dir, exist_ok=True)
+
+    _SHARD_OUT = pa.schema(
+        [("file", pa.string()), ("lo", pa.int64()), ("hi", pa.int64()),
+         ("rows", pa.int64())]
+    )
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SHARD_OUT.empty_table()
+        fp = np.sort(t["fp"].to_numpy(zero_copy_only=False))
+        name = f"fp-{int(fp[0]) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
+        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}),
+                       os.path.join(run_dir, name))
+        return pa.table(
+            {"file": pa.array([name], pa.string()),
+             "lo": pa.array([int(fp[0])], pa.int64()),
+             "hi": pa.array([int(fp[-1])], pa.int64()),
+             "rows": pa.array([len(fp)], pa.int64())}
+        )
+
+    def range_key(t: pa.Table) -> list:
+        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return [(fp >> np.uint64(64 - 4))]
+
+    distinct = hash_partitioned(merged, lambda t: [
+        t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+    ], distinct_part, num_parts=num_shards).materialize()
+    manifest = collect_arrow(
+        hash_partitioned(distinct, range_key, write_shard, num_parts=num_shards)
+    )
+    recs = manifest.to_pylist() if manifest.num_rows else []
+    with open(os.path.join(run_dir, "_MANIFEST.json"), "w") as fh:
+        json.dump(recs, fh)  # commit point
+    import shutil
+
+    for d in runs:  # inputs dropped only after the commit
+        shutil.rmtree(d)
+    return sum(r["rows"] for r in recs)

@@ -111,3 +111,22 @@ def test_fpstore_gap_in_runs_never_clobbers_committed_generation(tmp_path):
         "run=1", "run=2"
     ]
     assert store_size(store) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fpstore_compaction_preserves_membership(tmp_path):
+    import os
+
+    from monocator_ray.sources.fpstore import compact, ingest, store_size
+
+    store = str(tmp_path / "fp")
+    for g in range(3):
+        ingest(_docs_tbl([(g * 10 + i, f"doc {g} {i}") for i in range(8)]), store)
+    assert store_size(store) == 24
+    n = compact(store)
+    assert n == 24 and store_size(store) == 24
+    runs = [d for d in os.listdir(store) if d.startswith("run=")]
+    assert runs == ["run=3"]
+    # membership identical after compaction: re-ingest of anything seen -> 0
+    out = ingest(_docs_tbl([(99, "doc 1 3"), (100, "brand new")]), store).to_pandas()
+    assert sorted(out["doc_id"]) == [100]
