@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "dedup_keep_longest",
     "customer_order_list",
     "incremental_dedup",
+    "incremental_token_stats",
 ]
 
 

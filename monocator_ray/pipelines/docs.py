@@ -3314,3 +3314,41 @@ def q_incremental_dedup(sf_dir: str) -> rd.Dataset:
         )
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---- incremental materialized token stats (aggstore; oracle) ----
+def q_incremental_token_stats(sf_dir: str) -> pa.Table:
+    """Materialized-view maintenance for q_token_stats: the corpus arrives
+    in two id-ordered increments, each folding O(langs) partials into the
+    persistent store (:mod:`monocator_ray.sources.aggstore`, atomic
+    rename-committed generations), and the view reads back as the merge of
+    all generations — O(increment) per refresh instead of O(corpus).
+    sum/count/min/max are decomposable, so the result is EXACTLY the
+    one-shot aggregate and shares q_token_stats' SQL oracle."""
+    import shutil
+    import tempfile
+
+    from monocator_ray.sources.aggstore import ingest_partials, read_merged
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+    ids = ds.select_columns(["doc_id"])
+    n = ids.count()
+    mid = ids.sort("doc_id").limit(max(1, n // 2)).max("doc_id")
+
+    aggs = [("n_tokens", "count"), ("n_tokens", "sum"),
+            ("n_tokens", "max"), ("n_tokens", "min")]
+    names = ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"]
+    store = tempfile.mkdtemp(prefix="monocator_aggstore_")
+    try:
+        for half in (ds.filter(expr=f"doc_id <= {mid}"),
+                     ds.filter(expr=f"doc_id > {mid}")):
+            counted = half.map_batches(cached_stage(TokenCounter),
+                                       batch_format="pandas")
+            ingest_partials(counted, store, ["lang"], aggs, names)
+        out = read_merged(store, ["lang"])
+        for c in names[1:]:
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

@@ -322,6 +322,21 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # incremental materialized token stats: two aggstore ingests folded
+    # == the one-shot aggregate (decomposable partials), same oracle
+    "incremental_token_stats": (
+        D.q_incremental_token_stats,
+        """
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+        FROM t GROUP BY lang ORDER BY lang
+        """,
+    ),
     # incremental exact dedup through the persistent fingerprint store:
     # id-ordered two-increment arrival == one-shot first-wins
     "incremental_dedup": (

@@ -1,0 +1,73 @@
+"""Persistent mergeable-aggregate store: incremental MATERIALIZED VIEW
+maintenance for decomposable aggregates (sum / count / min / max).
+
+The one-shot queries recompute their aggregate from the whole corpus; a
+continuously-ingesting pipeline instead keeps the VIEW's partials on disk
+and folds each increment in — O(increment) work per refresh instead of
+O(corpus), the classic partial-aggregate maintenance argument (and the
+same per-batch-partials shape grouped.driver_grouped_agg streams through,
+here persisted between runs).
+
+Layout under ``store_dir``: one ``run=<gen>.parquet`` partial table per
+ingested increment, committed ATOMICALLY via temp-file + ``os.replace``
+(a crashed ingest leaves no visible generation).  ``read_merged`` folds
+all generations — the merge is the same combine the per-batch partials
+used, so (ingest A; ingest B; read) == one-shot over A ∪ B exactly for
+integer-count partials.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.stages.grouped import driver_grouped_agg
+
+# fold rule per non-key column, by name prefix convention
+_FOLDS = {"n_": "sum", "total_": "sum", "sum_": "sum", "max_": "max", "min_": "min"}
+
+
+def _fold_of(col: str) -> str:
+    for prefix, how in _FOLDS.items():
+        if col.startswith(prefix):
+            return how
+    raise ValueError(f"column {col!r} has no fold rule (prefix one of {list(_FOLDS)})")
+
+
+def ingest_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
+                    aggs: list[tuple], names: list[str]) -> pd.DataFrame:
+    """Aggregate one increment (driver_grouped_agg semantics: the RESULT is
+    O(groups)) and append it as a new committed generation.  Returns the
+    increment's partial table."""
+    ensure_shipped()
+    os.makedirs(store_dir, exist_ok=True)
+    part = driver_grouped_agg(ds, key_cols, aggs, names)
+    gens = [int(f[4:-8]) for f in os.listdir(store_dir)
+            if f.startswith("run=") and f.endswith(".parquet")]
+    gen = max(gens) + 1 if gens else 0
+    fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(part, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(store_dir, f"run={gen}.parquet"))  # commit
+    return part
+
+
+def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
+    """Fold every committed generation into the current view (sorted by
+    key).  Fold rules come from the column-name convention (_FOLDS)."""
+    files = sorted(
+        os.path.join(store_dir, f) for f in os.listdir(store_dir)
+        if f.startswith("run=") and f.endswith(".parquet")
+    )
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    allp = pd.concat(frames, ignore_index=True)
+    how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}
+    out = allp.groupby(key_cols, as_index=False).agg(how)
+    return out.sort_values(key_cols).reset_index(drop=True)

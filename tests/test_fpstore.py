@@ -130,3 +130,52 @@ def test_fpstore_compaction_preserves_membership(tmp_path):
     # membership identical after compaction: re-ingest of anything seen -> 0
     out = ingest(_docs_tbl([(99, "doc 1 3"), (100, "brand new")]), store).to_pandas()
     assert sorted(out["doc_id"]) == [100]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_aggstore_incremental_equals_one_shot(tmp_path):
+    """Fold(ingest A, ingest B) == one-shot aggregate over A ∪ B, and a
+    crashed (temp-file) generation is invisible."""
+    import os
+
+    from monocator_ray.sources.aggstore import ingest_partials, read_merged
+
+    rows_a = [(i, f"word {'x ' * (i % 5)}", "en" if i % 2 else "fr")
+              for i in range(20)]
+    rows_b = [(100 + i, f"more {'y ' * (i % 7)}", "nl" if i % 3 else "en")
+              for i in range(30)]
+
+    def tbl(rows):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+             "text": pa.array([r[1] for r in rows], pa.string()),
+             "lang": pa.array([r[2] for r in rows], pa.string())}
+        ))
+
+    from monocator_ray.stages.grouped import cached_stage, driver_grouped_agg
+    from monocator_ray.stages.textstats import TokenCounter
+
+    aggs = [("n_tokens", "count"), ("n_tokens", "sum"),
+            ("n_tokens", "max"), ("n_tokens", "min")]
+    names = ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"]
+
+    def counted(ds):
+        return ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+
+    store = str(tmp_path / "agg")
+    ingest_partials(counted(tbl(rows_a)), store, ["lang"], aggs, names)
+    # plant a crashed generation: temp file never renamed
+    open(os.path.join(store, "garbage.tmp"), "w").write("x")
+    ingest_partials(counted(tbl(rows_b)), store, ["lang"], aggs, names)
+    got = read_merged(store, ["lang"])
+
+    want = (
+        driver_grouped_agg(counted(tbl(rows_a + rows_b)), ["lang"], aggs, names)
+        .sort_values("lang").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.astype({c: "int64" for c in names[1:]}),
+        want.astype({c: "int64" for c in names[1:]}),
+    )
