@@ -16,25 +16,38 @@ from monocator_ray.pipelines import graph as G
 from monocator_ray.pipelines import relational as R
 
 
+_CRAWLED_THIS_PROCESS = False
+
+
 def q_crawl_flagship(sf_dir: str):
     """Flagship crawl (rows-only): deterministic synthetic web -> epoch crawl
     -> visit_log.  sf_dir only keys the cache dir (the crawl input is the
-    SPEC pages table, synthesized — TESTDATA tables are not pages)."""
+    SPEC pages table, synthesized — TESTDATA tables are not pages).
+
+    The crawl runs once per PROCESS (five registry queries read its
+    artifacts; the crawl is deterministic, so re-running it in the same
+    session only re-pays its wall time).  The cache is deliberately NOT
+    on-disk: a fresh process always recrawls, so stale artifacts can never
+    mask a code change in a correctness run."""
     import os
 
     from monocator_ray.crawl.driver import CrawlConfig, crawl, read_visit_log
     from monocator_ray.sources.synth import SynthSpec, write_synth_pages
     from monocator_ray.state.robots import synth_robots
 
+    global _CRAWLED_THIS_PROCESS
     total, hosts, buckets = 600, 20, 8
     web = "/tmp/monocator_q_crawl_web"
     out = "/tmp/monocator_q_crawl_out"
+    if _CRAWLED_THIS_PROCESS:
+        return read_visit_log(out)
     if not os.path.isdir(web):
         write_synth_pages(web, total, hosts, buckets, use_ray=False)
     spec = SynthSpec(total, hosts)
     cfg = CrawlConfig(num_shards=4, budget_per_epoch=128, max_depth=4, link_cap=16,
                       num_buckets=buckets, fetch_concurrency=2, extract_concurrency=2)
     crawl(spec.seeds(10), web, out, cfg, robots=synth_robots(hosts))
+    _CRAWLED_THIS_PROCESS = True
     return read_visit_log(out)
 
 
