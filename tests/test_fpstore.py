@@ -179,3 +179,34 @@ def test_aggstore_incremental_equals_one_shot(tmp_path):
         got.astype({c: "int64" for c in names[1:]}),
         want.astype({c: "int64" for c in names[1:]}),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fpstore_random_splits_match_one_shot(tmp_path):
+    """Any id-ordered increment partition of any corpus folds to the same
+    survivor set as one-shot first-wins dedup (seeded random trials)."""
+    import numpy as np
+
+    from monocator_ray.sources.fpstore import ingest
+    from monocator_ray.stages.textstats import Fingerprinter
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        n = int(rng.randint(20, 60))
+        # small text alphabet => plenty of exact duplicates
+        texts = [" ".join(rng.choice(["aa", "bb", "cc", "dd"], size=3))
+                 for _ in range(n)]
+        rows = list(enumerate(texts))
+        cuts = sorted(rng.choice(range(1, n), size=2, replace=False).tolist())
+        parts = [rows[: cuts[0]], rows[cuts[0]: cuts[1]], rows[cuts[1]:]]
+        store = str(tmp_path / f"fp{trial}")
+        got = []
+        for p in parts:
+            if p:
+                got.extend(ingest(_docs_tbl(p), store).to_pandas()["doc_id"])
+        fp = Fingerprinter()(pd.DataFrame({"doc_id": range(n), "text": texts}))
+        want = sorted(
+            fp.groupby(fp["fingerprint"].to_numpy())["doc_id"].min().tolist()
+        )
+        assert sorted(got) == want, f"trial {trial}"
