@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "customer_order_list",
     "incremental_dedup",
     "incremental_token_stats",
+    "unicode_normalize",
 ]
 
 

@@ -3352,3 +3352,36 @@ def q_incremental_token_stats(sf_dir: str) -> pa.Table:
         return pa.Table.from_pandas(out, preserve_index=False)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+# ---- Unicode canonicalization (NFC; oracle) ----
+def q_unicode_normalize(sf_dir: str) -> rd.Dataset:
+    """Corpus canonicalization to NFC — the normalization pass every text
+    pipeline needs before dedup (composed vs decomposed accents hash
+    differently: 'e'+U+0301 vs U+00E9 are distinct strings with identical
+    rendering).  One shuffle-free map; output per doc: the normalized
+    text, its char count, and whether normalization changed anything.
+    Python unicodedata and DuckDB nfc_normalize implement the same
+    Unicode standard, so the oracle is exact (pinned on composed vs
+    decomposed fixtures — driver tables are ASCII where this is the
+    identity)."""
+    import unicodedata
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def norm(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        out = [unicodedata.normalize("NFC", x or "") for x in texts]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text_nfc": pa.array(out, pa.string()),
+                "n_chars_nfc": pa.array([len(x) for x in out], pa.int64()),
+                "changed": pa.array(
+                    [a != (b or "") for a, b in zip(out, texts)], pa.bool_()
+                ),
+            }
+        )
+
+    return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")

@@ -335,6 +335,17 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # NFC canonicalization: Python unicodedata == DuckDB nfc_normalize
+    # (same Unicode standard); the pre-dedup normalization pass
+    "unicode_normalize": (
+        D.q_unicode_normalize,
+        """
+        SELECT doc_id, nfc_normalize(text) AS text_nfc,
+               CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
+               (nfc_normalize(text) != text) AS changed
+        FROM documents ORDER BY doc_id
+        """,
+    ),
     # incremental materialized token stats: two aggstore ingests folded
     # == the one-shot aggregate (decomposable partials), same oracle
     "incremental_token_stats": (

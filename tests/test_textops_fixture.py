@@ -199,3 +199,35 @@ def test_gopher_filter_rules_bind(gopher_fixture_dir):
     assert not got.loc[8, "r_stop"]
     assert bool(got.loc[4, "keep"])  # bullet fraction under the bar
     assert not got.drop(index=[0, 4])["keep"].any()
+
+
+@pytest.fixture(scope="module")
+def unicode_fixture_dir(tmp_path_factory):
+    """Composed vs decomposed forms (driver tables are ASCII, where NFC is
+    the identity): e+COMBINING ACUTE -> é; compatibility chars unchanged
+    under NFC (ﬁ ligature stays); already-NFC text untouched."""
+    d = tmp_path_factory.mktemp("unicode")
+    texts = [
+        "caf" + "é" + " au lait",   # decomposed -> composed (changed)
+        "café au lait",              # already NFC (unchanged)
+        "the ﬁle name",              # NFC keeps the ﬁ ligature
+        "plain ascii text",
+        "Å ring " + "ö uml",  # Å and ö decomposed
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unicode_normalize_matches_oracle(unicode_fixture_dir):
+    got = _compare("unicode_normalize", unicode_fixture_dir).set_index("doc_id")
+    assert bool(got.loc[0, "changed"]) and got.loc[0, "text_nfc"] == "café au lait"
+    assert not got.loc[1, "changed"]
+    assert not got.loc[2, "changed"]  # NFC preserves compatibility chars
+    assert bool(got.loc[4, "changed"]) and got.loc[4, "text_nfc"] == "Å ring ö uml"
