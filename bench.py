@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "incremental_token_stats",
     "unicode_normalize",
+    "forecast_revenue",
 ]
 
 

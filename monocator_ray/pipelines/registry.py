@@ -335,6 +335,22 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # TPC-H Q6 shape: exact-integer price x discount (cents x basis
+    # points), float comparisons only in the FILTER (identical literals)
+    "forecast_revenue": (
+        R.q_forecast_revenue,
+        """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * CAST(ROUND(l_discount*100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents_bps,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+        """,
+    ),
     # NFC canonicalization: Python unicodedata == DuckDB nfc_normalize
     # (same Unicode standard); the pre-dedup normalization pass
     "unicode_normalize": (

@@ -1477,3 +1477,47 @@ def q_customer_order_list(sf_dir: str) -> rd.Dataset:
         agg_part,
         num_parts=32,
     ).sort("o_custkey")
+
+
+# ---- TPC-H Q6 shape: forecast revenue (exact-integer product; oracle) ----
+def q_forecast_revenue(sf_dir: str) -> pa.Table:
+    """The Q6 revenue-change forecast: SUM(price * discount) over a date
+    band, a discount band and a quantity cap — the classic
+    filter-then-reduce scan.  Exact integers both sides: price in cents
+    (int64) x discount in basis points (discounts are 2-decimal, so
+    ROUND(d*100) is exact) -> one int64 product per row; the result is
+    cents x 100 so neither side ever sums a float.  Shuffle-free: per-batch
+    Arrow filters + one scalar partial per batch, O(blocks) driver fold."""
+    ds = _read(sf_dir, "lineitem", ["l_shipdate", "l_discount", "l_quantity",
+                                    "l_extendedprice"])
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.03)),
+                        pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(keep)
+        cents = _cents(t["l_extendedprice"])
+        bps = pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+                      pa.int64())
+        rev = pc.sum(pc.multiply(cents, bps))
+        n = t.num_rows
+        return pa.table(
+            {"revenue_cents_bps": pa.array([rev.as_py() or 0], pa.int64()),
+             "n": pa.array([n], pa.int64())}
+        )
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return pa.table(
+        {
+            "revenue_cents_bps": pa.array([int(pdf["revenue_cents_bps"].sum())], pa.int64()),
+            "n": pa.array([int(pdf["n"].sum())], pa.int64()),
+        }
+    )
