@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "incremental_token_stats",
     "unicode_normalize",
     "forecast_revenue",
+    "user_activity_histogram",
 ]
 
 

@@ -335,6 +335,18 @@ REGISTRY: dict = {
         ORDER BY doc_id
         """,
     ),
+    # aggregate-of-aggregate: per-user count distribution (key-skew
+    # diagnostic shape)
+    "user_activity_histogram": (
+        R.q_user_activity_histogram,
+        """
+        WITH c AS (SELECT user_id, COUNT(*) AS n_events
+                   FROM events GROUP BY user_id)
+        SELECT CAST(n_events AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM c GROUP BY n_events ORDER BY n_events
+        """,
+    ),
     # TPC-H Q6 shape: exact-integer price x discount (cents x basis
     # points), float comparisons only in the FILTER (identical literals)
     "forecast_revenue": (

@@ -1521,3 +1521,23 @@ def q_forecast_revenue(sf_dir: str) -> pa.Table:
             "n": pa.array([int(pdf["n"].sum())], pa.int64()),
         }
     )
+
+
+# ---- aggregate-of-aggregate: user-activity distribution (oracle) ----
+def q_user_activity_histogram(sf_dir: str) -> pa.Table:
+    """Distribution of per-user event counts (the degree-distribution
+    shape): first a full-cardinality grouped count (one hash-partition
+    shuffle — users scale with the corpus), then the O(distinct counts)
+    histogram folds shuffle-free through per-batch partials.  The
+    two-level aggregate is the pattern behind every "how skewed are my
+    keys" diagnostic, including the crawl's own hot-host detection."""
+    ds = _read(sf_dir, "events", ["user_id"])
+    per_user = partitioned_aggregate(
+        ds, ["user_id"], [("user_id", "count")], ["user_id", "n_events"],
+    )
+    pdf = driver_grouped_agg(
+        per_user, ["n_events"], [("user_id", "count")], ["n_events", "n_users"]
+    ).sort_values("n_events").reset_index(drop=True)
+    pdf["n_events"] = pdf["n_events"].astype(np.int64)
+    pdf["n_users"] = pdf["n_users"].astype(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
