@@ -90,10 +90,12 @@ def _docs(sf_dir: str, columns=None) -> rd.Dataset:
 
 
 def _collect_table(ds: rd.Dataset) -> pa.Table:
-    """collect_arrow with this module's None-on-empty convention (callers
-    branch on None); one implementation of the zero-column-block filter."""
-    t = collect_arrow(ds)
-    return t if t.num_rows else None
+    """Driver collect with this module's None-on-empty convention.  Filters
+    zero-ROW blocks before concat (not just collect_arrow's zero-column
+    ones): an empty pandas batch degrades string columns to Arrow null
+    type, and such a block's schema would break pa.concat_tables."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(tables) if tables else None
 
 
 def _finish_pairs(ds: rd.Dataset, keys: list[str], empty: pa.Table) -> rd.Dataset:

@@ -27,8 +27,10 @@ def q_crawl_flagship(sf_dir: str):
     The crawl runs once per PROCESS (five registry queries read its
     artifacts; the crawl is deterministic, so re-running it in the same
     session only re-pays its wall time).  The cache is deliberately NOT
-    on-disk: a fresh process always recrawls, so stale artifacts can never
-    mask a code change in a correctness run."""
+    on-disk — a fresh process always recrawls, so stale artifacts can
+    never mask a code change — and the out dir is keyed by PID so a
+    concurrent process (bench beside pytest) can never clobber the
+    artifacts this process's cached reads point at."""
     import os
 
     from monocator_ray.crawl.driver import CrawlConfig, crawl, read_visit_log
@@ -38,7 +40,7 @@ def q_crawl_flagship(sf_dir: str):
     global _CRAWLED_THIS_PROCESS
     total, hosts, buckets = 600, 20, 8
     web = "/tmp/monocator_q_crawl_web"
-    out = "/tmp/monocator_q_crawl_out"
+    out = f"/tmp/monocator_q_crawl_out_{os.getpid()}"
     if _CRAWLED_THIS_PROCESS:
         return read_visit_log(out)
     if not os.path.isdir(web):
@@ -56,7 +58,9 @@ def q_domain_rollup_crawl(sf_dir: str):
     from monocator_ray import report
 
     q_crawl_flagship(sf_dir)  # ensure artifacts exist
-    return report.domain_rollup("/tmp/monocator_q_crawl_out")
+    import os
+
+    return report.domain_rollup(f"/tmp/monocator_q_crawl_out_{os.getpid()}")
 
 
 def q_anchor_texts(sf_dir: str):
@@ -66,7 +70,9 @@ def q_anchor_texts(sf_dir: str):
     from monocator_ray import report
 
     q_crawl_flagship(sf_dir)  # ensure artifacts exist
-    return report.anchor_texts("/tmp/monocator_q_crawl_out")
+    import os
+
+    return report.anchor_texts(f"/tmp/monocator_q_crawl_out_{os.getpid()}")
 
 
 def q_host_pagerank(sf_dir: str):
@@ -75,7 +81,9 @@ def q_host_pagerank(sf_dir: str):
     from monocator_ray.pipelines.graph import host_pagerank
 
     q_crawl_flagship(sf_dir)  # ensure artifacts exist
-    return host_pagerank("/tmp/monocator_q_crawl_out")
+    import os
+
+    return host_pagerank(f"/tmp/monocator_q_crawl_out_{os.getpid()}")
 
 
 def q_crawl_corpus(sf_dir: str):
@@ -85,6 +93,8 @@ def q_crawl_corpus(sf_dir: str):
     balance) — the end-to-end "web to training corpus" composition the
     engine exists for.  doc_id is the 64-bit url hash (int64 view), the
     same identity the crawl used."""
+    import os
+
     import numpy as np
     import pyarrow as pa
 
@@ -93,7 +103,7 @@ def q_crawl_corpus(sf_dir: str):
     from monocator_ray.pipelines.docs import curate_dataset
 
     q_crawl_flagship(sf_dir)  # ensure artifacts exist
-    pages = report._read_artifact("/tmp/monocator_q_crawl_out", "pages")
+    pages = report._read_artifact(f"/tmp/monocator_q_crawl_out_{os.getpid()}", "pages")
 
     def to_docs(t: pa.Table) -> pa.Table:
         ids = hash_str64(t["url"].to_pylist()).view(np.int64)
@@ -368,9 +378,9 @@ REGISTRY: dict = {
     "unicode_normalize": (
         D.q_unicode_normalize,
         """
-        SELECT doc_id, nfc_normalize(text) AS text_nfc,
-               CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars_nfc,
-               (nfc_normalize(text) != text) AS changed
+        SELECT doc_id, nfc_normalize(COALESCE(text, '')) AS text_nfc,
+               CAST(len(nfc_normalize(COALESCE(text, ''))) AS BIGINT) AS n_chars_nfc,
+               (nfc_normalize(COALESCE(text, '')) != COALESCE(text, '')) AS changed
         FROM documents ORDER BY doc_id
         """,
     ),

@@ -66,6 +66,11 @@ def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
         os.path.join(store_dir, f) for f in os.listdir(store_dir)
         if f.startswith("run=") and f.endswith(".parquet")
     )
+    if not files:
+        raise FileNotFoundError(
+            f"aggstore {store_dir!r} has no committed generations "
+            "(view read before its first refresh?)"
+        )
     frames = [pq.read_table(f).to_pandas() for f in files]
     allp = pd.concat(frames, ignore_index=True)
     how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}

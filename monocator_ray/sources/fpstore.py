@@ -160,6 +160,47 @@ def _dedup_first_wins(fp_ds: rd.Dataset, num_parts: int = 32) -> rd.Dataset:
     )
 
 
+_SHARD_OUT = pa.schema(
+    [("file", pa.string()), ("lo", pa.int64()), ("hi", pa.int64()),
+     ("rows", pa.int64())]
+)
+
+
+def _write_generation(fp_ds: rd.Dataset, run_dir: str, num_shards: int) -> list[dict]:
+    """Range-partition a (fp int64) Dataset into sorted shard files under
+    ``run_dir`` and return the manifest records (NOT yet committed — the
+    caller writes _MANIFEST.json last).  One implementation of the shard
+    format shared by ingest() and compact(); changing naming/fences in one
+    place keeps every generation readable."""
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SHARD_OUT.empty_table()
+        fp = np.sort(t["fp"].to_numpy(zero_copy_only=False))
+        # unsigned-hex min: partitions hold disjoint fp sets, so names never
+        # collide; Python's & gives the unsigned 64-bit value
+        name = f"fp-{int(fp[0]) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
+        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}),
+                       os.path.join(run_dir, name))
+        return pa.table(
+            {"file": pa.array([name], pa.string()),
+             "lo": pa.array([int(fp[0])], pa.int64()),
+             "hi": pa.array([int(fp[-1])], pa.int64()),
+             "rows": pa.array([len(fp)], pa.int64())}
+        )
+
+    def range_key(t: pa.Table) -> list:
+        # TOP bits of the (uniform) fingerprint: equal-width ranges, so
+        # shards are disjoint sorted runs and fences prune tightly
+        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
+        return [(fp >> np.uint64(64 - 4))]
+
+    manifest = collect_arrow(
+        hash_partitioned(fp_ds, range_key, write_shard, num_parts=num_shards)
+    )
+    return manifest.to_pylist() if manifest.num_rows else []
+
+
 def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset:
     """Ingest a (doc_id, text) increment: return the NOVEL survivors
     (first-wins within the increment, nothing already in the store) and
@@ -197,38 +238,7 @@ def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset
     for f in os.listdir(run_dir):  # crashed attempt: clear before rewrite
         os.remove(os.path.join(run_dir, f))
 
-    _SHARD_OUT = pa.schema(
-        [("file", pa.string()), ("lo", pa.int64()), ("hi", pa.int64()),
-         ("rows", pa.int64())]
-    )
-
-    def write_shard(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SHARD_OUT.empty_table()
-        fp = np.sort(t["fp"].to_numpy(zero_copy_only=False))
-        # unsigned-hex min: partitions hold disjoint fp sets, so names never
-        # collide; Python's & gives the unsigned 64-bit value
-        name = f"fp-{int(fp[0]) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
-        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}),
-                       os.path.join(run_dir, name))
-        return pa.table(
-            {"file": pa.array([name], pa.string()),
-             "lo": pa.array([int(fp[0])], pa.int64()),
-             "hi": pa.array([int(fp[-1])], pa.int64()),
-             "rows": pa.array([len(fp)], pa.int64())}
-        )
-
-    def range_key(t: pa.Table) -> list[np.ndarray]:
-        # TOP bits of the (uniform) fingerprint: equal-width ranges, so
-        # shards are disjoint sorted runs and fences prune tightly
-        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
-        return [(fp >> np.uint64(64 - 4))]
-
-    manifest = collect_arrow(
-        hash_partitioned(novel.select_columns(["fp"]), range_key, write_shard,
-                         num_parts=num_shards)
-    )
-    recs = manifest.to_pylist() if manifest.num_rows else []
+    recs = _write_generation(novel.select_columns(["fp"]), run_dir, num_shards)
     with open(os.path.join(run_dir, "_MANIFEST.json"), "w") as fh:
         json.dump(recs, fh)
     return novel
@@ -257,7 +267,14 @@ def compact(store_dir: str, num_shards: int = 16) -> int:
     if len(runs) <= 1:
         return store_size(store_dir)
     files = [f["path"] for f in _fences(store_dir)]
-    merged = rd.read_parquet(files) if files else None
+    if not files:
+        # every committed generation is empty: dropping them loses nothing
+        import shutil
+
+        for d in runs:
+            shutil.rmtree(d)
+        return 0
+    merged = rd.read_parquet(files)
 
     # distinct (generations may share a fingerprint only via the
     # crash-window above, but compaction must converge regardless)
@@ -274,36 +291,10 @@ def compact(store_dir: str, num_shards: int = 16) -> int:
     run_dir = os.path.join(store_dir, f"run={gen}")
     os.makedirs(run_dir, exist_ok=True)
 
-    _SHARD_OUT = pa.schema(
-        [("file", pa.string()), ("lo", pa.int64()), ("hi", pa.int64()),
-         ("rows", pa.int64())]
-    )
-
-    def write_shard(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _SHARD_OUT.empty_table()
-        fp = np.sort(t["fp"].to_numpy(zero_copy_only=False))
-        name = f"fp-{int(fp[0]) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
-        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}),
-                       os.path.join(run_dir, name))
-        return pa.table(
-            {"file": pa.array([name], pa.string()),
-             "lo": pa.array([int(fp[0])], pa.int64()),
-             "hi": pa.array([int(fp[-1])], pa.int64()),
-             "rows": pa.array([len(fp)], pa.int64())}
-        )
-
-    def range_key(t: pa.Table) -> list:
-        fp = t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
-        return [(fp >> np.uint64(64 - 4))]
-
     distinct = hash_partitioned(merged, lambda t: [
         t["fp"].to_numpy(zero_copy_only=False).view(np.uint64)
     ], distinct_part, num_parts=num_shards).materialize()
-    manifest = collect_arrow(
-        hash_partitioned(distinct, range_key, write_shard, num_parts=num_shards)
-    )
-    recs = manifest.to_pylist() if manifest.num_rows else []
+    recs = _write_generation(distinct, run_dir, num_shards)
     with open(os.path.join(run_dir, "_MANIFEST.json"), "w") as fh:
         json.dump(recs, fh)  # commit point
     import shutil

@@ -178,4 +178,10 @@ def collect_arrow(ds) -> pa.Table:
     import ray as _ray
 
     tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
-    return pa.concat_tables(tabs) if tabs else pa.table({})
+    nonempty = [t for t in tabs if t.num_rows]
+    if nonempty:
+        # zero-row blocks can carry DEGRADED schemas (empty pandas batches
+        # convert string columns to null type) — drop them when any real
+        # block exists; keep one only as the schema for an empty result
+        return pa.concat_tables(nonempty)
+    return tabs[0] if tabs else pa.table({})
