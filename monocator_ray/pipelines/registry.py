@@ -41,6 +41,20 @@ def q_crawl_flagship(sf_dir: str):
     total, hosts, buckets = 600, 20, 8
     web = "/tmp/monocator_q_crawl_web"
     out = f"/tmp/monocator_q_crawl_out_{os.getpid()}"
+    if not _CRAWLED_THIS_PROCESS:
+        # hygiene: PID-keyed dirs accumulate across processes; reap ones
+        # idle > 2 h (age guard keeps live concurrent sessions safe)
+        import shutil
+        import time as _time
+
+        for d in os.listdir("/tmp"):
+            p = os.path.join("/tmp", d)
+            if (d.startswith("monocator_q_crawl_out_") and p != out):
+                try:
+                    if _time.time() - os.path.getmtime(p) > 7200:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
     if _CRAWLED_THIS_PROCESS:
         return read_visit_log(out)
     if not os.path.isdir(web):
