@@ -2767,7 +2767,13 @@ def q_corpus_shuffle(sf_dir: str) -> rd.Dataset:
     Driver state and the broadcast are O(256) regardless of corpus size;
     the only shuffle is the one hash partition.  Oracle:
     ``ROW_NUMBER() OVER (ORDER BY h32, doc_id) - 1``."""
-    ds = _docs(sf_dir, ["doc_id"])
+    return shuffle_positions(_docs(sf_dir, ["doc_id"])).sort("pos")
+
+
+def shuffle_positions(ds: rd.Dataset) -> rd.Dataset:
+    """(doc_id, ...) Dataset -> (doc_id, pos) under the (mix32, doc_id)
+    order — the engine half of q_corpus_shuffle, reused by the training-
+    shard writer (sources/jsonl.write_training_shards)."""
 
     def bucketed(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -2804,13 +2810,12 @@ def q_corpus_shuffle(sf_dir: str) -> rd.Dataset:
             {"doc_id": pa.array(ids, pa.int64()), "pos": pa.array(pos, pa.int64())}
         )
 
-    out = hash_partitioned(
+    return hash_partitioned(
         keyed,
         lambda t: [t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)],
         number_part,
         num_parts=32,
     )
-    return out.sort("pos")
 
 
 # ---- substring-level exact dedup REMOVAL (Lee et al. 2022; oracle) ----

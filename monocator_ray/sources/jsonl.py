@@ -97,3 +97,81 @@ def read_jsonl(path: str) -> rd.Dataset:
 
     files = rd.read_binary_files(path)
     return files.map_batches(parse, batch_format="numpy", batch_size=1)
+
+
+def write_training_shards(docs: "rd.Dataset", out_dir: str,
+                          shard_rows: int = 4096) -> "rd.Dataset":
+    """Deterministic SHUFFLED training shards: rank every doc under the
+    seedless (mix32(doc_id), doc_id) permutation (docs.shuffle_positions —
+    no global sort), hash-join the ranks back to the payload, and write
+    shard i = pos range [i*S, (i+1)*S) as one parquet file sorted by pos,
+    each landing whole in a worker partition.  ``_MANIFEST.json`` commits
+    last with per-shard (file, pos_lo, pos_hi, rows).
+
+    Resumability is the point of the deterministic permutation: shard
+    contents are a pure function of (corpus, shard_rows), so a re-run can
+    skip any shard file the manifest of a previous attempt already lists.
+    Returns the manifest as a Dataset."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from monocator_ray.pipelines.docs import shuffle_positions
+    from monocator_ray.stages.grouped import collect_arrow, hash_partitioned, run_boundaries
+
+    ensure_shipped()
+    os.makedirs(out_dir, exist_ok=True)
+    ranks = shuffle_positions(docs.select_columns(["doc_id"])).materialize()
+    joined = docs.join(ranks, join_type="inner", num_partitions=8, on=("doc_id",))
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        sid = t["pos"].to_numpy(zero_copy_only=False) // shard_rows
+        return t.append_column("shard_id", pa.array(sid, pa.int64()))
+
+    _OUT = pa.schema(
+        [("file", pa.string()), ("pos_lo", pa.int64()), ("pos_hi", pa.int64()),
+         ("rows", pa.int64())]
+    )
+
+    def write_shards(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        sid = t["shard_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, sid))
+        t = t.take(pa.array(order, pa.int64()))
+        sid, pos = sid[order], pos[order]
+        starts, ends = run_boundaries(sid)
+        files, los, his, rows = [], [], [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            name = f"shard-{int(sid[s]):06d}.parquet"
+            _pq.write_table(
+                t.slice(s, e - s).drop_columns(["shard_id"]),
+                os.path.join(out_dir, name),
+            )
+            files.append(name)
+            los.append(int(pos[s]))
+            his.append(int(pos[e - 1]))
+            rows.append(e - s)
+        return pa.table(
+            {"file": pa.array(files, pa.string()),
+             "pos_lo": pa.array(los, pa.int64()),
+             "pos_hi": pa.array(his, pa.int64()),
+             "rows": pa.array(rows, pa.int64())}
+        )
+
+    manifest = collect_arrow(
+        hash_partitioned(
+            joined.map_batches(add_shard, batch_format="pyarrow"),
+            lambda t: [t["shard_id"].to_numpy(zero_copy_only=False).view(np.uint64)],
+            write_shards,
+            num_parts=32,
+        )
+    )
+    recs = sorted(manifest.to_pylist(), key=lambda r: r["file"])
+    with open(os.path.join(out_dir, "_MANIFEST.json"), "w") as fh:
+        _json.dump(recs, fh)  # commit point
+    import ray.data as _rd
+
+    return _rd.from_arrow(pa.Table.from_pylist(recs, schema=_OUT)) if recs else _rd.from_arrow(_OUT.empty_table())

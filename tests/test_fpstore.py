@@ -210,3 +210,45 @@ def test_fpstore_random_splits_match_one_shot(tmp_path):
             fp.groupby(fp["fingerprint"].to_numpy())["doc_id"].min().tolist()
         )
         assert sorted(got) == want, f"trial {trial}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_training_shards_reassemble_the_shuffled_corpus(tmp_path):
+    """Shards sorted by pos reassemble the whole corpus in the exact
+    (mix32, doc_id) permutation; sizes are shard_rows except the tail;
+    manifest fences match file contents."""
+    import json
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import _mix32
+    from monocator_ray.sources.jsonl import write_training_shards
+
+    n, S = 103, 16
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(n), pa.int64()),
+         "text": pa.array([f"doc {i}" for i in range(n)], pa.string())}
+    ))
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(docs, out, shard_rows=S).to_pandas()
+    assert len(manifest) == (n + S - 1) // S
+    assert manifest["rows"].sum() == n
+    assert set(manifest["rows"][:-1]) == {S} and manifest["rows"].iloc[-1] == n % S
+
+    # reassemble and compare to the direct permutation
+    got_ids, got_pos = [], []
+    for rec in json.load(open(os.path.join(out, "_MANIFEST.json"))):
+        t = pq.read_table(os.path.join(out, rec["file"]))
+        p = t["pos"].to_numpy()
+        assert p[0] == rec["pos_lo"] and p[-1] == rec["pos_hi"]
+        assert (np.diff(p) == 1).all()  # dense, sorted within the shard
+        got_ids.extend(t["doc_id"].to_pylist())
+        got_pos.extend(p.tolist())
+    assert sorted(got_pos) == list(range(n))
+    ids = np.arange(n, dtype=np.int64)
+    order = np.lexsort((ids, _mix32(ids)))
+    want = ids[order].tolist()  # doc at rank k
+    by_pos = [i for _, i in sorted(zip(got_pos, got_ids))]
+    assert by_pos == want
