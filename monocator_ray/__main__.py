@@ -84,6 +84,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="project to these columns first")
     je.add_argument("--plain", action="store_true", help="write uncompressed .jsonl")
 
+    se = sub.add_parser(
+        "shards-export",
+        help="(doc_id, ...) parquet -> deterministic shuffled training shards")
+    se.add_argument("--table", required=True, help="input parquet (needs doc_id)")
+    se.add_argument("--out", required=True)
+    se.add_argument("--shard-rows", type=int, default=4096)
+
     ce = sub.add_parser(
         "corpus",
         help="end-to-end: crawl -> curate (langid/quality/dedup/balance) -> JSONL shards")
@@ -178,6 +185,19 @@ def main(argv: list[str] | None = None) -> int:
         manifest = export_jsonl(ds, args.out, compress=not args.plain).to_pandas()
         print(json.dumps({"out": args.out, "files": len(manifest),
                           "rows": int(manifest["n_records"].sum())}))
+    elif args.cmd == "shards-export":
+        _init_ray(args.num_cpus)
+        import ray.data as rd
+
+        from monocator_ray.shipping import ensure_shipped
+        from monocator_ray.sources.jsonl import write_training_shards
+
+        ensure_shipped()
+        manifest = write_training_shards(
+            rd.read_parquet(args.table), args.out, shard_rows=args.shard_rows
+        ).to_pandas()
+        print(json.dumps({"out": args.out, "shards": len(manifest),
+                          "rows": int(manifest["rows"].sum())}))
     elif args.cmd == "corpus":
         _init_ray(args.num_cpus)
         import numpy as np
