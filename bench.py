@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "unicode_normalize",
     "forecast_revenue",
     "user_activity_histogram",
+    "customer_price_quartiles",
 ]
 
 

@@ -1180,6 +1180,18 @@ REGISTRY: dict = {
         FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
+    # grouped exact quartiles — quantile_disc at .25/.5/.75, ceil-rule
+    # gathers identical on both sides
+    "customer_price_quartiles": (
+        R.q_customer_price_quartiles,
+        """
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.25) AS BIGINT) AS p25_cents,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.50) AS BIGINT) AS p50_cents,
+               CAST(quantile_disc(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.75) AS BIGINT) AS p75_cents
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey
+        """,
+    ),
     # grouped order statistics: exact lower median per customer — the
     # aggregate partial trees cannot combine; quantile_disc(.5) IS the
     # lower median (verified: {1,2,3,4} -> 2), matching the engine's

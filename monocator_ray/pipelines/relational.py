@@ -1541,3 +1541,49 @@ def q_user_activity_histogram(sf_dir: str) -> pa.Table:
     pdf["n_events"] = pdf["n_events"].astype(np.int64)
     pdf["n_users"] = pdf["n_users"].astype(np.int64)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---- grouped exact quartiles (oracle; quantile_disc semantics) ----
+def q_customer_price_quartiles(sf_dir: str) -> rd.Dataset:
+    """Exact per-customer order-value quartiles (cents): the multi-gather
+    extension of q_customer_median_order — one hash partition, one lexsort,
+    then three vectorized gathers at ``start + ceil(q*n) - 1`` per run,
+    which is DuckDB ``quantile_disc`` exactly (verified for q in
+    {.25, .5, .75} on even and odd group sizes)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+         ("p25_cents", pa.int64()), ("p50_cents", pa.int64()),
+         ("p75_cents", pa.int64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def quartile_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, key))
+        key, cents = key[order], cents[order]
+        starts, ends = run_boundaries(key)
+        n = ends - starts
+        cols = {"o_custkey": pa.array(key[starts], pa.int64()),
+                "n_orders": pa.array(n.astype(np.int64), pa.int64())}
+        for name, num, den in (("p25_cents", 1, 4), ("p50_cents", 1, 2),
+                               ("p75_cents", 3, 4)):
+            # ceil(q*n) - 1 with exact integer ceil: (num*n + den - 1) // den
+            idx = starts + (num * n + den - 1) // den - 1
+            cols[name] = pa.array(cents[idx], pa.int64())
+        return pa.table(cols)
+
+    out = hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        quartile_part,
+        num_parts=32,
+    )
+    return out.sort("o_custkey")
