@@ -105,6 +105,17 @@ def main(argv: list[str] | None = None) -> int:
     ce.add_argument("--min-tokens", type=int, default=10)
     ce.add_argument("--plain", action="store_true", help="no gzip")
 
+    rh = sub.add_parser(
+        "rehearse",
+        help="run EVERY registered query vs its DuckDB oracle (the driver's "
+             "CORRECTNESS check, reproducible in one command)",
+    )
+    rh.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rh.add_argument("--names", default=None,
+                    help="comma-separated subset (default: all)")
+    rh.add_argument("--json-out", default=None, help="write results JSON here")
+    rh.add_argument("--num-cpus", type=int, default=None)
+
     q = sub.add_parser("query", help="run a registered pipeline over an sf dir")
     q.add_argument("name", nargs="?", default=None,
                    help="registry query name (omit to list all)")
@@ -250,6 +261,18 @@ def main(argv: list[str] | None = None) -> int:
             "corpus_docs": int(manifest["n_records"].sum()),
             "shards": len(manifest), "corpus": args.corpus,
         }))
+    elif args.cmd == "rehearse":
+        _init_ray(args.num_cpus)
+        from monocator_ray.pipelines.rehearse import rehearse
+
+        results = rehearse(args.sf_dir,
+                           names=args.names.split(",") if args.names else None)
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(results, fh, indent=1)
+        bad = [n for n, r in results.items() if r["status"] in ("FAIL", "ERROR")]
+        ray.shutdown()
+        return 1 if bad else 0
     elif args.cmd == "query":
         from monocator_ray.pipelines.registry import REGISTRY
 

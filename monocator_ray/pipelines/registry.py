@@ -51,9 +51,20 @@ def q_crawl_flagship(sf_dir: str):
             p = os.path.join("/tmp", d)
             if (d.startswith("monocator_q_crawl_out_") and p != out):
                 try:
+                    # never reap a LIVE process's dir, however idle — a
+                    # >2h-old session's cached reads still point at it
+                    # (ADVICE r2 #4)
+                    pid = int(d.rsplit("_", 1)[-1])
+                    try:
+                        os.kill(pid, 0)
+                        continue  # owner alive
+                    except ProcessLookupError:
+                        pass
+                    except PermissionError:
+                        continue  # alive, owned by someone else
                     if _time.time() - os.path.getmtime(p) > 7200:
                         shutil.rmtree(p, ignore_errors=True)
-                except OSError:
+                except (OSError, ValueError):
                     pass
     if _CRAWLED_THIS_PROCESS:
         return read_visit_log(out)

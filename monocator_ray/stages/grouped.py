@@ -41,11 +41,18 @@ def cached_stage(cls, **kwargs):
     """A plain function for ``map_batches`` that lazily constructs and
     caches ``cls(**kwargs)`` once per worker process (see module docstring).
     ``kwargs`` values must be hashable (ObjectRefs are)."""
-    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+    cls_key = (cls.__module__, cls.__qualname__)
+    key = (cls_key, tuple(sorted(kwargs.items())))
 
     def stage(batch):
         inst = _instances.get(key)
         if inst is None:
+            # One live instance per class: a new kwargs key (e.g. fpstore's
+            # per-generation fences_json) evicts the stale one, or a
+            # long-lived incremental session leaks one decoded-shard cache
+            # per ingest generation on every worker (ADVICE r2 #5).
+            for k in [k for k in _instances if k[0] == cls_key]:
+                del _instances[k]
             inst = _instances[key] = cls(**kwargs)
         return inst(batch)
 

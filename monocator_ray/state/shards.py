@@ -265,11 +265,22 @@ class FrontierShard:
         if n == 0:
             self._staged_idx = np.empty(0, np.int64)
             return self._staged_keys()
+        if budget <= 0:
+            # The sequential walk examines nothing at budget 0; the
+            # truncation branch below would index staged_pos[-1] and
+            # over-count capped drops (ADVICE r2 #2).
+            self._staged_idx = np.empty(0, np.int64)
+            return self._staged_keys()
         unconstrained = (
             not self.host_delays
             and self.default_delay_ms == 0
             and self.max_pages == 0
             and not self.host_caps
+            # budget must not exceed the uniform per-host allowance, or the
+            # front-slice could stage more rows of one host than the general
+            # walk would (ADVICE r2 #1: reachable when a caller lowers
+            # default_host_cap below the epoch budget).
+            and budget <= self.default_host_cap
         )
         if unconstrained:
             # allowance is default_host_cap for every host and no page caps:

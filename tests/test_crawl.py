@@ -228,3 +228,12 @@ def test_crawl_tiny_session_does_not_hang(tmp_path):
                       fetch_concurrency=2, extract_concurrency=2)
     res = crawl(spec.seeds(6), web, str(tmp_path / "out"), cfg)
     assert res.fetched > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_low_default_host_cap_matches_oracle(web, tmp_path):
+    """default_host_cap below the epoch budget leaves the peek fast path
+    (ADVICE r2 #1) — engine must still match the sequential walk exactly."""
+    sim = _sim(web, default_host_cap=5)
+    vlog, seen = _engine(web, tmp_path / "lowcap", num_shards=3, default_host_cap=5)
+    _assert_matches(vlog, seen, sim)

@@ -88,3 +88,51 @@ def test_flush_merge_matches_full_lexsort(n_old, n_new, seed, tie_heavy):
         assert np.array_equal(got[k], want[k]), k
     # cached key column stays aligned with the merged rows
     assert np.array_equal(shard._fkey, _pack_keys(got))
+
+
+def _offer_rows(shard, n, host_hashes=None):
+    import pyarrow as pa
+
+    hh = host_hashes if host_hashes is not None else np.arange(n, dtype=np.uint64)
+    t = pa.table(
+        {
+            "url": pa.array([f"u{i}" for i in range(n)], pa.string()),
+            "url_hash": pa.array(np.arange(1, n + 1, dtype=np.uint64), pa.uint64()),
+            "host": pa.array(["h"] * n, pa.string()),
+            "host_hash": pa.array(np.asarray(hh, dtype=np.uint64), pa.uint64()),
+            "depth": pa.array(np.zeros(n, np.int32), pa.int32()),
+            "discovery_time": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "parent_url_hash": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+        }
+    )
+    shard.offer(t)
+    shard.flush_pending()
+
+
+def test_peek_budget_zero_stages_nothing():
+    """ADVICE r2 #2: budget == 0 must examine nothing — no staged rows, no
+    capped-drop accounting (the old truncation branch indexed
+    staged_pos[-1] and queued permanent drops the sequential walk never
+    saw)."""
+    from monocator_ray.state.shards import FrontierShard
+
+    shard = FrontierShard(0, 1, max_pages_per_host=2)
+    _offer_rows(shard, 8)
+    staged = shard.peek(epoch=0, budget=0)
+    assert staged.num_rows == 0
+    assert shard.counters["capped_dropped"] == 0
+    assert not shard._drop_idx
+    shard.pop_upto(None)
+    assert len(shard._f["depth"]) == 8  # nothing consumed or dropped
+
+
+def test_peek_low_default_host_cap_matches_general_walk():
+    """ADVICE r2 #1: default_host_cap below the epoch budget must leave the
+    unconstrained fast path — one host offers 8 URLs, cap 3, budget 6:
+    exactly 3 of that host may stage."""
+    from monocator_ray.state.shards import FrontierShard
+
+    shard = FrontierShard(0, 1, default_host_cap=3)
+    _offer_rows(shard, 8, host_hashes=np.full(8, 7, dtype=np.uint64))
+    staged = shard.peek(epoch=0, budget=6)
+    assert staged.num_rows == 3

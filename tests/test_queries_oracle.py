@@ -16,7 +16,12 @@ def _to_pandas(obj) -> pd.DataFrame:
     import ray.data as rd
 
     if isinstance(obj, rd.Dataset):
-        return obj.to_pandas()
+        # ADVICE r2 #3: collect through the repo's zero-column-block-proof
+        # path so the gate and the engine share the same collection code
+        # (raw Dataset.to_pandas can hit Ray's degraded-empty-block flake).
+        from monocator_ray.stages.grouped import collect_arrow
+
+        return collect_arrow(obj).to_pandas()
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
     return obj
