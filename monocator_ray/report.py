@@ -451,21 +451,49 @@ def sample_pages(out_dir: str, fraction: float = 0.01, seed: int = 42) -> rd.Dat
 
 def seen_except_frontier(out_dir: str) -> int:
     """D4 resume audit: |seen \\ (visited ∪ frontier)| must be 0 — every seen
-    URL is either visited or still queued."""
-    from monocator_ray.crawl.driver import latest_checkpoint, read_seen_set, read_visit_log
+    URL is either visited or still queued.
 
-    seen = set(int(x) for x in read_seen_set(out_dir))
-    visited = set(read_visit_log(out_dir)["url_hash"].to_pylist())
+    Runs as a sorted-array merge, never a Python set (VERDICT r2 #6: a set
+    of int url_hashes is ~60 B/entry and a driver OOM at 10^10 URLs):
+    visited + frontier hashes form ONE sorted uint64 exclusion array
+    (np.unique), and each seen checkpoint shard — already a sorted,
+    shard-disjoint run — probes it with searchsorted.  Peak memory is the
+    exclusion array plus one shard at 8 B/entry."""
+    import pyarrow.parquet as pq
+
+    from monocator_ray.crawl.driver import artifact_files, latest_checkpoint
+
+    excl = [
+        pq.read_table(f, columns=["url_hash"])["url_hash"]
+        .to_numpy(zero_copy_only=False)
+        .astype(np.uint64)
+        for f in artifact_files(out_dir)
+    ]
+    seen_files: list[str] = []
     last = latest_checkpoint(out_dir)
-    frontier: set[int] = set()
     if last:
-        import pyarrow.parquet as pq
-
         ckpt = os.path.join(last, "checkpoint")
         for f in sorted(os.listdir(ckpt)):
             if f.startswith("frontier-"):
-                frontier |= set(pq.read_table(os.path.join(ckpt, f))["url_hash"].to_pylist())
-    return len(seen - visited - frontier)
+                excl.append(
+                    pq.read_table(os.path.join(ckpt, f))["url_hash"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+            elif f.startswith("seen-"):
+                seen_files.append(os.path.join(ckpt, f))
+    excluded = np.unique(np.concatenate(excl)) if excl else np.empty(0, np.uint64)
+    missing = 0
+    for f in seen_files:
+        arr = (
+            pq.read_table(f)["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
+        if excluded.size == 0:
+            missing += int(arr.size)
+            continue
+        pos = np.minimum(np.searchsorted(excluded, arr), excluded.size - 1)
+        missing += int((excluded[pos] != arr).sum())
+    return missing
 
 
 # ---- anchor-text aggregation (the classic web-graph text signal) ----

@@ -1,6 +1,8 @@
 """Report layer (§3.3), HLL sketch (G6), Stage protocol (§2.10),
 per-request host caps + visit() entry point (§3.2)."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -288,3 +290,32 @@ def test_host_pagerank_matches_driver_recompute(mini_crawl):
     want = sorted(zip((names[int(n)] for n in nodes), map(int, r)))
     assert sorted(zip(got["host"], got["rank_e12"].astype(int))) == want
     assert len(want) > 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seen_except_frontier_detects_planted_orphan(mini_crawl, tmp_path):
+    """The ==0 audit must not be vacuous: plant one hash in a seen shard
+    that is neither visited nor queued and the sorted-merge must count it
+    (pins the VERDICT r2 #6 rewrite's correctness, not just its memory
+    shape)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray import report
+    from monocator_ray.crawl.driver import latest_checkpoint
+
+    out = tmp_path / "planted"
+    shutil.copytree(mini_crawl, out)
+    ckpt = os.path.join(latest_checkpoint(str(out)), "checkpoint")
+    shard = next(f for f in sorted(os.listdir(ckpt)) if f.startswith("seen-"))
+    p = os.path.join(ckpt, shard)
+    t = pq.read_table(p)
+    arr = t["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    planted = np.uint64(0xDEADBEEFDEADBEEF)
+    assert planted not in arr
+    arr2 = np.sort(np.append(arr, planted))  # shard stays a sorted run
+    pq.write_table(pa.table({"url_hash": pa.array(arr2, pa.uint64())}), p)
+    assert report.seen_except_frontier(str(out)) == 1

@@ -455,3 +455,76 @@ def test_visit_requests_roundtrip(tmp_path):
     assert urls == ["http://example.com/", "http://other.example/"]
     caps = host_caps_from_requests(reqs)
     assert caps["other.example"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_collect_arrow_tolerates_degraded_empty_blocks():
+    """Regression pin for the r2 flake class (VERDICT r2 #1 suspect b):
+    Ray Data intermittently emits zero-column / degraded-schema empty
+    blocks; collect_arrow must drop them losslessly where raw
+    concat/to_pandas crashes or degrades dtypes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from monocator_ray.stages.grouped import collect_arrow
+
+    real = pa.table({"doc_id": pa.array([3, 1], pa.int64())})
+    zero_col = pa.table({})
+    degraded = pa.table({"doc_id": pa.array([], pa.null())})
+    ds = rd.from_arrow([zero_col, real, degraded])
+    out = collect_arrow(ds)
+    assert out.column_names == ["doc_id"]
+    assert sorted(out["doc_id"].to_pylist()) == [1, 3]
+    assert out.schema.field("doc_id").type == pa.int64()
+    # all-empty: the typed empty block's schema survives
+    out2 = collect_arrow(rd.from_arrow([zero_col, pa.table({"x": pa.array([], pa.int64())})]))
+    assert out2.num_rows == 0 and out2.column_names == ["x"]
+
+
+def test_png_roundtrip_all_filters_and_color_types():
+    """Pure-numpy PNG codec (VERDICT r2 #3): encode with the filter cycle
+    (None/Sub/Up/Average/Paeth row by row) and decode back bit-exact, for
+    gray / RGB / RGBA; palette decode against hand-built chunks; Adam7 and
+    16-bit stay gated."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from monocator_ray.stages.media import (
+        PureCodec, _png_chunk, _PNG_SIG, decode_png, encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    rgb = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    for cycle in (False, True):
+        assert np.array_equal(decode_png(encode_png(rgb, filter_cycle=cycle)), rgb)
+    gray = rng.randint(0, 256, size=(9, 7), dtype=np.uint8)
+    back = decode_png(encode_png(gray, filter_cycle=True))
+    assert np.array_equal(back, np.repeat(gray[:, :, None], 3, axis=2))
+    rgba = rng.randint(0, 256, size=(8, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba, filter_cycle=True)), rgba[:, :, :3])
+
+    # palette (color type 3): 4x2 image over a 3-color palette
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.array([[0, 1, 2, 1], [2, 2, 0, 1]], np.uint8)
+    scan = b"".join(b"\x00" + row.tobytes() for row in idx)
+    blob = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0))
+        + _png_chunk(b"PLTE", plte.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(scan))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(blob), plte[idx])
+
+    # interlaced and 16-bit stay gated, sniff + dispatch work
+    bad = bytearray(encode_png(rgb))
+    ihdr_off = 8 + 8  # sig + len/type
+    bad[ihdr_off + 12] = 1  # interlace byte of IHDR
+    with _pytest.raises(NotImplementedError):
+        decode_png(bytes(bad))
+    c = PureCodec()
+    assert c.sniff(encode_png(rgb)) == "image/png"
+    assert np.array_equal(c.decode_image(encode_png(rgb)), rgb)
