@@ -325,10 +325,79 @@ def crawl_only() -> None:
     ray.shutdown()
 
 
+def big_epoch() -> None:
+    """--big-epoch (VERDICT r2 #4): stress the driver's epoch-cutoff
+    protocol with budget_per_epoch >= 1M over a >1M-URL ready frontier —
+    proves the driver-held state (<= shards x budget staged KEYS during
+    peek, plus the key sort at seq assignment) stays bounded, and records
+    the driver's max RSS.  Pages are tiny (256 B) so the run measures the
+    budget/ordering machinery, not fetch+extract compute."""
+    import resource
+    import shutil
+
+    import ray
+
+    pages = int(os.environ.get("BENCH_BIG_PAGES", "1200000"))
+    hosts = int(os.environ.get("BENCH_BIG_HOSTS", "20000"))
+    budget = int(os.environ.get("BENCH_BIG_BUDGET", "1000000"))
+    page_bytes = 256
+    web = f"/tmp/monocator_bigweb_{pages}_{hosts}_{page_bytes}"
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from monocator_ray.crawl.driver import CrawlConfig, crawl
+    from monocator_ray.shipping import ensure_shipped
+    from monocator_ray.sources.synth import SynthSpec, write_synth_pages
+
+    ensure_shipped()
+    marker = os.path.join(web, "_DONE")
+    if not os.path.exists(marker):
+        write_synth_pages(web, pages, hosts, WEB_BUCKETS, page_bytes=page_bytes)
+        open(marker, "w").close()
+    spec = SynthSpec(pages, hosts)
+    cfg = CrawlConfig(
+        num_shards=8,
+        budget_per_epoch=budget,
+        max_depth=2,
+        link_cap=4,
+        num_buckets=WEB_BUCKETS,
+        num_workers=0,
+        fetch_batch_size=4096,
+        extract_batch_size=2048,
+        checkpoint_every=1,
+        with_vat=False,
+    )
+    out = "/tmp/monocator_bigepoch_out"
+    shutil.rmtree(out, ignore_errors=True)
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    t0 = time.monotonic()
+    # stride 1: EVERY page is in the ready frontier -> first epoch pops the
+    # full 1M budget through the global cutoff protocol
+    res = crawl(spec.frontier_snapshot(1), web, out, cfg, robots=None)
+    wall = time.monotonic() - t0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    print(json.dumps({
+        "big_epoch": {
+            "fetched": res.fetched, "epochs": res.epochs,
+            "budget_per_epoch": budget, "frontier_urls": pages + hosts,
+            "wall_s": round(wall, 2),
+            "pages_per_sec": round(res.fetched / wall, 1),
+            "driver_max_rss_mb": rss // 1024,
+            "driver_rss_before_mb": rss0 // 1024,
+        },
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--crawl-only" in sys.argv:
         crawl_only()
+    elif "--big-epoch" in sys.argv:
+        big_epoch()
     else:
         main()

@@ -123,7 +123,7 @@ def q_dedup_exact(sf_dir: str) -> rd.Dataset:
     # sort entirely (the shuffle key is the fingerprint's SipHash).
     return (
         partitioned_aggregate(
-            ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas"),
+            ds.map_batches(cached_stage(Fingerprinter), batch_format="pyarrow"),
             ["fingerprint"],
             [("doc_id", "min"), ("doc_id", "count")],
             ["fingerprint", "doc_id", "n_dups"],
@@ -139,7 +139,7 @@ def q_token_stats(sf_dir: str):
     # O(langs) result: per-batch Arrow partials + driver combine — no
     # shuffle at all (grouped.driver_grouped_agg rationale)
     out = driver_grouped_agg(
-        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas"),
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow"),
         ["lang"],
         [("n_tokens", "count"), ("n_tokens", "sum"), ("n_tokens", "max"), ("n_tokens", "min")],
         ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"],
@@ -151,7 +151,7 @@ def q_token_stats(sf_dir: str):
 def q_quality_stats(sf_dir: str):
     ds = _docs(sf_dir, ["lang", "text"])
     out = driver_grouped_agg(
-        ds.map_batches(cached_stage(QualityScorer), batch_format="pandas"),
+        ds.map_batches(cached_stage(QualityScorer), batch_format="pyarrow"),
         ["lang"],
         [("n_chars", "count"), ("n_chars", "sum"), ("n_alpha", "sum"),
          ("n_punct", "sum"), ("n_stop", "sum")],
@@ -164,7 +164,7 @@ def q_quality_stats(sf_dir: str):
 def q_langid(sf_dir: str):
     ds = _docs(sf_dir, ["doc_id", "text"])
     out = driver_grouped_agg(
-        ds.map_batches(cached_stage(LangId), batch_format="pandas"),
+        ds.map_batches(cached_stage(LangId), batch_format="pyarrow"),
         ["lang_detected"],
         [("doc_id", "count")],
         ["lang_detected", "n"],
@@ -272,7 +272,7 @@ def q_token_quantiles(sf_dir: str) -> pa.Table:
 
     ds = _docs(sf_dir, ["lang", "text"])
     hist = driver_grouped_agg(
-        ds.map_batches(cached_stage(TokenCounter), batch_format="pandas"),
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow"),
         ["lang", "n_tokens"],
         [("n_tokens", "count")],
         ["lang", "n_tokens", "c"],
@@ -600,29 +600,37 @@ def curate_dataset(ds: rd.Dataset, min_tokens: int = 25,
     (registry.q_crawl_corpus feeds it the crawl's pages artifact).
     ``keep_text`` carries the text through the dedup shuffle (the corpus
     EXPORT path needs the payload; the counting queries do not)."""
-    from monocator_ray.stages.textstats import Fingerprinter, LangId, token_count
+    from monocator_ray.stages.textstats import (
+        LangId,
+        fingerprint_arrow,
+        token_count_arrow,
+    )
 
     ensure_shipped()
 
     class Annotate:
+        """Arrow-native since r3 (VERDICT r2 #7): one pass adds lang vote,
+        token count and the int64 fingerprint shuffle key, zero-copy in."""
+
         def __init__(self):
             self.langid = LangId()
-            self.fp = Fingerprinter()
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out = pd.DataFrame({"doc_id": batch["doc_id"].astype(np.int64)})
-            out["lang_pred"] = [self.langid.detect(t) for t in batch["text"].fillna("")]
-            out["n_tokens"] = token_count(batch["text"])
-            fp = self.fp(batch[["text"]].copy())["fingerprint"]
-            out["fp"] = fp.to_numpy().view(np.int64)  # int64 shuffle key
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cols = {
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "lang_pred": self.langid.detect_arrow(batch["text"]),
+                "n_tokens": token_count_arrow(batch["text"]),
+                "fp": pa.array(fingerprint_arrow(batch["text"]).view(np.int64),
+                               pa.int64()),
+            }
             if keep_text:
-                out["text"] = batch["text"].fillna("")
-            return out
+                cols["text"] = pc.fill_null(batch["text"], "")
+            return pa.table(cols)
 
     def gate(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["n_tokens"], pa.scalar(min_tokens)))
 
-    gated = ds.map_batches(cached_stage(Annotate), batch_format="pandas").map_batches(
+    gated = ds.map_batches(cached_stage(Annotate), batch_format="pyarrow").map_batches(
         gate, batch_format="pyarrow"
     )
 
@@ -846,7 +854,7 @@ def q_media_frames(sf_dir: str) -> rd.Dataset:
 def q_fingerprints(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
     return (
-        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas")
+        ds.map_batches(cached_stage(Fingerprinter), batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
         .sort("doc_id")
     )
@@ -2423,7 +2431,7 @@ def q_source_overlap(sf_dir: str) -> rd.Dataset:
     are identified by the group's MIN(doc_id), not the text itself."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
     agg = partitioned_aggregate(
-        ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas"),
+        ds.map_batches(cached_stage(Fingerprinter), batch_format="pyarrow"),
         ["fingerprint"],
         [("source", "count_distinct"), ("doc_id", "min"), ("doc_id", "count")],
         ["fingerprint", "n_sources", "doc_id", "n_docs"],
@@ -2458,7 +2466,7 @@ def q_pack_sequences(sf_dir: str, budget: int = 1024, chunk: int = 256) -> rd.Da
     Oracle: per-chunk WITH RECURSIVE walk with the same accumulate/reset
     rule — the first stateful-scan query with a full SQL oracle."""
     ds = _docs(sf_dir, ["doc_id", "text"])
-    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow")
 
     _SCHEMA = pa.schema(
         [("doc_id", pa.int64()), ("bin_id", pa.int64()), ("n_tokens", pa.int64())]
@@ -2667,7 +2675,7 @@ def q_mix_corpus(sf_dir: str, budget_tokens: int = 600) -> rd.Dataset:
     result, no per-source sort).  Oracle: window SUM OVER (PARTITION BY
     source ORDER BY h32, doc_id) <= budget."""
     ds = _docs(sf_dir, ["doc_id", "text", "source"])
-    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+    counted = ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow")
 
     _OUT = pa.schema(
         [("doc_id", pa.int64()), ("source", pa.string()), ("n_tokens", pa.int64())]
@@ -3258,7 +3266,7 @@ def q_dedup_keep_longest(sf_dir: str) -> rd.Dataset:
         )
         return batch
 
-    scored = ds.map_batches(cached_stage(Fingerprinter), batch_format="pandas").map_batches(
+    scored = ds.map_batches(cached_stage(Fingerprinter), batch_format="pyarrow").map_batches(
         score, batch_format="pandas"
     )
     agg = partitioned_aggregate(
@@ -3351,7 +3359,7 @@ def q_incremental_token_stats(sf_dir: str) -> pa.Table:
         for half in (ds.filter(expr=f"doc_id <= {mid}"),
                      ds.filter(expr=f"doc_id > {mid}")):
             counted = half.map_batches(cached_stage(TokenCounter),
-                                       batch_format="pandas")
+                                       batch_format="pyarrow")
             ingest_partials(counted, store, ["lang"], aggs, names)
         out = read_merged(store, ["lang"])
         for c in names[1:]:

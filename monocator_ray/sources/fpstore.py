@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from monocator_ray.shipping import ensure_shipped
-from monocator_ray.stages.textstats import Fingerprinter
+from monocator_ray.stages.textstats import fingerprint_arrow
 from monocator_ray.stages.grouped import (
     cached_stage,
     collect_arrow,
@@ -116,20 +116,17 @@ class _ShardProber:
 
 
 class _FpStage:
-    """(doc_id, text) pandas batch -> (doc_id, fp int64) — Fingerprinter
-    built once per worker (cached_stage)."""
+    """(doc_id, text) pyarrow batch -> (doc_id, fp int64) — Arrow-native
+    since r3 (VERDICT r2 #7): no per-batch pandas conversion."""
 
-    def __init__(self):
-        # module-top import: lazy monocator_ray imports inside worker code
-        # break under pickle-by-value shipping (ROUND_NOTES trap)
-        self.fp = Fingerprinter()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def __call__(self, batch) -> pa.Table:
-        out = self.fp(batch[["doc_id", "text"]].copy())
+        fp = fingerprint_arrow(batch["text"]).view(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(out["doc_id"].to_numpy(np.int64), pa.int64()),
-                "fp": pa.array(out["fingerprint"].to_numpy().view(np.int64), pa.int64()),
+                "doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                "fp": pa.array(fp, pa.int64()),
             }
         )
 
@@ -212,7 +209,7 @@ def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset
     written worker-side; the manifest write commits the generation."""
     ensure_shipped()
     os.makedirs(store_dir, exist_ok=True)
-    fps = docs.map_batches(cached_stage(_FpStage), batch_format="pandas")
+    fps = docs.map_batches(cached_stage(_FpStage), batch_format="pyarrow")
     local = _dedup_first_wins(fps).materialize()
     fences = _fences(store_dir)
     novel = local.map_batches(

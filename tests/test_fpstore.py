@@ -160,7 +160,7 @@ def test_aggstore_incremental_equals_one_shot(tmp_path):
     names = ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"]
 
     def counted(ds):
-        return ds.map_batches(cached_stage(TokenCounter), batch_format="pandas")
+        return ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow")
 
     store = str(tmp_path / "agg")
     ingest_partials(counted(tbl(rows_a)), store, ["lang"], aggs, names)
@@ -205,7 +205,10 @@ def test_fpstore_random_splits_match_one_shot(tmp_path):
         for p in parts:
             if p:
                 got.extend(ingest(_docs_tbl(p), store).to_pandas()["doc_id"])
-        fp = Fingerprinter()(pd.DataFrame({"doc_id": range(n), "text": texts}))
+        fp = Fingerprinter()(
+            pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        ).to_pandas()
         want = sorted(
             fp.groupby(fp["fingerprint"].to_numpy())["doc_id"].min().tolist()
         )

@@ -528,3 +528,50 @@ def test_png_roundtrip_all_filters_and_color_types():
     c = PureCodec()
     assert c.sniff(encode_png(rgb)) == "image/png"
     assert np.array_equal(c.decode_image(encode_png(rgb)), rgb)
+
+
+def test_arrow_text_kernels_match_pandas_reference():
+    """VERDICT r2 #7 conversion safety: the Arrow-native text kernels must
+    be bit-identical to the r2 pandas reference implementations, including
+    on the non-ASCII-whitespace and empty/None edges."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.stages.textstats import (
+        _WS_SPLIT, LangId, QualityScorer, fingerprint_arrow, token_count,
+        token_count_arrow,
+    )
+
+    texts = [
+        "a b  c", "", "   ", "one", None, " x\ty \n z ",
+        "the cat and dog",      # NBSP joins words (RE2 vs unicode \s)
+        "thin space the end",
+        "  le chat et le chien  ",
+        "de kat en de hond van het huis",
+        "THE AND OF to a", "x" * 500,
+    ]
+    col = pa.array(texts, pa.string())
+    s = pd.Series(texts)
+
+    assert token_count_arrow(col).to_pylist() == token_count(s).tolist()
+
+    li = LangId()
+    assert li.detect_arrow(col).to_pylist() == [
+        li.detect(t or "") for t in texts
+    ]
+
+    # fingerprint: same normalization chain, same SipHash
+    norm = s.fillna("").str.replace(_WS_SPLIT, " ", regex=True).str.strip(" ")
+    want = hash_str64(norm.to_numpy(dtype=object)).astype("uint64")
+    assert fingerprint_arrow(col).tolist() == want.tolist()
+
+    # quality: n_stop against a per-row python count
+    out = QualityScorer()(pa.table({"text": col}))
+    stop = {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"}
+    want_stop = [
+        sum(1 for w in _WS_SPLIT.split((t or "").lower()) if w in stop)
+        for t in texts
+    ]
+    assert out["n_stop"].to_pylist() == want_stop
+    assert out["n_chars"].to_pylist() == [len(t or "") for t in texts]
