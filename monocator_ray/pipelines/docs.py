@@ -1199,7 +1199,7 @@ def q_simhash_pairs(sf_dir: str, max_hamming: int = 8) -> rd.Dataset:
 def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
     ensure_shipped()
     emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).slice(0, n_queries)
+    qtbl = _head_rows(f"{sf_dir}/embeddings.parquet", ["vec_id", "embedding"], n_queries)
     qm = table_to_matrix(qtbl)
     qref = ray.put(qm)
     local = emb.map_batches(
@@ -1298,8 +1298,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
 def q_ann_lsh_buckets(sf_dir: str) -> rd.Dataset:
     ensure_shipped()
     emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    dim = len(pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])[
-        "embedding"][0].as_py())
+    dim = len(_head_rows(f"{sf_dir}/embeddings.parquet", ["embedding"], 1)["embedding"][0].as_py())
     return (
         emb.map_batches(cached_stage(LshCoder, dim=dim, nbits=8), batch_format="pyarrow")
         .groupby("lsh_bucket")
