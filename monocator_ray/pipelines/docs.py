@@ -57,6 +57,7 @@ from monocator_ray.stages.grouped import (
     collect_arrow,
     driver_grouped_agg,
     hash_partitioned,
+    join_partitions,
     partitioned_aggregate,
     run_boundaries,
 )
@@ -985,8 +986,9 @@ def q_minhash_pairs(sf_dir: str, num_perm: int = 64, num_bands: int = 16, thresh
     texts_b = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda t: t.rename_columns(["doc_b", "text_b"]), batch_format="pyarrow"
     )
-    joined = cand.join(texts_a, join_type="inner", num_partitions=8, on=("doc_a",)).join(
-        texts_b, join_type="inner", num_partitions=8, on=("doc_b",)
+    _np = join_partitions([f"{sf_dir}/documents.parquet"])
+    joined = cand.join(texts_a, join_type="inner", num_partitions=_np, on=("doc_a",)).join(
+        texts_b, join_type="inner", num_partitions=_np, on=("doc_b",)
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -2968,7 +2970,9 @@ def q_dedup_substrings(sf_dir: str, n: int = 5) -> rd.Dataset:
     if dup_lists.count() == 0:
         # join with an empty side crashes acero; nothing to remove anyway
         return ds.map_batches(clean, batch_format="pyarrow").sort("doc_id")
-    joined = ds.join(dup_lists, join_type="left_outer", num_partitions=8, on=("doc_id",))
+    joined = ds.join(dup_lists, join_type="left_outer",
+                     num_partitions=join_partitions([f"{sf_dir}/documents.parquet"]),
+                     on=("doc_id",))
     return joined.map_batches(clean, batch_format="pyarrow").sort("doc_id")
 
 

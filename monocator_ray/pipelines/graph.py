@@ -281,7 +281,7 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
         # join -> groupby -> join chain spins up every stage's aggregator
         # pool at once and deadlocks small sessions (graft hard-won fact 1;
         # same barriers as pipelines/docs.py)
-        joined = edges.join(contrib, join_type="inner", num_partitions=16,
+        joined = edges.join(contrib, join_type="inner", num_partitions=4,
                             on=("src",), right_on=("cnode",)).map_batches(
             partial_by_dst, batch_format="pyarrow").materialize()
         sums = partitioned_aggregate(
@@ -290,7 +290,7 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
         # symmetric graph: every node is some edge's dst, so the inner
         # join back to the degree table loses no vertex
         ranks = (
-            sums.join(deg, join_type="inner", num_partitions=16,
+            sums.join(deg, join_type="inner", num_partitions=4,
                       on=("dst",), right_on=("node",))
             .map_batches(damp, batch_format="pyarrow")
             .materialize()

@@ -32,6 +32,7 @@ from monocator_ray.stages.grouped import (
     collect_arrow,
     driver_grouped_agg,
     hash_partitioned,
+    join_partitions,
     partitioned_aggregate,
     run_boundaries,
 )
@@ -44,6 +45,12 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
 
 def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def _join_parts(sf_dir: str, *tables: str) -> int:
+    """Adaptive join partition count from the input tables' file sizes
+    (rationale + measurement: stages/grouped.py:join_partitions)."""
+    return join_partitions([f"{sf_dir}/{t}.parquet" for t in tables])
 
 
 # ---- G2-style grouped aggregate with pre-aggregation (TPC-H Q1 shape) ----
@@ -285,7 +292,7 @@ def q_priority_revenue(sf_dir: str) -> rd.Dataset:
     joined = li.map_batches(cents, batch_format="pyarrow").join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
@@ -467,7 +474,7 @@ def _region_nation_fine(sf_dir: str) -> pd.DataFrame:
     joined = orders.map_batches(cust_partial, batch_format="pyarrow").join(
         customer,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
         on=("o_custkey",),
         right_on=("c_custkey",),
     )
@@ -990,7 +997,7 @@ def q_bloom_semi_join(sf_dir: str, min_total: float = 300000.0) -> rd.Dataset:
     )
 
     joined = survivors.join(
-        keys_ds, join_type="inner", num_partitions=8,
+        keys_ds, join_type="inner", num_partitions=_join_parts(sf_dir, "lineitem"),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
     return (
@@ -1159,7 +1166,7 @@ def q_click_purchase_coverage(sf_dir: str, min_value: float = 200.0) -> rd.Datas
         )
     else:
         joined = clicks.join(
-            purchases, join_type="full_outer", num_partitions=8,
+            purchases, join_type="full_outer", num_partitions=_join_parts(sf_dir, "events"),
             on=("user_id",), right_on=("uid_p",),
         )
 
@@ -1206,7 +1213,7 @@ def q_parts_never_bulk(sf_dir: str, min_qty: float = 45.0) -> pa.Table:
     ).materialize()
 
     anti = part.join(
-        keys_ds, join_type="left_anti", num_partitions=8,
+        keys_ds, join_type="left_anti", num_partitions=_join_parts(sf_dir, "part", "lineitem"),
         on=("p_partkey",), right_on=("bulk_partkey",),
     )
     out = driver_grouped_agg(

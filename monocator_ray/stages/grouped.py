@@ -174,6 +174,20 @@ def run_boundaries(*cols: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
+def join_partitions(paths: list[str], lo: int = 2, hi: int = 256,
+                    target_bytes: int = 256 << 20) -> int:
+    """Adaptive Dataset.join partition count: ~one partition per 256 MB of
+    joined INPUT file bytes (metadata only — never an execution).  Measured
+    (round 3, 8-cpu session): the join's hash-shuffle fixed cost grows
+    ~0.1 s per partition (0.65 s at 2 vs 2.2 s at 16 on driver-scale
+    inputs), so hardcoded 8/16-partition joins tax every small join ~1-1.5
+    s; at 100 TB the same formula rides the hi cap instead."""
+    import os
+
+    total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
+    return int(max(lo, min(hi, -(-total // target_bytes))))
+
+
 def collect_arrow(ds) -> pa.Table:
     """Driver-side collect of a SMALL Dataset as one Arrow table.
 
