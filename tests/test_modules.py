@@ -164,3 +164,49 @@ def test_screenshot_if_single_page_app_heuristic(tmp_path):
     got = report.screenshot_candidates(str(tmp_path / "fake_out"), "if_single_page_app")
     rows = got.to_pandas()
     assert rows["url"].tolist() == ["http://spa.example/"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_screenshot_developed_and_suspicious_planted(tmp_path):
+    """Planted fixtures for the r2-added modes (the crawl-based test above
+    only proves the all-developed / none-suspicious direction): a parked
+    domain and a bare stub must FAIL if_developed; a link farm and a
+    VAT-bearing near-empty shell must TRIP if_suspicious; a real content
+    page does the opposite in both modes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from monocator_ray import report
+
+    rows = [
+        # (url, text, links_int, links_ext, vats)
+        ("http://real.example/", "long readable article content " * 40, 5, 2, []),
+        ("http://parked.example/", "This domain is for sale. Buy this domain today!"
+         + " filler words " * 30, 4, 1, []),
+        ("http://stub.example/", "hi", 0, 0, []),
+        ("http://farm.example/", "links " * 10, 1, 40, []),
+        ("http://shell.example/", "Contact us. VAT BE0123456749", 1, 0,
+         ["BE0123456749"]),
+    ]
+    tbl = pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "url_hash": pa.array(range(1, len(rows) + 1), pa.uint64()),
+            "html": pa.array([b"<html>x</html>"] * len(rows), pa.binary()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "links_internal": pa.array([r[2] for r in rows], pa.int32()),
+            "links_external": pa.array([r[3] for r in rows], pa.int32()),
+            "vat_numbers": pa.array([r[4] for r in rows], pa.list_(pa.string())),
+        }
+    )
+    d = tmp_path / "planted_out" / "epoch=0" / "crawl"
+    os.makedirs(d)
+    pq.write_table(tbl, str(d / "part-0.parquet"))
+    out = str(tmp_path / "planted_out")
+
+    dev = sorted(report.screenshot_candidates(out, "if_developed").to_pandas()["url"])
+    assert dev == ["http://farm.example/", "http://real.example/"], dev
+
+    sus = sorted(report.screenshot_candidates(out, "if_suspicious").to_pandas()["url"])
+    assert sus == ["http://farm.example/", "http://shell.example/"], sus
