@@ -3403,3 +3403,117 @@ def q_unicode_normalize(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- DSIR importance selection (Xie et al. 2023; exact-integer oracle) ----
+def q_dsir_select(sf_dir: str) -> rd.Dataset:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its unigrams are under a TARGET distribution
+    (the ``lang='en'`` slice stands in for the curated target corpus —
+    no external data) than under the RAW corpus distribution, keep docs
+    whose importance is positive.  Exact-integer rational weights replace
+    the paper's log-probs (the exact-integer-spec pattern: floats never
+    cross a partition boundary), so the DuckDB oracle reproduces feature
+    estimation AND selection bit-for-bit:
+
+        wt(tok)  = tgt_cnt(tok)*1e6 // tgt_tot - raw_cnt(tok)*1e6 // raw_tot
+        score(d) = sum over d's tokens (with multiplicity) of wt(tok)
+        keep d  iff  score(d) > 0
+
+    Scale shape: feature estimation is ONE partitioned count shuffle —
+    raw and target counts ride in the same pass (target count = sum of an
+    0/1 indicator) — producing the O(vocab) model, built driver-side and
+    broadcast via ray.put; scoring is embarrassingly parallel
+    (sorted-vocab searchsorted + per-doc bincount, no per-token Python
+    dict lookups).  At open-web vocab the documented upgrade is DSIR's
+    own hashing trick (fixed 2^k feature buckets — the paper's actual
+    estimator), which turns the model into a constant-size array and
+    removes the vocab-sized driver step entirely; the driver tables'
+    vocab is bounded, so the exact-token model keeps the oracle checkable
+    (same bound argument as q_lang_classifier).  Selection is a pure
+    per-doc threshold — no global top-K, so no selection shuffle."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        toks: list[str] = []
+        tgt: list[int] = []
+        for lang, text in zip(t["lang"].to_pylist(), t["text"].to_pylist()):
+            s = (text or "").strip("\t\n\f\r ")
+            if not s:
+                continue
+            ws = _WS_SPLIT.split(s)
+            toks.extend(ws)
+            tgt.extend([1 if lang == "en" else 0] * len(ws))
+        part = pa.table(
+            {"tok": pa.array(toks, pa.string()), "tgt": pa.array(tgt, pa.int64())}
+        )
+        g = part.group_by("tok").aggregate([("tgt", "count"), ("tgt", "sum")])
+        return g.rename_columns(["tok", "raw_c", "tgt_c"])
+
+    cnt = partitioned_aggregate(
+        ds.map_batches(tok_counts, batch_format="pyarrow"),
+        ["tok"],
+        [("raw_c", "sum"), ("tgt_c", "sum")],
+        ["tok", "raw_c", "tgt_c"],
+        num_parts=32,
+    ).to_pandas()  # O(vocab): this IS the model (bounded; hashing-trick
+    # upgrade documented above removes this step at open-web vocab)
+
+    vocab = np.sort(cnt["tok"].to_numpy(dtype=object))
+    order = np.argsort(cnt["tok"].to_numpy(dtype=object), kind="stable")
+    raw_c = cnt["raw_c"].to_numpy(np.int64)[order]
+    tgt_c = cnt["tgt_c"].to_numpy(np.int64)[order]
+    raw_tot = int(raw_c.sum())
+    tgt_tot = int(tgt_c.sum())
+    # guard: a table with no target-language tokens makes every weight the
+    # pure raw penalty (tgt term 0), which the oracle's COALESCE mirrors
+    wt = (
+        (tgt_c * 1_000_000 // tgt_tot if tgt_tot else np.zeros_like(tgt_c))
+        - raw_c * 1_000_000 // raw_tot
+    ).astype(np.int64)
+    model_ref = ray.put((vocab, wt))
+
+    _OUT = pa.schema(
+        [("doc_id", pa.int64()), ("score", pa.int64()), ("n_tokens", pa.int64())]
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, w = ray.get(model_ref)
+        ids, ntok, toks, doc_ix = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            s = (text or "").strip("\t\n\f\r ")
+            if not s:
+                continue
+            ws = _WS_SPLIT.split(s)
+            k = len(ids)
+            ids.append(did)
+            ntok.append(len(ws))
+            toks.extend(ws)
+            doc_ix.extend([k] * len(ws))
+        if not ids:
+            return _OUT.empty_table()
+        tk = np.array(toks, dtype=object)
+        pos = np.searchsorted(voc, tk)
+        # every doc token is in the raw vocab by construction; the clip is
+        # only paranoia against a racing schema change
+        pos = np.minimum(pos, len(voc) - 1)
+        dix = np.array(doc_ix, np.int64)
+        # float64 bincount is exact: |wt| <= 2e6 and per-doc token counts
+        # keep every partial far below 2^53
+        sc = np.bincount(
+            dix, weights=w[pos].astype(np.float64), minlength=len(ids)
+        ).astype(np.int64)
+        keep = sc > 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.array(ids, np.int64)[keep], pa.int64()),
+                "score": pa.array(sc[keep], pa.int64()),
+                "n_tokens": pa.array(np.array(ntok, np.int64)[keep], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")

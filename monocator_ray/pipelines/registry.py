@@ -643,6 +643,42 @@ REGISTRY: dict = {
         ORDER BY region, nation
         """,
     ),
+    # set operations over distinct key sets (one shared flags shuffle)
+    "repeat_buyers": (
+        R.q_repeat_buyers,
+        """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY o_custkey
+        """,
+    ),
+    "lapsed_buyers": (
+        R.q_lapsed_buyers,
+        """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        ORDER BY o_custkey
+        """,
+    ),
+    # DENSE_RANK window (ties collapse to one rank row via the group-by)
+    "part_price_dense_rank": (
+        R.q_part_price_dense_rank,
+        """
+        WITH r AS (
+          SELECT p_type,
+                 DENSE_RANK() OVER (PARTITION BY p_type
+                                    ORDER BY CAST(ROUND(p_retailprice*100) AS BIGINT) DESC)
+                   AS dense_rnk,
+                 CAST(ROUND(p_retailprice*100) AS BIGINT) AS price_cents
+          FROM part)
+        SELECT p_type, dense_rnk, price_cents, COUNT(*) AS n_parts
+        FROM r WHERE dense_rnk <= 2
+        GROUP BY p_type, dense_rnk, price_cents
+        ORDER BY p_type, dense_rnk
+        """,
+    ),
     "order_rank": (
         R.q_order_rank,
         """
@@ -1326,6 +1362,32 @@ REGISTRY: dict = {
            AND 5 * n_alpha_words >= 4 * n_words
            AND n_stop >= 2) AS keep
         FROM c ORDER BY doc_id
+        """,
+    ),
+    # DSIR importance selection (Xie et al. 2023): exact-integer rational
+    # importance weights (tgt freq minus raw freq, scaled 1e6, floor div),
+    # keep docs with positive importance; target = the lang='en' slice
+    "dsir_select": (
+        D.q_dsir_select,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents WHERE trim(text) <> ''),
+        cnt AS (SELECT tok, COUNT(*) AS raw_c,
+                       SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+                FROM toks GROUP BY tok),
+        tots AS (SELECT SUM(raw_c) AS raw_tot, SUM(tgt_c) AS tgt_tot FROM cnt),
+        w AS (SELECT tok,
+                     COALESCE(CAST(tgt_c * 1000000 // NULLIF(tgt_tot, 0) AS BIGINT), 0)
+                       - CAST(raw_c * 1000000 // raw_tot AS BIGINT) AS wt
+              FROM cnt CROSS JOIN tots),
+        doc_tok AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY doc_id, tok),
+        scores AS (SELECT d.doc_id,
+                          CAST(SUM(d.n * COALESCE(w.wt, 0)) AS BIGINT) AS score,
+                          CAST(SUM(d.n) AS BIGINT) AS n_tokens
+                   FROM doc_tok d LEFT JOIN w USING (tok) GROUP BY d.doc_id)
+        SELECT doc_id, score, n_tokens FROM scores
+        WHERE score > 0 ORDER BY doc_id
         """,
     ),
     # learned centroid-difference classifier: exact-integer train+infer

@@ -1611,3 +1611,120 @@ def q_customer_price_quartiles(sf_dir: str) -> rd.Dataset:
         num_parts=32,
     )
     return out.sort("o_custkey")
+
+
+# ---- set operations: INTERSECT / EXCEPT over distinct key sets ----
+def _custkey_year_flags(sf_dir: str, year_a: int, year_b: int) -> rd.Dataset:
+    """Distinct o_custkey with per-year presence flags, computed in ONE
+    pass + ONE partitioned shuffle: per-batch Arrow group_by folds the
+    fact rows down to (custkey, saw-year-a, saw-year-b) partials, then
+    partitioned_aggregate max-combines them — the set-op build never
+    materializes either operand's row set, only the distinct-key result.
+    Both INTERSECT and EXCEPT read the same flags dataset, so the two
+    registry queries share the plan shape (a real engine would CSE it)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def part(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        flags = pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "in_a": pc.cast(pc.equal(yr, pa.scalar(year_a, pa.int64())), pa.int64()),
+                "in_b": pc.cast(pc.equal(yr, pa.scalar(year_b, pa.int64())), pa.int64()),
+            }
+        )
+        g = flags.group_by("o_custkey").aggregate([("in_a", "max"), ("in_b", "max")])
+        return g.rename_columns(["o_custkey", "in_a", "in_b"])
+
+    return partitioned_aggregate(
+        orders.map_batches(part, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("in_a", "max"), ("in_b", "max")],
+        ["o_custkey", "in_a", "in_b"],
+        num_parts=32,
+    )
+
+
+def q_repeat_buyers(sf_dir: str) -> rd.Dataset:
+    """INTERSECT: customers ordering in both 1995 and 1996 (the set-op
+    surface; see _custkey_year_flags for the single-shuffle plan)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 1))
+        return t.filter(m).select(["o_custkey"])
+
+    return (
+        _custkey_year_flags(sf_dir, 1995, 1996)
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("o_custkey")
+    )
+
+
+def q_lapsed_buyers(sf_dir: str) -> rd.Dataset:
+    """EXCEPT: customers ordering in 1995 but not in 1996 (set difference
+    over distinct keys; same one-shuffle flags plan as q_repeat_buyers)."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(t["in_a"], 1), pc.equal(t["in_b"], 0))
+        return t.filter(m).select(["o_custkey"])
+
+    return (
+        _custkey_year_flags(sf_dir, 1995, 1996)
+        .map_batches(keep, batch_format="pyarrow")
+        .sort("o_custkey")
+    )
+
+
+# ---- DENSE_RANK window over a dimension (ties collapse to one rank) ----
+def q_part_price_dense_rank(sf_dir: str) -> rd.Dataset:
+    """DENSE_RANK() OVER (PARTITION BY p_type ORDER BY price DESC) <= 2,
+    aggregated to (type, rank, price, n_parts) so tie groups stay one row
+    — the dense-rank window shape (RANK is q_order_rank).  Type-hash
+    partitions: every type lands wholly in one partition, ranks computed
+    by a vectorized unique-of-sorted-prices walk, never per row."""
+    from monocator_ray.hashing import hash_str64
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_type": t["p_type"],
+                "price_cents": _cents(t["p_retailprice"]),
+            }
+        )
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        typ = g["p_type"].to_numpy(zero_copy_only=False)
+        cents = g["price_cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-cents, typ))
+        typ, cents = typ[order], cents[order]
+        starts, ends = run_boundaries(typ)
+        # dense rank within each type run: count of DISTINCT prices seen
+        # so far — new-price flags cumsummed per run, all vectorized
+        n = len(typ)
+        new_price = np.ones(n, dtype=np.int64)
+        new_price[1:] = (cents[1:] != cents[:-1]) | (typ[1:] != typ[:-1])
+        csum = np.cumsum(new_price)
+        base = np.zeros(n, dtype=np.int64)
+        base[:] = (csum - new_price)[np.repeat(starts, ends - starts)]
+        drank = csum - base
+        keep = drank <= 2
+        t2 = pa.table(
+            {
+                "p_type": pa.array(typ[keep], pa.string()),
+                "dense_rnk": pa.array(drank[keep], pa.int64()),
+                "price_cents": pa.array(cents[keep], pa.int64()),
+            }
+        )
+        g2 = t2.group_by(["p_type", "dense_rnk", "price_cents"]).aggregate(
+            [("price_cents", "count")]
+        )
+        return g2.rename_columns(["p_type", "dense_rnk", "price_cents", "n_parts"])
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["p_type"].to_pylist())],
+        rank_part,
+        num_parts=8,
+    ).sort(["p_type", "dense_rnk"])
