@@ -148,6 +148,52 @@ def q_token_stats(sf_dir: str):
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+_CSV_EXPORTED: set[str] = set()
+
+
+def q_token_stats_csv(sf_dir: str):
+    """q_token_stats with a CSV hop in the middle — the source-format
+    parity demonstration: documents export to worker-sharded CSV
+    (sources/csvio.py) and the SAME aggregation runs over the re-read,
+    matching the parquet-path oracle bit-for-bit (token counting maps
+    CSV's null->'' lossiness to the same 0).  The export is PID-keyed and
+    once-per-process like the flagship crawl artifacts."""
+    import shutil
+
+    from monocator_ray.sources.csvio import export_csv, read_csv_dir
+
+    ensure_shipped()
+    out = f"/tmp/monocator_csv_docs_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}"
+    if out not in _CSV_EXPORTED:
+        # reap other processes' export dirs once their owner is dead
+        # (registry.q_crawl_flagship reaper pattern, incl. ADVICE r2 #4's
+        # live-PID guard)
+        for d in os.listdir("/tmp"):
+            if d.startswith("monocator_csv_docs_") and not d.startswith(
+                f"monocator_csv_docs_{os.getpid()}_"
+            ):
+                try:
+                    os.kill(int(d.split("_")[3]), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join("/tmp", d), ignore_errors=True)
+                except (ValueError, PermissionError, OSError):
+                    pass
+        shutil.rmtree(out, ignore_errors=True)
+        export_csv(_docs(sf_dir, ["doc_id", "text", "lang"]), out).materialize()
+        _CSV_EXPORTED.add(out)
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string())]
+    )
+    ds = read_csv_dir(out, schema=schema)
+    out_df = driver_grouped_agg(
+        ds.map_batches(cached_stage(TokenCounter), batch_format="pyarrow"),
+        ["lang"],
+        [("n_tokens", "count"), ("n_tokens", "sum"), ("n_tokens", "max"), ("n_tokens", "min")],
+        ["lang", "n_docs", "total_tokens", "max_tokens", "min_tokens"],
+    ).sort_values("lang")
+    return pa.Table.from_pandas(out_df.reset_index(drop=True), preserve_index=False)
+
+
 # ---- quality scoring ----
 def q_quality_stats(sf_dir: str):
     ds = _docs(sf_dir, ["lang", "text"])

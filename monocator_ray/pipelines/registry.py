@@ -465,6 +465,22 @@ REGISTRY: dict = {
         FROM t GROUP BY lang ORDER BY lang
         """,
     ),
+    # same aggregation THROUGH a CSV export/re-read hop (source-format
+    # parity: sources/csvio.py round-trips the corpus losslessly for this
+    # projection, so the parquet-path oracle still matches bit-for-bit)
+    "token_stats_csv": (
+        D.q_token_stats_csv,
+        """
+        WITH t AS (
+          SELECT lang,
+                 CASE WHEN TRIM(text) = '' THEN 0
+                      ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+          FROM documents)
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               MAX(n_tokens) AS max_tokens, MIN(n_tokens) AS min_tokens
+        FROM t GROUP BY lang ORDER BY lang
+        """,
+    ),
     "quality_stats": (
         D.q_quality_stats,
         """

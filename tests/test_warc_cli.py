@@ -220,3 +220,73 @@ def test_cli_corpus_end_to_end(tmp_path):
     assert len(back) == out["corpus_docs"]
     assert {"doc_id", "text"} <= set(back.columns)
     assert back["doc_id"].is_unique
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_csv_roundtrip(tmp_path):
+    """documents -> sharded CSV -> read back with a pinned schema: same
+    rows/values incl. multi-line quoted text; the binary guard raises."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.sources.csvio import export_csv, read_csv_dir
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text", "lang"])
+    out = str(tmp_path / "csv")
+    manifest = export_csv(ds, out).to_pandas()
+    assert manifest["n_records"].sum() == ds.count()
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string())])
+    back = read_csv_dir(out, schema=schema).to_pandas()
+    back = back.sort_values("doc_id").reset_index(drop=True)
+    want = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # CSV null-lossiness contract: nulls come back as empty strings
+    want["text"] = want["text"].fillna("")
+    pd.testing.assert_frame_equal(back[sorted(back.columns)], want[sorted(want.columns)])
+
+    # planted fixture: embedded newlines / quotes / delimiters must survive
+    tricky = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(['line one\nline "two", with comma',
+                          "trailing space \t tab"], pa.string()),
+    })
+    tdir = str(tmp_path / "tricky")
+    export_csv(rd.from_arrow(tricky), tdir).materialize()
+    tback = read_csv_dir(
+        tdir, schema=pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(tback, tricky.to_pandas())
+
+    bad = rd.from_arrow(pa.table({"b": pa.array([b"x"], pa.binary())}))
+    with pytest.raises(Exception) as ei:
+        export_csv(bad, str(tmp_path / "bad")).materialize()
+    assert "CSV-unfriendly" in str(ei.value)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_ipc_roundtrip(tmp_path):
+    """Arrow IPC shards round-trip EXACTLY, including binary and timestamp
+    columns CSV/JSONL reject."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.sources.csvio import export_ipc, read_ipc
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([b"\x00\xff", b"", b"abc"], pa.binary()),
+        "ts": pa.array(
+            pd.to_datetime(["2026-01-01", "2026-01-02", "2026-01-03"]),
+            pa.timestamp("us")),
+    })
+    out = str(tmp_path / "ipc")
+    manifest = export_ipc(rd.from_arrow(t), out).to_pandas()
+    assert manifest["n_records"].sum() == 3
+    back = read_ipc(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(back, want)
