@@ -3563,3 +3563,81 @@ def q_dsir_select(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+# ---- per-doc n-gram novelty (corpus-uniqueness quality signal) ----
+def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
+    """Per-document n-gram novelty: of each doc's DISTINCT word 3-grams,
+    how many occur in NO other document — the corpus-uniqueness signal
+    dedup/quality recipes threshold on (a doc whose grams are all shared
+    is boilerplate; one whose grams are mostly unique is fresh text).
+
+    Plan: one NgramExploder pass -> ONE partitioned count over gram_hash.
+    No join back: a gram seen by exactly one doc has count==1, and for
+    that gram min(doc_id) IS the owning doc — so novel counts fall out of
+    the same aggregate (count, min) the df pass already computes, and the
+    per-doc totals (doc_id, doc_n) combine with them via a second tiny
+    doc_id-partitioned sum (concat partials, no Dataset.join fixed cost).
+    Gram identity is the 64-bit SipHash ngram_jaccard_pairs already joins
+    on (collision odds documented there)."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    # materialize: TWO consumers below (gram counts + per-doc totals) —
+    # without it Ray re-executes the whole read+explode per consumer
+    exploded = ds.map_batches(
+        cached_stage(NgramExploder, n=3), batch_format="pyarrow"
+    ).materialize()
+
+    gram_df = partitioned_aggregate(
+        exploded,
+        ["gram_hash"],
+        [("doc_id", "count"), ("doc_id", "min")],
+        ["gram_hash", "nd", "min_doc"],
+        num_parts=32,
+    )
+
+    _PART = pa.schema(
+        [("doc_id", pa.int64()), ("n_grams", pa.int64()), ("n_novel", pa.int64())]
+    )
+
+    def novel_partial(t: pa.Table) -> pa.Table:
+        one = t.filter(pc.equal(t["nd"], 1))
+        if one.num_rows == 0:
+            return _PART.empty_table()
+        g = one.group_by("min_doc").aggregate([("nd", "count")])
+        return pa.table(
+            {
+                "doc_id": g["min_doc"],
+                "n_grams": pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+                "n_novel": pc.cast(g["nd_count"], pa.int64()),
+            }
+        )
+
+    def total_partial(t: pa.Table) -> pa.Table:
+        # one row per (doc_id, doc_n) distinct pair per batch: doc_n is
+        # constant per doc, so min == the total distinct-gram count
+        g = t.group_by("doc_id").aggregate([("doc_n", "min")])
+        return pa.table(
+            {
+                "doc_id": g["doc_id"],
+                "n_grams": pc.cast(g["doc_n_min"], pa.int64()),
+                "n_novel": pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    partials = gram_df.map_batches(novel_partial, batch_format="pyarrow").union(
+        exploded.map_batches(total_partial, batch_format="pyarrow")
+    )
+    # n_grams partials repeat the SAME doc_n from every batch that saw the
+    # doc -> combine with max (novel rows carry 0); n_novel partials are
+    # disjoint per gram-partition -> sum (total rows carry 0)
+    combined = partitioned_aggregate(
+        partials,
+        ["doc_id"],
+        [("n_grams", "max"), ("n_novel", "sum")],
+        ["doc_id", "n_grams", "n_novel"],
+        num_parts=32,
+    )
+    # O(docs) result rows: small ones sort driver-side (_finish_pairs
+    # rationale — a shuffle sort is ~2 s of fixed cost)
+    return _finish_pairs(combined, ["doc_id"], _PART.empty_table())

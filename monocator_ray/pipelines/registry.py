@@ -659,6 +659,44 @@ REGISTRY: dict = {
         ORDER BY region, nation
         """,
     ),
+    # scalar subquery: global average as exact-integer cross-multiplication
+    "above_avg_orders": (
+        R.q_above_avg_orders,
+        """
+        WITH s AS (SELECT COUNT(*) AS n,
+                          SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS tot
+                   FROM orders)
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM orders CROSS JOIN s
+        WHERE CAST(ROUND(o_totalprice*100) AS BIGINT) * n > tot
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    # grouped MODE with deterministic tie-break (smallest priority wins)
+    "priority_mode": (
+        R.q_priority_mode,
+        """
+        WITH c AS (SELECT year(o_orderdate) AS yr, o_orderpriority,
+                          CAST(COUNT(*) AS BIGINT) AS n
+                   FROM orders GROUP BY 1, 2),
+        r AS (SELECT yr, o_orderpriority, n,
+                     ROW_NUMBER() OVER (PARTITION BY yr
+                                        ORDER BY n DESC, o_orderpriority) AS rn
+              FROM c)
+        SELECT yr, o_orderpriority AS mode_priority, n
+        FROM r WHERE rn = 1 ORDER BY yr
+        """,
+    ),
+    # UNION (distinct) across two tables
+    "active_nations": (
+        R.q_active_nations,
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+        UNION
+        SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+        ORDER BY nationkey
+        """,
+    ),
     # set operations over distinct key sets (one shared flags shuffle)
     "repeat_buyers": (
         R.q_repeat_buyers,
@@ -1378,6 +1416,29 @@ REGISTRY: dict = {
            AND 5 * n_alpha_words >= 4 * n_words
            AND n_stop >= 2) AS keep
         FROM c ORDER BY doc_id
+        """,
+    ),
+    # per-doc n-gram novelty: grams seen by exactly one doc (count==1 ->
+    # min(doc_id) IS the owner; no join back), gram identity = SipHash64
+    "ngram_novelty": (
+        D.q_ngram_novelty,
+        r"""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)])) AS g
+          FROM toks WHERE len(w) >= 3),
+        df AS (SELECT g, COUNT(*) AS nd FROM grams GROUP BY g),
+        tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+                FROM grams GROUP BY doc_id),
+        nov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+                FROM grams JOIN df USING (g) WHERE nd = 1 GROUP BY doc_id)
+        SELECT t.doc_id, t.n_grams, COALESCE(n.n_novel, 0) AS n_novel
+        FROM tot t LEFT JOIN nov n USING (doc_id) ORDER BY t.doc_id
         """,
     ),
     # DSIR importance selection (Xie et al. 2023): exact-integer rational

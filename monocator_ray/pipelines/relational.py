@@ -1728,3 +1728,119 @@ def q_part_price_dense_rank(sf_dir: str) -> rd.Dataset:
         rank_part,
         num_parts=8,
     ).sort(["p_type", "dense_rnk"])
+
+
+# ---- scalar subquery (compare each row to a global aggregate) ----
+def q_above_avg_orders(sf_dir: str) -> rd.Dataset:
+    """Orders priced above the GLOBAL average, counted per priority — the
+    correlated-scalar-subquery shape (WHERE x > (SELECT AVG(..))).  The
+    average never materializes as a float: keep iff
+    ``price_cents * n_orders > total_cents`` (exact-integer
+    cross-multiplication), so engine and oracle agree bit-for-bit.
+
+    Plan: pass 1 folds orders to two scalars (COUNT, SUM of cents) via
+    per-batch partials + driver combine; pass 2 filters against the
+    broadcast scalars and pre-aggregates per priority — no shuffle at all
+    (O(priorities) result, driver_grouped_agg rationale)."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def scalars(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"])
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "tot": pa.array([pc.sum(cents).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = collect_arrow(orders.map_batches(scalars, batch_format="pyarrow"))
+    n_orders = int(pc.sum(parts["n"]).as_py() or 0)
+    total_cents = int(pc.sum(parts["tot"]).as_py() or 0)
+
+    def keep_count(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        mask = cents * n_orders > total_cents
+        kept = pa.table(
+            {
+                "o_orderpriority": t.filter(pa.array(mask))["o_orderpriority"],
+            }
+        )
+        kept = kept.append_column(
+            "one", pa.array(np.ones(kept.num_rows, np.int64), pa.int64())
+        )
+        g = kept.group_by("o_orderpriority").aggregate([("one", "sum")])
+        return g.rename_columns(["o_orderpriority", "n_above"])
+
+    out = driver_grouped_agg(
+        orders.map_batches(keep_count, batch_format="pyarrow"),
+        ["o_orderpriority"],
+        [("n_above", "sum")],
+        ["o_orderpriority", "n_above"],
+    ).sort_values("o_orderpriority")
+    out["n_above"] = out["n_above"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ---- grouped MODE (most frequent value, deterministic tie-break) ----
+def q_priority_mode(sf_dir: str) -> rd.Dataset:
+    """Per order-year modal o_orderpriority (ties -> lexicographically
+    smallest priority) — the MODE aggregate as a two-level plan: per-batch
+    (year, priority) count partials, driver combine of the O(years x
+    priorities) grid, vectorized argmax.  The grid is dimension-sized by
+    construction, so the driver step is bounded like any broadcast build
+    side."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_orderpriority"])
+
+    def part(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+                "one": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            }
+        ).group_by(["yr", "o_orderpriority"]).aggregate([("one", "sum")])
+        return g.rename_columns(["yr", "o_orderpriority", "n"])
+
+    grid = driver_grouped_agg(
+        orders.map_batches(part, batch_format="pyarrow"),
+        ["yr", "o_orderpriority"],
+        [("n", "sum")],
+        ["yr", "o_orderpriority", "n"],
+    )
+    # argmax per year: sort (yr asc, n desc, priority asc), take run heads
+    grid = grid.sort_values(
+        ["yr", "n", "o_orderpriority"], ascending=[True, False, True]
+    ).reset_index(drop=True)
+    head = grid.groupby("yr", as_index=False).first()
+    head = head.rename(columns={"o_orderpriority": "mode_priority"})
+    head["n"] = head["n"].astype(np.int64)
+    return pa.Table.from_pandas(
+        head[["yr", "mode_priority", "n"]], preserve_index=False
+    )
+
+
+# ---- UNION (distinct) across two tables ----
+def q_active_nations(sf_dir: str) -> rd.Dataset:
+    """Nation keys present in customers UNION suppliers — the distinct
+    UNION set-op: per-batch unique partials from each read, Dataset.union
+    of the partial streams, one shared distinct shuffle."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    supp = _read(sf_dir, "supplier", ["s_nationkey"])
+
+    def uniq(col: str):
+        def f(t: pa.Table) -> pa.Table:
+            u = pc.unique(pc.cast(t[col], pa.int64()))
+            return pa.table({"nationkey": u, "one": pa.array(np.ones(len(u), np.int64))})
+
+        return f
+
+    both = cust.map_batches(uniq("c_nationkey"), batch_format="pyarrow").union(
+        supp.map_batches(uniq("s_nationkey"), batch_format="pyarrow")
+    )
+    return (
+        partitioned_aggregate(
+            both, ["nationkey"], [("one", "min")], ["nationkey", "one"], num_parts=8
+        )
+        .select_columns(["nationkey"])
+        .sort("nationkey")
+    )
