@@ -206,6 +206,26 @@ REGISTRY: dict = {
           AND l_shipdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
         """,
     ),
+    # TPC-H Q5 shape: lineitem pre-agg -> x orders(year) -> x customer ->
+    # nation dim broadcast; revenue = exact-integer cents x percent
+    "nation_revenue": (
+        R.q_nation_revenue,
+        """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS r
+          FROM lineitem GROUP BY l_orderkey)
+        SELECT n_name, CAST(SUM(r) AS BIGINT) AS revenue_cpc
+        FROM rev
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE year(o_orderdate) = 1996
+        GROUP BY n_name
+        ORDER BY revenue_cpc DESC, n_name
+        """,
+    ),
     "priority_revenue": (
         R.q_priority_revenue,
         """
@@ -248,6 +268,22 @@ REGISTRY: dict = {
         SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
         FROM events GROUP BY event_type, window_start
         ORDER BY event_type, window_start
+        """,
+    ),
+    # gap-filled hourly series (generate_series zero-fill shape)
+    "event_windows_filled": (
+        R.q_event_windows_filled,
+        """
+        WITH c AS (
+          SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+          FROM events GROUP BY 1),
+        b AS (SELECT MIN(window_start) AS lo, MAX(window_start) AS hi FROM c),
+        grid AS (
+          SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS window_start
+          FROM b)
+        SELECT g.window_start, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        FROM grid g LEFT JOIN c USING (window_start)
+        ORDER BY g.window_start
         """,
     ),
     "event_sliding": (

@@ -1844,3 +1844,131 @@ def q_active_nations(sf_dir: str) -> rd.Dataset:
         .select_columns(["nationkey"])
         .sort("nationkey")
     )
+
+
+# ---- TPC-H Q5 shape: multi-way join (fact x fact x fact x dim) ----
+def q_nation_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue per customer nation for one order-year — the canonical
+    multi-way join benchmark shape (TPC-H Q5).  The plan is the 100-TB
+    ordering: (1) the widest fact (lineitem) pre-aggregates to one
+    (orderkey, revenue) row per order BEFORE any join — the combiner that
+    turns the biggest shuffle into an O(orders) one; (2) the year filter
+    prunes orders before its join; (3) two partitioned hash joins chain
+    on the shrinking side (rev x orders, then x customer — customer is
+    fact-sized at scale, so it joins rather than broadcasts); (4) nation
+    is a true dimension -> broadcast LUT, final O(nations) driver
+    combine.  Revenue is exact-integer cents x percent:
+    ``price_cents * (100 - disc_pct)`` — floats never cross a partition
+    boundary."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(100, pa.int64()),
+                pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
+            ),
+        )
+        g = pa.table({"l_orderkey": t["l_orderkey"], "r": r}).group_by(
+            "l_orderkey"
+        ).aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "r"])
+
+    rev = partitioned_aggregate(
+        li.map_batches(rev_part, batch_format="pyarrow"),
+        ["l_orderkey"],
+        [("r", "sum")],
+        ["l_orderkey", "r"],
+        num_parts=32,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_filter(t: pa.Table) -> pa.Table:
+        m = pc.equal(pc.year(t["o_orderdate"]), pa.scalar(1996, pa.int64()))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders_y = orders.map_batches(year_filter, batch_format="pyarrow")
+    j1 = rev.join(
+        orders_y,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    # pre-aggregate to one row per customer before the customer join
+    per_cust = partitioned_aggregate(
+        j1.select_columns(["o_custkey", "r"]),
+        ["o_custkey"],
+        [("r", "sum")],
+        ["o_custkey", "r"],
+        num_parts=32,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # dimension
+    lut_ref = ray.put(dict(zip(nation["n_nationkey"], nation["n_name"])))
+
+    class NationName:
+        def __init__(self, ref):
+            lookup = ray.get(ref)
+            self.maxk = max(lookup) if lookup else 0
+            self.lut = np.full(self.maxk + 1, "", dtype=object)
+            for k, v in lookup.items():
+                self.lut[k] = v
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            names = self.lut[np.clip(keys, 0, self.maxk)]
+            return pa.table(
+                {"n_name": pa.array(names, pa.string()), "r": batch["r"]}
+            )
+
+    mapped = j2.map_batches(cached_stage(NationName, ref=lut_ref), batch_format="pyarrow")
+    out = driver_grouped_agg(
+        mapped, ["n_name"], [("r", "sum")], ["n_name", "revenue_cpc"]
+    ).sort_values(["revenue_cpc", "n_name"], ascending=[False, True])
+    out["revenue_cpc"] = out["revenue_cpc"].astype(np.int64)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+# ---- gap-filled time series (generate_series / zero-fill shape) ----
+def q_event_windows_filled(sf_dir: str) -> rd.Dataset:
+    """Hourly event counts with MISSING HOURS ZERO-FILLED between the
+    global min and max event hour — the generate_series / gap-fill shape
+    dashboards need.  Plan: the count aggregate is the same O(hours)
+    driver_grouped_agg as q_event_windows; the series grid is generated
+    from two scalar bounds (min/max fold inside map_batches, driver
+    combine of O(blocks) partials) — the grid itself is O(hours), result-
+    sized by definition, so building it driver-side is the broadcast-
+    build-side argument, not a materialization of the fact table."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def hour_part(t: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(t["ts"], unit="hour")
+        g = pa.table(
+            {"window_start": h, "one": pa.array(np.ones(t.num_rows, np.int64))}
+        ).group_by("window_start").aggregate([("one", "sum")])
+        return g.rename_columns(["window_start", "n"])
+
+    counts = driver_grouped_agg(
+        ds.map_batches(hour_part, batch_format="pyarrow"),
+        ["window_start"],
+        [("n", "sum")],
+        ["window_start", "n"],
+    )
+    lo = counts["window_start"].min()
+    hi = counts["window_start"].max()
+    grid = pd.DataFrame({"window_start": pd.date_range(lo, hi, freq="h")})
+    out = grid.merge(counts, on="window_start", how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out = out.sort_values("window_start").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
