@@ -126,6 +126,20 @@ BENCH_QUERIES = [
     "forecast_revenue",
     "user_activity_histogram",
     "customer_price_quartiles",
+    # round-3 additions: DSIR selection, novelty, set ops, Q5-shape join,
+    # gap-filled series, CSV-hop parity, mode/scalar-subquery/dense-rank
+    "dsir_select",
+    "ngram_novelty",
+    "repeat_buyers",
+    "lapsed_buyers",
+    "active_nations",
+    "nation_revenue",
+    "event_windows_filled",
+    "token_stats_csv",
+    "above_avg_orders",
+    "priority_mode",
+    "part_price_dense_rank",
+    "user_first_last",
 ]
 
 

@@ -270,6 +270,26 @@ REGISTRY: dict = {
         ORDER BY event_type, window_start
         """,
     ),
+    # FIRST_VALUE / LAST_VALUE window (deterministic event_id tie-break)
+    "user_first_last": (
+        R.q_user_first_last,
+        """
+        WITH w AS (
+          SELECT user_id,
+                 FIRST_VALUE(event_type) OVER win AS first_type,
+                 FIRST_VALUE(ts)         OVER win AS first_ts,
+                 LAST_VALUE(event_type)  OVER win AS last_type,
+                 LAST_VALUE(ts)          OVER win AS last_ts,
+                 COUNT(*)                OVER win AS n_events
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING))
+        SELECT DISTINCT user_id, first_type, first_ts, last_type, last_ts,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM w ORDER BY user_id
+        """,
+    ),
     # gap-filled hourly series (generate_series zero-fill shape)
     "event_windows_filled": (
         R.q_event_windows_filled,

@@ -1972,3 +1972,45 @@ def q_event_windows_filled(sf_dir: str) -> rd.Dataset:
     out["n"] = out["n"].fillna(0).astype(np.int64)
     out = out.sort_values("window_start").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- FIRST_VALUE / LAST_VALUE window (per-user first & last event) ----
+def q_user_first_last(sf_dir: str) -> rd.Dataset:
+    """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY user ORDER BY ts,
+    event_id) — the remaining window-function class: per user, the first
+    and last event type with their timestamps.  User-hash partitions, one
+    vectorized lexsort + run-boundary take inside each (every user lands
+    wholly in one partition); event_id tie-breaks equal timestamps so
+    both sides are deterministic."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+
+    def fl_part(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        et = g["event_type"].to_numpy(zero_copy_only=False)[order]
+        starts, ends = run_boundaries(uid)
+        last = ends - 1
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "first_type": pa.array(et[starts], pa.string()),
+                "first_ts": pa.Array.from_pandas(
+                    ts[starts].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "last_type": pa.array(et[last], pa.string()),
+                "last_ts": pa.Array.from_pandas(
+                    ts[last].view("datetime64[us]"), type=pa.timestamp("us")
+                ),
+                "n_events": pa.array(ends - starts, pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        fl_part,
+        num_parts=16,
+    ).sort("user_id")
