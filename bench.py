@@ -275,7 +275,13 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # N and 4N parallelism levels.  Default 8 vs 32 uses the whole box; on a
+    # host with external contention (observed: the sandbox VM's full-width
+    # throughput swings ~3x across minutes while 8-cpu runs stay stable)
+    # BENCH_SCALING_LO/HI=4/16 measures the same N->4N criterion inside the
+    # capacity the host reliably delivers.
+    lo = int(os.environ.get("BENCH_SCALING_LO", "8"))
+    hi = int(os.environ.get("BENCH_SCALING_HI", "32"))
     n_runs = int(os.environ.get("BENCH_SCALING_RUNS", "3"))
     import statistics
 
