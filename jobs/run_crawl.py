@@ -55,12 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     ensure_shipped()
     robots = None
     if args.seeds:
-        import pyarrow as pa
+        from monocator_ray.sources.seeds import seed_urls_from_file
 
-        from monocator_ray.sources.seeds import read_seeds, requests_to_seed_urls
-
-        reqs = pa.Table.from_pandas(read_seeds(args.seeds).to_pandas())
-        seed_urls = requests_to_seed_urls(reqs)
+        # auto-detects full-URL vs domain seed files (code-review r3 #1:
+        # treating a URL line as a domain silently mangles the seed)
+        seed_urls = seed_urls_from_file(args.seeds)
     elif args.synth_total and args.synth_hosts:
         from monocator_ray.sources.synth import SynthSpec
         from monocator_ray.state.robots import synth_robots

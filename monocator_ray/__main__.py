@@ -142,12 +142,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "crawl":
         _init_ray(args.num_cpus)
         from monocator_ray.crawl.driver import CrawlConfig, crawl
-        from monocator_ray.sources.seeds import read_seeds, requests_to_seed_urls
+        from monocator_ray.sources.seeds import seed_urls_from_file
 
-        import pyarrow as pa
-
-        reqs = pa.Table.from_pandas(read_seeds(args.seeds).to_pandas())
-        seed_urls = requests_to_seed_urls(reqs)
+        seed_urls = seed_urls_from_file(args.seeds)
         cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
                           max_depth=args.max_depth, num_buckets=args.buckets)
         res = crawl(seed_urls, args.pages, args.out, cfg, resume=args.resume)
@@ -220,20 +217,11 @@ def main(argv: list[str] | None = None) -> int:
         from monocator_ray.pipelines.docs import curate_dataset
         from monocator_ray.shipping import ensure_shipped
         from monocator_ray.sources.jsonl import export_jsonl
-        from monocator_ray.sources.seeds import read_seeds, requests_to_seed_urls
+        from monocator_ray.sources.seeds import seed_urls_from_file
 
         ensure_shipped()
-        # a seed file of full URLs seeds those exact pages; a domain list
-        # goes through VisitRequests and seeds each host's root
-        with open(args.seeds) as fh:
-            lines = [x.strip() for x in fh if x.strip()]
-        if lines and "://" in lines[0]:
-            from monocator_ray.urlnorm import canonicalize_url
-
-            seed_urls = [u for u in (canonicalize_url(x) for x in lines) if u]
-        else:
-            reqs = pa.Table.from_pandas(read_seeds(args.seeds).to_pandas())
-            seed_urls = requests_to_seed_urls(reqs)
+        # full-URL files seed exact pages; domain lists seed host roots
+        seed_urls = seed_urls_from_file(args.seeds)
         cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
                           max_depth=args.max_depth, num_buckets=args.buckets)
         res = crawl(seed_urls, args.pages, args.out, cfg)

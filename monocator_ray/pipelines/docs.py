@@ -157,25 +157,35 @@ def q_token_stats_csv(sf_dir: str):
     (sources/csvio.py) and the SAME aggregation runs over the re-read,
     matching the parquet-path oracle bit-for-bit (token counting maps
     CSV's null->'' lossiness to the same 0).  The export is PID-keyed and
-    once-per-process like the flagship crawl artifacts."""
+    once-per-process like the flagship crawl artifacts.
+
+    NODE-LOCALITY (code-review r3 #3): the default staging dir is /tmp,
+    which is correct only where writers and readers share a filesystem
+    (this single-node sandbox).  On a multi-node `ray job submit`
+    deployment set MONOCATOR_CSV_DIR to a shared path (NFS/object mount)
+    or the read would see only the driver node's shards."""
     import shutil
 
     from monocator_ray.sources.csvio import export_csv, read_csv_dir
 
     ensure_shipped()
-    out = f"/tmp/monocator_csv_docs_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}"
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_csv_docs_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
     if out not in _CSV_EXPORTED:
         # reap other processes' export dirs once their owner is dead
         # (registry.q_crawl_flagship reaper pattern, incl. ADVICE r2 #4's
         # live-PID guard)
-        for d in os.listdir("/tmp"):
+        for d in os.listdir(base):
             if d.startswith("monocator_csv_docs_") and not d.startswith(
                 f"monocator_csv_docs_{os.getpid()}_"
             ):
                 try:
                     os.kill(int(d.split("_")[3]), 0)
                 except ProcessLookupError:
-                    shutil.rmtree(os.path.join("/tmp", d), ignore_errors=True)
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
                 except (ValueError, PermissionError, OSError):
                     pass
         shutil.rmtree(out, ignore_errors=True)

@@ -231,6 +231,15 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
     tests/test_graph.py::test_pagerank_join_path_matches_broadcast).
     Returns (node, rank_e12)."""
     ensure_shipped()
+    # one materialization, reused every iteration (a lazy edges input would
+    # re-execute its upstream per join), and its size feeds the adaptive
+    # join sizing below instead of a hardcoded constant (code-review r3 #7:
+    # a fixed 4 caps shuffle width on large graphs; the measured ~0.1 s/
+    # partition fixed cost keeps small sessions at the lo floor anyway)
+    edges = edges.materialize()
+    from monocator_ray.stages.grouped import join_partitions_for_bytes
+
+    jp = join_partitions_for_bytes(edges.size_bytes(), lo=4)
 
     def one_per_src(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["src"],
@@ -281,7 +290,7 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
         # join -> groupby -> join chain spins up every stage's aggregator
         # pool at once and deadlocks small sessions (graft hard-won fact 1;
         # same barriers as pipelines/docs.py)
-        joined = edges.join(contrib, join_type="inner", num_partitions=4,
+        joined = edges.join(contrib, join_type="inner", num_partitions=jp,
                             on=("src",), right_on=("cnode",)).map_batches(
             partial_by_dst, batch_format="pyarrow").materialize()
         sums = partitioned_aggregate(
@@ -290,7 +299,7 @@ def pagerank_join_path(edges: rd.Dataset, iters: int = ITERS) -> rd.Dataset:
         # symmetric graph: every node is some edge's dst, so the inner
         # join back to the degree table loses no vertex
         ranks = (
-            sums.join(deg, join_type="inner", num_partitions=4,
+            sums.join(deg, join_type="inner", num_partitions=jp,
                       on=("dst",), right_on=("node",))
             .map_batches(damp, batch_format="pyarrow")
             .materialize()

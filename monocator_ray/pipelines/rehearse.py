@@ -36,13 +36,15 @@ def _to_pandas(obj):
 
 def _normalize(df):
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # round BEFORE sorting: sorting on raw floats can order representation-
+    # noise ties differently on the two sides, misaligning rows that are
+    # equal under the stated tolerance (code-review r3 finding #6)
     for c in df.columns:
         if str(df[c].dtype).startswith(("int", "uint", "Int")):
             df[c] = df[c].astype("int64")
         if str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(6)
-    return df
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
 def rehearse(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = None,
@@ -63,6 +65,12 @@ def rehearse(sf_dir: str = "/root/testdata/sf0.01", names: list[str] | None = No
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     out: dict[str, dict] = {}
+    if names:
+        # a typo'd --names must not silently pass with zero queries run
+        # (code-review r3 finding #2)
+        unknown = sorted(set(names) - set(REGISTRY))
+        if unknown:
+            raise SystemExit(f"unknown query names: {', '.join(unknown)}")
     items = [(n, v) for n, v in REGISTRY.items() if not names or n in names]
     for name, (fn, sql) in items:
         t0 = time.monotonic()

@@ -1965,6 +1965,11 @@ def q_event_windows_filled(sf_dir: str) -> rd.Dataset:
         [("n", "sum")],
         ["window_start", "n"],
     )
+    if counts.empty:
+        # empty events table: the oracle's generate_series over NULL
+        # bounds yields zero rows; date_range(NaT, NaT) would raise
+        return pa.table({"window_start": pa.array([], pa.timestamp("us")),
+                         "n": pa.array([], pa.int64())})
     lo = counts["window_start"].min()
     hi = counts["window_start"].max()
     grid = pd.DataFrame({"window_start": pd.date_range(lo, hi, freq="h")})

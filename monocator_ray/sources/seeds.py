@@ -63,6 +63,23 @@ def requests_to_seed_urls(requests: pa.Table) -> list[str]:
     return urls
 
 
+def seed_urls_from_file(path: str) -> list[str]:
+    """Seed file -> frontier URLs, auto-detecting the two accepted shapes:
+    a text file of FULL URLS (lines containing '://') seeds those exact
+    pages; anything else (domain lines, CSV/parquet with a 'domain'
+    column) goes through VisitRequests and seeds each host's root.
+    Without the URL branch a full-URL line would be treated as a domain
+    and mangled into 'http://http//...' (code-review r3 finding #1) —
+    every CLI entry (crawl / corpus / jobs) must route through here."""
+    if not path.endswith((".csv", ".parquet")):
+        with open(path) as fh:
+            lines = [x.strip() for x in fh if x.strip()]
+        if lines and "://" in lines[0]:
+            return [u for u in (canonicalize_url(x) for x in lines) if u]
+    reqs = read_seeds(path).to_pandas()
+    return requests_to_seed_urls(pa.Table.from_pandas(reqs))
+
+
 def read_blacklist(path: str) -> frozenset[str]:
     """S5 — small filter table of blocked hosts (the reference's
     BlacklistEntry, /root/reference/src/TODO.MD:11-13).  One host per line

@@ -185,7 +185,16 @@ def join_partitions(paths: list[str], lo: int = 2, hi: int = 256,
     import os
 
     total = sum(os.path.getsize(p) for p in paths if os.path.exists(p))
-    return int(max(lo, min(hi, -(-total // target_bytes))))
+    return join_partitions_for_bytes(total, lo, hi, target_bytes)
+
+
+def join_partitions_for_bytes(total: int | None, lo: int = 2, hi: int = 256,
+                              target_bytes: int = 256 << 20) -> int:
+    """:func:`join_partitions` for an already-known byte count (e.g. a
+    materialized Dataset's ``size_bytes()``; None -> the lo floor).  Keeps
+    iterative-join callers (pagerank_join_path) on the same sizing curve
+    instead of a hardcoded constant (code-review r3 finding #7)."""
+    return int(max(lo, min(hi, -(-(total or 0) // target_bytes))))
 
 
 def collect_arrow(ds) -> pa.Table:

@@ -6,36 +6,12 @@ import duckdb
 import pandas as pd
 import pytest
 
+# ONE comparison implementation shared with the driver-flow rehearse CLI
+# (code-review r3 finding #5: a fix applied to only one copy would let the
+# two gates silently diverge)
+from monocator_ray.pipelines.rehearse import TABLES, _normalize, _to_pandas
+
 SF_DIR = "/root/testdata/sf0.01"
-TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
-
-
-def _to_pandas(obj) -> pd.DataFrame:
-    import pyarrow as pa
-
-    import ray.data as rd
-
-    if isinstance(obj, rd.Dataset):
-        # ADVICE r2 #3: collect through the repo's zero-column-block-proof
-        # path so the gate and the engine share the same collection code
-        # (raw Dataset.to_pandas can hit Ray's degraded-empty-block flake).
-        from monocator_ray.stages.grouped import collect_arrow
-
-        return collect_arrow(obj).to_pandas()
-    if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    return obj
-
-
-def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
-    for c in df.columns:
-        if str(df[c].dtype).startswith(("int", "uint", "Int")):
-            df[c] = df[c].astype("int64")
-        if str(df[c].dtype).startswith("float"):
-            df[c] = df[c].round(6)
-    return df
 
 
 @pytest.fixture(scope="module")

@@ -575,3 +575,32 @@ def test_arrow_text_kernels_match_pandas_reference():
     ]
     assert out["n_stop"].to_pylist() == want_stop
     assert out["n_chars"].to_pylist() == [len(t or "") for t in texts]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_urls_from_file_url_and_domain(tmp_path):
+    """code-review r3 #1: a full-URL seed file must seed those exact pages;
+    treating the line as a domain mangles it into http://http//... ."""
+    from monocator_ray.sources.seeds import seed_urls_from_file
+
+    f = tmp_path / "urls.txt"
+    f.write_text("http://example.com/page\nhttps://other.org/x?b=2&a=1\n")
+    urls = seed_urls_from_file(str(f))
+    assert urls[0] == "http://example.com/page"
+    assert all("http//" not in u for u in urls)
+
+    d = tmp_path / "domains.txt"
+    d.write_text("example.com\nother.org\n")
+    urls2 = seed_urls_from_file(str(d))
+    assert "http://example.com/" in urls2[0]
+
+
+def test_rehearse_rejects_unknown_names():
+    """code-review r3 #2: a typo'd --names subset must fail loudly, not
+    pass with zero queries run."""
+    import pytest as _pytest
+
+    from monocator_ray.pipelines.rehearse import rehearse
+
+    with _pytest.raises(SystemExit, match="unknown query names"):
+        rehearse(names=["token_stats_cvs"], quiet=True)
