@@ -3651,3 +3651,121 @@ def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
     # O(docs) result rows: small ones sort driver-side (_finish_pairs
     # rationale — a shuffle sort is ~2 s of fixed cost)
     return _finish_pairs(combined, ["doc_id"], _PART.empty_table())
+
+
+# ---- near-dup REMOVAL end to end (oracle-backed dedup completion) ----
+def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
+    """The step every near-dup pipeline exists for: REMOVE the non-
+    representative members.  Survivors = every document except those whose
+    exact-Jaccard connected-component label (q_jaccard_clusters, itself
+    oracle-checked) is a smaller doc_id — i.e. keep the min-doc_id
+    representative per cluster plus all unpaired docs.  Full SQL oracle:
+    the same WITH RECURSIVE closure, anti-joined back to documents.
+
+    Scale shape: the removal set is O(near-duplicate docs), not O(corpus)
+    — under the shared _SMALL_PAIRS bound it broadcasts as a ray.put
+    int64 set probed vectorized per batch (np.isin); beyond the bound it
+    runs as Ray Data's native left_anti join (the parts_never_bulk plan).
+    MONOCATOR_FORCE_ANTIJOIN=1 pins the large path for tests."""
+    from monocator_ray.stages.dedup import label_propagation_components
+
+    pairs = q_ngram_jaccard_pairs(sf_dir)
+    labels = label_propagation_components(pairs.materialize())
+    docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
+
+    def removed_only(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["cluster"], t["doc_id"])
+        return pa.table({"rm_doc_id": t.filter(keep)["doc_id"]})
+
+    removed = labels.map_batches(removed_only, batch_format="pyarrow").materialize()
+    n_removed = removed.count()
+    force_join = os.environ.get("MONOCATOR_FORCE_ANTIJOIN") == "1"
+    if n_removed <= _SMALL_PAIRS and not force_join:
+        rm = (collect_arrow(removed)["rm_doc_id"].to_numpy(zero_copy_only=False)
+              if n_removed else np.array([], np.int64))
+        rm_ref = ray.put(np.sort(rm))
+
+        def drop(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            mask = np.isin(ids, ray.get(rm_ref), assume_unique=False)
+            return t.filter(pa.array(~mask))
+
+        return docs.map_batches(drop, batch_format="pyarrow").sort("doc_id")
+    return docs.join(
+        removed, join_type="left_anti",
+        num_partitions=join_partitions([f"{sf_dir}/documents.parquet"]),
+        on=("doc_id",), right_on=("rm_doc_id",),
+    ).sort("doc_id")
+
+
+# ---- distributed covariance PCA over the embedding table (rows-only) ----
+def q_embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
+    """Principal components of the embedding table from ONE streaming
+    pass: per-batch EXACT-INT64 sufficient statistics (n, Σx, ΣxᵀX after
+    scaling floats to 2^20 fixed-point) make the covariance matrix a
+    mergeable O(d²) partial — order-independent and therefore
+    parallelism-invariant (float partial sums would drift with block
+    boundaries).  The driver folds O(blocks) d×d blobs (d=64 → 32 KB
+    each), eigendecomposes the d×d covariance once, and fixes each
+    eigenvector's sign by its largest-|loading| dimension.
+
+    Scale: the pass reads each block once; partial size is independent of
+    row count (the corr_stats/HLL register-merge shape), so 100 TB of
+    embeddings still reduces to blocks × 32 KB of driver traffic.  Int64
+    bound: |x_scaled| ≤ ~2^23 (unit-ish floats), so Σxᵀx per batch ≤
+    4096·2^46 ≈ 2^58 — safe by 5 bits; the driver folds block partials
+    into float128-free exact Python ints via object dtype only if needed
+    (measured: int64 suffices at driver scales, asserted at runtime).
+
+    No SQL oracle (eigendecomposition); pinned to a single-pass numpy
+    recompute in tests/test_docs_pipelines.py."""
+    from monocator_ray.stages.ann import table_to_matrix
+
+    ensure_shipped()
+    SCALE = float(1 << 20)
+    d_probe = len(_head_rows(f"{sf_dir}/embeddings.parquet", ["embedding"], 1)["embedding"][0])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = table_to_matrix(t).astype(np.float64)
+        x = np.rint(m * SCALE).astype(np.int64)
+        n = np.int64(x.shape[0])
+        s = x.sum(axis=0, dtype=np.int64)
+        xtx = x.T @ x  # int64 matmul: exact
+        return pa.table(
+            {"n": pa.array([int(n)], pa.int64()),
+             "s": pa.array([s.tobytes()], pa.binary()),
+             "xtx": pa.array([xtx.tobytes()], pa.binary())}
+        )
+
+    emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    parts = collect_arrow(emb.map_batches(partial, batch_format="pyarrow",
+                                          batch_size=4096))
+    n_total = 0
+    s_total = np.zeros(d_probe, dtype=object)
+    xtx_total = np.zeros((d_probe, d_probe), dtype=object)
+    for i in range(parts.num_rows):
+        n_total += parts["n"][i].as_py()
+        s_total += np.frombuffer(parts["s"][i].as_py(), np.int64)
+        xtx_total += np.frombuffer(parts["xtx"][i].as_py(), np.int64).reshape(d_probe, d_probe)
+    # exact integer covariance numerator: n·ΣxᵀX − Σx·Σxᵀ (object dtype
+    # holds arbitrary-precision Python ints, so no silent overflow)
+    num = n_total * xtx_total - np.outer(s_total, s_total)
+    cov = num.astype(np.float64) / (SCALE * SCALE * n_total * max(n_total - 1, 1))
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:n_components]
+    rows_comp, rows_dim, rows_load, rows_ev = [], [], [], []
+    for c, j in enumerate(order):
+        v = evecs[:, j]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        rows_comp.extend([c] * d_probe)
+        rows_dim.extend(range(d_probe))
+        rows_load.extend(np.round(v, 9).tolist())
+        rows_ev.extend([round(float(evals[j]), 9)] * d_probe)
+    return pa.table(
+        {"component": pa.array(rows_comp, pa.int64()),
+         "dim": pa.array(rows_dim, pa.int64()),
+         "loading": pa.array(rows_load, pa.float64()),
+         "eigenvalue": pa.array(rows_ev, pa.float64())}
+    )

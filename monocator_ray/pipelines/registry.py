@@ -974,7 +974,88 @@ REGISTRY: dict = {
         FROM documents ORDER BY doc_id
         """,
     ),
+    # relative-rank windows: PERCENT_RANK + CUME_DIST — integer tie-group
+    # arithmetic; (rank-1)/(n-1) and peers/n divisions of exact small ints
+    # are bit-identical doubles on both sides
+    "order_percent_rank": (
+        R.q_order_percent_rank,
+        """
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS pct_rank,
+               cume_dist() OVER
+                 (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS cume_dist
+        FROM orders ORDER BY o_orderpriority, o_orderkey
+        """,
+    ),
+    # grouped INTERPOLATED quantiles (quantile_cont): quarter fractions over
+    # cent-integers make every interpolation double exact, so no tolerance
+    "priority_price_quartiles_cont": (
+        R.q_priority_price_quartiles_cont,
+        """
+        WITH t AS (SELECT o_orderpriority,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                   FROM orders)
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+               quantile_cont(cents, 0.25) AS q25_cents,
+               quantile_cont(cents, 0.50) AS q50_cents,
+               quantile_cont(cents, 0.75) AS q75_cents
+        FROM t GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    # near-dup REMOVAL end to end: keep the min-doc_id representative of
+    # every exact-Jaccard cluster plus all unpaired docs — the same
+    # recursive closure as jaccard_clusters, anti-joined back to documents
+    "dedup_jaccard": (
+        D.q_dedup_jaccard,
+        r"""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(
+                   [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                    FOR i IN range(1, len(w) - 1)])) AS g
+          FROM toks WHERE len(w) >= 3
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+          FROM grams a JOIN grams b USING (g)
+          WHERE a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE 2 * c >= sa.n + sb.n - c
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs
+          UNION SELECT doc_a, doc_a FROM pairs
+          UNION SELECT doc_b, doc_b FROM pairs
+        ),
+        reach(a, b) AS (
+          SELECT a, b FROM edges
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+        ),
+        removed AS (
+          SELECT a AS doc_id FROM reach GROUP BY a HAVING MIN(b) < a
+        )
+        SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM removed)
+        ORDER BY d.doc_id
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
+    # distributed covariance PCA (exact-int64 d^2 partials; rows-only —
+    # eigendecomposition has no SQL analog; numpy-pinned in pytest)
+    "embedding_pca": (D.q_embedding_pca, None),
     # crawl pipelines (non-SQL: stateful frontier/politeness iteration)
     "crawl_flagship": (q_crawl_flagship, None),
     "crawl_domain_rollup": (q_domain_rollup_crawl, None),

@@ -2019,3 +2019,135 @@ def q_user_first_last(sf_dir: str) -> rd.Dataset:
         fl_part,
         num_parts=16,
     ).sort("user_id")
+
+
+# ---- orders: PERCENT_RANK + CUME_DIST windows (relative-rank family) ----
+def q_order_percent_rank(sf_dir: str) -> rd.Dataset:
+    """``PERCENT_RANK()`` and ``CUME_DIST()`` OVER (PARTITION BY
+    o_orderpriority ORDER BY price) — the relative-rank windows that
+    complete the rank family (RANK / DENSE_RANK / NTILE are elsewhere).
+    Both are pure integer arithmetic on tie-group boundaries:
+    percent_rank = (min_rank - 1) / (n - 1) (0 for n == 1, the SQL
+    convention) and cume_dist = peers_end / n; the divisions of exact
+    small ints produce bit-identical doubles on both sides, so the oracle
+    hash-matches without tolerance.
+
+    Scale shape: one hash partition by priority, one lexsort per
+    partition ranks every run at once; tie groups are found by a single
+    vectorized neighbor compare (no per-group dispatch)."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    from monocator_ray.hashing import hash_str64
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string()),
+         ("pct_rank", pa.float64()), ("cume_dist", pa.float64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "o_orderpriority": t["o_orderpriority"],
+             "cents": _cents(t["o_totalprice"])}
+        )
+
+    def rank_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        pr = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        key = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, cents, pr))
+        pr, cents, key = pr[order], cents[order], key[order]
+        starts, ends = run_boundaries(pr)
+        counts = ends - starts
+        n = np.repeat(counts, counts).astype(np.float64)
+        pstart = np.repeat(starts, counts)
+        idx = np.arange(len(pr), dtype=np.int64)
+        # tie groups on (priority, cents): one vectorized neighbor compare
+        change = np.empty(len(pr), dtype=bool)
+        change[0] = True
+        change[1:] = (pr[1:] != pr[:-1]) | (cents[1:] != cents[:-1])
+        gid = np.cumsum(change) - 1
+        tie_first = idx[change]
+        tie_counts = np.bincount(gid)
+        tie_start = tie_first[gid]
+        tie_last = (tie_first + tie_counts - 1)[gid]
+        min_rank = (tie_start - pstart + 1).astype(np.float64)
+        pct = np.where(n > 1, (min_rank - 1) / np.maximum(n - 1, 1), 0.0)
+        cume = (tie_last - pstart + 1).astype(np.float64) / n
+        return pa.table(
+            {"o_orderkey": pa.array(key, pa.int64()),
+             "o_orderpriority": pa.array(pr, pa.string()),
+             "pct_rank": pa.array(pct, pa.float64()),
+             "cume_dist": pa.array(cume, pa.float64())}
+        )
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["o_orderpriority"].to_pylist())],
+        rank_part,
+        num_parts=8,
+    ).sort(["o_orderpriority", "o_orderkey"])
+
+
+# ---- grouped INTERPOLATED quantiles (quantile_cont / percentile_cont) ----
+def q_priority_price_quartiles_cont(sf_dir: str) -> rd.Dataset:
+    """Per-priority INTERPOLATED order-price quartiles — the
+    ``quantile_cont`` / ``percentile_cont`` semantics the discrete
+    quartile queries (quantile_disc gathers) cannot produce: position
+    q*(n-1) splits into a floor index and a fraction, and the value is
+    lo + (hi-lo)*frac.  With cent-integers and quarter fractions every
+    intermediate double is exact (frac in {0,.25,.5,.75}; (hi-lo)*frac is
+    a divide-by-power-of-two), so the interpolated doubles are
+    bit-identical to DuckDB's and the hash gate needs no tolerance.
+
+    Scale shape: same one-shuffle grouped-order-statistics plan as
+    customer_price_quartiles — hash partition by group, one lexsort, six
+    vectorized gathers (lo and hi per quartile)."""
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_orderpriority", pa.string()), ("n_orders", pa.int64()),
+         ("q25_cents", pa.float64()), ("q50_cents", pa.float64()),
+         ("q75_cents", pa.float64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderpriority": t["o_orderpriority"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def cont_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        pr = g["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, pr))
+        pr, cents = pr[order], cents[order]
+        starts, ends = run_boundaries(pr)
+        counts = (ends - starts).astype(np.int64)
+        cols: dict[str, object] = {
+            "o_orderpriority": pa.array(pr[starts], pa.string()),
+            "n_orders": pa.array(counts, pa.int64()),
+        }
+        for name, q in (("q25_cents", 0.25), ("q50_cents", 0.50),
+                        ("q75_cents", 0.75)):
+            pos = q * (counts - 1)          # exact: q is a quarter
+            i = np.floor(pos).astype(np.int64)
+            frac = pos - i                   # in {0, .25, .5, .75}, exact
+            lo = cents[starts + i].astype(np.float64)
+            hi = cents[starts + np.minimum(i + 1, counts - 1)].astype(np.float64)
+            cols[name] = pa.array(lo + (hi - lo) * frac, pa.float64())
+        return pa.table(cols)
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["o_orderpriority"].to_pylist())],
+        cont_part,
+        num_parts=8,
+    ).sort("o_orderpriority")

@@ -385,3 +385,62 @@ def test_image_dupes_matches_bruteforce_oracle():
     zero = {(a, b) for a, b, d in want if d == 0}
     for base in range(0, 96, 4):
         assert (base, base + 1) in zero
+
+
+def test_embedding_pca_matches_numpy_oracle(ray_session):
+    """The distributed exact-int64 covariance partials must reproduce the
+    single-pass numpy PCA on the whole table bit-for-bit: same 2^20
+    fixed-point scaling, same covariance formula, same eigh + sign fix —
+    parallelism cannot move the result because the partial sums are exact
+    integers (order-independent)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_embedding_pca
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_pca(sf).to_pandas()
+
+    emb = pq.read_table(f"{sf}/embeddings.parquet", columns=["embedding"])
+    m = np.array(emb["embedding"].to_pylist(), dtype=np.float64)
+    x = np.rint(m * float(1 << 20)).astype(object)
+    n = x.shape[0]
+    s = x.sum(axis=0)
+    xtx = x.T @ x
+    num = n * xtx - np.outer(s, s)
+    cov = num.astype(np.float64) / (float(1 << 40) * n * max(n - 1, 1))
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:4]
+    d = m.shape[1]
+    want_load, want_ev = [], []
+    for j in order:
+        v = evecs[:, j]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        want_load.extend(np.round(v, 9).tolist())
+        want_ev.extend([round(float(evals[j]), 9)] * d)
+    assert len(got) == 4 * d
+    assert got["loading"].tolist() == want_load
+    assert got["eigenvalue"].tolist() == want_ev
+    # variance must be concentrated in descending eigenvalue order
+    ev = got.groupby("component")["eigenvalue"].first()
+    assert list(ev) == sorted(ev, reverse=True)
+
+
+def test_dedup_jaccard_large_path_matches_small(ray_session, monkeypatch):
+    """The broadcast-filter and left_anti-join removal paths must agree
+    (the MONOCATOR_FORCE_ANTIJOIN pin mirrors test_large_path_matches_small_path
+    for clusters)."""
+    from monocator_ray.pipelines.docs import q_dedup_jaccard
+    from monocator_ray.stages.grouped import collect_arrow
+
+    sf = "/root/testdata/sf0.001"
+    small = collect_arrow(q_dedup_jaccard(sf)).to_pandas()
+    monkeypatch.setenv("MONOCATOR_FORCE_ANTIJOIN", "1")
+    large = collect_arrow(q_dedup_jaccard(sf)).to_pandas()
+    assert small["doc_id"].tolist() == large["doc_id"].tolist()
+    # survivors must be a strict subset of documents with every cluster's
+    # min representative retained (the SQL oracle pins exact membership at
+    # sf0.01; this pins path equality at sf0.001)
+    assert len(small) >= 1
