@@ -3654,13 +3654,12 @@ def q_ngram_novelty(sf_dir: str) -> rd.Dataset:
 
 
 # ---- near-dup REMOVAL end to end (oracle-backed dedup completion) ----
-def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
-    """The step every near-dup pipeline exists for: REMOVE the non-
-    representative members.  Survivors = every document except those whose
-    exact-Jaccard connected-component label (q_jaccard_clusters, itself
-    oracle-checked) is a smaller doc_id — i.e. keep the min-doc_id
-    representative per cluster plus all unpaired docs.  Full SQL oracle:
-    the same WITH RECURSIVE closure, anti-joined back to documents.
+def _survivors_after_removal(pairs: rd.Dataset, sf_dir: str) -> rd.Dataset:
+    """Shared removal tail for the end-to-end dedup queries: label the
+    candidate pairs' connected components (min-label propagation), drop
+    every doc whose component label is a smaller doc_id (keep the
+    min-doc_id representative per cluster plus all unpaired docs), and
+    return the surviving (doc_id, lang, n_chars) rows sorted by doc_id.
 
     Scale shape: the removal set is O(near-duplicate docs), not O(corpus)
     — under the shared _SMALL_PAIRS bound it broadcasts as a ray.put
@@ -3669,7 +3668,6 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
     MONOCATOR_FORCE_ANTIJOIN=1 pins the large path for tests."""
     from monocator_ray.stages.dedup import label_propagation_components
 
-    pairs = q_ngram_jaccard_pairs(sf_dir)
     labels = label_propagation_components(pairs.materialize())
     docs = _docs(sf_dir, ["doc_id", "lang", "n_chars"])
 
@@ -3696,6 +3694,30 @@ def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
         num_partitions=join_partitions([f"{sf_dir}/documents.parquet"]),
         on=("doc_id",), right_on=("rm_doc_id",),
     ).sort("doc_id")
+
+
+def q_dedup_jaccard(sf_dir: str) -> rd.Dataset:
+    """The step every near-dup pipeline exists for: REMOVE the non-
+    representative members, here over EXACT-Jaccard candidate pairs
+    (q_ngram_jaccard_pairs, itself oracle-checked).  Full SQL oracle: the
+    same WITH RECURSIVE closure, anti-joined back to documents.  Removal
+    plan: :func:`_survivors_after_removal`."""
+    return _survivors_after_removal(q_ngram_jaccard_pairs(sf_dir), sf_dir)
+
+
+def q_dedup_minhash(sf_dir: str) -> rd.Dataset:
+    """End-to-end MinHash-LSH deduplication: banded-LSH candidate pairs
+    (threshold-verified, q_minhash_pairs) -> connected components ->
+    keep the min-doc_id representative per cluster — the complete
+    fuzzy-dedup pipeline a training-data run would actually execute
+    (pairs alone are a diagnostic; this is the corpus operation).
+
+    Rows-only (MinHash permutations have no SQL analog); the pytest pin
+    recomputes survivors from the SAME pair set with a driver union-find
+    and asserts identity, and the removal tail itself is the one the
+    dedup_jaccard SQL oracle checks end to end."""
+    pairs = q_minhash_pairs(sf_dir).select_columns(["doc_a", "doc_b"])
+    return _survivors_after_removal(pairs, sf_dir)
 
 
 # ---- distributed covariance PCA over the embedding table (rows-only) ----

@@ -1052,7 +1052,97 @@ REGISTRY: dict = {
         ORDER BY d.doc_id
         """,
     ),
+    # per-group TOP-K over a many-group key (batch-local top-3 combiner
+    # prune before the shuffle; cents in the window ORDER BY on both sides)
+    "top_orders_per_customer": (
+        R.q_top_orders_per_customer,
+        """
+        SELECT o_custkey, o_orderkey, price_cents, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC,
+                            o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3 ORDER BY o_custkey, rnk
+        """,
+    ),
+    # explicit GROUPING SETS beyond ROLLUP/CUBE's fixed lattices — one
+    # distributed finest pass, coarser sets re-summed driver-side
+    "order_grouping_sets": (
+        R.q_order_grouping_sets,
+        """
+        WITH t AS (SELECT o_orderstatus, o_orderpriority,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS c
+                   FROM orders)
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(c) AS BIGINT) AS cents
+        FROM t GROUP BY GROUPING SETS
+          ((o_orderstatus, o_orderpriority), (o_orderstatus),
+           (o_orderpriority), ())
+        ORDER BY status, priority
+        """,
+    ),
+    # grouped least-squares regression from exact-int sufficient statistics;
+    # the oracle spells out the identical integer->double->divide evaluation
+    # (DuckDB's native regr_* streams float co-moments and would drift)
+    "price_qty_regression": (
+        R.q_lineitem_regression,
+        """
+        WITH s AS (
+          SELECT l_returnflag,
+                 CAST(COUNT(*) AS HUGEINT) AS n,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sx,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS HUGEINT) AS sy,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                          * CAST(ROUND(l_quantity) AS BIGINT)) AS HUGEINT) AS sxx,
+                 CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                          * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS HUGEINT) AS syy,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                          * CAST(FLOOR(l_extendedprice) AS BIGINT)) AS HUGEINT) AS sxy
+          FROM lineitem GROUP BY l_returnflag),
+        d AS (
+          SELECT l_returnflag, n, sx, sy,
+                 CAST(n*sxy - sx*sy AS DOUBLE) AS cov,
+                 CAST(n*sxx - sx*sx AS DOUBLE) AS varx,
+                 CAST(n*syy - sy*sy AS DOUBLE) AS vary
+          FROM s),
+        e AS (SELECT *, cov / varx AS slope FROM d)
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n, slope,
+               (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) AS intercept,
+               (cov * cov) / (varx * vary) AS r2
+        FROM e ORDER BY l_returnflag
+        """,
+    ),
+    # forward-looking windows: LEAD(1)/LEAD(2)/NTH_VALUE(3) per user timeline
+    "event_lead": (
+        R.q_event_lead,
+        """
+        SELECT event_id, user_id,
+               lead(event_type) OVER w AS next_type,
+               lead(value, 2) OVER w AS next2_value,
+               nth_value(value, 3) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS third_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
+    # HLL approximate distinct users per event type (register-max merge is
+    # order-independent -> parallelism-invariant; pinned to a driver
+    # recompute + <5% error vs exact in pytest)
+    "hll_user_counts": (R.q_hll_user_counts, None),
+    # end-to-end MinHash-LSH dedup: LSH pairs -> components -> keep the
+    # min-doc_id representative (rows-only; union-find-pinned in pytest,
+    # removal tail shared with the SQL-oracled dedup_jaccard)
+    "dedup_minhash": (D.q_dedup_minhash, None),
     # distributed covariance PCA (exact-int64 d^2 partials; rows-only —
     # eigendecomposition has no SQL analog; numpy-pinned in pytest)
     "embedding_pca": (D.q_embedding_pca, None),

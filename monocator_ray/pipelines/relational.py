@@ -2151,3 +2151,264 @@ def q_priority_price_quartiles_cont(sf_dir: str) -> rd.Dataset:
         cont_part,
         num_parts=8,
     ).sort("o_orderpriority")
+
+
+# ---- orders: per-group TOP-K over a many-group key (combiner prune) ----
+def q_top_orders_per_customer(sf_dir: str) -> rd.Dataset:
+    """Top-3 orders per CUSTOMER (``ROW_NUMBER() <= 3``) — per-group top-k
+    over a many-group key (150k customers at sf1, vs order_rank's 5
+    priorities), which is exactly the shape where a combiner matters: a
+    group's global top-3 is a subset of the union of its per-batch top-3s
+    (selection by a fixed order is monotone under subsetting), so a
+    batch-local prune runs BEFORE the shuffle and the exchange carries at
+    most 3 rows per (customer, batch) instead of every order.  The final
+    per-partition pass repeats the same vectorized lexsort + run-offset
+    rank; prices ride as integer cents and the window ORDER BY uses the
+    same cents on the oracle side so tie order is pinned on both."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+             "o_orderkey": t["o_orderkey"],
+             "price_cents": _cents(t["o_totalprice"])}
+        )
+
+    def _topk(t: pa.Table, emit_rank: bool) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["price_cents"].to_numpy(zero_copy_only=False)
+        key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -cents, cust))
+        cust, cents, key = cust[order], cents[order], key[order]
+        starts, ends = run_boundaries(cust)
+        pos = np.arange(len(cust), dtype=np.int64)
+        rank = pos - np.repeat(starts, ends - starts) + 1
+        keep = rank <= 3
+        cols = {
+            "o_custkey": pa.array(cust[keep], pa.int64()),
+            "o_orderkey": pa.array(key[keep], pa.int64()),
+            "price_cents": pa.array(cents[keep], pa.int64()),
+        }
+        if emit_rank:
+            cols["rnk"] = pa.array(rank[keep], pa.int64())
+        return pa.table(cols)
+
+    pruned = ds.map_batches(shape, batch_format="pyarrow").map_batches(
+        lambda t: _topk(t, emit_rank=False), batch_format="pyarrow"
+    )
+    return hash_partitioned(
+        pruned,
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        lambda t: _topk(t, emit_rank=True),
+        num_parts=32,
+    ).sort(["o_custkey", "rnk"])
+
+
+# ---- orders: explicit GROUPING SETS from one finest pass ----
+def q_order_grouping_sets(sf_dir: str) -> pa.Table:
+    """``GROUP BY GROUPING SETS ((status,priority),(status),(priority),())``
+    — the general grouping-sets shape beyond ROLLUP/CUBE's fixed lattices.
+    One distributed pass computes the finest (status, priority) level
+    (15 groups: per-batch Arrow-C++ partials, driver fold — the
+    region_rollup decomposability argument); every coarser set is a
+    driver-side re-sum of those O(groups) partials.  Subtotal rows use the
+    'ALL' marker (COALESCE'd on the oracle side) so the value hash never
+    depends on NULL representation."""
+    ds = _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"status": t["o_orderstatus"], "priority": t["o_orderpriority"],
+             "cents": _cents(t["o_totalprice"])}
+        )
+
+    fine = driver_grouped_agg(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        ["status", "priority"],
+        [("cents", "sum"), ("cents", "count")],
+        ["status", "priority", "cents", "n_orders"],
+    )
+    sets = [fine]
+    by_status = fine.groupby("status", as_index=False)[["cents", "n_orders"]].sum()
+    by_status["priority"] = "ALL"
+    sets.append(by_status)
+    by_prio = fine.groupby("priority", as_index=False)[["cents", "n_orders"]].sum()
+    by_prio["status"] = "ALL"
+    sets.append(by_prio)
+    sets.append(pd.DataFrame({"status": ["ALL"], "priority": ["ALL"],
+                              "cents": [fine["cents"].sum()],
+                              "n_orders": [fine["n_orders"].sum()]}))
+    cols = ["status", "priority", "n_orders", "cents"]
+    out = (pd.concat([s[cols] for s in sets], ignore_index=True)
+           .sort_values(["status", "priority"]).reset_index(drop=True))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["cents"] = out["cents"].astype("int64")
+    return pa.Table.from_pandas(out[cols], preserve_index=False)
+
+
+# ---- lineitem: grouped linear regression (slope/intercept/r2) ----
+def q_lineitem_regression(sf_dir: str) -> pa.Table:
+    """Per-return-flag least-squares regression of extended price (floor
+    dollars) on quantity — ``regr_slope / regr_intercept / regr_r2``
+    computed the distributed way: the SAME exact-int64 sufficient
+    statistics as corr_stats (mergeable per-batch partials, shuffle-free),
+    folded to arbitrary-precision Python ints on the driver, with the
+    float division LAST.  Both sides evaluate the identical IEEE
+    expression over identical integers-cast-to-double (float(num) /
+    float(den), then (sy - slope*sx)/n, then cov²/(varx*vary)), so the
+    doubles are bit-identical and the oracle hash needs no tolerance —
+    DuckDB's own regr_* (streaming float co-moments) would NOT reproduce
+    this, which is why the oracle spells out the formula."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(batch["l_quantity"]), pa.int64())
+        # FLOOR, not ROUND: Arrow half-to-even vs DuckDB half-away (the
+        # corr_stats quirk) — floor is identical on both sides
+        y = pc.cast(pc.floor(batch["l_extendedprice"]), pa.int64())
+        t = pa.table(
+            {"l_returnflag": batch["l_returnflag"], "x": x, "y": y,
+             "xx": pc.multiply(x, x), "yy": pc.multiply(y, y),
+             "xy": pc.multiply(x, y)}
+        )
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("x", "count"), ("x", "sum"), ("y", "sum"),
+             ("xx", "sum"), ("yy", "sum"), ("xy", "sum")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"]
+        )
+
+    pdf = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()
+        .groupby("l_returnflag", as_index=False)
+        .sum()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    rows = {"l_returnflag": [], "n": [], "slope": [], "intercept": [], "r2": []}
+    for _, r in pdf.iterrows():
+        # Python ints: n*sxy overflows int64 past ~sf0.3, so the fold is
+        # arbitrary-precision (the SQL side uses HUGEINT for the same reason)
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        cov = float(n * sxy - sx * sy)
+        varx = float(n * sxx - sx * sx)
+        vary = float(n * syy - sy * sy)
+        slope = cov / varx
+        rows["l_returnflag"].append(r["l_returnflag"])
+        rows["n"].append(n)
+        rows["slope"].append(slope)
+        rows["intercept"].append((float(sy) - slope * float(sx)) / float(n))
+        rows["r2"].append((cov * cov) / (varx * vary))
+    return pa.table(
+        {"l_returnflag": pa.array(rows["l_returnflag"], pa.string()),
+         "n": pa.array(rows["n"], pa.int64()),
+         "slope": pa.array(rows["slope"], pa.float64()),
+         "intercept": pa.array(rows["intercept"], pa.float64()),
+         "r2": pa.array(rows["r2"], pa.float64())}
+    )
+
+
+# ---- events: LEAD + NTH_VALUE windows (forward-looking family) ----
+def q_event_lead(sf_dir: str) -> rd.Dataset:
+    """``LEAD(type)``, ``LEAD(value, 2)`` and ``NTH_VALUE(value, 3)`` OVER
+    (PARTITION BY user ORDER BY ts, event_id) — the forward-looking window
+    family complementing LAG (event_gaps) and FIRST/LAST_VALUE
+    (user_first_last).  One hash partition by user brings each timeline to
+    one worker; one lexsort ranks every run at once; leads are pure index
+    shifts guarded by within-run offsets and NTH_VALUE(3) is a gather at
+    run_start+2 masked to rows at offset >= 2 (the ROWS UNBOUNDED
+    PRECEDING .. CURRENT ROW frame) — no per-user dispatch.  `value`
+    doubles pass through untouched, so hashes match bit-exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    _OUT = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("next_type", pa.string()), ("next2_value", pa.float64()),
+         ("third_value", pa.float64())]
+    )
+
+    def lead_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, et, val = uid[order], eid[order], et[order], val[order]
+        n = len(uid)
+        starts, ends = run_boundaries(uid)
+        lens = ends - starts
+        rep_start = np.repeat(starts, lens)
+        rep_len = np.repeat(lens, lens)
+        offs = np.arange(n, dtype=np.int64) - rep_start
+        ok1 = offs + 1 < rep_len
+        ok2 = offs + 2 < rep_len
+        ok3 = offs >= 2
+        next_type = np.full(n, None, dtype=object)
+        next_type[ok1] = et[np.nonzero(ok1)[0] + 1]
+        next2 = np.zeros(n, dtype=np.float64)
+        next2[ok2] = val[np.nonzero(ok2)[0] + 2]
+        third = np.zeros(n, dtype=np.float64)
+        third[ok3] = val[(rep_start + 2)[ok3]]
+        return pa.table(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "next_type": pa.array(next_type, pa.string()),
+             "next2_value": pa.array(next2, pa.float64(), mask=~ok2),
+             "third_value": pa.array(third, pa.float64(), mask=~ok3)}
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        lead_part,
+        num_parts=32,
+    ).sort("event_id")
+
+
+# ---- events: HLL approximate distinct users per type (sketch, G6) ----
+def q_hll_user_counts(sf_dir: str) -> pa.Table:
+    """Approximate distinct users per event type via HyperLogLog —
+    the mergeable-sketch distinct shape for when exact count_distinct's
+    shuffle is too expensive: each batch folds its users into a p=12
+    register array per type (O(4 KB) regardless of rows), the driver
+    merges O(blocks x types) blobs with an elementwise max, and the
+    estimate is read once per type.  Register-max merging is
+    order-independent, so the estimate is parallelism-invariant and the
+    pytest pin can assert the exact value against a driver recompute (plus
+    a <5% error bound vs the true count).  Rows-only: sketches have no
+    SQL analog."""
+    from monocator_ray.state.hll import HLL
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        hashes = pd.util.hash_array(uid.astype(np.int64))
+        types, blobs = [], []
+        for ty in np.unique(et):  # closed 5-value universe, not per-row
+            h = HLL(p=12)
+            h.add_hashes(hashes[et == ty])
+            types.append(str(ty))
+            blobs.append(h.dumps())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "sketch": pa.array(blobs, pa.binary())})
+
+    parts = collect_arrow(ds.map_batches(sketch, batch_format="pyarrow"))
+    merged: dict[str, object] = {}
+    for i in range(parts.num_rows):
+        ty = parts["event_type"][i].as_py()
+        h = HLL.loads(parts["sketch"][i].as_py())
+        merged[ty] = merged[ty].merge(h) if ty in merged else h
+    types = sorted(merged)
+    return pa.table(
+        {"event_type": pa.array(types, pa.string()),
+         "approx_users": pa.array(
+             [int(round(merged[t].estimate())) for t in types], pa.int64())}
+    )

@@ -444,3 +444,52 @@ def test_dedup_jaccard_large_path_matches_small(ray_session, monkeypatch):
     # min representative retained (the SQL oracle pins exact membership at
     # sf0.01; this pins path equality at sf0.001)
     assert len(small) >= 1
+
+
+def test_dedup_minhash_matches_union_find(ray_session):
+    """Survivors from the shared removal tail must equal a driver
+    union-find recompute over the SAME minhash pair set: every doc except
+    those whose component's min doc_id is smaller."""
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.docs import q_dedup_minhash, q_minhash_pairs
+    from monocator_ray.stages.dedup import connected_components
+    from monocator_ray.stages.grouped import collect_arrow
+
+    sf = "/root/testdata/sf0.001"
+    got = collect_arrow(q_dedup_minhash(sf)).to_pandas()
+
+    pairs = collect_arrow(q_minhash_pairs(sf)).to_pandas()
+    labels = connected_components(list(zip(pairs["doc_a"], pairs["doc_b"])))
+    removed = {d for d, c in labels.items() if c < d}
+    all_ids = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])[
+        "doc_id"].to_pylist()
+    want = sorted(set(all_ids) - removed)
+    assert got["doc_id"].tolist() == want
+    # the pair set on this fixture is non-empty, so removal must bite
+    assert len(want) < len(all_ids)
+
+
+def test_hll_user_counts_accuracy_and_determinism(ray_session):
+    """The merged HLL estimate must (a) equal a single-process driver
+    recompute exactly (register-max merging is order-independent, so
+    parallelism cannot move it) and (b) land within 5% of the true
+    distinct count at p=12."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from monocator_ray.pipelines.relational import q_hll_user_counts
+    from monocator_ray.state.hll import HLL
+
+    sf = "/root/testdata/sf0.001"
+    got = q_hll_user_counts(sf).to_pandas().set_index("event_type")
+
+    t = pq.read_table(f"{sf}/events.parquet", columns=["event_type", "user_id"])
+    df = t.to_pandas()
+    for ty, grp in df.groupby("event_type"):
+        h = HLL(p=12)
+        h.add_hashes(pd.util.hash_array(grp["user_id"].to_numpy(np.int64)))
+        assert got.loc[ty, "approx_users"] == int(round(h.estimate()))
+        exact = grp["user_id"].nunique()
+        assert abs(got.loc[ty, "approx_users"] - exact) <= max(0.05 * exact, 2)
