@@ -140,6 +140,19 @@ BENCH_QUERIES = [
     "priority_mode",
     "part_price_dense_rank",
     "user_first_last",
+    # round-3 later additions: relative-rank windows, interpolated
+    # quantiles, end-to-end dedup removal, PCA, per-group topk, grouping
+    # sets, regression, forward windows, HLL distinct
+    "order_percent_rank",
+    "priority_price_quartiles_cont",
+    "dedup_jaccard",
+    "embedding_pca",
+    "top_orders_per_customer",
+    "order_grouping_sets",
+    "price_qty_regression",
+    "event_lead",
+    "hll_user_counts",
+    "dedup_minhash",
 ]
 
 
