@@ -1134,6 +1134,43 @@ REGISTRY: dict = {
         ORDER BY event_id
         """,
     ),
+    # relational division ("for all" join): customers active in EVERY year
+    "loyal_customers": (
+        R.q_loyal_customers,
+        """
+        WITH cq AS (SELECT DISTINCT o_custkey,
+                      CAST(year(o_orderdate) AS BIGINT) AS yr
+                    FROM orders),
+        tot AS (SELECT COUNT(DISTINCT yr) AS ny FROM cq)
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_years
+        FROM cq, tot GROUP BY o_custkey, ny HAVING COUNT(*) = ny
+        ORDER BY o_custkey
+        """,
+    ),
+    # latest-record-per-key compaction (upsert/CDC shape): newest full
+    # event row per user, ties broken by event_id
+    "latest_events": (
+        R.q_latest_events,
+        """
+        SELECT event_id, user_id, ts, event_type, value FROM events
+        QUALIFY ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        ORDER BY user_id
+        """,
+    ),
+    # value-based RANGE frame (INTERVAL 1 HOUR PRECEDING .. CURRENT ROW):
+    # exact FLOOR-cents so both sides sum identical integers
+    "event_range_window": (
+        R.q_event_range_window,
+        """
+        SELECT event_id, user_id,
+               SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS hour_cents
+        FROM events ORDER BY event_id
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
     # HLL approximate distinct users per event type (register-max merge is
     # order-independent -> parallelism-invariant; pinned to a driver

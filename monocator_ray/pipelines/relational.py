@@ -2412,3 +2412,132 @@ def q_hll_user_counts(sf_dir: str) -> pa.Table:
          "approx_users": pa.array(
              [int(round(merged[t].estimate())) for t in types], pa.int64())}
     )
+
+
+# ---- orders: relational division (customers active in EVERY year) ----
+def q_loyal_customers(sf_dir: str) -> pa.Table:
+    """Relational division — customers with at least one order in *every*
+    year the orders table spans (the "for all" join shape; TODO.MD-era
+    SURVEY §2.5 grouped-aggregate family).  Plan: one map pass emits
+    per-batch-distinct (custkey, year) pairs (a combiner — output is
+    O(customers x years), not O(orders)); the pairs stream materializes
+    ONCE (two consumers re-execute the whole upstream otherwise — the
+    ngram_novelty lesson); consumer 1 folds the tiny year universe on the
+    driver (O(blocks x years) rows); consumer 2 is an exact per-custkey
+    ``count_distinct(year)`` via coarse hash partitions.  The division
+    itself is then a vectorized filter ``n_years == |universe|`` — no
+    all-pairs join of customers x years ever exists."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        yr = pc.year(t["o_orderdate"])
+        return (
+            pa.table({"o_custkey": t["o_custkey"],
+                      "yr": pc.cast(yr, pa.int64())})
+            .group_by(["o_custkey", "yr"])
+            .aggregate([])
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    def batch_years(t: pa.Table) -> pa.Table:
+        return pa.table({"yr": pc.unique(t["yr"])})
+
+    universe = collect_arrow(pair_ds.map_batches(batch_years, batch_format="pyarrow"))
+    n_years = len(pc.unique(universe["yr"]))
+
+    counts = collect_arrow(
+        partitioned_aggregate(
+            pair_ds, ["o_custkey"], [("yr", "count_distinct")],
+            ["o_custkey", "n_years"], num_parts=32,
+        )
+    )
+    loyal = counts.filter(pc.equal(counts["n_years"], pa.scalar(n_years, pa.int64())))
+    return loyal.sort_by("o_custkey")
+
+
+# ---- events: latest-record-per-key compaction (arg_max / upsert shape) ----
+def q_latest_events(sf_dir: str) -> rd.Dataset:
+    """Latest full event row per user (``ROW_NUMBER() OVER (PARTITION BY
+    user ORDER BY ts DESC, event_id DESC) = 1``) — the upsert/CDC
+    compaction shape: reduce an append-only log to its newest record per
+    key.  A per-batch combiner takes the batch-local winner per user
+    (output is O(users)/batch, so the shuffle moves winners, not the log);
+    one coarse hash partition pass re-runs the identical argmax on the
+    survivors.  Winner = lexsort last by (user, ts, event_id) — ties
+    break identically on both sides, and ``value`` doubles pass through
+    untouched so hashes match bit-exactly."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+    def local_latest(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        _starts, ends = run_boundaries(uid[order])
+        return t.take(pa.array(order[ends - 1], pa.int64()))
+
+    return (
+        hash_partitioned(
+            ds.map_batches(local_latest, batch_format="pyarrow"),
+            lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+            local_latest,
+            num_parts=32,
+        )
+        .sort("user_id")
+    )
+
+
+# ---- events: RANGE-frame time window (INTERVAL 1 HOUR PRECEDING) ----
+def q_event_range_window(sf_dir: str) -> rd.Dataset:
+    """``SUM(cents) OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)`` — the *value*-based frame
+    family (vs the ROWS frames of event_moving_avg/event_sliding): each
+    row sums every event of the same user whose timestamp lies in
+    ``[ts - 1h, ts]``, peers (equal ts) included per SQL RANGE semantics.
+    One hash partition per user timeline; per user run the frame bounds
+    are two ``searchsorted`` calls against the run's sorted ts (frames are
+    [lo, hi) index windows because ts is sorted), and the sum is an exact
+    int64 prefix-sum difference — FLOOR cents, so both sides add the same
+    integers and the result is tolerance-free."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    HOUR_US = 3_600_000_000
+
+    _OUT = pa.schema(
+        [("event_id", pa.int64()), ("user_id", pa.int64()),
+         ("hour_cents", pa.int64())]
+    )
+
+    def range_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        cents = np.floor(g["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        starts, ends = run_boundaries(uid)
+        out = np.empty(len(uid), np.int64)
+        # per-run loop (one user timeline per iteration, numpy inside —
+        # the local_knn per-list pattern): prefix sums + two searchsorted
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            t_run = ts[s:e]
+            pre = np.concatenate(([0], np.cumsum(cents[s:e])))
+            lo = np.searchsorted(t_run, t_run - HOUR_US, side="left")
+            hi = np.searchsorted(t_run, t_run, side="right")
+            out[s:e] = pre[hi] - pre[lo]
+        return pa.table(
+            {"event_id": pa.array(eid, pa.int64()),
+             "user_id": pa.array(uid, pa.int64()),
+             "hour_cents": pa.array(out, pa.int64())}
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        range_part,
+        num_parts=32,
+    ).sort("event_id")
