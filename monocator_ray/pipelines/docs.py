@@ -3791,3 +3791,67 @@ def q_embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
          "loading": pa.array(rows_load, pa.float64()),
          "eigenvalue": pa.array(rows_ev, pa.float64())}
     )
+
+
+# ---- ANN baseline with a full SQL oracle (exact integer-quantized cosine) ----
+def q_ann_exact_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
+                     label: int | None = None) -> pa.Table:
+    """Brute-force cosine top-k whose correctness is *SQL-oracle-checked*,
+    not rows-only: vectors are integer-quantized (stages/ann.quantize_ints
+    — floor(x*1024), exact on both engines), dot products and norms stay
+    int64, and the similarity float(dot)/sqrt(float(qq)*float(dd)) is the
+    identical IEEE expression DuckDB evaluates over list_inner_product of
+    the same lists — bit-identical sims, deterministic (sim DESC, vec_id)
+    ranking.  With ``label`` set this is filtered vector search: the
+    metadata predicate prunes candidates batch-side BEFORE any dot product
+    (the filter ships with the stage, not as a separate pass).  Plan: the
+    nq x d query block broadcasts once via ray.put; each batch emits its
+    local top-k per query (<= nq x k rows — a combiner), the driver merge
+    re-ranks O(nq x blocks x k) survivors by the same key.  Scale: one
+    streaming pass over the corpus, no shuffle; nq bounded (the IVF/LSH/PQ
+    variants are the large-nq scale paths)."""
+    from monocator_ray.stages.ann import ExactIntTopK, quantize_ints
+
+    ensure_shipped()
+    path = f"{sf_dir}/embeddings.parquet"
+    cols = ["vec_id", "embedding"] + (["label"] if label is not None else [])
+    emb = sized_read_parquet(path, columns=cols)
+    qtbl = _head_rows(path, ["vec_id", "embedding"], n_queries)
+    Q = quantize_ints(table_to_matrix(qtbl))
+    qids = qtbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qq = np.einsum("ij,ij->i", Q, Q)
+    pref = ray.put((qids, Q, qq))
+    local = collect_arrow(
+        emb.map_batches(
+            cached_stage(ExactIntTopK, payload_ref=pref, k=k, label=label),
+            batch_format="pyarrow",
+            batch_size=4096,
+        )
+    )
+    qid_a = local["query_id"].to_numpy(zero_copy_only=False)
+    vid = local["vec_id"].to_numpy(zero_copy_only=False)
+    dot = local["dot"].to_numpy(zero_copy_only=False)
+    dd = local["dd"].to_numpy(zero_copy_only=False)
+    qq_by_id = dict(zip(qids.tolist(), qq.tolist()))
+    sim = dot.astype(np.float64) / np.sqrt(
+        np.array([qq_by_id[q] for q in qid_a.tolist()], np.float64)
+        * dd.astype(np.float64)
+    )
+    order = np.lexsort((vid, -sim, qid_a))
+    qid_a, vid, sim = qid_a[order], vid[order], sim[order]
+    starts, ends = run_boundaries(qid_a)
+    offs = np.arange(len(qid_a)) - np.repeat(starts, ends - starts)
+    keep = offs < k
+    return pa.table(
+        {"query_id": pa.array(qid_a[keep], pa.int64()),
+         "vec_id": pa.array(vid[keep], pa.int64()),
+         "rnk": pa.array(offs[keep] + 1, pa.int64()),
+         "sim": pa.array(sim[keep], pa.float64())}
+    )
+
+
+def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
+    """Filtered vector search (metadata predicate label == 3 pushed into
+    the scoring stage) — same exact-integer oracle discipline as
+    q_ann_exact_topk; the SQL side filters the candidate CTE."""
+    return q_ann_exact_topk(sf_dir, label=3)

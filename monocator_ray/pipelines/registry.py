@@ -1356,6 +1356,67 @@ REGISTRY: dict = {
     "minhash_pairs": (D.q_minhash_pairs, None),
     "simhash_pairs": (D.q_simhash_pairs, None),
     "ann_topk": (D.q_ann_topk, None),
+    # SQL-oracled brute-force cosine top-k: integer-quantized vectors
+    # (floor(x*1024) — power-of-two scale is exact IEEE on both engines)
+    # make dot/norms int64-exact and the sim expression bit-identical
+    "ann_exact_topk": (
+        D.q_ann_exact_topk,
+        """
+        WITH q AS (
+          SELECT vec_id AS qid,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS dv
+          FROM embeddings),
+        s AS (
+          SELECT q.qid AS query_id, d.vec_id,
+                 list_inner_product(q.qv, d.dv) AS dot,
+                 list_inner_product(q.qv, q.qv) AS qq,
+                 list_inner_product(d.dv, d.dv) AS dd
+          FROM q, d WHERE d.vec_id != q.qid)
+        SELECT query_id, vec_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+               dot / sqrt(qq * dd) AS sim
+        FROM s
+        WINDOW w AS (PARTITION BY query_id
+                     ORDER BY dot / sqrt(qq * dd) DESC, vec_id)
+        QUALIFY rnk <= 5 ORDER BY query_id, rnk
+        """,
+    ),
+    # filtered vector search: metadata predicate (label == 3) pruned
+    # batch-side BEFORE scoring; same exact-integer oracle discipline
+    "ann_filtered_topk": (
+        D.q_ann_filtered_topk,
+        """
+        WITH q AS (
+          SELECT vec_id AS qid,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
+          FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS dv
+          FROM embeddings WHERE label = 3),
+        s AS (
+          SELECT q.qid AS query_id, d.vec_id,
+                 list_inner_product(q.qv, d.dv) AS dot,
+                 list_inner_product(q.qv, q.qv) AS qq,
+                 list_inner_product(d.dv, d.dv) AS dd
+          FROM q, d WHERE d.vec_id != q.qid)
+        SELECT query_id, vec_id,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+               dot / sqrt(qq * dd) AS sim
+        FROM s
+        WINDOW w AS (PARTITION BY query_id
+                     ORDER BY dot / sqrt(qq * dd) DESC, vec_id)
+        QUALIFY rnk <= 5 ORDER BY query_id, rnk
+        """,
+    ),
     "ann_ivf_topk": (D.q_ann_ivf_topk, None),
     "ann_lsh_buckets": (D.q_ann_lsh_buckets, None),
     # PQ-compressed ANN (m-byte codes, ADC lookup scoring; recall pinned

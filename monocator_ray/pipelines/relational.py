@@ -2415,7 +2415,7 @@ def q_hll_user_counts(sf_dir: str) -> pa.Table:
 
 
 # ---- orders: relational division (customers active in EVERY year) ----
-def q_loyal_customers(sf_dir: str) -> pa.Table:
+def q_loyal_customers(sf_dir: str) -> rd.Dataset:
     """Relational division — customers with at least one order in *every*
     year the orders table spans (the "for all" join shape; TODO.MD-era
     SURVEY §2.5 grouped-aggregate family).  Plan: one map pass emits
@@ -2446,14 +2446,17 @@ def q_loyal_customers(sf_dir: str) -> pa.Table:
     universe = collect_arrow(pair_ds.map_batches(batch_years, batch_format="pyarrow"))
     n_years = len(pc.unique(universe["yr"]))
 
-    counts = collect_arrow(
-        partitioned_aggregate(
-            pair_ds, ["o_custkey"], [("yr", "count_distinct")],
-            ["o_custkey", "n_years"], num_parts=32,
-        )
+    counts = partitioned_aggregate(
+        pair_ds, ["o_custkey"], [("yr", "count_distinct")],
+        ["o_custkey", "n_years"], num_parts=32,
     )
-    loyal = counts.filter(pc.equal(counts["n_years"], pa.scalar(n_years, pa.int64())))
-    return loyal.sort_by("o_custkey")
+
+    def keep_loyal(t: pa.Table) -> pa.Table:
+        # division filter stays distributed: O(customers) never lands on
+        # the driver (the caller gets a Dataset to consume/write)
+        return t.filter(pc.equal(t["n_years"], pa.scalar(n_years, pa.int64())))
+
+    return counts.map_batches(keep_loyal, batch_format="pyarrow").sort("o_custkey")
 
 
 # ---- events: latest-record-per-key compaction (arg_max / upsert shape) ----

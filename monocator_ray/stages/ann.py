@@ -287,3 +287,61 @@ class PqScorer:
              "vec_id": pa.array(out_id, pa.int64()),
              "sim": pa.array(out_sim, pa.float64())}
         )
+
+
+def quantize_ints(m: np.ndarray, scale: float = 1024.0) -> np.ndarray:
+    """floor(double(x) * 1024) per component — the exact-arithmetic bridge
+    that lets brute-force cosine top-k carry a *SQL oracle*: 1024 is a
+    power of two, so the product is exact in IEEE double on every engine,
+    floor of an exact product is deterministic, and the resulting int64
+    dot products / norms (<= dims * |v|^2 * scale^2, far below 2^53) are
+    representable exactly even through DuckDB's double-typed
+    list_inner_product.  Both sides then evaluate the identical
+    float(dot)/sqrt(float(qq)*float(dd)) expression — bit-identical sims,
+    tolerance-free compare."""
+    return np.floor(m.astype(np.float64) * scale).astype(np.int64)
+
+
+class ExactIntTopK:
+    """map_batches task stage: per-batch local cosine top-k per query over
+    integer-quantized vectors (see quantize_ints).  Emits <= nq x k rows
+    per batch (a combiner — the driver merge holds O(nq x blocks x k));
+    optional `label` restricts candidates batch-side (filtered vector
+    search: the predicate prunes BEFORE any dot product)."""
+
+    def __init__(self, payload_ref, k: int = 5, label: int | None = None):
+        payload = (
+            ray.get(payload_ref) if isinstance(payload_ref, ray.ObjectRef)
+            else payload_ref  # plain tuple path for Ray-free unit tests
+        )
+        self.qids, self.Q, self.qq = payload
+        self.k = k
+        self.label = label
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.label is not None:
+            batch = batch.filter(pc.equal(batch["label"], self.label))
+        out_q, out_id, out_dot, out_dd = [], [], [], []
+        if batch.num_rows:
+            D = quantize_ints(table_to_matrix(batch))
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            dot = D @ self.Q.T  # (n, nq) int64, exact
+            dd = np.einsum("ij,ij->i", D, D)
+            for qi in range(self.Q.shape[0]):
+                s = dot[:, qi].astype(np.float64) / np.sqrt(
+                    float(self.qq[qi]) * dd.astype(np.float64)
+                )
+                order = np.lexsort((ids, -s))
+                order = order[ids[order] != self.qids[qi]][: self.k]
+                out_q.extend([int(self.qids[qi])] * len(order))
+                out_id.extend(ids[order].tolist())
+                out_dot.extend(dot[order, qi].tolist())
+                out_dd.extend(dd[order].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_id, pa.int64()),
+             "dot": pa.array(out_dot, pa.int64()),
+             "dd": pa.array(out_dd, pa.int64())}
+        )

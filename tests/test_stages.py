@@ -604,3 +604,57 @@ def test_rehearse_rejects_unknown_names():
 
     with _pytest.raises(SystemExit, match="unknown query names"):
         rehearse(names=["token_stats_cvs"], quiet=True)
+
+
+# ---- exact integer-quantized cosine (SQL-oracled ANN baseline) ----
+def test_quantize_ints_power_of_two_exact():
+    """floor(x*1024) must be reproducible from float32 inputs on any
+    IEEE engine: scaling by a power of two only changes the exponent, so
+    double(x)*1024 is EXACT and floor is deterministic — including
+    negative values and values epsilon-close to integer multiples."""
+    import numpy as np
+
+    from monocator_ray.stages.ann import quantize_ints
+
+    x = np.array([-0.3112017, 0.2945560, 1.0, -1.0, 0.0009765625,
+                  -0.0009765625, 0.99999994], dtype=np.float32)
+    z = quantize_ints(x.reshape(1, -1))[0]
+    want = [int(np.floor(float(v) * 1024.0)) for v in x]
+    assert z.tolist() == want
+    # 2^-10 * 1024 == 1 exactly (no representation error)
+    assert z[4] == 1 and z[5] == -1
+
+
+def test_exact_int_topk_stage_filter_and_self_exclusion():
+    """ExactIntTopK batch semantics, Ray-free: label predicate prunes
+    BEFORE scoring, the query vector never matches itself, and emitted
+    (dot, dd) reproduce the similarity a brute-force recompute gets."""
+    import numpy as np
+    import pyarrow as pa
+
+    from monocator_ray.stages.ann import ExactIntTopK, quantize_ints
+
+    rng = np.random.RandomState(7)
+    m = rng.randn(20, 8).astype(np.float32) * 0.3
+    ids = np.arange(20, dtype=np.int64)
+    labels = (ids % 2).astype(np.int32)
+    Q = quantize_ints(m[:2])
+    qq = np.einsum("ij,ij->i", Q, Q)
+    stage = ExactIntTopK((ids[:2], Q, qq), k=3, label=0)
+    batch = pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array([list(r) for r in m], pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    out = stage(batch)
+    got_ids = out["vec_id"].to_numpy()
+    assert (got_ids % 2 == 0).all()          # label filter applied
+    q0 = out.filter(pa.compute.equal(out["query_id"], 0))
+    assert 0 not in q0["vec_id"].to_numpy()  # self excluded
+    # recompute winner for query 0 by brute force over even ids != 0
+    D = quantize_ints(m)
+    cand = [i for i in range(20) if i % 2 == 0 and i != 0]
+    sims = {i: float(D[i] @ Q[0]) / np.sqrt(float(qq[0]) * float(D[i] @ D[i]))
+            for i in cand}
+    best = max(sims, key=lambda i: (sims[i], -i))
+    assert q0["vec_id"][0].as_py() == best
