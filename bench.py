@@ -153,6 +153,13 @@ BENCH_QUERIES = [
     "event_lead",
     "hll_user_counts",
     "dedup_minhash",
+    # final round-3 additions: relational division, arg_max compaction,
+    # RANGE-interval frame, SQL-oracled exact+filtered vector search
+    "loyal_customers",
+    "latest_events",
+    "event_range_window",
+    "ann_exact_topk",
+    "ann_filtered_topk",
 ]
 
 
