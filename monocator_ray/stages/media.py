@@ -9,12 +9,14 @@ alone, features (dims / mean-RGB / luma histogram; duration / RMS /
 zero-crossings / envelope; frame envelope / motion) are vectorized, and
 nearest-neighbor resize is pure indexing.  Round 3 adds a REAL pure-numpy
 PNG codec (stdlib zlib inflate + the five per-row filters, 8-bit
-gray/RGB/RGBA/palette, non-interlaced) — the dominant web image container
-now decodes without PIL.  The remaining compressed formats (JPEG / GIF /
-MP3 / MP4, plus Adam7-interlaced PNG) stay GATED behind
-``NotImplementedError`` — their decoders (DCT / LZW / ffmpeg) are not in
-this container; the dispatch sniffs magic bytes so swapping a real codec
-in is one branch.
+gray/RGB/RGBA/palette, non-interlaced) and a REAL GIF codec (variable-
+width LZW decode per the public GIF89a spec, global/local color tables,
+89a extension skipping) — the two dominant legacy web image containers
+now decode without PIL.  The remaining compressed formats (JPEG / MP3 /
+MP4, plus Adam7-interlaced PNG and interlaced GIF) stay GATED behind
+``NotImplementedError`` — their decoders (DCT / ffmpeg) are not in this
+container; the dispatch sniffs magic bytes so swapping a real codec in
+is one branch.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -260,6 +262,192 @@ def decode_png(data: bytes) -> np.ndarray:
     return img[:, :, :3]  # RGB / RGBA (alpha dropped)
 
 
+def _lzw_encode_gif(indices: np.ndarray, mcs: int) -> bytes:
+    """GIF-flavor LZW over palette indices (min code size ``mcs``):
+    variable-width codes LSB-first, CLEAR emitted up front and whenever the
+    table reaches 4096 (the spec's table-full reset).  Dict-based — O(n),
+    encoder runs only in tests/fixtures; the decoder is the product path."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    emit(clear, width)
+    seq: tuple[int, ...] = ()
+    for px in indices.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, mcs: int, n_pixels: int) -> np.ndarray:
+    """Inverse of _lzw_encode_gif: rebuilds the string table code by code
+    (per-code Python loop — GIF's table is capped at 4096 entries so the
+    loop body is small; payloads at pipeline scale ride in actor-pool
+    stages whose batch sizes are already sized for binary columns)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while pos < len(data) or nbits >= width:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out.extend(entry)
+        if len(out) >= n_pixels:
+            break
+        if prev is not None and len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError("GIF LZW stream ended early")
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def encode_gif(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> single-frame GIF89a with a global color
+    table built from the image's unique colors (<= 256 required — GIF is
+    palettized by definition).  Real LZW compression (_lzw_encode_gif)."""
+    h, w = pixels.shape[:2]
+    flat = pixels.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 unique colors (got {len(palette)})")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros(((1 << depth), 3), np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, depth)  # spec: min code size >= 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (depth - 1))  # global table present, 2^depth entries
+    out += b"\x00\x00"  # background index, no aspect
+    out += table.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"  # image desc
+    out.append(mcs)
+    lzw = _lzw_encode_gif(indices.astype(np.int64), mcs)
+    for i in range(0, len(lzw), 255):
+        blk = lzw[i : i + 255]
+        out.append(len(blk))
+        out += blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a -> (h, w, 3) uint8 RGB.  Real LZW
+    decode (public spec); global or local color table; 89a extension
+    blocks (graphic control / comment / application) skipped by their
+    sub-block structure.  Interlaced frames stay gated like Adam7 PNG."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            lflags = data[pos + 9]
+            pos += 10
+            table = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if lflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode_gif(bytes(lzw), mcs, iw * ih)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF index out of palette range")
+            frame = table[idx.reshape(ih, iw)]
+            if (iw, ih) != (w, h):  # sub-rectangle frame: paint on black
+                full = np.zeros((h, w, 3), np.uint8)
+                full[iy : iy + ih, ix : ix + iw] = frame
+                return full
+            return frame
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """mono int16 samples -> RIFF/WAVE PCM16."""
     body = samples.astype("<i2").tobytes()
@@ -378,7 +566,6 @@ class PureCodec:
 
     _COMPRESSED = {
         b"\xff\xd8\xff": "image/jpeg",
-        b"GIF8": "image/gif",
         b"ID3": "audio/mpeg",
         b"\x00\x00\x00\x18ftyp": "video/mp4",
     }
@@ -386,6 +573,8 @@ class PureCodec:
     def sniff(self, payload: bytes) -> str:
         if payload[:8] == _PNG_SIG:
             return "image/png"
+        if payload[:4] == b"GIF8":
+            return "image/gif"
         if payload[:2] == b"BM":
             return "image/bmp"
         if payload[:2] == b"P6":
@@ -403,6 +592,8 @@ class PureCodec:
         mime = self.sniff(payload)
         if mime == "image/png":
             return decode_png(payload)
+        if mime == "image/gif":
+            return decode_gif(payload)
         if mime == "image/bmp":
             return decode_bmp(payload)
         if mime == "image/x-portable-pixmap":

@@ -658,3 +658,77 @@ def test_exact_int_topk_stage_filter_and_self_exclusion():
             for i in cand}
     best = max(sims, key=lambda i: (sims[i], -i))
     assert q0["vec_id"][0].as_py() == best
+
+
+# ---- GIF codec (real pure-python LZW, public GIF89a spec) ----
+def test_gif_roundtrip_small():
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_gif, encode_gif
+
+    rng = np.random.RandomState(3)
+    img = (rng.randint(0, 6, (12, 16, 3)) * 40).astype(np.uint8)
+    data = encode_gif(img)
+    assert data[:6] == b"GIF89a" and data[-1:] == b"\x3b"
+    out = decode_gif(data)
+    assert out.shape == img.shape and (out == img).all()
+
+
+def test_gif_lzw_table_reset_roundtrip():
+    """128x128 of 256-color noise forces the LZW table past 4096 codes —
+    the encoder emits a CLEAR reset and the decoder must follow."""
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_gif, encode_gif
+
+    rng = np.random.RandomState(11)
+    img = np.repeat(rng.randint(0, 256, (128, 128, 1)), 3, axis=2).astype(np.uint8)
+    out = decode_gif(encode_gif(img))
+    assert (out == img).all()
+
+
+def test_gif_extensions_skipped_and_interlace_gated():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from monocator_ray.stages.media import PureCodec, decode_gif, encode_gif
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[1, 2] = 200
+    data = bytearray(encode_gif(img))
+    # splice a GIF89a graphic-control extension before the image descriptor
+    desc = data.index(b"\x2c")
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = bytes(data[:desc]) + gce + bytes(data[desc:])
+    assert (decode_gif(spliced) == img).all()
+    # PureCodec dispatches GIF for real now
+    assert PureCodec().sniff(spliced) == "image/gif"
+    assert (PureCodec().decode_image(spliced) == img).all()
+    # interlace flag stays gated (Adam7-PNG analog)
+    lidx = spliced.index(b"\x2c")
+    flags_at = lidx + 9
+    inter = spliced[:flags_at] + bytes([spliced[flags_at] | 0x40]) + spliced[flags_at + 1:]
+    with _pytest.raises(NotImplementedError):
+        decode_gif(inter)
+
+
+def test_gif_subrectangle_frame_painted_at_offset():
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_gif, encode_gif
+
+    inner = np.full((2, 3, 3), 77, np.uint8)
+    data = bytearray(encode_gif(inner))
+    # enlarge the logical screen to 5x6 and offset the frame to (2,1):
+    # decode must paint the 2x3 frame on black at that offset
+    struct.pack_into("<HH", data, 6, 6, 5)  # screen w=6, h=5
+    desc = data.index(b"\x2c")
+    struct.pack_into("<HH", data, desc + 1, 2, 1)  # frame left=2, top=1
+    out = decode_gif(bytes(data))
+    assert out.shape == (5, 6, 3)
+    assert (out[1:3, 2:5] == 77).all()
+    assert out.sum() == 77 * 2 * 3 * 3
