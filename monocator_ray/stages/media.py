@@ -797,11 +797,19 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # alternate the two real image codecs so both decode paths are
-            # exercised by every consumer (PNG real since r3)
-            if (i // 3) % 2:
+            # rotate the three real image codecs so every decode path is
+            # exercised by every consumer (PNG and GIF real since r3)
+            variant = (i // 3) % 3
+            if variant == 1:
                 payloads.append(encode_png(img, filter_cycle=True))
                 mimes.append("image/png")
+            elif variant == 2:
+                # GIF is palettized: 4 levels/channel = 64 possible colors
+                # (quantizing by 32 leaves 512 possibles — a 24x14 random
+                # image can exceed the 256-color table)
+                img = (img // 64 * 64).astype(np.uint8)
+                payloads.append(encode_gif(img))
+                mimes.append("image/gif")
             else:
                 payloads.append(encode_bmp(img))
                 mimes.append("image/bmp")
