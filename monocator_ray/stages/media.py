@@ -9,14 +9,16 @@ alone, features (dims / mean-RGB / luma histogram; duration / RMS /
 zero-crossings / envelope; frame envelope / motion) are vectorized, and
 nearest-neighbor resize is pure indexing.  Round 3 adds a REAL pure-numpy
 PNG codec (stdlib zlib inflate + the five per-row filters, 8-bit
-gray/RGB/RGBA/palette, non-interlaced) and a REAL GIF codec (variable-
+gray/RGB/RGBA/palette, non-interlaced), a REAL GIF codec (variable-
 width LZW decode per the public GIF89a spec, global/local color tables,
-89a extension skipping) — the two dominant legacy web image containers
-now decode without PIL.  The remaining compressed formats (JPEG / MP3 /
-MP4, plus Adam7-interlaced PNG and interlaced GIF) stay GATED behind
-``NotImplementedError`` — their decoders (DCT / ffmpeg) are not in this
-container; the dispatch sniffs magic bytes so swapping a real codec in
-is one branch.
+89a extension skipping), and a REAL baseline JPEG codec
+(``stages/jpegcodec.py``: ITU-T T.81 sequential DCT, in-stream DQT/DHT,
+4:4:4/4:2:2/4:2:0, restart markers) — every dominant web image container
+now decodes without PIL.  The remaining compressed formats (MP3 / MP4,
+plus progressive JPEG, Adam7-interlaced PNG and interlaced GIF) stay
+GATED behind ``NotImplementedError`` — their decoders (ffmpeg /
+progressive-scan IDCT) are not in this container; the dispatch sniffs
+magic bytes so swapping a real codec in is one branch.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -31,6 +33,11 @@ import struct
 
 import numpy as np
 import pyarrow as pa
+
+# top-level import (not lazy in __call__) — the worker-import trap from the
+# round-2 notes: a lazy import inside worker code is invisible to pytest and
+# only the driver-flow rehearsal catches it
+from monocator_ray.stages.jpegcodec import decode_jpeg, encode_jpeg
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -565,12 +572,13 @@ class PureCodec:
     like a real codec registry with those plugins absent."""
 
     _COMPRESSED = {
-        b"\xff\xd8\xff": "image/jpeg",
         b"ID3": "audio/mpeg",
         b"\x00\x00\x00\x18ftyp": "video/mp4",
     }
 
     def sniff(self, payload: bytes) -> str:
+        if payload[:3] == b"\xff\xd8\xff":
+            return "image/jpeg"
         if payload[:8] == _PNG_SIG:
             return "image/png"
         if payload[:4] == b"GIF8":
@@ -590,6 +598,8 @@ class PureCodec:
 
     def decode_image(self, payload: bytes) -> np.ndarray:
         mime = self.sniff(payload)
+        if mime == "image/jpeg":
+            return decode_jpeg(payload)
         if mime == "image/png":
             return decode_png(payload)
         if mime == "image/gif":
@@ -797,9 +807,9 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # rotate the three real image codecs so every decode path is
-            # exercised by every consumer (PNG and GIF real since r3)
-            variant = (i // 3) % 3
+            # rotate the four real image codecs so every decode path is
+            # exercised by every consumer (PNG, GIF and JPEG real since r3)
+            variant = (i // 3) % 4
             if variant == 1:
                 payloads.append(encode_png(img, filter_cycle=True))
                 mimes.append("image/png")
@@ -810,6 +820,11 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                 img = (img // 64 * 64).astype(np.uint8)
                 payloads.append(encode_gif(img))
                 mimes.append("image/gif")
+            elif variant == 3:
+                # JPEG is lossy; the decode is still deterministic, which is
+                # all downstream feature/dup consumers need
+                payloads.append(encode_jpeg(img, quality=90, subsample="420"))
+                mimes.append("image/jpeg")
             else:
                 payloads.append(encode_bmp(img))
                 mimes.append("image/bmp")

@@ -1,0 +1,146 @@
+"""Baseline JPEG codec tests (stages/jpegcodec.py).
+
+The codec is lossy, so roundtrips assert bounded error instead of byte
+identity; the DC-only (uniform image) case IS exact by construction, which
+pins the marker plumbing + Huffman + quantization chain analytically.
+"""
+
+import numpy as np
+import pytest
+
+from monocator_ray.stages.jpegcodec import (
+    UNZIGZAG, ZIGZAG, decode_jpeg, encode_jpeg, _build_codes, _build_peek_table,
+)
+
+
+def _smooth(h, w, seed=3):
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.clip(yy * 3 + 20, 0, 255)
+    g = np.clip(xx * 2 + 40, 0, 255)
+    b = np.clip(yy + xx + 30, 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_zigzag_is_a_permutation_and_matches_spec_corners():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert np.array_equal(ZIGZAG[UNZIGZAG], np.arange(64))
+    # T.81 figure A.6 first entries: 0, (0,1)=1, (1,0)=8, (2,0)=16, (1,1)=9, (0,2)=2
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+    assert ZIGZAG[-1] == 63
+
+
+def test_huffman_codes_are_canonical_and_prefix_free():
+    bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    vals = list(range(12))
+    codes = _build_codes(bits, vals)
+    assert len(codes) == 12
+    # prefix-freedom: no code is a prefix of another
+    as_bits = {format(c, f"0{ln}b") for c, ln in codes.values()}
+    for a in as_bits:
+        for b in as_bits:
+            if a != b:
+                assert not b.startswith(a)
+    # the peek table agrees with the explicit codes
+    peek = _build_peek_table(bits, vals)
+    for sym, (c, ln) in codes.items():
+        entry = int(peek[c << (16 - ln)])
+        assert entry == (sym << 5) | ln
+
+
+def test_uniform_image_is_exact():
+    # constant block -> DC only -> quant/dequant of a single coefficient;
+    # with q=95 the DC step is small enough to reconstruct the value exactly
+    for val in (0, 60, 128, 130, 255):
+        img = np.full((16, 24, 3), val, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, quality=95))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - int(val)).max() <= 1
+
+
+def test_smooth_roundtrip_all_subsamplings():
+    img = _smooth(40, 56)
+    for ss, bound in [("444", 3), ("422", 4), ("420", 6)]:
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=ss))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.max() <= bound, (ss, err.max())
+
+
+def test_odd_dimensions_not_multiple_of_mcu():
+    img = _smooth(37, 51)
+    for ss in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsample=ss))
+        assert out.shape == img.shape
+
+
+def test_grayscale_single_component():
+    yy = np.mgrid[0:40, 0:56][0]
+    g = np.clip(yy * 4 + 10, 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=90))
+    assert out.shape == g.shape and out.ndim == 2
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_noise_survives_all_huffman_paths():
+    # random noise at q=100 exercises long codes, ZRL runs and big DC swings
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (48, 64, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 4
+    # checkerboard = maximal AC energy in the highest frequency
+    cb = (np.indices((32, 32)).sum(0) % 2 * 255).astype(np.uint8)
+    cb3 = np.stack([cb] * 3, -1)
+    assert np.array_equal(decode_jpeg(encode_jpeg(cb3, quality=100)), cb3)
+
+
+def test_restart_markers_do_not_change_the_decode():
+    rng = np.random.RandomState(1)
+    img = rng.randint(0, 256, (45, 61, 3), np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=80, subsample="420"))
+    for ri in (1, 2, 5):
+        with_rst = decode_jpeg(
+            encode_jpeg(img, quality=80, subsample="420", restart_interval=ri)
+        )
+        assert np.array_equal(base, with_rst)
+
+
+def test_quality_monotonicity():
+    img = _smooth(48, 48)
+    sizes, errs = [], []
+    for q in (95, 75, 40, 10):
+        d = encode_jpeg(img, quality=q)
+        sizes.append(len(d))
+        errs.append(np.abs(decode_jpeg(d).astype(int) - img.astype(int)).mean())
+    assert sizes == sorted(sizes, reverse=True)  # lower quality -> smaller file
+    assert errs == sorted(errs)  # and more error
+
+
+def test_progressive_and_garbage_are_rejected_cleanly():
+    img = _smooth(16, 16)
+    data = bytearray(encode_jpeg(img, quality=90))
+    sof = data.find(b"\xff\xc0")
+    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0rest")  # truncated APP0
+
+
+def test_purecodec_dispatch_and_synth_mix():
+    from monocator_ray.stages.media import PureCodec, synth_media_table
+
+    c = PureCodec()
+    img = _smooth(24, 24)
+    blob = encode_jpeg(img, quality=90)
+    assert c.sniff(blob) == "image/jpeg"
+    out = c.decode_image(blob)
+    assert out.shape == img.shape
+    # the synth media mix now rotates a JPEG variant and it decodes
+    tbl = synth_media_table(48)
+    mimes = tbl["mime"].to_pylist()
+    assert "image/jpeg" in mimes
+    i = mimes.index("image/jpeg")
+    decoded = c.decode_image(tbl["payload"][i].as_py())
+    assert decoded.shape == (tbl["height"][i].as_py(), tbl["width"][i].as_py(), 3)

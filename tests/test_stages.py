@@ -394,11 +394,15 @@ def test_compressed_formats_gated():
     from monocator_ray.stages.media import PureCodec
 
     c = PureCodec()
+    # baseline JPEG decodes for real since r3; truncated garbage is a parse
+    # error, and progressive (SOF2) stays gated — see test_jpeg.py
     assert c.sniff(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(ValueError):
         c.decode_image(b"\xff\xd8\xff\xe0rest")
     with _pytest.raises(NotImplementedError):
         c.decode_audio(b"ID3\x04rest")
+    with _pytest.raises(NotImplementedError):
+        c.decode_video(b"\x00\x00\x00\x18ftypisom rest")
 
 
 # ---- media plumbing (real codecs for BMP/WAV rows, fake for video) ----
