@@ -160,6 +160,11 @@ BENCH_QUERIES = [
     "event_range_window",
     "ann_exact_topk",
     "ann_filtered_topk",
+    # round-3 closing additions: gaps-and-islands, interval sweep,
+    # cross-join matrix
+    "user_streaks",
+    "concurrent_sessions",
+    "region_year_matrix",
 ]
 
 

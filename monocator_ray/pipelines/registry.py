@@ -1171,6 +1171,66 @@ REGISTRY: dict = {
         FROM events ORDER BY event_id
         """,
     ),
+    # gaps-and-islands: longest consecutive-active-day streak per user
+    "user_streaks": (
+        R.q_user_streaks,
+        """
+        WITH days AS (
+          SELECT DISTINCT user_id,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+          FROM events
+        ), isl AS (
+          SELECT user_id, d,
+                 d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+          FROM days
+        ), runs AS (
+          SELECT user_id, grp, COUNT(*) AS len FROM isl GROUP BY user_id, grp
+        )
+        SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+               CAST(MAX(len) AS BIGINT) AS max_streak
+        FROM runs GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    # interval-overlap sweep: peak concurrent 5-minute intervals per type
+    "concurrent_sessions": (
+        R.q_concurrent_sessions,
+        """
+        WITH b AS (
+          SELECT event_type, ts AS t, 1 AS delta FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 5 MINUTE AS t, -1 AS delta FROM events
+        ), r AS (
+          SELECT event_type,
+                 SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta)
+                   AS conc
+          FROM b
+        )
+        SELECT event_type, CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+        FROM r GROUP BY event_type ORDER BY event_type
+        """,
+    ),
+    # CROSS JOIN dimension matrix with zero-filled facts
+    "region_year_matrix": (
+        R.q_region_year_matrix,
+        """
+        WITH rev AS (
+          SELECT c.c_nationkey, EXTRACT(year FROM o.o_orderdate) AS yr,
+                 SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS rev_cents
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          GROUP BY c.c_nationkey, yr
+        ), by_region AS (
+          SELECT r.r_name AS region, rev.yr, SUM(rev.rev_cents) AS rev_cents
+          FROM rev JOIN nation n ON rev.c_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+          GROUP BY r.r_name, rev.yr
+        ), years AS (SELECT DISTINCT yr FROM by_region)
+        SELECT r.r_name AS region, CAST(y.yr AS BIGINT) AS yr,
+               CAST(COALESCE(b.rev_cents, 0) AS BIGINT) AS rev_cents
+        FROM region r CROSS JOIN years y
+        LEFT JOIN by_region b ON b.region = r.r_name AND b.yr = y.yr
+        ORDER BY region, yr
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
     # HLL approximate distinct users per event type (register-max merge is
     # order-independent -> parallelism-invariant; pinned to a driver

@@ -2544,3 +2544,188 @@ def q_event_range_window(sf_dir: str) -> rd.Dataset:
         range_part,
         num_parts=32,
     ).sort("event_id")
+
+
+# ---- gaps-and-islands: longest consecutive-day streak per user ----
+def q_user_streaks(sf_dir: str) -> rd.Dataset:
+    """Longest run of CONSECUTIVE active days per user — the classic
+    gaps-and-islands shape (the SQL needs a ROW_NUMBER difference trick;
+    here it is one vectorized diff over each user's sorted distinct days).
+
+    Scale plan: per-batch distinct (user, day) first (Arrow group_by — the
+    shuffle then moves at most users x days rows, not events), ONE hash
+    partition by user (a user's whole timeline lands in one partition),
+    and inside a partition everything is numpy: lexsort, pair-dedup mask,
+    island boundaries where the day step != 1, run lengths via reduceat."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def to_days(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        day = t["ts"].to_numpy(zero_copy_only=False).view(np.int64) // DAY_US
+        part = pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "day": pa.array(day, pa.int64())})
+        # batch-local distinct before the shuffle
+        return part.group_by(["user_id", "day"]).aggregate([])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("n_active_days", pa.int64()),
+                      ("max_streak", pa.int64())])
+
+    def streak_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        uid, day = uid[order], day[order]
+        keep = np.ones(len(uid), bool)  # cross-batch duplicates of (u, day)
+        keep[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1])
+        uid, day = uid[keep], day[keep]
+        new_run = np.ones(len(uid), bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        run_starts = np.nonzero(new_run)[0]
+        run_len = np.diff(np.append(run_starts, len(uid)))
+        run_user = uid[run_starts]
+        ustarts, _ = run_boundaries(run_user)
+        return pa.table(
+            {
+                "user_id": pa.array(run_user[ustarts], pa.int64()),
+                "n_active_days": pa.array(np.add.reduceat(run_len, ustarts), pa.int64()),
+                "max_streak": pa.array(np.maximum.reduceat(run_len, ustarts), pa.int64()),
+            }
+        )
+
+    return hash_partitioned(
+        ds.map_batches(to_days, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        streak_part,
+        num_parts=64,
+    ).sort("user_id")
+
+
+# ---- interval sweep: peak concurrent 5-minute event intervals per type ----
+def q_concurrent_sessions(sf_dir: str, dur_min: int = 5) -> pa.Table:
+    """Peak number of simultaneously-open intervals [ts, ts+5m) per event
+    type — the interval-overlap sweep (max concurrent users / open
+    connections).  A +1/-1 boundary sweep needs a GLOBAL time-ordered
+    prefix sum; like corpus_shuffle/watermark_windows it decomposes over
+    ORDERED buckets: hour buckets give per-bucket partial delta totals
+    (pass 1, O(types x hours) driver state), an exclusive prefix sum per
+    type seeds each bucket's incoming concurrency, and pass 2 runs the
+    within-bucket running sum + max fully distributed.  No global sort.
+
+    Tie semantics match the oracle's ORDER BY t, delta (an interval ending
+    at t closes before one opening at t): delta is part of the sort key,
+    and a row-frame max equals the oracle's range-frame max because tie
+    groups share one (t, delta) key — an all-(+1) group peaks at its end
+    (the range value) and an all-(-1) group never exceeds the previous
+    group's end."""
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    dur_us = np.int64(dur_min * 60 * 1_000_000)
+    HOUR_US = np.int64(3_600_000_000)
+
+    def boundaries(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        et = t["event_type"].combine_chunks() if isinstance(
+            t["event_type"], pa.ChunkedArray) else t["event_type"]
+        tt = np.concatenate([ts, ts + dur_us])
+        delta = np.concatenate([np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)])
+        typ = pa.concat_arrays([et, et]) if isinstance(et, pa.Array) else pa.concat_arrays(et.chunks * 2)
+        return pa.table(
+            {"event_type": typ,
+             "t_us": pa.array(tt, pa.int64()),
+             "delta": pa.array(delta, pa.int64()),
+             "bucket": pa.array(tt // HOUR_US, pa.int64())}
+        )
+
+    bd = ds.map_batches(boundaries, batch_format="pyarrow")
+    # pass 1: per-(type, bucket) delta totals -> exclusive prefix sum per type
+    totals = driver_grouped_agg(bd, ["event_type", "bucket"], [("delta", "sum")],
+                                ["event_type", "bucket", "total"])
+    totals = totals.sort_values(["event_type", "bucket"]).reset_index(drop=True)
+    grp = totals.groupby("event_type")["total"]
+    totals["incoming"] = grp.cumsum() - totals["total"]  # exclusive
+    seed = {(r.event_type, int(r.bucket)): int(r.incoming)
+            for r in totals.itertuples()}
+
+    _OUT = pa.schema([("event_type", pa.string()), ("peak", pa.int64())])
+
+    def sweep_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        et = np.asarray(g["event_type"].to_pylist())
+        t = g["t_us"].to_numpy(zero_copy_only=False)
+        d = g["delta"].to_numpy(zero_copy_only=False)
+        b = g["bucket"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, t, b, et))
+        et, t, d, b = et[order], t[order], d[order], b[order]
+        starts, ends = run_boundaries(et, b)
+        peaks, types = [], []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            run = np.cumsum(d[s:e]) + seed[(et[s], int(b[s]))]
+            peaks.append(int(run.max()))
+            types.append(et[s])
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "peak": pa.array(peaks, pa.int64())})
+
+    def keys(t: pa.Table) -> list[np.ndarray]:
+        from monocator_ray.hashing import hash_str64
+
+        return [hash_str64(t["event_type"]),
+                t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)]
+
+    partials = hash_partitioned(bd, keys, sweep_part, num_parts=32)
+    pdf = collect_arrow(partials).to_pandas()
+    out = (pdf.groupby("event_type", as_index=False)["peak"].max()
+           .rename(columns={"peak": "peak_concurrency"})
+           .sort_values("event_type").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- CROSS JOIN dimension matrix with zero-filled facts ----
+def q_region_year_matrix(sf_dir: str) -> pa.Table:
+    """Revenue for EVERY (region, order-year) cell, zero-filled where no
+    orders exist — the small-dimension CROSS JOIN + LEFT JOIN shape
+    (calendar matrices, coverage reports).  The fact side is one
+    distributed pass (per-batch (custkey, yr) partials -> Dataset join to
+    customer -> broadcast nation->region probe); the cross product itself
+    is O(regions x years) — driver-side by construction, never a shuffle."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def cust_year_partial(batch: pa.Table) -> pa.Table:
+        yr = (batch["o_orderdate"].to_numpy(zero_copy_only=False)
+              .astype("datetime64[Y]").astype(np.int64) + 1970)
+        t = pa.table({"o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                      "yr": pa.array(yr, pa.int64()),
+                      "rev_cents": _cents(batch["o_totalprice"])})
+        g = t.group_by(["o_custkey", "yr"]).aggregate([("rev_cents", "sum")])
+        return g.rename_columns(["o_custkey", "yr", "rev_cents"])
+
+    customer = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = orders.map_batches(cust_year_partial, batch_format="pyarrow").join(
+        customer,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    fine = driver_grouped_agg(
+        joined, ["c_nationkey", "yr"], [("rev_cents", "sum")],
+        ["c_nationkey", "yr", "rev_cents"],
+    ).rename(columns={"c_nationkey": "nationkey"})
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    fine = fine.merge(dim[["n_nationkey", "r_name"]], left_on="nationkey",
+                      right_on="n_nationkey")
+    rev = fine.groupby(["r_name", "yr"], as_index=False)["rev_cents"].sum()
+    # the cross product: all regions x all years seen in orders
+    years = np.sort(rev["yr"].unique())
+    grid = pd.MultiIndex.from_product(
+        [np.sort(region["r_name"].unique()), years], names=["region", "yr"]
+    ).to_frame(index=False)
+    out = grid.merge(rev.rename(columns={"r_name": "region"}),
+                     on=["region", "yr"], how="left")
+    out["rev_cents"] = out["rev_cents"].fillna(0).astype(np.int64)
+    out = out.sort_values(["region", "yr"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
