@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "user_streaks",
     "concurrent_sessions",
     "region_year_matrix",
+    "event_windows_orc",
 ]
 
 

@@ -1171,6 +1171,16 @@ REGISTRY: dict = {
         FROM events ORDER BY event_id
         """,
     ),
+    # ORC-hop parity: same hourly windows, through a worker-sharded ORC
+    # export + schema-pinned re-read (timestamp ns->us cast-back)
+    "event_windows_orc": (
+        R.q_event_windows_orc,
+        """
+        SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
+        FROM events GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+        """,
+    ),
     # gaps-and-islands: longest consecutive-active-day streak per user
     "user_streaks": (
         R.q_user_streaks,

@@ -2729,3 +2729,62 @@ def q_region_year_matrix(sf_dir: str) -> pa.Table:
     out["rev_cents"] = out["rev_cents"].fillna(0).astype(np.int64)
     out = out.sort_values(["region", "yr"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- ORC-hop parity: same event_windows aggregate through an ORC export ----
+_ORC_EXPORTED: set[str] = set()
+
+
+def q_event_windows_orc(sf_dir: str) -> rd.Dataset:
+    """q_event_windows with an ORC hop in the middle — the third
+    source-format parity demonstration (CSV and the timestamp-exact IPC
+    already have one): events export to worker-sharded ORC
+    (sources/csvio.py) and the SAME hourly-window aggregation runs over
+    the re-read, matching the parquet-path oracle bit-for-bit.  The
+    interesting fidelity edge is the TIMESTAMP column: ORC widens us->ns
+    on read, and the pinned read schema casts it back (exact below the
+    ns-overflow year).  PID-keyed once-per-process staging like the CSV
+    hop; on a multi-node deployment set MONOCATOR_CSV_DIR to a shared
+    path (same locality note as q_token_stats_csv)."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.csvio import export_orc, read_orc_dir
+
+    ensure_shipped()
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_orc_events_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if out not in _ORC_EXPORTED:
+        for d in os.listdir(base):
+            if d.startswith("monocator_orc_events_") and not d.startswith(
+                f"monocator_orc_events_{os.getpid()}_"
+            ):
+                try:
+                    os.kill(int(d.split("_")[3]), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                except (ValueError, PermissionError, OSError):
+                    pass
+        shutil.rmtree(out, ignore_errors=True)
+        export_orc(_read(sf_dir, "events", ["event_type", "ts"]), out).materialize()
+        _ORC_EXPORTED.add(out)
+    schema = pa.schema([("event_type", pa.string()), ("ts", pa.timestamp("us"))])
+    ds = read_orc_dir(out, schema=schema)
+
+    def wnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+
+    return (
+        ds.map_batches(wnd, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["event_type", "window_start"])
+    )

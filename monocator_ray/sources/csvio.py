@@ -1,7 +1,8 @@
-"""CSV and Arrow-IPC sinks/sources (S1/S3 companions): the two interchange
+"""CSV, Arrow-IPC and ORC sinks/sources (S1/S3 companions): the interchange
 formats that bracket parquet — CSV for the lowest-common-denominator hand-off
-(spreadsheets, shell tooling, legacy loaders) and Arrow IPC (Feather v2) for
-the lossless zero-parse hand-off between Arrow-native processes.
+(spreadsheets, shell tooling, legacy loaders), Arrow IPC (Feather v2) for
+the lossless zero-parse hand-off between Arrow-native processes, and ORC
+for the Hive/Trino columnar world.
 
 Same sink discipline as ``sources/jsonl.py`` / ``sources/warc.py``: each
 input block serializes ON ITS WORKER into one ``part-<hash>-<rows>`` member
@@ -17,6 +18,9 @@ Fidelity contract (stated, not silent):
   nested columns are rejected with a clear error.
 * IPC is exact: every Arrow type (binary, timestamps, lists) round-trips
   bit-for-bit — use it when the consumer is Arrow-aware.
+* ORC is value-exact but widens timestamps to nanoseconds on read; pass the
+  original schema to ``read_orc_dir`` to cast back (exact for us-precision
+  data below the year-2262 ns bound).
 """
 
 from __future__ import annotations
@@ -142,6 +146,57 @@ def read_ipc(path: str) -> rd.Dataset:
             for raw in batch["bytes"]
         ]
         return pa.concat_tables(tables, promote_options="default")
+
+    files = rd.read_binary_files(path)
+    return files.map_batches(parse_file, batch_format="numpy", batch_size=1)
+
+
+def export_orc(ds: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """Dataset -> sharded ORC ``part-<hash>-<rows>.orc`` files — the
+    interchange format the Hive/Trino world reads natively.  Same sink
+    discipline as the CSV/IPC exporters (worker-side serialization,
+    content-hashed idempotent names, O(blocks) driver manifest).
+
+    Fidelity contract: values round-trip exactly for ints / floats /
+    strings / binary / lists / nulls, but ORC stores ONE timestamp
+    precision — pyarrow reads timestamps back as ``timestamp[ns]``.
+    Pass the original schema to :func:`read_orc_dir` to cast back (safe:
+    the driver tables are microsecond-precision, and us->ns->us is exact
+    below the year-2262 ns-overflow bound)."""
+    from pyarrow import orc as paorc
+
+    ensure_shipped()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _manifest(None, 0)
+        buf = io.BytesIO()
+        paorc.write_table(t, buf)
+        data = buf.getvalue()
+        name = f"part-{_payload_key(data):016x}-{t.num_rows}.orc"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(data)
+        return _manifest(name, t.num_rows)
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
+def read_orc_dir(path: str, schema: pa.Schema | None = None) -> rd.Dataset:
+    """ORC file(s)/dir -> Dataset, one file per worker task (pyarrow's C++
+    ORC reader).  ``schema`` casts the result back to the original types —
+    needed for timestamp columns, which ORC widens to nanoseconds."""
+    from pyarrow import orc as paorc
+
+    ensure_shipped()
+
+    def parse_file(batch: dict) -> pa.Table:
+        tables = [
+            paorc.ORCFile(pa.BufferReader(bytes(raw))).read()
+            for raw in batch["bytes"]
+        ]
+        t = pa.concat_tables(tables, promote_options="default")
+        return t.cast(schema) if schema is not None else t
 
     files = rd.read_binary_files(path)
     return files.map_batches(parse_file, batch_format="numpy", batch_size=1)

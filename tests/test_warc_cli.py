@@ -290,3 +290,40 @@ def test_export_ipc_roundtrip(tmp_path):
     back = read_ipc(out).to_pandas().sort_values("doc_id").reset_index(drop=True)
     want = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(back, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_export_orc_roundtrip(tmp_path):
+    """ORC shards round-trip values exactly (ints, strings, binary, lists,
+    nulls); timestamps widen to ns and the pinned read schema casts back."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.sources.csvio import export_orc, read_orc_dir
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array([b"\x00\xff", None, b"abc"], pa.binary()),
+        "text": pa.array(["a\nb", "c,d", None], pa.string()),
+        "emb": pa.array([[1.0, 2.0], [], None], pa.list_(pa.float32())),
+        "ts": pa.array(
+            pd.to_datetime(["2026-01-01", "2026-01-02", "2026-01-03"]),
+            pa.timestamp("us")),
+    })
+    out = str(tmp_path / "orc")
+    manifest = export_orc(rd.from_arrow(t), out).to_pandas()
+    assert manifest["n_records"].sum() == 3
+    assert all(p.endswith(".orc") for p in manifest["path"])
+    # without a schema, ts comes back ns (the documented widening)
+    raw = read_orc_dir(out)
+    assert dict(zip(raw.schema().names, raw.schema().types))["ts"] == pa.timestamp("ns")
+    # with the original schema, the roundtrip is exact (collect as Arrow:
+    # Ray's to_pandas would try a tensor-extension cast on the ragged list)
+    from monocator_ray.stages.grouped import collect_arrow
+
+    back_t = collect_arrow(read_orc_dir(out, schema=t.schema))
+    order = pa.compute.sort_indices(back_t["doc_id"])
+    back_t = back_t.take(order).select(t.column_names).combine_chunks()
+    assert back_t.equals(t), f"\n{back_t.to_pylist()}\n!=\n{t.to_pylist()}"
