@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "concurrent_sessions",
     "region_year_matrix",
     "event_windows_orc",
+    "keyword_search_store",
 ]
 
 

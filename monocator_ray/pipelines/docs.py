@@ -3855,3 +3855,45 @@ def q_ann_filtered_topk(sf_dir: str) -> pa.Table:
     the scoring stage) — same exact-integer oracle discipline as
     q_ann_exact_topk; the SQL side filters the candidate CTE."""
     return q_ann_exact_topk(sf_dir, label=3)
+
+
+# ---- keyword search served from the persistent inverted-index store ----
+_INV_BUILT: set[str] = set()
+
+
+def q_keyword_search_store(sf_dir: str, k: int = 20) -> pa.Table:
+    """q_keyword_search served from the PERSISTENT inverted-index store
+    (sources/invstore.py): one tokenize pass builds term-hash-bucketed
+    postings files; the query then reads ONLY the buckets its terms hash
+    into (plus parquet row-group pruning inside each, term-sorted files)
+    instead of re-scanning the corpus.  Same tokenizer, same integer idf
+    weight, same tie rule — same SQL oracle as keyword_search.  Build is
+    PID-keyed once-per-process (the CSV-hop staging discipline; set
+    MONOCATOR_CSV_DIR to a shared path on multi-node)."""
+    import shutil
+
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, search_inverted_store,
+    )
+
+    ensure_shipped()
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_inv_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if out not in _INV_BUILT:
+        for d in os.listdir(base):
+            if d.startswith("monocator_inv_") and not d.startswith(
+                f"monocator_inv_{os.getpid()}_"
+            ):
+                try:
+                    os.kill(int(d.split("_")[2]), 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+                except (ValueError, PermissionError, OSError):
+                    pass
+        shutil.rmtree(out, ignore_errors=True)
+        build_inverted_store(_docs(sf_dir, ["doc_id", "text"]), out)
+        _INV_BUILT.add(out)
+    return search_inverted_store(out, _SEARCH_TERMS, k=k)

@@ -933,6 +933,23 @@ REGISTRY: dict = {
         SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
         """,
     ),
+    # same retrieval, served from the persistent inverted-index store
+    # (sources/invstore.py) — reads only the query terms' hash buckets
+    "keyword_search_store": (
+        D.q_keyword_search_store,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term IN ('the', 'of', 'la', 'van') GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY doc_id)
+        SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """

@@ -1,0 +1,170 @@
+"""Persistent inverted-index store: build once, serve keyword queries with
+PRUNED reads — the search-serving member of the incremental-store family
+(``fpstore`` membership, ``aggstore`` views, ``annstore`` vectors; this one
+is postings).  ``q_keyword_search`` re-tokenizes the whole corpus per query;
+a store amortizes that one pass and lets every query read ONLY the postings
+buckets its terms hash into.
+
+Layout under ``store_dir``:
+
+* ``bucket=<id>-<blockkey>.parquet`` — postings rows ``(term, doc_id, tf)``
+  for terms hashing into bucket ``id`` (SipHash-pinned ``hash_str64 %
+  num_buckets``), sorted by ``(term, doc_id)`` inside each file so the
+  parquet term-column min/max statistics prune row groups on read.
+  Multiple files per bucket are normal (one per contributing input block;
+  the block's min doc_id keys the name, so concurrent writers never
+  collide).
+* ``meta.json`` — ``n_docs`` (for the integer idf weight) + ``num_buckets``,
+  written LAST as the success marker (manifest-last discipline shared with
+  clustered.py / annstore.py).
+
+Scale shape: the build is ONE streaming tokenize pass (tokens become
+(term, doc_id, tf) partials inside the batch — the corpus text never
+shuffles; only the much smaller postings do, partitioned by term hash).  A
+query for |Q| terms reads at most ``|Q| / num_buckets`` of the postings
+bytes, scores per doc inside doc-hash partitions and merges O(parts x k)
+rows on the driver — the same tail as q_keyword_search, minus the corpus
+scan.  Results are identical to the scan-path query by construction (same
+tokenizer, same integer weight, same tie rule); the registry pins both to
+one SQL oracle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data as rd
+
+from monocator_ray.hashing import hash_str64
+from monocator_ray.shipping import ensure_shipped
+
+
+def build_inverted_store(docs: rd.Dataset, store_dir: str,
+                         num_buckets: int = 64) -> int:
+    """Tokenize ``docs`` (columns doc_id, text) into per-bucket postings
+    files.  Returns n_docs.  Clears any prior/partial build first (file
+    names depend on block splits — annstore.py rationale)."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    os.makedirs(store_dir, exist_ok=True)
+    for f in os.listdir(store_dir):
+        if f.startswith("bucket=") or f == "meta.json":
+            os.remove(os.path.join(store_dir, f))
+
+    sdir = store_dir
+    nb = num_buckets
+
+    def write_block(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        out_doc, out_term, out_tf = [], [], []
+        for i, s in enumerate(t["text"].to_pylist()):
+            if not s:
+                continue
+            arr = np.array(_WS_SPLIT.split(s.strip(" ")), dtype=object)
+            vals, counts = np.unique(arr, return_counts=True)
+            out_term.append(vals)
+            out_tf.append(counts.astype(np.int64))
+            out_doc.append(np.full(len(vals), ids[i], dtype=np.int64))
+        if not out_doc:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        term = np.concatenate(out_term)
+        doc = np.concatenate(out_doc)
+        tf = np.concatenate(out_tf)
+        bucket = (hash_str64(term) % np.uint64(nb)).astype(np.int64)
+        # sort by (bucket, term, doc) once; bucket runs slice out of it
+        order = np.lexsort((doc, term, bucket))
+        term, doc, tf, bucket = term[order], doc[order], tf[order], bucket[order]
+        starts = np.flatnonzero(np.r_[True, bucket[1:] != bucket[:-1]])
+        ends = np.r_[starts[1:], len(bucket)]
+        blockkey = int(doc.min())
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            part = pa.table({
+                "term": pa.array(term[s:e], pa.string()),
+                "doc_id": pa.array(doc[s:e], pa.int64()),
+                "tf": pa.array(tf[s:e], pa.int64()),
+            })
+            pq.write_table(
+                part, os.path.join(sdir, f"bucket={bucket[s]}-{blockkey}.parquet")
+            )
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    counts = docs.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    n_docs = int(counts["n"].sum())
+    # success marker LAST: a crashed build leaves no meta.json and the next
+    # build clears its shards
+    with open(os.path.join(store_dir, "meta.json"), "w") as fh:
+        json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, fh)
+    return n_docs
+
+
+def search_inverted_store(store_dir: str, terms: tuple[str, ...],
+                          k: int = 20) -> pa.Table:
+    """Top-``k`` docs by ``sum_t tf * (n_docs // df(t))`` over ``terms``,
+    reading ONLY the postings buckets the query terms hash into."""
+    from monocator_ray.stages.grouped import (
+        driver_grouped_agg, hash_partitioned, run_boundaries,
+    )
+
+    ensure_shipped()
+    with open(os.path.join(store_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    n_docs, nb = meta["n_docs"], meta["num_buckets"]
+    want = set(
+        (hash_str64(np.array(list(terms), dtype=object)) % np.uint64(nb))
+        .astype(np.int64).tolist()
+    )
+    files = [
+        os.path.join(store_dir, f)
+        for f in sorted(os.listdir(store_dir))
+        if f.startswith("bucket=") and int(f.split("=")[1].split("-")[0]) in want
+    ]
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "score": pa.array([], pa.int64())})
+    if not files:
+        return empty
+    # row-group pruning: files are term-sorted, so the term IN filter skips
+    # row groups whose min/max statistics exclude every query term
+    postings = rd.read_parquet(
+        files, filter=pc.field("term").isin(list(terms))
+    )
+    dfc = driver_grouped_agg(postings, ["term"], [("doc_id", "count")],
+                             ["term", "df"])
+    if not len(dfc):
+        return empty
+    weight = {t_: n_docs // int(d) for t_, d in zip(dfc["term"], dfc["df"])}
+
+    def score_part(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        tf = t["tf"].to_numpy(zero_copy_only=False)
+        w = pd.Series(t["term"].to_pandas()).map(weight).to_numpy(np.int64)
+        order = np.argsort(did, kind="mergesort")
+        did, contrib = did[order], (tf * w)[order]
+        starts, ends = run_boundaries(did)
+        cum = np.concatenate([[0], np.cumsum(contrib)])
+        score = cum[ends] - cum[starts]
+        top = np.lexsort((did[starts], -score))[:k]
+        return pa.table({"doc_id": pa.array(did[starts][top], pa.int64()),
+                         "score": pa.array(score[top], pa.int64())})
+
+    local = hash_partitioned(
+        postings,
+        lambda t: [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        score_part,
+        num_parts=16,
+    ).to_pandas()
+    if "score" not in local.columns:
+        return empty
+    out = (
+        local.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        .head(k).reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -153,6 +153,12 @@ def driver_grouped_agg(ds, key_cols: list[str], aggs: list[tuple], names: list[s
         return t.group_by(key_cols).aggregate(list(aggs)).rename_columns(list(names))
 
     pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if pdf.empty and any(c not in pdf.columns for c in names):
+        # a fully-filtered-out input yields a schema-less empty frame
+        # (Ray's zero-column empty-block class); give it the real columns
+        import pandas as _pd
+
+        return _pd.DataFrame({n: _pd.Series([], dtype="object") for n in names})
     final = {
         name: ("sum" if f in ("sum", "count") else f)
         for (_c, f), name in zip(aggs, names[len(key_cols):])

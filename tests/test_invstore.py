@@ -1,0 +1,73 @@
+"""Persistent inverted-index store (sources/invstore.py)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_store_matches_scan_path(tmp_path):
+    """Store-served search == the corpus-scan query (same tokenizer/weight/
+    tie rule), and the query's file set is the PRUNED bucket subset."""
+    from monocator_ray.hashing import hash_str64
+    from monocator_ray.pipelines.docs import _SEARCH_TERMS, q_keyword_search
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, search_inverted_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "inv")
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = build_inverted_store(docs, store, num_buckets=16)
+    assert n_docs == docs.count()
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta == {"n_docs": n_docs, "num_buckets": 16}
+
+    got = search_inverted_store(store, _SEARCH_TERMS, k=20).to_pandas()
+    want = q_keyword_search(sf, k=20).to_pandas()
+    assert got.to_dict("records") == want.to_dict("records")
+
+    # pruned-read bound: the four query terms hash into <= 4 of 16 buckets,
+    # so the probed file set is a strict subset of the store's shards
+    want_buckets = set(
+        (hash_str64(np.array(list(_SEARCH_TERMS), dtype=object)) % np.uint64(16))
+        .astype(np.int64).tolist()
+    )
+    all_files = [f for f in os.listdir(store) if f.startswith("bucket=")]
+    probed = [f for f in all_files
+              if int(f.split("=")[1].split("-")[0]) in want_buckets]
+    all_buckets = {int(f.split("=")[1].split("-")[0]) for f in all_files}
+    assert len(want_buckets) <= 4
+    assert len(all_buckets) > len(want_buckets)  # pruning is real
+    assert len(probed) < len(all_files)
+
+    # a term absent from the corpus contributes nothing and never crashes
+    out = search_inverted_store(store, ("zzz_not_a_term",), k=5)
+    assert out.num_rows == 0
+
+    # a crashed build (no meta.json) is invisible: rebuild clears shards
+    os.remove(os.path.join(store, "meta.json"))
+    build_inverted_store(docs, store, num_buckets=16)
+    got2 = search_inverted_store(store, _SEARCH_TERMS, k=20).to_pandas()
+    assert got2.to_dict("records") == want.to_dict("records")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_store_empty_and_tiny_corpus(tmp_path):
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, search_inverted_store,
+    )
+
+    t = pa.table({"doc_id": pa.array([7, 9], pa.int64()),
+                  "text": pa.array(["a b b", ""], pa.string())})
+    store = str(tmp_path / "tiny")
+    n = build_inverted_store(rd.from_arrow(t), store, num_buckets=4)
+    assert n == 2
+    # df('b') = 1 -> weight 2//1 = 2; tf=2 -> score 4; 'a' weight 2, tf 1
+    out = search_inverted_store(store, ("a", "b"), k=5).to_pandas()
+    assert out.to_dict("records") == [{"doc_id": 7, "score": 6}]
