@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "region_year_matrix",
     "event_windows_orc",
     "keyword_search_store",
+    "incremental_keyword_search",
+    "event_groups_frame",
 ]
 
 

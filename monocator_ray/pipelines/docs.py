@@ -3897,3 +3897,30 @@ def q_keyword_search_store(sf_dir: str, k: int = 20) -> pa.Table:
         build_inverted_store(_docs(sf_dir, ["doc_id", "text"]), out)
         _INV_BUILT.add(out)
     return search_inverted_store(out, _SEARCH_TERMS, k=k)
+
+
+def q_incremental_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """Two-increment inverted-index build (first half of the corpus, then
+    the rest via ingest_inverted_store) searched once — must equal the
+    one-shot scan-path oracle exactly: postings are additive, df/tf merge
+    by summation across generations, and the idf weight uses the
+    POST-ingest n_docs.  The incremental-family contract (fpstore /
+    aggstore pattern) applied to search serving.  Fresh tmp store per
+    call — a correctness run never reads a stale index."""
+    import tempfile
+
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, ingest_inverted_store, search_inverted_store,
+    )
+
+    ensure_shipped()
+    with tempfile.TemporaryDirectory(prefix="monocator_inv_incr_") as store:
+        docs = _docs(sf_dir, ["doc_id", "text"])
+        n = docs.count()
+        cut = n // 2
+        # deterministic halves by doc_id (not by block order)
+        first = docs.filter(expr=f"doc_id < {cut}")
+        rest = docs.filter(expr=f"doc_id >= {cut}")
+        build_inverted_store(first, store, num_buckets=32)
+        ingest_inverted_store(rest, store)
+        return search_inverted_store(store, _SEARCH_TERMS, k=k)

@@ -950,6 +950,23 @@ REGISTRY: dict = {
         SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
         """,
     ),
+    # two-increment store build + ingest == the one-shot oracle (the
+    # incremental-family contract applied to search serving)
+    "incremental_keyword_search": (
+        D.q_incremental_keyword_search,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+               WHERE term IN ('the', 'of', 'la', 'van') GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        s AS (SELECT doc_id, CAST(SUM(tf * (n_docs // df)) AS BIGINT) AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n GROUP BY doc_id)
+        SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+        """,
+    ),
     "top_terms": (
         D.q_top_terms,
         """
@@ -1196,6 +1213,26 @@ REGISTRY: dict = {
         SELECT event_type, date_trunc('hour', ts) AS window_start, COUNT(*) AS n
         FROM events GROUP BY event_type, window_start
         ORDER BY event_type, window_start
+        """,
+    ),
+    # GROUPS-mode window frame (1 peer group preceding + current); DuckDB
+    # lacks GROUPS, so the oracle is the day-group LAG rewrite
+    "event_groups_frame": (
+        R.q_event_groups_frame,
+        """
+        WITH d AS (
+          SELECT user_id, CAST(ts AS DATE) AS day,
+                 SUM(CAST(FLOOR(value*100) AS BIGINT)) AS day_cents
+          FROM events GROUP BY user_id, day
+        ), w AS (
+          SELECT user_id, day,
+                 day_cents + COALESCE(LAG(day_cents) OVER (
+                   PARTITION BY user_id ORDER BY day), 0) AS twoday_cents
+          FROM d
+        )
+        SELECT e.event_id, e.user_id, CAST(w.twoday_cents AS BIGINT) AS twoday_cents
+        FROM events e JOIN w ON e.user_id = w.user_id AND CAST(e.ts AS DATE) = w.day
+        ORDER BY e.event_id
         """,
     ),
     # gaps-and-islands: longest consecutive-active-day streak per user

@@ -2788,3 +2788,65 @@ def q_event_windows_orc(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort(["event_type", "window_start"])
     )
+
+
+# ---- GROUPS-mode window frame (1 peer-group preceding + current) ----
+def q_event_groups_frame(sf_dir: str) -> rd.Dataset:
+    """Per event: the summed cents of its own DAY group plus the user's
+    previous active day — the GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW
+    window frame (ROWS and RANGE frames are covered elsewhere; GROUPS is
+    the third T.61x frame mode, where the unit is the ORDER-BY peer group).
+    DuckDB has no GROUPS mode yet, so the oracle is the standard rewrite:
+    per-(user, day) sums + LAG over distinct days, joined back to events.
+
+    Scale plan: ONE user-hash partition pass; inside a partition the
+    per-day sums, the previous-day lookup and the per-row scatter are all
+    numpy over the sorted run — no second shuffle, no join back (a user's
+    events and their day groups are co-resident by construction)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    DAY_US = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        cents = pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                        pa.int64())
+        return pa.table(
+            {"event_id": t["event_id"],
+             "user_id": t["user_id"],
+             "day": pa.array(ts // DAY_US, pa.int64()),
+             "cents": cents}
+        )
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("twoday_cents", pa.int64())])
+
+    def frame_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        day = g["day"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, uid))
+        eid, uid, day, cents = eid[order], uid[order], day[order], cents[order]
+        starts, ends = run_boundaries(uid, day)  # one run per (user, day)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        day_sum = cum[ends] - cum[starts]
+        # previous peer group within the same user: shift unless the user
+        # changes between runs
+        prev = np.zeros(len(day_sum), np.int64)
+        if len(day_sum) > 1:
+            same_user = uid[starts[1:]] == uid[starts[:-1]]
+            prev[1:] = np.where(same_user, day_sum[:-1], 0)
+        per_run = day_sum + prev
+        out = np.repeat(per_run, ends - starts)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "twoday_cents": pa.array(out, pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        frame_part,
+        num_parts=32,
+    ).sort("event_id")

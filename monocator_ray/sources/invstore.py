@@ -7,13 +7,14 @@ buckets its terms hash into.
 
 Layout under ``store_dir``:
 
-* ``bucket=<id>-<blockkey>.parquet`` — postings rows ``(term, doc_id, tf)``
-  for terms hashing into bucket ``id`` (SipHash-pinned ``hash_str64 %
-  num_buckets``), sorted by ``(term, doc_id)`` inside each file so the
-  parquet term-column min/max statistics prune row groups on read.
-  Multiple files per bucket are normal (one per contributing input block;
-  the block's min doc_id keys the name, so concurrent writers never
-  collide).
+* ``bucket=<id>-g<gen>-<blockkey>.parquet`` — postings rows ``(term,
+  doc_id, tf)`` for terms hashing into bucket ``id`` (SipHash-pinned
+  ``hash_str64 % num_buckets``), sorted by ``(term, doc_id)`` inside each
+  file so the parquet term-column min/max statistics prune row groups on
+  read.  Multiple files per bucket are normal (one per contributing input
+  block per ingest generation; the block's min doc_id keys the name, so
+  concurrent writers never collide).  Postings are immutable and additive,
+  which is what makes :func:`ingest_inverted_store` a pure append.
 * ``meta.json`` — ``n_docs`` (for the integer idf weight) + ``num_buckets``,
   written LAST as the success marker (manifest-last discipline shared with
   clustered.py / annstore.py).
@@ -51,13 +52,40 @@ def build_inverted_store(docs: rd.Dataset, store_dir: str,
     """Tokenize ``docs`` (columns doc_id, text) into per-bucket postings
     files.  Returns n_docs.  Clears any prior/partial build first (file
     names depend on block splits — annstore.py rationale)."""
-    from monocator_ray.stages.textstats import _WS_SPLIT
-
     ensure_shipped()
     os.makedirs(store_dir, exist_ok=True)
     for f in os.listdir(store_dir):
         if f.startswith("bucket=") or f == "meta.json":
             os.remove(os.path.join(store_dir, f))
+    return _ingest(docs, store_dir, num_buckets, gen=0, prev_docs=0)
+
+
+def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
+    """APPEND a document increment to an existing store — the fpstore-style
+    incremental path.  Postings files are immutable and additive (search
+    unions every file of a probed bucket, and df/tf merge by summation), so
+    an increment is just new ``bucket=<id>-g<gen>-...`` files plus a
+    meta.json rewrite LAST (a crashed ingest leaves the old meta counting
+    only committed generations; its orphan files are cleared by the next
+    full build).  Generation numbering by MAX existing run index — the
+    fpstore lesson: a gap must never renumber onto a committed run.
+    Returns the new total n_docs."""
+    ensure_shipped()
+    with open(os.path.join(store_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    gens = [
+        int(f.split("-g")[1].split("-")[0])
+        for f in os.listdir(store_dir)
+        if f.startswith("bucket=") and "-g" in f
+    ]
+    return _ingest(docs, store_dir, meta["num_buckets"],
+                   gen=(max(gens) + 1 if gens else 1),
+                   prev_docs=meta["n_docs"])
+
+
+def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
+            gen: int, prev_docs: int) -> int:
+    from monocator_ray.stages.textstats import _WS_SPLIT
 
     sdir = store_dir
     nb = num_buckets
@@ -92,14 +120,16 @@ def build_inverted_store(docs: rd.Dataset, store_dir: str,
                 "tf": pa.array(tf[s:e], pa.int64()),
             })
             pq.write_table(
-                part, os.path.join(sdir, f"bucket={bucket[s]}-{blockkey}.parquet")
+                part,
+                os.path.join(sdir, f"bucket={bucket[s]}-g{gen}-{blockkey}.parquet"),
             )
         return pa.table({"n": pa.array([len(ids)], pa.int64())})
 
     counts = docs.map_batches(write_block, batch_format="pyarrow").to_pandas()
-    n_docs = int(counts["n"].sum())
-    # success marker LAST: a crashed build leaves no meta.json and the next
-    # build clears its shards
+    # empty increment -> degraded schema-less frame (the zero-column class)
+    n_docs = prev_docs + (int(counts["n"].sum()) if "n" in counts.columns else 0)
+    # success marker LAST: a crashed build leaves no meta.json (or, on
+    # ingest, the previous meta) and never counts half an increment
     with open(os.path.join(store_dir, "meta.json"), "w") as fh:
         json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, fh)
     return n_docs

@@ -71,3 +71,45 @@ def test_inverted_store_empty_and_tiny_corpus(tmp_path):
     # df('b') = 1 -> weight 2//1 = 2; tf=2 -> score 4; 'a' weight 2, tf 1
     out = search_inverted_store(store, ("a", "b"), k=5).to_pandas()
     assert out.to_dict("records") == [{"doc_id": 7, "score": 6}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_store_incremental_ingest(tmp_path):
+    """Two-increment build == one-shot build; crashed ingest (no meta
+    rewrite) leaves the old committed state; generation numbering never
+    reuses a committed run index."""
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, ingest_inverted_store, search_inverted_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    one = str(tmp_path / "oneshot")
+    build_inverted_store(docs, one, num_buckets=8)
+    want = search_inverted_store(one, ("the", "of", "la", "van"), k=20).to_pandas()
+
+    two = str(tmp_path / "twostep")
+    n = docs.count()
+    build_inverted_store(docs.filter(expr=f"doc_id < {n // 2}"), two, num_buckets=8)
+    total = ingest_inverted_store(docs.filter(expr=f"doc_id >= {n // 2}"), two)
+    assert total == n
+    got = search_inverted_store(two, ("the", "of", "la", "van"), k=20).to_pandas()
+    assert got.to_dict("records") == want.to_dict("records")
+
+    # generations: g0 from build, g1 from ingest; next ingest must take g2
+    gens = sorted({f.split("-g")[1].split("-")[0]
+                   for f in os.listdir(two) if f.startswith("bucket=")})
+    assert gens == ["0", "1"]
+    t = pa.table({"doc_id": pa.array([10**6], pa.int64()),
+                  "text": pa.array(["the the"], pa.string())})
+    ingest_inverted_store(rd.from_arrow(t), two)
+    gens = sorted({f.split("-g")[1].split("-")[0]
+                   for f in os.listdir(two) if f.startswith("bucket=")})
+    assert gens == ["0", "1", "2"]
+    meta = json.load(open(os.path.join(two, "meta.json")))
+    assert meta["n_docs"] == n + 1
+
+    # empty increment: counts stay, nothing breaks
+    empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                    "text": pa.array([], pa.string())}))
+    assert ingest_inverted_store(empty, two) == n + 1
