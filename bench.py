@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "keyword_search_store",
     "incremental_keyword_search",
     "event_groups_frame",
+    "skyline_customers",
+    "integrity_audit",
 ]
 
 

@@ -1295,6 +1295,44 @@ REGISTRY: dict = {
         ORDER BY region, yr
         """,
     ),
+    # skyline / Pareto-maxima over per-customer (n_orders, spend)
+    "skyline_customers": (
+        R.q_skyline_customers,
+        """
+        WITH s AS (
+          SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+                 SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS tot_cents
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey, CAST(n_orders AS BIGINT) AS n_orders,
+               CAST(tot_cents AS BIGINT) AS tot_cents
+        FROM s o
+        WHERE NOT EXISTS (
+          SELECT 1 FROM s x
+          WHERE x.n_orders >= o.n_orders AND x.tot_cents >= o.tot_cents
+            AND (x.n_orders > o.n_orders OR x.tot_cents > o.tot_cents))
+        ORDER BY custkey
+        """,
+    ),
+    # data-quality audit: referential integrity + uniqueness + bounds
+    "integrity_audit": (
+        R.q_integrity_audit,
+        """
+        SELECT
+          (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+            AS n_orphan_orders,
+          (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+            AS n_orphan_lineitems,
+          (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             GROUP BY c_custkey HAVING COUNT(*) > 1))
+            AS n_dup_customers,
+          (SELECT COUNT(*) FROM orders
+             WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+            AS n_bad_prices
+        """,
+    ),
     # heuristic/sketch ops: rows-only (no SQL equivalent)
     # HLL approximate distinct users per event type (register-max merge is
     # order-independent -> parallelism-invariant; pinned to a driver

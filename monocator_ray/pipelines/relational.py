@@ -2850,3 +2850,129 @@ def q_event_groups_frame(sf_dir: str) -> rd.Dataset:
         frame_part,
         num_parts=32,
     ).sort("event_id")
+
+
+# ---- skyline / Pareto-maxima (local-skyline combiner -> driver merge) ----
+def _skyline_2d(n: np.ndarray, t: np.ndarray) -> np.ndarray:
+    """Indices of the 2-D maxima (points no other point strictly dominates:
+    >= on both axes, > on one).  Vectorized: sort desc by (n, t); within an
+    equal-n group only the max-t points survive (a same-n point with
+    bigger t dominates); a group's survivors survive globally iff their t
+    strictly exceeds the best t of all STRICTLY-greater-n groups.  Exact
+    duplicates all survive (neither strictly dominates the other)."""
+    order = np.lexsort((-t, -n))
+    ns, ts = n[order], t[order]
+    starts, ends = run_boundaries(ns)
+    gmax = np.maximum.reduceat(ts, starts)
+    # best t among groups with strictly larger n (groups sorted n desc)
+    prev_best = np.full(len(gmax), np.iinfo(np.int64).min, np.int64)
+    if len(gmax) > 1:
+        np.maximum.accumulate(gmax[:-1], out=prev_best[1:])
+    keep_group = gmax > prev_best
+    keep = np.zeros(len(ns), bool)
+    for gi, (s, e) in enumerate(zip(starts.tolist(), ends.tolist())):
+        if keep_group[gi]:
+            keep[s:e] = ts[s:e] == gmax[gi]
+    return order[keep]
+
+
+def q_skyline_customers(sf_dir: str) -> pa.Table:
+    """Pareto-optimal customers on (n_orders, total spend) — the SKYLINE
+    operator.  Distribution uses the skyline combiner property: the global
+    skyline is a subset of the union of per-partition local skylines (a
+    globally-undominated point is undominated inside its own partition),
+    so each partition reduces its customers to a tiny candidate set and
+    the driver merges O(parts x skyline) rows — never the full customer
+    table.  Integer stats keep the oracle hash-exact."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"o_custkey": pc.cast(batch["o_custkey"], pa.int64()),
+                      "cents": _cents(batch["o_totalprice"])})
+        g = t.group_by(["o_custkey"]).aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["custkey", "tot_cents", "n_orders"])
+
+    _OUT = pa.schema([("custkey", pa.int64()), ("n_orders", pa.int64()),
+                      ("tot_cents", pa.int64())])
+
+    def local_skyline(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        t = g.group_by(["custkey"]).aggregate(
+            [("tot_cents", "sum"), ("n_orders", "sum")]
+        ).rename_columns(["custkey", "tot_cents", "n_orders"])
+        ck = t["custkey"].to_numpy(zero_copy_only=False)
+        tc = t["tot_cents"].to_numpy(zero_copy_only=False)
+        no = t["n_orders"].to_numpy(zero_copy_only=False)
+        idx = _skyline_2d(no, tc)
+        return pa.table({"custkey": pa.array(ck[idx], pa.int64()),
+                         "n_orders": pa.array(no[idx], pa.int64()),
+                         "tot_cents": pa.array(tc[idx], pa.int64())})
+
+    cand = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: [t["custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        local_skyline,
+        num_parts=32,
+    )
+    pdf = collect_arrow(cand).to_pandas()
+    idx = _skyline_2d(pdf["n_orders"].to_numpy(np.int64),
+                      pdf["tot_cents"].to_numpy(np.int64))
+    out = pdf.iloc[np.sort(idx)].sort_values("custkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out[["custkey", "n_orders", "tot_cents"]],
+                                preserve_index=False)
+
+
+# ---- data-quality audit (deequ/dbt-test family): one-row violation counts ----
+def q_integrity_audit(sf_dir: str) -> pa.Table:
+    """Constraint-violation counts over the warehouse tables — the data-
+    quality-check family (uniqueness, referential integrity, value
+    bounds) as ONE distributed pass per check: orphan counts via native
+    left_anti joins (probe side pre-reduced to distinct keys, the
+    parts_never_bulk shape), duplicate keys via partitioned count>1,
+    bounds via a streaming filter-count.  Clean synthetic tables audit to
+    zeros — like seen_except_frontier, the ==0 result IS the check."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = _read(sf_dir, "customer", ["c_custkey"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey"])
+
+    def distinct_keys(ds, col, out_col):
+        return partitioned_aggregate(
+            ds, [col], [(col, "count")], [out_col, "_n"], num_parts=16
+        ).drop_columns(["_n"])
+
+    # referential integrity: orders -> customer, lineitem -> orders
+    cust_keys = distinct_keys(customer, "c_custkey", "c_custkey")
+    orphan_orders = orders.select_columns(["o_custkey"]).join(
+        cust_keys, join_type="left_anti",
+        num_partitions=_join_parts(sf_dir, "orders", "customer"),
+        on=("o_custkey",), right_on=("c_custkey",),
+    ).count()
+    order_keys = distinct_keys(orders, "o_orderkey", "o_orderkey")
+    orphan_lineitems = lineitem.join(
+        order_keys, join_type="left_anti",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    ).count()
+    # uniqueness: duplicate customer keys (count > 1)
+    dup = partitioned_aggregate(
+        customer, ["c_custkey"], [("c_custkey", "count")], ["c_custkey", "n"],
+        num_parts=16,
+    )
+    dup_customers = dup.filter(expr="n > 1").count()
+    # bounds: non-positive or null prices
+    def bad_price(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"]
+        bad = pc.sum(pc.cast(
+            pc.or_kleene(pc.is_null(v), pc.less_equal(v, pa.scalar(0.0))),
+            pa.int64()), min_count=0)
+        return pa.table({"n": pa.array([bad.as_py() or 0], pa.int64())})
+
+    bad_prices = int(orders.map_batches(bad_price, batch_format="pyarrow")
+                     .to_pandas()["n"].sum())
+    return pa.table({
+        "n_orphan_orders": pa.array([orphan_orders], pa.int64()),
+        "n_orphan_lineitems": pa.array([orphan_lineitems], pa.int64()),
+        "n_dup_customers": pa.array([dup_customers], pa.int64()),
+        "n_bad_prices": pa.array([bad_prices], pa.int64()),
+    })

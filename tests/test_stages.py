@@ -736,3 +736,31 @@ def test_gif_subrectangle_frame_painted_at_offset():
     assert out.shape == (5, 6, 3)
     assert (out[1:3, 2:5] == 77).all()
     assert out.sum() == 77 * 2 * 3 * 3
+
+
+def test_skyline_2d_tie_and_duplicate_semantics():
+    """Strict-domination skyline: equal-coordinate duplicates BOTH survive,
+    same-x points lose to a bigger y, and an interior point dominated only
+    by the combination of two others still survives (domination needs one
+    point >= on both axes)."""
+    import numpy as np
+
+    from monocator_ray.pipelines.relational import _skyline_2d
+
+    n = np.array([5, 5, 5, 3, 3, 1, 4], np.int64)
+    t = np.array([9, 9, 2, 7, 7, 10, 8], np.int64)
+    # (5,9) x2: duplicates, both kept.  (5,2): same n as (5,9), smaller t ->
+    # dominated.  (3,7) x2: dominated by (4,8).  (1,10): undominated (max t).
+    # (4,8): undominated ((5,9) has n>4 and t>8 -> wait, (5,9) dominates
+    # (4,8): 5>=4, 9>=8, strict on both).  So expected: {(5,9) x2, (1,10)}.
+    idx = sorted(_skyline_2d(n, t).tolist())
+    pts = sorted((int(n[i]), int(t[i])) for i in idx)
+    assert pts == [(1, 10), (5, 9), (5, 9)]
+
+    # all-equal points: everyone survives (nobody strictly dominates)
+    idx = _skyline_2d(np.array([2, 2, 2], np.int64), np.array([4, 4, 4], np.int64))
+    assert len(idx) == 3
+
+    # staircase: every point on the frontier survives
+    idx = _skyline_2d(np.array([1, 2, 3], np.int64), np.array([3, 2, 1], np.int64))
+    assert len(idx) == 3
