@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "event_groups_frame",
     "skyline_customers",
     "integrity_audit",
+    "shortest_paths",
 ]
 
 

@@ -830,3 +830,136 @@ def host_pagerank(out_dir: str) -> pa.Table:
         }
     )
     return out.sort_by("host")
+
+
+# ---- weighted shortest paths (bounded-hop Bellman-Ford; oracle) ----
+def _weighted_edges(sf_dir: str) -> rd.Dataset:
+    """Symmetric (src, dst, w) over the part–supplier graph, w = MIN
+    rounded quantity across that pair's lineitems: per-batch pair-min
+    first (shuffle carries <= distinct pairs per block), then exact global
+    min inside pair-hash partitions — the _dedup_pairs shape with a
+    carried aggregate."""
+    ds = sized_read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def emit(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2
+        s = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64) * 2 + 1
+        q = np.round(t["l_quantity"].to_numpy(zero_copy_only=False)).astype(np.int64)
+        src = np.concatenate([p, s])
+        dst = np.concatenate([s, p])
+        w = np.concatenate([q, q])
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        starts, _ends = run_boundaries(src, dst)
+        return pa.table({"src": pa.array(src[starts], pa.int64()),
+                         "dst": pa.array(dst[starts], pa.int64()),
+                         "w": pa.array(np.minimum.reduceat(w, starts), pa.int64())})
+
+    def min_part(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        starts, _ends = run_boundaries(src, dst)
+        return pa.table({"src": pa.array(src[starts], pa.int64()),
+                         "dst": pa.array(dst[starts], pa.int64()),
+                         "w": pa.array(np.minimum.reduceat(w, starts), pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(emit, batch_format="pyarrow"),
+        lambda t: [t["src"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                   t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        min_part,
+        num_parts=64,
+    )
+
+
+class _RelaxPass:
+    """One Bellman-Ford relaxation over an edge block: for edges whose src
+    is settled in the broadcast (nodes, dist) vector, propose dist+w to
+    dst, pre-reduced to a per-batch min per dst (driver collects O(nodes)
+    rows per round, never O(edges) — the _RankPass discipline)."""
+
+    def __init__(self, nodes_ref, dist_ref):
+        self.nodes = ray.get(nodes_ref)
+        self.dist = ray.get(dist_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(self.nodes, src)
+        pos[pos == len(self.nodes)] = 0
+        hit = (self.nodes[pos] == src) if len(self.nodes) else np.zeros(len(src), bool)
+        if not hit.any():
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "cand": pa.array([], pa.int64())})
+        cand = self.dist[pos[hit]] + w[hit]
+        u, inv = np.unique(dst[hit], return_inverse=True)
+        best = np.full(len(u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(best, inv, cand)
+        return pa.table({"node": pa.array(u, pa.int64()),
+                         "cand": pa.array(best, pa.int64())})
+
+
+def q_shortest_paths(sf_dir: str, max_partkey: int = 3, rounds: int = 4) -> pa.Table:
+    """Cheapest path cost within <= ``rounds`` edges from the seed parts
+    (l_partkey <= ``max_partkey``) over the weighted part–supplier graph —
+    weighted SSSP as bounded-hop Bellman-Ford, completing the graph family
+    next to the unweighted BFS.  Integer weights (rounded quantities) keep
+    every path sum exact.
+
+    Plan: the weighted edge list builds once (pair-min partials -> pair-
+    hash partition exact min) and materializes; each round is ONE shuffle-
+    free map_batches pass with the O(nodes) (node, dist) vector broadcast
+    via ray.put and per-batch min pre-reduction; the driver folds O(nodes)
+    candidate rows per round and early-exits when a round improves
+    nothing.  Same documented vertex-state bound as PageRank/BFS.
+
+    Oracle: WITH RECURSIVE path enumeration (node, dist, hops <= rounds),
+    MIN(dist) per node — hop-bounded, so it is finite on this cyclic
+    graph, and bounded-hop Bellman-Ford computes exactly min over <=
+    rounds-edge paths."""
+    ensure_shipped()
+    edges = _weighted_edges(sf_dir).materialize()
+
+    src_ds = sized_read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+
+    def emit_sources(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.unique(p[p <= max_partkey]) * 2
+        return pa.table({"node": pa.array(keep, pa.int64())})
+
+    nodes = np.unique(
+        src_ds.map_batches(emit_sources, batch_format="pyarrow")
+        .to_pandas()["node"].to_numpy()
+    ).astype(np.int64)
+    dist = np.zeros(len(nodes), np.int64)
+
+    for _ in range(rounds):
+        nref = ray.put(nodes)
+        dref = ray.put(dist)
+        cand = (
+            edges.map_batches(cached_stage(_RelaxPass, nodes_ref=nref, dist_ref=dref),
+                              batch_format="pyarrow")
+            .to_pandas()
+        )
+        if cand.empty:
+            break
+        best = cand.groupby("node", as_index=False)["cand"].min()
+        cn = best["node"].to_numpy(np.int64)
+        cd = best["cand"].to_numpy(np.int64)
+        merged = np.union1d(nodes, cn)
+        nd = np.full(len(merged), np.iinfo(np.int64).max, np.int64)
+        nd[np.searchsorted(merged, nodes)] = dist
+        ci = np.searchsorted(merged, cn)
+        np.minimum.at(nd, ci, cd)
+        if len(merged) == len(nodes) and (nd == dist).all():
+            break  # fixpoint before the hop bound
+        nodes, dist = merged, nd
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "dist": pa.array(dist, pa.int64())})

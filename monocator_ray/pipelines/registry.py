@@ -1727,6 +1727,35 @@ REGISTRY: dict = {
         FROM bfs GROUP BY node ORDER BY node
         """,
     ),
+    # weighted SSSP: bounded-hop Bellman-Ford over the min-quantity-weighted
+    # part-supplier graph (hop bound keeps the recursive oracle finite)
+    "shortest_paths": (
+        G.q_shortest_paths,
+        """
+        WITH RECURSIVE edges AS (
+          SELECT CAST(l_partkey*2 AS BIGINT) AS src,
+                 CAST(l_suppkey*2+1 AS BIGINT) AS dst,
+                 CAST(MIN(ROUND(l_quantity)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2
+          UNION ALL
+          SELECT CAST(l_suppkey*2+1 AS BIGINT) AS src,
+                 CAST(l_partkey*2 AS BIGINT) AS dst,
+                 CAST(MIN(ROUND(l_quantity)) AS BIGINT) AS w
+          FROM lineitem GROUP BY 1, 2
+        ),
+        sp AS (
+          SELECT DISTINCT CAST(l_partkey*2 AS BIGINT) AS node,
+                 CAST(0 AS BIGINT) AS dist, 0 AS hops
+          FROM lineitem WHERE l_partkey <= 3
+          UNION
+          SELECT e.dst AS node, s.dist + e.w AS dist, s.hops + 1 AS hops
+          FROM sp s JOIN edges e ON e.src = s.node
+          WHERE s.hops < 4
+        )
+        SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        FROM sp GROUP BY node ORDER BY node
+        """,
+    ),
     # corr/covar aggregate as exact-integer sufficient statistics (the
     # division stays out of the query so the value hash is bit-identical)
     "corr_stats": (
