@@ -397,6 +397,128 @@ def encode_gif(pixels: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def encode_gif_frames(frames: np.ndarray, delay_cs: int = 10) -> bytes:
+    """(t, h, w, 3) uint8 RGB -> ANIMATED GIF89a: one global color table
+    over the union of all frames' colors (<= 256 — GIF is palettized), a
+    graphic-control extension per frame carrying ``delay_cs`` centiseconds
+    and disposal=1 (keep), full-canvas frames.  Real LZW per frame."""
+    t, h, w = frames.shape[:3]
+    flat = frames.reshape(-1, 3)
+    palette, indices = np.unique(flat, axis=0, return_inverse=True)
+    if len(palette) > 256:
+        raise ValueError(f"GIF needs <= 256 unique colors (got {len(palette)})")
+    depth = max(1, int(np.ceil(np.log2(max(2, len(palette))))))
+    table = np.zeros(((1 << depth), 3), np.uint8)
+    table[: len(palette)] = palette
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (depth - 1))
+    out += b"\x00\x00"
+    out += table.tobytes()
+    # NETSCAPE2.0 loop-forever application extension (the de-facto marker
+    # real-web animated GIFs carry; decoders must skip it by sub-blocks)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    per_frame = indices.reshape(t, h * w)
+    for fi in range(t):
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out.append(mcs)
+        lzw = _lzw_encode_gif(per_frame[fi].astype(np.int64), mcs)
+        for i in range(0, len(lzw), 255):
+            blk = lzw[i : i + 255]
+            out.append(len(blk))
+            out += blk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
+    """EVERY frame of a GIF87a/89a, composited per the 89a disposal and
+    transparency rules -> ((t, h, w, 3) uint8 RGB, fps rational).
+    Composition: frames paint their sub-rectangle onto the running canvas
+    (transparent-index pixels skipped); disposal 2 clears the rectangle to
+    background (black) after display, disposal 3 restores the pre-frame
+    canvas.  fps derives from the first nonzero graphic-control delay
+    (centiseconds; default 10 cs = 10 fps like real decoders)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack_from("<HH", data, 6)
+    flags = data[10]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), np.uint8)
+    frames: list[np.ndarray] = []
+    delay_cs = 0
+    disposal = 0
+    trans_idx = -1
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gflags = data[pos + 1]
+                disposal = (gflags >> 2) & 7
+                d = struct.unpack_from("<H", data, pos + 2)[0]
+                if d and not delay_cs:
+                    delay_cs = d
+                trans_idx = data[pos + 4] if (gflags & 1) else -1
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            ix, iy, iw, ih = struct.unpack_from("<HHHH", data, pos + 1)
+            lflags = data[pos + 9]
+            pos += 10
+            table = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if lflags & 0x40:
+                raise NotImplementedError("interlaced GIF not supported")
+            if table is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1  # block terminator
+            idx = _lzw_decode_gif(bytes(lzw), mcs, iw * ih).reshape(ih, iw)
+            if int(idx.max(initial=0)) >= len(table):
+                raise ValueError("GIF index out of palette range")
+            saved = canvas.copy() if disposal == 3 else None
+            rect = canvas[iy : iy + ih, ix : ix + iw]
+            if trans_idx >= 0:
+                opaque = idx != trans_idx
+                rect[opaque] = table[idx[opaque]]
+            else:
+                rect[:] = table[idx]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[iy : iy + ih, ix : ix + iw] = 0
+            elif disposal == 3:
+                canvas = saved
+            disposal = 0
+            trans_idx = -1
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b:02x}")
+    if not frames:
+        raise ValueError("GIF contains no frames")
+    return np.stack(frames), (100, delay_cs or 10)
+
+
 def decode_gif(data: bytes) -> np.ndarray:
     """First frame of a GIF87a/89a -> (h, w, 3) uint8 RGB.  Real LZW
     decode (public spec); global or local color table; 89a extension
@@ -620,6 +742,8 @@ class PureCodec:
         mime = self.sniff(payload)
         if mime == "video/x-yuv4mpeg":
             return decode_y4m(payload)
+        if mime == "image/gif":  # animated GIF: the de-facto web video
+            return decode_gif_frames(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: ffmpeg)")
 
     # fixed-width features (FEATURE_DIM floats), all vectorized
@@ -840,7 +964,7 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             ws.append(0)
             hs.append(0)
             durs.append(ms)
-        elif i % 2 == 0:  # real decodable video (Y4M C444)
+        elif i % 6 == 2:  # real decodable video (Y4M C444 or animated GIF)
             w, h, t = 16, 12, 5 + (i % 4)
             yy, xx = np.mgrid[0:h, 0:w].astype(np.uint8)
             frames = np.stack(
@@ -849,11 +973,18 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                            np.full((h, w), 128, np.uint8)], axis=-1)
                  for fi in range(t)]
             ).astype(np.uint8)
-            payloads.append(encode_y4m(frames, fps=(25, 1)))
-            mimes.append("video/x-yuv4mpeg")
+            if (i // 6) % 2 == 1:  # rotate in the animated-GIF web-video path
+                # palettize hard (GIF <= 256 colors over ALL frames)
+                gframes = (frames // 64 * 64).astype(np.uint8)
+                payloads.append(encode_gif_frames(gframes, delay_cs=4))
+                mimes.append("image/gif")
+                durs.append(t * 40)
+            else:
+                payloads.append(encode_y4m(frames, fps=(25, 1)))
+                mimes.append("video/x-yuv4mpeg")
+                durs.append(t * 40)
             ws.append(w)
             hs.append(h)
-            durs.append(t * 40)
         else:  # opaque compressed-container stand-in (stays gated)
             payloads.append(rng.bytes(128 + i))
             mimes.append("application/octet-stream")

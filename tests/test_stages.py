@@ -764,3 +764,59 @@ def test_skyline_2d_tie_and_duplicate_semantics():
     # staircase: every point on the frontier survives
     idx = _skyline_2d(np.array([1, 2, 3], np.int64), np.array([3, 2, 1], np.int64))
     assert len(idx) == 3
+
+
+def test_gif_animation_roundtrip_and_composition():
+    """Multi-frame encode/decode is exact; sub-rectangle frames composite
+    per the 89a disposal + transparency rules; the single-frame decoder
+    still reads frame 0 (and skips the NETSCAPE loop extension)."""
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import (
+        PureCodec, decode_gif, decode_gif_frames, encode_gif_frames,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(5)
+    frames = (rng.randint(0, 4, (6, 10, 14, 3)) * 64).astype(np.uint8)
+    blob = encode_gif_frames(frames, delay_cs=7)
+    back, fps = decode_gif_frames(blob)
+    assert np.array_equal(back, frames)
+    assert fps == (100, 7)
+    assert np.array_equal(decode_gif(blob), frames[0])
+    v, fps2 = PureCodec().decode_video(blob)
+    assert v.shape == (6, 10, 14, 3) and fps2 == (100, 7)
+
+    # hand-build: 4x4 canvas, frame 0 full red; frame 1 a 2x2 green patch
+    # at (1,1) with transparency index 2 punched in one corner and
+    # disposal=2 (clear rect to background after display)
+    def subblocks(lzw):
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            out.append(len(lzw[i:i+255])); out += lzw[i:i+255]
+        out.append(0)
+        return bytes(out)
+
+    table = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  0, 0, 0])  # r,g,b,black
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 0, 0]) + table
+    f0 = b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00\x02" + \
+         subblocks(_lzw_encode_gif(np.zeros(16, np.int64), 2))
+    # GCE: disposal=2 (bits 2-4), transparency on, trans idx = 2 (blue)
+    gce = b"\x21\xf9\x04" + bytes([(2 << 2) | 1]) + struct.pack("<H", 5) + b"\x02\x00"
+    patch = np.array([1, 2, 1, 1], np.int64)  # one transparent pixel
+    f1 = b"\x2c" + struct.pack("<HHHH", 1, 1, 2, 2) + b"\x00\x02" + \
+         subblocks(_lzw_encode_gif(patch, 2))
+    f2 = b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00\x02" + \
+         subblocks(_lzw_encode_gif(np.zeros(16, np.int64), 2))
+    out, fps = decode_gif_frames(hdr + f0 + gce + f1 + f2 + b"\x3b")
+    assert out.shape == (3, 4, 4, 3) and fps == (100, 5)
+    assert (out[0] == [255, 0, 0]).all()  # full red
+    # frame 1: green patch painted except the transparent pixel (red shows)
+    assert (out[1][1, 1] == [0, 255, 0]).all()
+    assert (out[1][1, 2] == [255, 0, 0]).all()  # transparent -> underlying red
+    assert (out[1][2, 1] == [0, 255, 0]).all() and (out[1][2, 2] == [0, 255, 0]).all()
+    assert (out[1][0, 0] == [255, 0, 0]).all()  # outside the rect untouched
+    # frame 2 painted after disposal-2 cleared the rect; f2 covers fully red
+    assert (out[2] == [255, 0, 0]).all()
