@@ -64,16 +64,48 @@ def requests_to_seed_urls(requests: pa.Table) -> list[str]:
 
 
 def seed_urls_from_file(path: str) -> list[str]:
-    """Seed file -> frontier URLs, auto-detecting the two accepted shapes:
-    a text file of FULL URLS (lines containing '://') seeds those exact
-    pages; anything else (domain lines, CSV/parquet with a 'domain'
-    column) goes through VisitRequests and seeds each host's root.
-    Without the URL branch a full-URL line would be treated as a domain
-    and mangled into 'http://http//...' (code-review r3 finding #1) —
-    every CLI entry (crawl / corpus / jobs) must route through here."""
+    """Seed file -> frontier URLs, auto-detecting the three accepted
+    shapes: a SITEMAP file (.xml / .xml.gz, or content sniffed as XML /
+    gzip — the sitemaps.org seed source; urlset pages seed directly,
+    nested sitemapindex files resolve if they are local paths) parses via
+    sources/sitemap.py; a text file of FULL URLS (lines containing '://')
+    seeds those exact pages; anything else (domain lines, CSV/parquet
+    with a 'domain' column) goes through VisitRequests and seeds each
+    host's root.  Without the URL branch a full-URL line would be treated
+    as a domain and mangled into 'http://http//...' (code-review r3
+    finding #1) — every CLI entry (crawl / corpus / jobs) must route
+    through here."""
     if not path.endswith((".csv", ".parquet")):
-        with open(path) as fh:
-            lines = [x.strip() for x in fh if x.strip()]
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        is_sitemap = (path.endswith((".xml", ".xml.gz"))
+                      or raw[:2] == b"\x1f\x8b" or raw.lstrip()[:1] == b"<")
+        if is_sitemap:
+            import os
+
+            from monocator_ray.sources.sitemap import parse_sitemap
+
+            pages, children = parse_sitemap(raw)
+            # resolve LOCAL child sitemaps (an index of files beside it);
+            # remote children would need the fetch path
+            base = os.path.dirname(os.path.abspath(path))
+            for child in children:
+                cp = child if os.path.exists(child) else os.path.join(
+                    base, os.path.basename(child))
+                if os.path.exists(cp):
+                    with open(cp, "rb") as fh:
+                        p2, _ = parse_sitemap(fh.read())
+                    pages.extend(p2)
+            seen: set[str] = set()
+            out = []
+            for u in pages:
+                c = canonicalize_url(u)
+                if c and c not in seen:
+                    seen.add(c)
+                    out.append(c)
+            return out
+        lines = [x.strip() for x in raw.decode("utf-8", "replace").splitlines()
+                 if x.strip()]
         if lines and "://" in lines[0]:
             return [u for u in (canonicalize_url(x) for x in lines) if u]
     reqs = read_seeds(path).to_pandas()

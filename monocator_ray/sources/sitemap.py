@@ -1,0 +1,124 @@
+"""Sitemap ingestion (S2 companion) — the standard crawler seed source the
+public sitemaps.org protocol defines: XML ``<urlset>`` page lists, XML
+``<sitemapindex>`` pointing at child sitemaps, plain-text one-URL-per-line
+files, any of them gzipped.  A production crawl seeds its frontier from
+hosts' sitemaps before falling back to root pages; here the parser + seed
+plumbing are real (fixture-tested), and fetching the sitemap bytes rides
+the same gated HTTP path as every other page.
+
+Scale shape: parsing is per-payload and stateless — ``sitemap_urls_batch``
+drops into ``map_batches`` over a (url, body) Dataset of fetched sitemap
+files, emitting canonical URLs that feed the frontier exactly like
+extracted links (seen-set dedup happens there, not here).  Index recursion
+is bounded by ``max_depth`` (the protocol allows nesting; real-web indexes
+are 1-2 levels).
+"""
+
+from __future__ import annotations
+
+import gzip
+import xml.etree.ElementTree as ET
+
+import pyarrow as pa
+
+from monocator_ray.urlnorm import canonicalize_url
+
+_GZIP_MAGIC = b"\x1f\x8b"
+MAX_SITEMAP_URLS = 50_000  # per file, per sitemaps.org
+
+
+def _localname(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+def parse_sitemap(data: bytes) -> tuple[list[str], list[str]]:
+    """Sitemap payload -> (page_urls, child_sitemap_urls).  Handles the
+    three public formats: XML urlset, XML sitemapindex, plain text; gzip
+    by magic.  Raises ValueError on payloads that are none of them."""
+    if data[:2] == _GZIP_MAGIC:
+        data = gzip.decompress(data)
+    stripped = data.lstrip()
+    if stripped[:1] == b"<":
+        try:
+            root = ET.fromstring(stripped)
+        except ET.ParseError as e:
+            raise ValueError(f"malformed sitemap XML: {e}") from None
+        kind = _localname(root.tag)
+        locs = [
+            (el.text or "").strip()
+            for el in root.iter()
+            if _localname(el.tag) == "loc"
+        ]
+        locs = [u for u in locs if u][:MAX_SITEMAP_URLS]
+        if kind == "sitemapindex":
+            return [], locs
+        if kind == "urlset":
+            return locs, []
+        raise ValueError(f"not a sitemap root element: {kind!r}")
+    # plain-text sitemap: one URL per line
+    urls = []
+    for ln in stripped.decode("utf-8", "replace").splitlines():
+        ln = ln.strip()
+        if ln and "://" in ln:
+            urls.append(ln)
+        if len(urls) >= MAX_SITEMAP_URLS:
+            break
+    if not urls:
+        raise ValueError("payload is neither sitemap XML nor a URL list")
+    return urls, []
+
+
+def sitemap_seed_urls(payloads: dict[str, bytes], roots: list[str],
+                      max_depth: int = 3) -> list[str]:
+    """Resolve sitemap-index recursion OFFLINE over already-fetched
+    payloads (``payloads``: sitemap url -> bytes; ``roots``: where to
+    start) and return deduped canonical page URLs in first-seen order.
+    A child index referenced but not present in ``payloads`` is skipped
+    (its fetch failed) — same tolerance as a real crawler."""
+    seen_maps: set[str] = set()
+    out: list[str] = []
+    seen_pages: set[str] = set()
+    frontier = list(roots)
+    for _ in range(max_depth):
+        nxt: list[str] = []
+        for sm in frontier:
+            if sm in seen_maps or sm not in payloads:
+                continue
+            seen_maps.add(sm)
+            pages, children = parse_sitemap(payloads[sm])
+            for u in pages:
+                c = canonicalize_url(u)
+                if c and c not in seen_pages:
+                    seen_pages.add(c)
+                    out.append(c)
+            nxt.extend(children)
+        if not nxt:
+            break
+        frontier = nxt
+    return out
+
+
+def sitemap_urls_batch(batch: pa.Table) -> pa.Table:
+    """``map_batches`` fn over fetched sitemap files (columns: url, body
+    binary) -> (src_sitemap, url, is_sitemap) rows: page URLs canonical,
+    child-index URLs flagged so the caller can queue another fetch round.
+    Unparseable payloads emit nothing (a real crawler logs and moves on)."""
+    srcs, urls, flags = [], [], []
+    for src, body in zip(batch["url"].to_pylist(), batch["body"].to_pylist()):
+        try:
+            pages, children = parse_sitemap(body or b"")
+        except ValueError:
+            continue
+        for u in pages:
+            c = canonicalize_url(u)
+            if c:
+                srcs.append(src)
+                urls.append(c)
+                flags.append(False)
+        for u in children:
+            srcs.append(src)
+            urls.append(u)
+            flags.append(True)
+    return pa.table({"src_sitemap": pa.array(srcs, pa.string()),
+                     "url": pa.array(urls, pa.string()),
+                     "is_sitemap": pa.array(flags, pa.bool_())})

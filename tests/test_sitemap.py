@@ -1,0 +1,101 @@
+"""Sitemap ingestion (sources/sitemap.py + the seed-file auto-detect)."""
+
+import gzip
+
+import pyarrow as pa
+import pytest
+
+from monocator_ray.sources.sitemap import (
+    parse_sitemap, sitemap_seed_urls, sitemap_urls_batch,
+)
+
+_URLSET = b"""<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url><loc>http://a.example/p1</loc><lastmod>2026-01-01</lastmod></url>
+  <url><loc>http://a.example/p2</loc></url>
+  <url><loc> http://a.example/p3 </loc></url>
+</urlset>"""
+
+_INDEX = b"""<?xml version="1.0"?>
+<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <sitemap><loc>http://a.example/sm1.xml</loc></sitemap>
+  <sitemap><loc>http://a.example/sm2.xml.gz</loc></sitemap>
+</sitemapindex>"""
+
+
+def test_parse_urlset_index_text_and_gzip():
+    pages, kids = parse_sitemap(_URLSET)
+    assert pages == ["http://a.example/p1", "http://a.example/p2",
+                     "http://a.example/p3"] and kids == []
+    pages, kids = parse_sitemap(_INDEX)
+    assert pages == [] and kids == ["http://a.example/sm1.xml",
+                                    "http://a.example/sm2.xml.gz"]
+    # gzip by magic, regardless of name
+    pages, _ = parse_sitemap(gzip.compress(_URLSET))
+    assert len(pages) == 3
+    # plain-text sitemap
+    pages, kids = parse_sitemap(b"http://t.example/a\n# not a url\nhttp://t.example/b\n")
+    assert pages == ["http://t.example/a", "http://t.example/b"] and kids == []
+    with pytest.raises(ValueError):
+        parse_sitemap(b"just words, no urls")
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<html><body>404</body></html>")
+    with pytest.raises(ValueError):
+        parse_sitemap(b"<urlset><url><loc>x</loc>")  # malformed XML
+
+
+def test_index_recursion_offline_and_dedup():
+    payloads = {
+        "root": _INDEX,
+        "http://a.example/sm1.xml": _URLSET,
+        # sm2 fetch "failed" -> skipped; duplicate pages dedup first-seen
+        "loop": b"""<sitemapindex><sitemap><loc>loop</loc></sitemap>
+                    <sitemap><loc>http://a.example/sm1.xml</loc></sitemap>
+                    </sitemapindex>""",
+    }
+    urls = sitemap_seed_urls(payloads, ["root"])
+    assert urls == ["http://a.example/p1", "http://a.example/p2",
+                    "http://a.example/p3"]
+    # self-referencing index terminates (seen-set + depth bound)
+    urls = sitemap_seed_urls(payloads, ["loop"])
+    assert len(urls) == 3
+
+
+def test_sitemap_urls_batch_mapfn():
+    batch = pa.table({
+        "url": pa.array(["http://a.example/sitemap.xml",
+                         "http://b.example/sitemap.xml",
+                         "http://c.example/broken.xml"], pa.string()),
+        "body": pa.array([_URLSET, _INDEX, b"<html>nope</html>"], pa.binary()),
+    })
+    out = sitemap_urls_batch(batch)
+    rows = out.to_pylist()
+    assert [r["url"] for r in rows if not r["is_sitemap"]] == [
+        "http://a.example/p1", "http://a.example/p2", "http://a.example/p3"]
+    assert [r["url"] for r in rows if r["is_sitemap"]] == [
+        "http://a.example/sm1.xml", "http://a.example/sm2.xml.gz"]
+    assert all(r["src_sitemap"].startswith("http://") for r in rows)
+
+
+def test_seed_file_autodetects_sitemaps(tmp_path):
+    from monocator_ray.sources.seeds import seed_urls_from_file
+
+    # plain urlset file (content-sniffed, no .xml needed)
+    p = tmp_path / "seeds"
+    p.write_bytes(_URLSET)
+    assert seed_urls_from_file(str(p)) == [
+        "http://a.example/p1", "http://a.example/p2", "http://a.example/p3"]
+    # gzipped by magic
+    pz = tmp_path / "sitemap.xml.gz"
+    pz.write_bytes(gzip.compress(_URLSET))
+    assert len(seed_urls_from_file(str(pz))) == 3
+    # index resolving a LOCAL child beside it
+    (tmp_path / "sm1.xml").write_bytes(_URLSET)
+    idx = tmp_path / "sitemap.xml"
+    idx.write_bytes(_INDEX)  # sm1.xml resolves locally, sm2 missing -> skipped
+    assert seed_urls_from_file(str(idx)) == [
+        "http://a.example/p1", "http://a.example/p2", "http://a.example/p3"]
+    # the existing URL-lines and domain paths still work
+    pu = tmp_path / "urls.txt"
+    pu.write_text("http://x.example/a\nhttp://x.example/b\n")
+    assert seed_urls_from_file(str(pu)) == ["http://x.example/a", "http://x.example/b"]
