@@ -175,19 +175,9 @@ def q_token_stats_csv(sf_dir: str):
         f"monocator_csv_docs_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     if out not in _CSV_EXPORTED:
-        # reap other processes' export dirs once their owner is dead
-        # (registry.q_crawl_flagship reaper pattern, incl. ADVICE r2 #4's
-        # live-PID guard)
-        for d in os.listdir(base):
-            if d.startswith("monocator_csv_docs_") and not d.startswith(
-                f"monocator_csv_docs_{os.getpid()}_"
-            ):
-                try:
-                    os.kill(int(d.split("_")[3]), 0)
-                except ProcessLookupError:
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                except (ValueError, PermissionError, OSError):
-                    pass
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        cleanup_stale_staging(base, "monocator_csv_docs_", out)
         shutil.rmtree(out, ignore_errors=True)
         export_csv(_docs(sf_dir, ["doc_id", "text", "lang"]), out).materialize()
         _CSV_EXPORTED.add(out)
@@ -3883,16 +3873,11 @@ def q_keyword_search_store(sf_dir: str, k: int = 20) -> pa.Table:
         f"monocator_inv_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     if out not in _INV_BUILT:
-        for d in os.listdir(base):
-            if d.startswith("monocator_inv_") and not d.startswith(
-                f"monocator_inv_{os.getpid()}_"
-            ):
-                try:
-                    os.kill(int(d.split("_")[2]), 0)
-                except ProcessLookupError:
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                except (ValueError, PermissionError, OSError):
-                    pass
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        # note: the tempfile-based "monocator_inv_incr_" dirs share this
+        # prefix; their non-numeric pid token makes the reaper skip them
+        cleanup_stale_staging(base, "monocator_inv_", out)
         shutil.rmtree(out, ignore_errors=True)
         build_inverted_store(_docs(sf_dir, ["doc_id", "text"]), out)
         _INV_BUILT.add(out)

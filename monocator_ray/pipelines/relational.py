@@ -2758,16 +2758,9 @@ def q_event_windows_orc(sf_dir: str) -> rd.Dataset:
         f"monocator_orc_events_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
     )
     if out not in _ORC_EXPORTED:
-        for d in os.listdir(base):
-            if d.startswith("monocator_orc_events_") and not d.startswith(
-                f"monocator_orc_events_{os.getpid()}_"
-            ):
-                try:
-                    os.kill(int(d.split("_")[3]), 0)
-                except ProcessLookupError:
-                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
-                except (ValueError, PermissionError, OSError):
-                    pass
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        cleanup_stale_staging(base, "monocator_orc_events_", out)
         shutil.rmtree(out, ignore_errors=True)
         export_orc(_read(sf_dir, "events", ["event_type", "ts"]), out).materialize()
         _ORC_EXPORTED.add(out)

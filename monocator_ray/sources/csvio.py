@@ -200,3 +200,27 @@ def read_orc_dir(path: str, schema: pa.Schema | None = None) -> rd.Dataset:
 
     files = rd.read_binary_files(path)
     return files.map_batches(parse_file, batch_format="numpy", batch_size=1)
+
+
+def cleanup_stale_staging(base: str, prefix: str, keep: str) -> None:
+    """Reap OTHER processes' PID-keyed staging dirs under ``base`` once
+    their owner is dead.  Dir names are ``f"{prefix}{pid}"`` or
+    ``f"{prefix}{pid}_..."`` — the pid is parsed as the first token after
+    the prefix, so a prefix rename can never silently shift the split
+    index (code-review r3-closing finding #8; the previous three inline
+    copies each hard-coded a magic ``split("_")[i]``).  Never touches
+    ``keep`` or any dir whose embedded pid is still alive (ADVICE r2 #4's
+    live-PID guard)."""
+    import shutil
+
+    for d in os.listdir(base):
+        p = os.path.join(base, d)
+        if not d.startswith(prefix) or p == keep:
+            continue
+        try:
+            pid = int(d[len(prefix):].split("_")[0])
+            os.kill(pid, 0)  # raises ProcessLookupError iff owner is dead
+        except ProcessLookupError:
+            shutil.rmtree(p, ignore_errors=True)
+        except (ValueError, PermissionError, OSError):
+            pass

@@ -102,7 +102,10 @@ def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
             out_tf.append(counts.astype(np.int64))
             out_doc.append(np.full(len(vals), ids[i], dtype=np.int64))
         if not out_doc:
-            return pa.table({"n": pa.array([0], pa.int64())})
+            # an all-empty-text block still CONTAINS docs: n_docs feeds the
+            # idf weight and must match the oracle's COUNT(*) FROM documents
+            # (code-review r3-closing finding #1)
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
         term = np.concatenate(out_term)
         doc = np.concatenate(out_doc)
         tf = np.concatenate(out_tf)
@@ -161,10 +164,13 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
     if not files:
         return empty
     # row-group pruning: files are term-sorted, so the term IN filter skips
-    # row groups whose min/max statistics exclude every query term
+    # row groups whose min/max statistics exclude every query term.
+    # materialize: TWO consumers follow (df pass + scoring pass) and a lazy
+    # Dataset would re-read and re-filter every probed file per consumer
+    # (code-review r3-closing finding #7; the filtered postings are tiny)
     postings = rd.read_parquet(
         files, filter=pc.field("term").isin(list(terms))
-    )
+    ).materialize()
     dfc = driver_grouped_agg(postings, ["term"], [("doc_id", "count")],
                              ["term", "df"])
     if not len(dfc):

@@ -39,6 +39,14 @@ def parse_sitemap(data: bytes) -> tuple[list[str], list[str]]:
         data = gzip.decompress(data)
     stripped = data.lstrip()
     if stripped[:1] == b"<":
+        # untrusted web payload: reject DTDs before they reach the XML
+        # parser — stdlib etree expands internal entities, so a hostile
+        # billion-laughs sitemap would otherwise OOM the worker
+        # (code-review r3-closing finding #4; legitimate sitemaps per
+        # sitemaps.org carry no DOCTYPE)
+        head = stripped[:4096]
+        if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+            raise ValueError("sitemap XML with DTD/entities rejected")
         try:
             root = ET.fromstring(stripped)
         except ET.ParseError as e:

@@ -496,8 +496,14 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             idx = _lzw_decode_gif(bytes(lzw), mcs, iw * ih).reshape(ih, iw)
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF index out of palette range")
+            # malformed/hostile rects past the canvas: clip like real
+            # decoders instead of a numpy broadcast crash (code-review
+            # r3-closing finding #6)
+            ih_c = max(0, min(ih, h - iy))
+            iw_c = max(0, min(iw, w - ix))
+            idx = idx[:ih_c, :iw_c]
             saved = canvas.copy() if disposal == 3 else None
-            rect = canvas[iy : iy + ih, ix : ix + iw]
+            rect = canvas[iy : iy + ih_c, ix : ix + iw_c]
             if trans_idx >= 0:
                 opaque = idx != trans_idx
                 rect[opaque] = table[idx[opaque]]

@@ -113,3 +113,27 @@ def test_inverted_store_incremental_ingest(tmp_path):
     empty = rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
                                     "text": pa.array([], pa.string())}))
     assert ingest_inverted_store(empty, two) == n + 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_empty_text_docs_still_count_toward_n_docs(tmp_path):
+    """Code-review r3-closing #1: an all-empty-text block contributes its
+    doc COUNT even though it contributes no postings — n_docs feeds the
+    idf weight and must equal the oracle's COUNT(*) FROM documents."""
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, search_inverted_store,
+    )
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["the cat", "of dog", "", None], pa.string())})
+    # two blocks: one with tokens, one all-empty
+    ds = rd.from_arrow(t).repartition(2)
+    store = str(tmp_path / "empties")
+    n = build_inverted_store(ds, store, num_buckets=4)
+    assert n == 4
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta["n_docs"] == 4
+    # weight = n_docs // df = 4 // 1 = 4 for both terms
+    out = search_inverted_store(store, ("the", "of"), k=5).to_pandas()
+    assert sorted(out.to_dict("records"), key=lambda r: r["doc_id"]) == [
+        {"doc_id": 1, "score": 4}, {"doc_id": 2, "score": 4}]

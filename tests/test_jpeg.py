@@ -144,3 +144,30 @@ def test_purecodec_dispatch_and_synth_mix():
     i = mimes.index("image/jpeg")
     decoded = c.decode_image(tbl["payload"][i].as_py())
     assert decoded.shape == (tbl["height"][i].as_py(), tbl["width"][i].as_py(), 3)
+
+
+def test_fill_bytes_gray_sampling_and_cmyk_gate():
+    """Code-review r3-closing pins: (a) 0xFF fill bytes before a marker are
+    legal (T.81 B.1.1.2); (b) a grayscale JPEG declaring 2x2 sampling on
+    its sole component decodes non-interleaved (T.81 A.2) identically to
+    the 1x1 declaration; (c) 4-component (CMYK) is gated, not mis-decoded."""
+    import struct
+
+    img = _smooth(24, 24)
+    d = encode_jpeg(img, quality=90)
+    sof = d.find(b"\xff\xc0")
+    with_fill = d[:sof] + b"\xff\xff\xff" + d[sof:]
+    assert np.array_equal(decode_jpeg(with_fill), decode_jpeg(d))
+
+    g = np.clip(np.mgrid[0:24, 0:24][0] * 5, 0, 255).astype(np.uint8)
+    dg = bytearray(encode_jpeg(g, quality=90))
+    sofg = bytes(dg).find(b"\xff\xc0")
+    samp_off = sofg + 2 + 2 + 1 + 4 + 1 + 1
+    assert dg[samp_off] == 0x11
+    dg[samp_off] = 0x22
+    assert np.array_equal(decode_jpeg(bytes(dg)), decode_jpeg(encode_jpeg(g, quality=90)))
+
+    d4 = bytearray(d)
+    d4[sof + 2 + 2 + 1 + 4] = 4  # ncomp -> 4 (CMYK shape)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(d4))

@@ -99,3 +99,16 @@ def test_seed_file_autodetects_sitemaps(tmp_path):
     pu = tmp_path / "urls.txt"
     pu.write_text("http://x.example/a\nhttp://x.example/b\n")
     assert seed_urls_from_file(str(pu)) == ["http://x.example/a", "http://x.example/b"]
+
+
+def test_dtd_and_entity_payloads_rejected():
+    """Untrusted-web hardening: a DTD/entity-bearing sitemap (billion-laughs
+    shape) is rejected BEFORE the XML parser can expand it."""
+    evil = (b'<?xml version="1.0"?><!DOCTYPE a [<!ENTITY b "bb">]>'
+            b"<urlset><url><loc>&b;</loc></url></urlset>")
+    with pytest.raises(ValueError, match="DTD"):
+        parse_sitemap(evil)
+    # and through the batch fn it is skipped, not crashed
+    batch = pa.table({"url": pa.array(["http://e.example/s.xml"], pa.string()),
+                      "body": pa.array([evil], pa.binary())})
+    assert sitemap_urls_batch(batch).num_rows == 0
