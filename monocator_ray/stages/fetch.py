@@ -254,12 +254,41 @@ class HttpFetcher:
         self._opener = urllib.request.build_opener(_CappedRedirect)
         self._pool = None  # built lazily (ThreadPoolExecutor doesn't pickle)
 
-    def _fetch_one(self, u: str) -> tuple[bytes | None, int]:
-        import urllib.error
+    @staticmethod
+    def _decompress_capped(body: bytes, enc: str, cap: int) -> bytes | None:
+        """Decompress a gzip/deflate response body with the body cap applied
+        to the DECOMPRESSED size (``max_length`` on a decompressobj), so a
+        zip bomb can never expand past ``max_body`` in worker memory.  A
+        truncated compressed stream still yields its decodable prefix (the
+        CRC only checks at eof, which we never require).  Undecodable
+        encoded bytes return None — the page is unparseable either way."""
+        import zlib
 
         try:
-            with self._opener.open(u, timeout=self.timeout_s) as resp:  # noqa: S310
+            if enc == "gzip":
+                d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+                return d.decompress(body, cap)
+            # deflate: servers send both zlib-wrapped and raw streams
+            try:
+                return zlib.decompressobj(zlib.MAX_WBITS).decompress(body, cap)
+            except zlib.error:
+                return zlib.decompressobj(-zlib.MAX_WBITS).decompress(body, cap)
+        except zlib.error:
+            return None
+
+    def _fetch_one(self, u: str) -> tuple[bytes | None, int]:
+        import urllib.error
+        import urllib.request
+
+        try:
+            # real-web servers compress; urllib sends identity by default
+            req = urllib.request.Request(
+                u, headers={"Accept-Encoding": "gzip, deflate"})
+            with self._opener.open(req, timeout=self.timeout_s) as resp:  # noqa: S310
                 body, _ = truncate_body(iter(lambda: resp.read(65536), b""), self.max_body)
+                enc = (resp.headers.get("Content-Encoding") or "").lower().strip()
+                if body and enc in ("gzip", "deflate"):
+                    body = self._decompress_capped(body, enc, self.max_body)
                 return body, int(resp.status)
         except urllib.error.HTTPError as e:
             return None, int(e.code)

@@ -54,6 +54,42 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path.startswith("/gz"):
+                import gzip as _gzip
+
+                raw = f"<html><body>compressed {self.path}</body></html>".encode()
+                body = _gzip.compress(raw)
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/deflate-raw":
+                import zlib as _zlib
+
+                raw = b"<html><body>raw deflate</body></html>"
+                c = _zlib.compressobj(wbits=-15)
+                body = c.compress(raw) + c.flush()
+                self.send_response(200)
+                self.send_header("Content-Encoding", "deflate")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/zipbomb":
+                import gzip as _gzip
+
+                body = _gzip.compress(b"A" * 50_000_000)  # ~50 MB -> ~50 KB
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/badgzip":
+                self.send_response(200)
+                self.send_header("Content-Encoding", "gzip")
+                self.send_header("Content-Length", "9")
+                self.end_headers()
+                self.wfile.write(b"notgzip!!")
             elif self.path == "/slow":
                 time.sleep(1.0)
                 self.send_response(200)
@@ -164,3 +200,25 @@ def test_warc_ts_set_only_on_body(servers):
     ts = out["warc_ts"].to_numpy(zero_copy_only=False)
     assert ts[0] != np.datetime64(0, "us")
     assert ts[1] == np.datetime64(0, "us")
+
+
+def test_compressed_responses_decode_and_zipbomb_capped(servers):
+    """gzip and raw-deflate bodies decode transparently; a gzip bomb is
+    capped at max_body DECOMPRESSED bytes; undecodable encoded bytes
+    record no body (page is unparseable either way)."""
+    a, _ = servers
+    base = f"http://127.0.0.1:{a.server_address[1]}"
+    f = HttpFetcher(timeout_s=5.0, max_body=4096, allow_network=True)
+    out = f(_batch([f"{base}/gz1", f"{base}/deflate-raw",
+                    f"{base}/zipbomb", f"{base}/badgzip"]))
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in out.to_pylist()}
+    assert b"compressed /gz1" in rows["gz1"]["html"]
+    assert rows["gz1"]["fetch_status"] == 200
+    assert rows["deflate-raw"]["html"] == b"<html><body>raw deflate</body></html>"
+    # bomb: ~50 MB decompressed, capped at max_body
+    assert rows["zipbomb"]["fetch_status"] == 200
+    assert len(rows["zipbomb"]["html"]) == 4096
+    assert rows["zipbomb"]["html"] == b"A" * 4096
+    # broken encoding: status kept, body dropped
+    assert rows["badgzip"]["fetch_status"] == 200
+    assert rows["badgzip"]["html"] is None
