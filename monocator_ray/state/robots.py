@@ -106,3 +106,40 @@ def synth_robots(num_hosts: int) -> dict[str, RobotsRules]:
             r.crawl_delay_ms = 2000
         out[f"host{h}.example"] = r
     return out
+
+
+def fetch_robots(hosts: list[str], fetcher, scheme: str = "http") -> dict[str, RobotsRules]:
+    """Acquire per-host robots rules over the network — the real-deployment
+    companion of ``synth_robots`` (the crawl driver takes the resulting
+    dict either way).  ``fetcher`` is any batch fetch stage with the
+    HttpFetcher contract (pa.Table[url] -> pa.Table[url, html,
+    fetch_status, ...]).
+
+    Availability semantics per RFC 9309 §2.3.1:
+    * 2xx -> parse the body;
+    * 4xx (incl. 404) -> "unavailable": crawling is ALLOWED (empty rules);
+    * 5xx / transport error -> "unreachable": complete disallow (a
+      conservative crawler must not assume permission it could not read).
+
+    Scale shape: one fetcher batch per call — at a 10^10-URL frontier this
+    runs inside the per-shard host-discovery pass (hosts are already
+    sharded), never as a driver loop over every host."""
+    import pyarrow as pa
+
+    if not hosts:
+        return {}
+    batch = pa.table(
+        {"url": pa.array([f"{scheme}://{h}/robots.txt" for h in hosts], pa.string())}
+    )
+    out = fetcher(batch)
+    rules: dict[str, RobotsRules] = {}
+    for host, body, status in zip(
+        hosts, out["html"].to_pylist(), out["fetch_status"].to_pylist()
+    ):
+        if 200 <= status < 300 and body is not None:
+            rules[host] = parse_robots(body.decode("utf-8", "replace"))
+        elif 400 <= status < 500:
+            rules[host] = RobotsRules()  # unavailable -> allow all
+        else:  # 5xx or transport error: unreachable -> complete disallow
+            rules[host] = RobotsRules(disallow=["/"])
+    return rules

@@ -90,6 +90,18 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", "9")
                 self.end_headers()
                 self.wfile.write(b"notgzip!!")
+            elif self.path == "/robots.txt":
+                mode = getattr(srv, "robots_mode", "404")
+                if mode == "200":
+                    body = b"User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                elif mode == "500":
+                    self.send_error(500)
+                else:
+                    self.send_error(404)
             elif self.path == "/slow":
                 time.sleep(1.0)
                 self.send_response(200)
@@ -222,3 +234,33 @@ def test_compressed_responses_decode_and_zipbomb_capped(servers):
     # broken encoding: status kept, body dropped
     assert rows["badgzip"]["fetch_status"] == 200
     assert rows["badgzip"]["html"] is None
+
+
+def test_fetch_robots_rfc9309_availability(servers):
+    """fetch_robots over local servers: 2xx parses, 404 allows all,
+    5xx/transport disallows all (RFC 9309 2.3.1)."""
+    from monocator_ray.state.robots import fetch_robots
+
+    a, b = servers
+    host_a = f"127.0.0.1:{a.server_address[1]}"
+    host_b = f"127.0.0.1:{b.server_address[1]}"
+    f = HttpFetcher(timeout_s=2.0, allow_network=True)
+
+    # 200: rules parse (disallow + crawl delay)
+    a.robots_mode = "200"
+    b.robots_mode = "404"
+    dead = "127.0.0.1:1"
+    rules = fetch_robots([host_a, host_b, dead], f)
+    assert not rules[host_a].allowed("/private/x")
+    assert rules[host_a].allowed("/public")
+    assert rules[host_a].crawl_delay_ms == 2000
+    # 404 -> unavailable -> allow all
+    assert rules[host_b].allowed("/anything")
+    # transport error -> unreachable -> complete disallow
+    assert not rules[dead].allowed("/") and not rules[dead].allowed("/a/b")
+
+    # 5xx -> unreachable -> complete disallow
+    a.robots_mode = "500"
+    rules = fetch_robots([host_a], f)
+    assert not rules[host_a].allowed("/public")
+    a.robots_mode = "404"
