@@ -48,6 +48,10 @@ BLOCK_TAGS = frozenset(
 # Rule 3: subtrees whose character data is never visible text.
 SKIP_TAGS = frozenset({"script", "style", "template", "noscript", "head"})
 
+# rel tokens a polite crawler does not follow (public convention:
+# nofollow original, sponsored/ugc the 2019 refinements)
+_NOFOLLOW_RELS = frozenset({"nofollow", "sponsored", "ugc"})
+
 _WS_RUN = re.compile(r"[ \t\n\r\f\xa0]+")
 # Collapse-only-what-changes variant: a plain single space (the overwhelming
 # majority of whitespace in extracted text) is already in canonical form, and
@@ -87,6 +91,10 @@ class PageExtract:
     meta_description: str = ""
     base_href: str = ""
     links: list = field(default_factory=list)  # raw href strings, document order
+    # rel=nofollow/sponsored/ugc hrefs, kept separate: a polite crawler
+    # never FOLLOWS them (the crawl feeds .links to the frontier) but
+    # reporting may still count them (public rel-attribute convention)
+    nofollow: list = field(default_factory=list)
 
 
 class _Extractor(HTMLParser):
@@ -111,10 +119,17 @@ class _Extractor(HTMLParser):
         if tag == "title":
             self._in_title = True
         elif tag == "a" or tag == "area":
+            href = rel = None
             for k, v in attrs:
-                if k == "href" and v:
-                    self.out.links.append(v)
-                    break
+                if k == "href" and href is None:
+                    href = v
+                elif k == "rel" and rel is None:
+                    rel = v
+            if href:
+                if rel and _NOFOLLOW_RELS & set((rel or "").lower().split()):
+                    self.out.nofollow.append(href)
+                else:
+                    self.out.links.append(href)
         elif tag == "meta":
             a = dict(attrs)
             if (a.get("name") or "").lower() == "description":
@@ -313,7 +328,11 @@ def extract_page(html: bytes | str) -> PageExtract:
             if tag == "a" or tag == "area":
                 href = a.get("href")
                 if href:
-                    out.links.append(href)
+                    rel = a.get("rel")
+                    if rel and _NOFOLLOW_RELS & set(rel.lower().split()):
+                        out.nofollow.append(href)
+                    else:
+                        out.links.append(href)
             elif tag == "meta":
                 if (a.get("name") or "").lower() == "description":
                     out.meta_description = a.get("content") or ""

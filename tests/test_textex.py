@@ -146,3 +146,20 @@ def test_fast_scanner_matches_htmlparser_engine(doc):
     a = extract_page(doc)
     b = extract_page_htmlparser(doc)
     assert (a.text, a.title, a.links) == (b.text, b.title, b.links)
+
+
+def test_rel_nofollow_links_are_not_followed():
+    """rel=nofollow/sponsored/ugc hrefs land in .nofollow, not .links, in
+    BOTH engines (the crawl frontier feeds only from .links)."""
+    from monocator_ray.html.textex import extract_page, extract_page_htmlparser
+
+    doc = (b'<html><body><a href="/f1">x</a>'
+           b'<a rel="nofollow" href="/n1">y</a>'
+           b'<a href="/n2" rel="ugc sponsored">z</a>'
+           b'<a rel="noopener" href="/f2">w</a>'
+           b'<area href="/n3" rel="NOFOLLOW">'
+           b'<a rel="nofollow">no href</a></body></html>')
+    for fn in (extract_page, extract_page_htmlparser):
+        e = fn(doc)
+        assert e.links == ["/f1", "/f2"], fn.__name__
+        assert e.nofollow == ["/n1", "/n2", "/n3"], fn.__name__
