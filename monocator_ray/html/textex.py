@@ -89,6 +89,7 @@ class PageExtract:
     text: str = ""
     title: str = ""
     meta_description: str = ""
+    meta_robots: str = ""  # raw content of <meta name="robots">, lowercased
     base_href: str = ""
     links: list = field(default_factory=list)  # raw href strings, document order
     # rel=nofollow/sponsored/ugc hrefs, kept separate: a polite crawler
@@ -132,8 +133,11 @@ class _Extractor(HTMLParser):
                     self.out.links.append(href)
         elif tag == "meta":
             a = dict(attrs)
-            if (a.get("name") or "").lower() == "description":
+            name = (a.get("name") or "").lower()
+            if name == "description":
                 self.out.meta_description = a.get("content") or ""
+            elif name == "robots" and not self.out.meta_robots:
+                self.out.meta_robots = (a.get("content") or "").lower()
         elif tag == "base" and not self.out.base_href:
             self.out.base_href = dict(attrs).get("href") or ""
         if tag in BLOCK_TAGS or tag == "br":
@@ -334,8 +338,11 @@ def extract_page(html: bytes | str) -> PageExtract:
                     else:
                         out.links.append(href)
             elif tag == "meta":
-                if (a.get("name") or "").lower() == "description":
+                name = (a.get("name") or "").lower()
+                if name == "description":
                     out.meta_description = a.get("content") or ""
+                elif name == "robots" and not out.meta_robots:
+                    out.meta_robots = (a.get("content") or "").lower()
             elif tag == "base" and not out.base_href:
                 out.base_href = a.get("href") or ""
         if f & _F_SKIP:

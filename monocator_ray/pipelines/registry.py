@@ -134,8 +134,13 @@ def q_crawl_corpus(sf_dir: str):
         ids = hash_str64(t["url"].to_pylist()).view(np.int64)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": t["text"]})
 
-    return curate_dataset(pages.map_batches(to_docs, batch_format="pyarrow"),
-                          min_tokens=10)
+    from monocator_ray.__main__ import _drop_noindex
+
+    docs = _drop_noindex(
+        pages.map_batches(to_docs, batch_format="pyarrow"),
+        f"/tmp/monocator_q_crawl_out_{os.getpid()}",
+    )
+    return curate_dataset(docs, min_tokens=10)
 
 # name -> (callable(sf_dir) -> Dataset|Table|DataFrame, oracle_sql | None)
 REGISTRY: dict = {

@@ -25,7 +25,7 @@ from monocator_ray.urlnorm import canonicalize_url, host_of, join_url
 _ARTIFACT_COLS = {
     "visit_log": ["seq", "url", "url_hash", "depth", "host_hash", "discovery_time", "fetch_status", "epoch", "shard_id"],
     "pages": ["url", "warc_ts", "html", "text", "lang"],
-    "features": ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256"],
+    "features": ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256", "noindex"],
 }
 
 

@@ -98,6 +98,7 @@ FEATURES = pa.schema(
         ("links_external", pa.int32()),
         ("vat_numbers", pa.list_(pa.string())),
         ("html_sha256", pa.binary()),
+        ("noindex", pa.bool_()),  # <meta name="robots"> noindex/none
     ]
 )
 

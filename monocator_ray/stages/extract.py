@@ -47,6 +47,7 @@ class ExtractStage:
         le = np.zeros(n, dtype=np.int32)
         vats: list[list[str]] = [[] for _ in range(n)]
         sha: list[bytes | None] = [None] * n
+        noindex = np.zeros(n, dtype=bool)
         for i in range(n):
             if status[i] != 200 or htmls[i] is None:
                 continue
@@ -55,6 +56,13 @@ class ExtractStage:
             titles[i] = ex.title
             metas[i] = ex.meta_description
             sha[i] = hashlib.sha256(htmls[i]).digest()
+            # page-level robots directives (public meta-robots convention):
+            # noindex -> flagged for corpus/report filtering; nofollow ->
+            # NO links reach the frontier (counts still report what the
+            # page contains)
+            robots_toks = set(ex.meta_robots.replace(",", " ").split())
+            noindex[i] = "noindex" in robots_toks or "none" in robots_toks
+            page_nofollow = "nofollow" in robots_toks or "none" in robots_toks
             base = ex.base_href or urls[i]
             page_host = host_of(urls[i])
             page_dom = registrable_domain(page_host)
@@ -70,7 +78,7 @@ class ExtractStage:
                     n_int += 1
                 else:
                     n_ext += 1
-            links_col[i] = kept
+            links_col[i] = [] if page_nofollow else kept
             li[i] = n_int
             le[i] = n_ext
             if self.with_vat:
@@ -84,6 +92,7 @@ class ExtractStage:
             .append_column("links_external", pa.array(le, pa.int32()))
             .append_column("vat_numbers", pa.array(vats, pa.list_(pa.string())))
             .append_column("html_sha256", pa.array(sha, pa.binary()))
+            .append_column("noindex", pa.array(noindex, pa.bool_()))
         )
 
 

@@ -319,3 +319,32 @@ def test_seen_except_frontier_detects_planted_orphan(mini_crawl, tmp_path):
     arr2 = np.sort(np.append(arr, planted))  # shard stays a sorted run
     pq.write_table(pa.table({"url_hash": pa.array(arr2, pa.uint64())}), p)
     assert report.seen_except_frontier(str(out)) == 1
+
+
+def test_meta_robots_noindex_nofollow():
+    """<meta name=robots> page directives: nofollow empties the followable
+    link set (counts still report the page's links), noindex sets the
+    features flag; both extractor engines agree on meta_robots."""
+    import numpy as np
+    import pyarrow as pa
+
+    from monocator_ray.html.textex import extract_page, extract_page_htmlparser
+    from monocator_ray.stages.extract import ExtractStage
+
+    page_nf = (b'<html><head><meta name="robots" content="NOINDEX, nofollow">'
+               b'</head><body><a href="/a">a</a><a href="/b">b</a></body></html>')
+    page_ok = b'<html><body><a href="/c">c</a></body></html>'
+    for fn in (extract_page, extract_page_htmlparser):
+        assert fn(page_nf).meta_robots == "noindex, nofollow", fn.__name__
+        assert fn(page_ok).meta_robots == ""
+
+    batch = pa.table({
+        "url": pa.array(["http://h1.test/x", "http://h1.test/y"], pa.string()),
+        "html": pa.array([page_nf, page_ok], pa.binary()),
+        "fetch_status": pa.array(np.array([200, 200], np.int32), pa.int32()),
+    })
+    out = ExtractStage(link_cap=16, with_vat=False)(batch)
+    rows = out.to_pylist()
+    assert rows[0]["noindex"] is True and rows[0]["links"] == []
+    assert rows[0]["links_internal"] == 2  # counts still observed
+    assert rows[1]["noindex"] is False and rows[1]["links"] == ["http://h1.test/c"]
