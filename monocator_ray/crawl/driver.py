@@ -47,7 +47,7 @@ from monocator_ray.urlnorm import canonicalize_url, host_of
 
 PAGES_COLS = ["url", "warc_ts", "html", "text", "lang"]
 VISIT_COLS = ["seq", "url", "url_hash", "depth", "host_hash", "discovery_time", "fetch_status", "epoch", "shard_id"]
-FEATURE_COLS = ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256", "noindex"]
+FEATURE_COLS = ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256", "noindex", "canonical_url"]
 
 
 @dataclass

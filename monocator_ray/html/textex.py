@@ -90,6 +90,7 @@ class PageExtract:
     title: str = ""
     meta_description: str = ""
     meta_robots: str = ""  # raw content of <meta name="robots">, lowercased
+    canonical: str = ""  # first <link rel="canonical" href=...>
     base_href: str = ""
     links: list = field(default_factory=list)  # raw href strings, document order
     # rel=nofollow/sponsored/ugc hrefs, kept separate: a polite crawler
@@ -140,6 +141,10 @@ class _Extractor(HTMLParser):
                 self.out.meta_robots = (a.get("content") or "").lower()
         elif tag == "base" and not self.out.base_href:
             self.out.base_href = dict(attrs).get("href") or ""
+        elif tag == "link" and not self.out.canonical:
+            a = dict(attrs)
+            if (a.get("rel") or "").lower().strip() == "canonical":
+                self.out.canonical = a.get("href") or ""
         if tag in BLOCK_TAGS or tag == "br":
             self._block_boundary()
 
@@ -212,7 +217,7 @@ _ATTR = re.compile(
 )
 _RAWTEXT = frozenset({"script", "style"})  # html.parser CDATA_CONTENT_ELEMENTS
 _RAW_CLOSE = {t: re.compile("</" + t, re.IGNORECASE) for t in _RAWTEXT}
-_ATTR_TAGS = frozenset({"a", "area", "meta", "base"})
+_ATTR_TAGS = frozenset({"a", "area", "meta", "base", "link"})
 
 from html import unescape as _unescape  # noqa: E402
 
@@ -345,6 +350,9 @@ def extract_page(html: bytes | str) -> PageExtract:
                     out.meta_robots = (a.get("content") or "").lower()
             elif tag == "base" and not out.base_href:
                 out.base_href = a.get("href") or ""
+            elif tag == "link" and not out.canonical:
+                if (a.get("rel") or "").lower().strip() == "canonical":
+                    out.canonical = a.get("href") or ""
         if f & _F_SKIP:
             if f & _F_RAW and not selfclose:
                 # CDATA: skip to the matching close tag without tokenizing

@@ -25,7 +25,7 @@ from monocator_ray.urlnorm import canonicalize_url, host_of, join_url
 _ARTIFACT_COLS = {
     "visit_log": ["seq", "url", "url_hash", "depth", "host_hash", "discovery_time", "fetch_status", "epoch", "shard_id"],
     "pages": ["url", "warc_ts", "html", "text", "lang"],
-    "features": ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256", "noindex"],
+    "features": ["url", "url_hash", "title", "meta_description", "links_internal", "links_external", "vat_numbers", "html_sha256", "noindex", "canonical_url"],
 }
 
 
@@ -600,3 +600,47 @@ def anchor_texts_from_pages(pages: rd.Dataset) -> rd.Dataset:
         num_parts=32,
     )
     return out.sort("target_url")
+
+
+def canonical_groups(out_dir: str) -> rd.Dataset:
+    """Canonical-URL duplicate clusters: pages whose <link rel=canonical>
+    points at the same target URL (the crawl-level near-dup signal real
+    search pipelines consolidate on; companion of content_dedup's exact
+    byte signal).  A page with no canonical declaration is its own target.
+    Returns (canonical_url, n_pages, first_url) for targets with >1 page,
+    via the same hash-partitioned vectorized run detection as
+    content_dedup — no per-group dispatch."""
+    from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
+
+    feats = _read_artifact(out_dir, "features")
+
+    def to_target(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        canon = batch["canonical_url"] if "canonical_url" in batch.column_names \
+            else pa.array([""] * batch.num_rows, pa.string())
+        target = pc.if_else(pc.equal(canon, pa.scalar("")), batch["url"], canon)
+        return pa.table({"target": target, "url": batch["url"],
+                         "url_hash": batch["url_hash"]})
+
+    def groups_part(g: pa.Table) -> pa.Table:
+        tgt = np.asarray(g["target"].to_pylist(), dtype=object)
+        uh = g["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((uh, tgt))
+        starts, ends = run_boundaries(tgt[order])
+        keep = (ends - starts) > 1
+        firsts = order[starts[keep]]
+        return pa.table({
+            "canonical_url": g["target"].take(pa.array(firsts)),
+            "n_pages": pa.array((ends - starts)[keep], pa.int64()),
+            "first_url": g["url"].take(pa.array(firsts)),
+        })
+
+    from monocator_ray.hashing import hash_str64
+
+    return hash_partitioned(
+        feats.map_batches(to_target, batch_format="pyarrow"),
+        lambda t: [hash_str64(t["target"])],
+        groups_part,
+        num_parts=32,
+    ).sort("canonical_url")

@@ -99,6 +99,7 @@ FEATURES = pa.schema(
         ("vat_numbers", pa.list_(pa.string())),
         ("html_sha256", pa.binary()),
         ("noindex", pa.bool_()),  # <meta name="robots"> noindex/none
+        ("canonical_url", pa.string()),  # resolved <link rel=canonical> ("" if none)
     ]
 )
 

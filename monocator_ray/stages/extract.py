@@ -48,6 +48,7 @@ class ExtractStage:
         vats: list[list[str]] = [[] for _ in range(n)]
         sha: list[bytes | None] = [None] * n
         noindex = np.zeros(n, dtype=bool)
+        canon = [""] * n
         for i in range(n):
             if status[i] != 200 or htmls[i] is None:
                 continue
@@ -64,6 +65,8 @@ class ExtractStage:
             noindex[i] = "noindex" in robots_toks or "none" in robots_toks
             page_nofollow = "nofollow" in robots_toks or "none" in robots_toks
             base = ex.base_href or urls[i]
+            if ex.canonical:  # rel=canonical resolves like any href
+                canon[i] = join_url(base, ex.canonical) or ""
             page_host = host_of(urls[i])
             page_dom = registrable_domain(page_host)
             kept: list[str] = []
@@ -93,6 +96,7 @@ class ExtractStage:
             .append_column("vat_numbers", pa.array(vats, pa.list_(pa.string())))
             .append_column("html_sha256", pa.array(sha, pa.binary()))
             .append_column("noindex", pa.array(noindex, pa.bool_()))
+            .append_column("canonical_url", pa.array(canon, pa.string()))
         )
 
 

@@ -348,3 +348,45 @@ def test_meta_robots_noindex_nofollow():
     assert rows[0]["noindex"] is True and rows[0]["links"] == []
     assert rows[0]["links_internal"] == 2  # counts still observed
     assert rows[1]["noindex"] is False and rows[1]["links"] == ["http://h1.test/c"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_canonical_extraction_and_groups(tmp_path):
+    """<link rel=canonical> resolves against the page base and feeds the
+    canonical-duplicate rollup (pages sharing a target cluster; pages
+    without a declaration are their own target)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray import report
+    from monocator_ray.hashing import hash_url64
+    from monocator_ray.stages.extract import ExtractStage
+
+    def page(canon=None):
+        head = f'<link rel="canonical" href="{canon}">' if canon else ""
+        return f"<html><head>{head}</head><body>t</body></html>".encode()
+
+    urls = [f"http://h1.test/p{i}" for i in range(5)]
+    htmls = [page("/canon"), page("http://h1.test/canon"), page(), page(), page("/other")]
+    batch = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "html": pa.array(htmls, pa.binary()),
+        "fetch_status": pa.array(np.array([200] * 5, np.int32), pa.int32()),
+    })
+    out = ExtractStage(link_cap=8, with_vat=False)(batch)
+    canon = out["canonical_url"].to_pylist()
+    assert canon[0] == canon[1] == "http://h1.test/canon"  # relative resolved
+    assert canon[2] == "" and canon[4] == "http://h1.test/other"
+
+    # write an artifact-shaped dir and run the rollup
+    feats = out.append_column(
+        "url_hash", pa.array(hash_url64(urls), pa.uint64())
+    )
+    d = tmp_path / "epoch=0" / "crawl"
+    d.mkdir(parents=True)
+    pq.write_table(feats, str(d / "part0.parquet"))
+    groups = report.canonical_groups(str(tmp_path)).to_pandas()
+    assert len(groups) == 1  # only the shared target clusters (>1 page)
+    assert groups.iloc[0]["canonical_url"] == "http://h1.test/canon"
+    assert groups.iloc[0]["n_pages"] == 2
