@@ -105,6 +105,14 @@ def main(argv: list[str] | None = None) -> int:
     we.add_argument("--out", required=True, help="output WARC dir")
     we.add_argument("--plain", action="store_true", help="write uncompressed .warc")
 
+    de = sub.add_parser(
+        "duck-export",
+        help="crawl artifacts -> per-entity DuckDB tables (the reference's "
+             "persistence layer, /root/reference/.gitignore:40)",
+    )
+    de.add_argument("--out", required=True, help="crawl out dir (artifacts)")
+    de.add_argument("--db", required=True, help="output .duckdb file")
+
     je = sub.add_parser("jsonl-export",
                         help="parquet table -> sharded JSONL corpus (S3)")
     je.add_argument("--table", required=True, help="input parquet file/dir")
@@ -198,6 +206,11 @@ def main(argv: list[str] | None = None) -> int:
             ds = fill_text(ds)
         ds.write_parquet(args.out)
         print(json.dumps({"out": args.out, "rows": ds.count()}))
+    elif args.cmd == "duck-export":
+        from monocator_ray.sources.duck import export_crawl_duckdb
+
+        counts = export_crawl_duckdb(args.out, args.db)
+        print(json.dumps({"db": args.db, "tables": counts}))
     elif args.cmd == "warc-export":
         _init_ray(args.num_cpus)
         import ray.data as rd

@@ -327,3 +327,41 @@ def test_export_orc_roundtrip(tmp_path):
     order = pa.compute.sort_indices(back_t["doc_id"])
     back_t = back_t.take(order).select(t.column_names).combine_chunks()
     assert back_t.equals(t), f"\n{back_t.to_pylist()}\n!=\n{t.to_pylist()}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duckdb_export_per_entity_tables(tmp_path):
+    """Crawl artifacts -> the reference's DuckDB persistence layout
+    (/root/reference/.gitignore:40): one table per entity, row counts
+    match the crawl, and the file is queryable by plain DuckDB."""
+    import duckdb
+
+    from monocator_ray.crawl.driver import CrawlConfig, crawl
+    from monocator_ray.sources.duck import (
+        export_crawl_duckdb, export_duckdb, read_duckdb,
+    )
+    from monocator_ray.sources.synth import SynthSpec, write_synth_pages
+
+    web, out = str(tmp_path / "web"), str(tmp_path / "out")
+    write_synth_pages(web, 120, 6, 4, use_ray=False)
+    cfg = CrawlConfig(num_shards=2, budget_per_epoch=48, max_depth=3, num_buckets=4)
+    res = crawl(SynthSpec(120, 6).seeds(4), web, out, cfg)
+    db = str(tmp_path / "m.duckdb")
+    counts = export_crawl_duckdb(out, db)
+    assert counts == {"visit_log": res.fetched, "pages": res.fetched,
+                      "features": res.fetched}
+    con = duckdb.connect(db, read_only=True)
+    assert con.sql("SELECT COUNT(DISTINCT url) FROM pages").fetchone()[0] == res.fetched
+    assert set(r[0] for r in con.sql("SHOW TABLES").fetchall()) == {
+        "visit_log", "pages", "features"}
+    con.close()
+    assert read_duckdb(db, "features").count() == res.fetched
+    # append mode stacks (same projection); replace resets
+    from monocator_ray.crawl.driver import artifact_files
+    from monocator_ray.report import _ARTIFACT_COLS
+
+    files = artifact_files(out)
+    cols = _ARTIFACT_COLS["visit_log"]
+    assert export_duckdb(files, db, "visit_log", mode="append",
+                         columns=cols) == 2 * res.fetched
+    assert export_duckdb(files, db, "visit_log", columns=cols) == res.fetched
