@@ -102,6 +102,75 @@ def load_ivf_store(store_dir: str) -> tuple[IvfIndex, np.ndarray]:
     return IvfIndex(z["centroids"]), z["sizes"]
 
 
+def _committed_gens(store_dir: str) -> set[int]:
+    z = np.load(os.path.join(store_dir, "centroids.npz"))
+    return set(z["gens"].tolist()) if "gens" in z else {0}
+
+
+def _file_gen(name: str) -> int:
+    """list=<id>-g<gen>-<minvec>.parquet -> gen; build files (no -g tag)
+    are generation 0."""
+    parts = name.split("-")
+    for p in parts[1:]:
+        if p.startswith("g") and p[1:].isdigit():
+            return int(p[1:])
+    return 0
+
+
+def ingest_ivf_store(emb: rd.Dataset, store_dir: str) -> int:
+    """APPEND an embedding increment to an existing store — the
+    incremental-family path (fpstore/invstore pattern): new vectors are
+    assigned with the EXISTING centroids (the standard IVF serving
+    property — lists drift from optimal as the distribution shifts, but
+    results stay exact for the probed lists; rebuild to retrain) and land
+    in generation-tagged ``list=<id>-g<gen>-<minvec>.parquet`` files.
+    The centroids.npz rewrite (sizes += increment, gens += [gen]) commits
+    LAST — search reads only committed generations, so a crashed ingest's
+    orphan files are invisible until a rebuild clears them.  Returns the
+    number of vectors ingested."""
+    ensure_shipped()
+    index, sizes = load_ivf_store(store_dir)
+    gens = _committed_gens(store_dir)
+    present = {_file_gen(f) for f in os.listdir(store_dir) if f.startswith("list=")}
+    gen = max(present | gens) + 1  # never renumber onto any existing run
+    index_ref = ray.put(index)
+    sdir = store_dir
+
+    def write_block(t: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        inst = ray.get(index_ref)
+        lists = inst.assign(table_to_matrix(t))
+        order = np.argsort(lists, kind="mergesort")
+        t = t.take(pa.array(order, pa.int64()))
+        lists = lists[order]
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        out_l, out_n = [], []
+        starts, ends = run_boundaries(lists)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            lid = int(lists[s])
+            pq.write_table(
+                t.slice(s, e - s).select(["vec_id", "embedding"]),
+                os.path.join(sdir, f"list={lid}-g{gen}-{int(ids[s:e].min())}.parquet"),
+            )
+            out_l.append(lid)
+            out_n.append(e - s)
+        return pa.table({"list_id": pa.array(out_l, pa.int32()),
+                         "n": pa.array(out_n, pa.int64())})
+
+    manifest = emb.map_batches(write_block, batch_format="pyarrow").to_pandas()
+    added = 0
+    if "list_id" in manifest.columns and len(manifest):
+        counts = manifest.groupby("list_id")["n"].sum()
+        sizes = sizes.copy()
+        sizes[counts.index.to_numpy()] += counts.to_numpy()
+        added = int(counts.sum())
+    np.savez(os.path.join(store_dir, "centroids.npz"),
+             centroids=index.centroids, sizes=sizes,
+             gens=np.array(sorted(gens | {gen}), np.int64))
+    return added
+
+
 def search_ivf_store(store_dir: str, queries: np.ndarray, k: int = 5,
                      nprobe: int = 4) -> pa.Table:
     """Top-k cosine over ONLY the probed lists' files."""
@@ -109,10 +178,15 @@ def search_ivf_store(store_dir: str, queries: np.ndarray, k: int = 5,
     index, _sizes = load_ivf_store(store_dir)
     probes = index.probe_lists(queries, nprobe)  # (nq, nprobe)
     wanted = sorted({int(x) for x in probes.reshape(-1)})
+    gens = _committed_gens(store_dir)
+    # prune twice: only probed lists, only COMMITTED generations (a crashed
+    # ingest's orphan files must stay invisible)
     files = sorted(
         os.path.join(store_dir, f)
         for f in os.listdir(store_dir)
-        if f.startswith("list=") and int(f.split("=", 1)[1].split("-", 1)[0]) in wanted
+        if f.startswith("list=")
+        and int(f.split("=", 1)[1].split("-", 1)[0]) in wanted
+        and _file_gen(f) in gens
     )
     qn = _normalize(queries)
     payload_ref = ray.put((qn, probes))

@@ -111,3 +111,58 @@ def test_ivf_store_build_search_and_prune(tmp_path, ray_session):
     os.remove(os.path.join(store, "centroids.npz"))
     with _pytest.raises(FileNotFoundError):
         load_ivf_store(store)
+
+
+def test_ivf_store_incremental_ingest(tmp_path, ray_session):
+    """Two-increment build+ingest == one-shot full-probe results; a crashed
+    ingest's orphan generation files are invisible to search."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from monocator_ray.sources.annstore import (
+        build_ivf_store, ingest_ivf_store, load_ivf_store, search_ivf_store,
+    )
+    from monocator_ray.stages.ann import _normalize, table_to_matrix
+
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    n = t.num_rows
+    first, rest = t.slice(0, n // 2), t.slice(n // 2)
+
+    store = str(tmp_path / "ivf2")
+    build_ivf_store(rd.from_arrow(first), store, nlist=8)
+    added = ingest_ivf_store(rd.from_arrow(rest), store)
+    assert added == rest.num_rows
+    _index, sizes = load_ivf_store(store)
+    assert sizes.sum() == n
+
+    # full-probe search over the two-increment store == brute force over
+    # the WHOLE table (the same exactness contract as the one-shot store)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = table_to_matrix(t)
+    queries = m[:4]
+    got = search_ivf_store(store, queries, k=5, nprobe=8).to_pandas()
+    sims = _normalize(queries) @ _normalize(m).T
+    for qi in range(len(queries)):
+        want = ids[np.lexsort((ids, -sims[qi]))[:5]].tolist()
+        have = got[got.query_id == qi].sort_values("rank")["vec_id"].tolist()
+        assert have == want, f"query {qi}"
+
+    # crashed ingest: an orphan generation file (no npz commit) is ignored
+    orphan = pa.table({
+        "vec_id": pa.array([10 ** 9], pa.int64()),
+        "embedding": pa.array([m[0].tolist()], pa.list_(pa.float32())),
+    })
+    pq.write_table(orphan, os.path.join(store, "list=0-g99-999.parquet"))
+    got2 = search_ivf_store(store, queries, k=5, nprobe=8).to_pandas()
+    assert 10 ** 9 not in set(got2["vec_id"])
+    # a follow-up ingest never reuses the orphan's generation number
+    added2 = ingest_ivf_store(rd.from_arrow(first.slice(0, 3)), store)
+    assert added2 == 3
+    gens = {f for f in os.listdir(store) if "-g100-" in f}
+    assert gens, "next gen should be 100 (max present 99 + 1)"
