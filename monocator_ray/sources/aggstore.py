@@ -49,8 +49,8 @@ def ingest_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
     ensure_shipped()
     os.makedirs(store_dir, exist_ok=True)
     part = driver_grouped_agg(ds, key_cols, aggs, names)
-    gens = [int(f[4:-8]) for f in os.listdir(store_dir)
-            if f.startswith("run=") and f.endswith(".parquet")]
+    gens = [_gen_of(f) for f in os.listdir(store_dir)
+            if f.endswith(".parquet") and (f.startswith("run=") or f.startswith("base="))]
     gen = max(gens) + 1 if gens else 0
     fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
     os.close(fd)
@@ -59,13 +59,37 @@ def ingest_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
     return part
 
 
+def _gen_of(fname: str) -> int:
+    return int(fname.split("=", 1)[1][:-8])
+
+
+def _live_files(store_dir: str) -> list[str]:
+    """The LSM view: the NEWEST base (a full compaction, gen B) plus every
+    run with gen > B.  Runs <= B are superseded the instant the base's
+    atomic rename lands, so a compaction crash that never unlinked them
+    cannot double-count."""
+    runs, bases = [], []
+    for f in os.listdir(store_dir):
+        if not f.endswith(".parquet"):
+            continue
+        if f.startswith("run="):
+            runs.append(f)
+        elif f.startswith("base="):
+            bases.append(f)
+    live: list[str] = []
+    b = -1
+    if bases:
+        newest = max(bases, key=_gen_of)
+        b = _gen_of(newest)
+        live.append(newest)
+    live.extend(f for f in runs if _gen_of(f) > b)
+    return sorted(os.path.join(store_dir, f) for f in live)
+
+
 def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
     """Fold every committed generation into the current view (sorted by
     key).  Fold rules come from the column-name convention (_FOLDS)."""
-    files = sorted(
-        os.path.join(store_dir, f) for f in os.listdir(store_dir)
-        if f.startswith("run=") and f.endswith(".parquet")
-    )
+    files = _live_files(store_dir)
     if not files:
         raise FileNotFoundError(
             f"aggstore {store_dir!r} has no committed generations "
@@ -76,3 +100,29 @@ def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
     how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}
     out = allp.groupby(key_cols, as_index=False).agg(how)
     return out.sort_values(key_cols).reset_index(drop=True)
+
+
+def compact(store_dir: str, key_cols: list[str]) -> int:
+    """Fold all live generations into ONE ``base=<G>.parquet`` (G = the
+    newest live gen) — the aggstore analog of fpstore's LSM compaction,
+    bounding read fan-in after many increments.  Commit is the base's
+    atomic rename; superseded runs are unlinked best-effort afterwards (a
+    crash between the two leaves them visible on disk but DEAD to
+    ``_live_files``'s gen rule).  Returns the compacted group count."""
+    live = _live_files(store_dir)
+    if not live:
+        raise FileNotFoundError(f"aggstore {store_dir!r} has nothing to compact")
+    merged = read_merged(store_dir, key_cols)
+    g = max(_gen_of(os.path.basename(f)) for f in live)
+    fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(store_dir, f"base={g}.parquet"))  # commit
+    for f in live:  # best-effort cleanup of superseded files
+        name = os.path.basename(f)
+        if name != f"base={g}.parquet":
+            try:
+                os.unlink(f)
+            except OSError:
+                pass
+    return len(merged)

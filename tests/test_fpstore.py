@@ -255,3 +255,55 @@ def test_training_shards_reassemble_the_shuffled_corpus(tmp_path):
     want = ids[order].tolist()  # doc at rank k
     by_pos = [i for _, i in sorted(zip(got_pos, got_ids))]
     assert by_pos == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_aggstore_compact_preserves_view(tmp_path):
+    """compact() folds live generations into one base: the view is
+    unchanged, later ingests keep folding, a superseded run left behind
+    by a crashed cleanup stays DEAD (gen <= base), and n_docs-style
+    count partials never double-count."""
+    import os
+
+    import pandas as pd
+
+    from monocator_ray.sources.aggstore import (
+        compact, ingest_partials, read_merged,
+    )
+    from monocator_ray.stages.grouped import cached_stage
+    from monocator_ray.stages.textstats import TokenCounter
+
+    def tbl(lo, n, lang):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array(list(range(lo, lo + n)), pa.int64()),
+             "text": pa.array([f"t {'w ' * (i % 4)}" for i in range(n)], pa.string()),
+             "lang": pa.array([lang] * n, pa.string())}
+        )).map_batches(cached_stage(TokenCounter), batch_format="pyarrow")
+
+    aggs = [("n_tokens", "count"), ("n_tokens", "sum")]
+    names = ["lang", "n_docs", "total_tokens"]
+    store = str(tmp_path / "agg")
+    ingest_partials(tbl(0, 10, "en"), store, ["lang"], aggs, names)
+    ingest_partials(tbl(10, 5, "fr"), store, ["lang"], aggs, names)
+    ingest_partials(tbl(15, 7, "en"), store, ["lang"], aggs, names)
+    before = read_merged(store, ["lang"])
+    n_groups = compact(store, ["lang"])
+    assert n_groups == len(before)
+    after = read_merged(store, ["lang"])
+    pd.testing.assert_frame_equal(before, after)
+    # exactly one live parquet remains
+    live = [f for f in os.listdir(store) if f.endswith(".parquet")]
+    assert live == ["base=2.parquet"]
+
+    # crashed cleanup: a stale superseded run reappears -> still dead
+    import pyarrow.parquet as pq_
+
+    pq_.write_table(pa.Table.from_pandas(before, preserve_index=False),
+                    os.path.join(store, "run=1.parquet"))
+    pd.testing.assert_frame_equal(read_merged(store, ["lang"]), after)
+
+    # ingest after compaction folds on top (gen 3 > base 2)
+    ingest_partials(tbl(50, 4, "fr"), store, ["lang"], aggs, names)
+    got = read_merged(store, ["lang"])
+    assert int(got[got.lang == "fr"]["n_docs"].iloc[0]) == 9
+    assert int(got[got.lang == "en"]["n_docs"].iloc[0]) == 17
