@@ -73,14 +73,21 @@ def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
     ensure_shipped()
     with open(os.path.join(store_dir, "meta.json")) as fh:
         meta = json.load(fh)
-    gens = [
-        int(f.split("-g")[1].split("-")[0])
+    present = [
+        _bucket_file_gen(f)
         for f in os.listdir(store_dir)
-        if f.startswith("bucket=") and "-g" in f
+        if f.startswith("bucket=")
     ]
+    committed = meta.get("gens", [0])
+    # never renumber onto ANY existing run, committed or orphan
     return _ingest(docs, store_dir, meta["num_buckets"],
-                   gen=(max(gens) + 1 if gens else 1),
+                   gen=max(present + committed) + 1,
                    prev_docs=meta["n_docs"])
+
+
+def _bucket_file_gen(fname: str) -> int:
+    """bucket=<id>-g<gen>-<blockkey>.parquet -> gen."""
+    return int(fname.split("-g")[1].split("-")[0]) if "-g" in fname else 0
 
 
 def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
@@ -132,9 +139,15 @@ def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
     # empty increment -> degraded schema-less frame (the zero-column class)
     n_docs = prev_docs + (int(counts["n"].sum()) if "n" in counts.columns else 0)
     # success marker LAST: a crashed build leaves no meta.json (or, on
-    # ingest, the previous meta) and never counts half an increment
+    # ingest, the previous meta, whose committed-gens list keeps the
+    # orphan generation's files INVISIBLE to search — the annstore rule)
+    prev_gens = []
+    if gen > 0:
+        with open(os.path.join(store_dir, "meta.json")) as fh:
+            prev_gens = json.load(fh).get("gens", [0])
     with open(os.path.join(store_dir, "meta.json"), "w") as fh:
-        json.dump({"n_docs": n_docs, "num_buckets": num_buckets}, fh)
+        json.dump({"n_docs": n_docs, "num_buckets": num_buckets,
+                   "gens": sorted(set(prev_gens) | {gen})}, fh)
     return n_docs
 
 
@@ -150,14 +163,19 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
     with open(os.path.join(store_dir, "meta.json")) as fh:
         meta = json.load(fh)
     n_docs, nb = meta["n_docs"], meta["num_buckets"]
+    gens = set(meta.get("gens", [0]))
     want = set(
         (hash_str64(np.array(list(terms), dtype=object)) % np.uint64(nb))
         .astype(np.int64).tolist()
     )
+    # prune twice: only the query terms' buckets, only COMMITTED
+    # generations (a crashed ingest's orphan files stay invisible)
     files = [
         os.path.join(store_dir, f)
         for f in sorted(os.listdir(store_dir))
-        if f.startswith("bucket=") and int(f.split("=")[1].split("-")[0]) in want
+        if f.startswith("bucket=")
+        and int(f.split("=")[1].split("-")[0]) in want
+        and _bucket_file_gen(f) in gens
     ]
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "score": pa.array([], pa.int64())})
@@ -204,3 +222,48 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
         .head(k).reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def compact_inverted_store(store_dir: str) -> int:
+    """Merge each bucket's live generation files into ONE term-sorted file
+    at a fresh generation, committed by the meta.json rewrite (gens=[G])
+    — the LSM full compaction the fpstore/aggstore/annstore siblings have.
+    Postings are additive, so the merge is a concat + (term, doc_id) sort
+    + tf sum; a crash before the meta rewrite leaves only dead orphan
+    files.  Returns the number of live postings files after compaction."""
+    with open(os.path.join(store_dir, "meta.json")) as fh:
+        meta = json.load(fh)
+    gens = set(meta.get("gens", [0]))
+    present = [_bucket_file_gen(f) for f in os.listdir(store_dir)
+               if f.startswith("bucket=")]
+    g = max(present + sorted(gens)) + 1
+    by_bucket: dict[int, list[str]] = {}
+    for f in os.listdir(store_dir):
+        if f.startswith("bucket=") and _bucket_file_gen(f) in gens:
+            by_bucket.setdefault(int(f.split("=")[1].split("-")[0]), []).append(f)
+    written = 0
+    for bid, fnames in sorted(by_bucket.items()):
+        tables = [pq.read_table(os.path.join(store_dir, f)) for f in fnames]
+        t = pa.concat_tables(tables)
+        # concat generations and restore the term-sorted layout the
+        # row-group pruning relies on; the group_by is a no-op under the
+        # ingest contract (doc_ids disjoint across increments, like
+        # fpstore) and guards the sum if that contract is ever violated
+        merged = (t.group_by(["term", "doc_id"]).aggregate([("tf", "sum")])
+                  .rename_columns(["term", "doc_id", "tf"])
+                  .sort_by([("term", "ascending"), ("doc_id", "ascending")]))
+        pq.write_table(merged, os.path.join(store_dir, f"bucket={bid}-g{g}-0.parquet"))
+        written += 1
+    # THE commit: only generation g is live from here on
+    with open(os.path.join(store_dir, "meta.json"), "w") as fh:
+        json.dump({"n_docs": meta["n_docs"], "num_buckets": meta["num_buckets"],
+                   "gens": [g]}, fh)
+    # best-effort cleanup: after the commit EVERYTHING but generation g is
+    # dead — including crashed-ingest orphans from before the compaction
+    for f in os.listdir(store_dir):
+        if f.startswith("bucket=") and _bucket_file_gen(f) != g:
+            try:
+                os.unlink(os.path.join(store_dir, f))
+            except OSError:
+                pass
+    return written

@@ -26,7 +26,7 @@ def test_inverted_store_matches_scan_path(tmp_path):
     n_docs = build_inverted_store(docs, store, num_buckets=16)
     assert n_docs == docs.count()
     meta = json.load(open(os.path.join(store, "meta.json")))
-    assert meta == {"n_docs": n_docs, "num_buckets": 16}
+    assert meta == {"n_docs": n_docs, "num_buckets": 16, "gens": [0]}
 
     got = search_inverted_store(store, _SEARCH_TERMS, k=20).to_pandas()
     want = q_keyword_search(sf, k=20).to_pandas()
@@ -137,3 +137,49 @@ def test_empty_text_docs_still_count_toward_n_docs(tmp_path):
     out = search_inverted_store(store, ("the", "of"), k=5).to_pandas()
     assert sorted(out.to_dict("records"), key=lambda r: r["doc_id"]) == [
         {"doc_id": 1, "score": 4}, {"doc_id": 2, "score": 4}]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crashed_ingest_invisible_and_compaction(tmp_path):
+    """Committed-gens discipline (the annstore rule): a crashed ingest's
+    orphan files never reach search; compact() folds live generations
+    into one file per bucket with identical results."""
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, compact_inverted_store, ingest_inverted_store,
+        search_inverted_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    store = str(tmp_path / "inv")
+    n = docs.count()
+    build_inverted_store(docs.filter(expr=f"doc_id < {n // 2}"), store, num_buckets=8)
+    ingest_inverted_store(docs.filter(expr=f"doc_id >= {n // 2}"), store)
+    want = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+
+    # crashed ingest: generation files written, meta NEVER rewritten
+    orphan = pa.table({"doc_id": pa.array([10 ** 7], pa.int64()),
+                       "text": pa.array(["the the the the the the"], pa.string())})
+    meta_before = open(os.path.join(store, "meta.json")).read()
+    # simulate: run a real ingest, then roll the meta back (as a crash
+    # between file writes and the meta rewrite would leave it)
+    ingest_inverted_store(rd.from_arrow(orphan), store)
+    open(os.path.join(store, "meta.json"), "w").write(meta_before)
+    got = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+    assert got.to_dict("records") == want.to_dict("records")
+    assert 10 ** 7 not in set(got["doc_id"])
+
+    # compaction: one live file per bucket, results unchanged, orphans gone
+    n_files = compact_inverted_store(store)
+    got2 = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+    assert got2.to_dict("records") == want.to_dict("records")
+    live = [f for f in os.listdir(store) if f.startswith("bucket=")]
+    assert len(live) == n_files  # compaction unlinked everything dead
+    buckets = {f.split("=")[1].split("-")[0] for f in live}
+    assert len(buckets) == len(live)  # exactly one file per bucket
+    # ingest after compaction keeps working
+    ingest_inverted_store(rd.from_arrow(pa.table(
+        {"doc_id": pa.array([10 ** 8], pa.int64()),
+         "text": pa.array(["of of of of of of of of of of"], pa.string())})), store)
+    got3 = search_inverted_store(store, ("of",), k=3).to_pandas()
+    assert 10 ** 8 in set(got3["doc_id"])
