@@ -33,35 +33,6 @@ def _init_ray(num_cpus: int | None) -> None:
     DataContext.get_current().enable_progress_bars = False
 
 
-def _drop_noindex(docs, out_dir: str):
-    """Remove pages flagged noindex by <meta name="robots"> from a corpus
-    Dataset (doc_id = int64 view of the url hash).  The flag lives in the
-    features artifact; a native left_anti join keeps the exclusion
-    distributed.  Skipped entirely when no page is flagged — an EMPTY join
-    side has schema None and crashes acero (round-notes trap)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from monocator_ray import report
-
-    try:
-        feats = report._read_artifact(out_dir, "features")
-    except Exception:
-        return docs  # no features artifact (pure-pages input): nothing to do
-
-    def hashes(t: pa.Table) -> pa.Table:
-        keep = t.filter(t["noindex"]) if "noindex" in t.column_names else t.slice(0, 0)
-        ids = keep["url_hash"].to_numpy(zero_copy_only=False).view(np.int64) \
-            if keep.num_rows else np.empty(0, np.int64)
-        return pa.table({"doc_id": pa.array(ids, pa.int64())})
-
-    noidx = feats.map_batches(hashes, batch_format="pyarrow").materialize()
-    if noidx.count() == 0:
-        return docs
-    return docs.join(noidx, join_type="left_anti", num_partitions=8,
-                     on=("doc_id",))
-
-
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="monocator_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -281,7 +252,9 @@ def main(argv: list[str] | None = None) -> int:
                              "text": t["text"]})
 
         docs = pages.map_batches(to_docs, batch_format="pyarrow")
-        docs = _drop_noindex(docs, args.out)
+        from monocator_ray.report import drop_noindex
+
+        docs = drop_noindex(docs, args.out)
         corpus = curate_dataset(
             docs, min_tokens=args.min_tokens, keep_text=True,
         ).materialize()

@@ -134,9 +134,9 @@ def q_crawl_corpus(sf_dir: str):
         ids = hash_str64(t["url"].to_pylist()).view(np.int64)
         return pa.table({"doc_id": pa.array(ids, pa.int64()), "text": t["text"]})
 
-    from monocator_ray.__main__ import _drop_noindex
+    from monocator_ray.report import drop_noindex
 
-    docs = _drop_noindex(
+    docs = drop_noindex(
         pages.map_batches(to_docs, batch_format="pyarrow"),
         f"/tmp/monocator_q_crawl_out_{os.getpid()}",
     )

@@ -644,3 +644,31 @@ def canonical_groups(out_dir: str) -> rd.Dataset:
         groups_part,
         num_parts=32,
     ).sort("canonical_url")
+
+
+def drop_noindex(docs: rd.Dataset, out_dir: str) -> rd.Dataset:
+    """Remove pages flagged noindex by <meta name="robots"> from a corpus
+    Dataset (doc_id = int64 view of the url hash).  The flag lives in the
+    features artifact; a native left_anti join (sized adaptively from the
+    corpus bytes — grouped.join_partitions_for_bytes rationale) keeps the
+    exclusion distributed.  Skipped entirely when no page is flagged — an
+    EMPTY join side has schema None and crashes acero (round-notes trap)."""
+    from monocator_ray.stages.grouped import join_partitions_for_bytes
+
+    try:
+        feats = _read_artifact(out_dir, "features")
+    except Exception:
+        return docs  # no features artifact (pure-pages input): nothing to do
+
+    def hashes(t: pa.Table) -> pa.Table:
+        keep = t.filter(t["noindex"]) if "noindex" in t.column_names else t.slice(0, 0)
+        ids = keep["url_hash"].to_numpy(zero_copy_only=False).view(np.int64) \
+            if keep.num_rows else np.empty(0, np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    noidx = feats.map_batches(hashes, batch_format="pyarrow").materialize()
+    if noidx.count() == 0:
+        return docs
+    return docs.join(noidx, join_type="left_anti",
+                     num_partitions=join_partitions_for_bytes(docs.size_bytes()),
+                     on=("doc_id",))

@@ -86,6 +86,14 @@ def _live_files(store_dir: str) -> list[str]:
     return sorted(os.path.join(store_dir, f) for f in live)
 
 
+def _fold_files(files: list[str], key_cols: list[str]) -> pd.DataFrame:
+    frames = [pq.read_table(f).to_pandas() for f in files]
+    allp = pd.concat(frames, ignore_index=True)
+    how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}
+    out = allp.groupby(key_cols, as_index=False).agg(how)
+    return out.sort_values(key_cols).reset_index(drop=True)
+
+
 def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
     """Fold every committed generation into the current view (sorted by
     key).  Fold rules come from the column-name convention (_FOLDS)."""
@@ -95,11 +103,7 @@ def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
             f"aggstore {store_dir!r} has no committed generations "
             "(view read before its first refresh?)"
         )
-    frames = [pq.read_table(f).to_pandas() for f in files]
-    allp = pd.concat(frames, ignore_index=True)
-    how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}
-    out = allp.groupby(key_cols, as_index=False).agg(how)
-    return out.sort_values(key_cols).reset_index(drop=True)
+    return _fold_files(files, key_cols)
 
 
 def compact(store_dir: str, key_cols: list[str]) -> int:
@@ -112,17 +116,25 @@ def compact(store_dir: str, key_cols: list[str]) -> int:
     live = _live_files(store_dir)
     if not live:
         raise FileNotFoundError(f"aggstore {store_dir!r} has nothing to compact")
-    merged = read_merged(store_dir, key_cols)
+    # fold EXACTLY the live list captured above — re-listing the directory
+    # here would fold a concurrently-committed run into the base while the
+    # gen rule also keeps that run live -> double count (code-review
+    # r3-closing-2 finding #4)
+    merged = _fold_files(live, key_cols)
     g = max(_gen_of(os.path.basename(f)) for f in live)
     fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
     os.close(fd)
     pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
     os.replace(tmp, os.path.join(store_dir, f"base={g}.parquet"))  # commit
-    for f in live:  # best-effort cleanup of superseded files
-        name = os.path.basename(f)
-        if name != f"base={g}.parquet":
+    # best-effort cleanup: EVERYTHING superseded by the new base — runs and
+    # bases with gen <= g, including garbage a crashed earlier cleanup left
+    # (finding #6); leftovers are dead by the gen rule either way
+    for name in os.listdir(store_dir):
+        if not name.endswith(".parquet") or name == f"base={g}.parquet":
+            continue
+        if (name.startswith("run=") or name.startswith("base=")) and _gen_of(name) <= g:
             try:
-                os.unlink(f)
+                os.unlink(os.path.join(store_dir, name))
             except OSError:
                 pass
     return len(merged)

@@ -88,9 +88,23 @@ def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
     counts = manifest.groupby("list_id")["n"].sum()
     sizes = np.zeros(len(index.centroids), np.int64)
     sizes[counts.index.to_numpy()] = counts.to_numpy()
-    np.savez(os.path.join(store_dir, "centroids.npz"),
-             centroids=index.centroids, sizes=sizes)
+    _write_marker(store_dir, centroids=index.centroids, sizes=sizes,
+                  gens=np.array([0], np.int64))
     return index
+
+
+def _write_marker(store_dir: str, **arrays) -> None:
+    """Atomic centroids.npz commit: an in-place np.savez over the LIVE
+    marker would truncate it first — a crash mid-write destroys the whole
+    store, strictly worse than the orphan case the gens machinery guards
+    (code-review r3-closing-2 finding #2).  Temp file + os.replace."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".npztmp")
+    os.close(fd)
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **arrays)
+    os.replace(tmp, os.path.join(store_dir, "centroids.npz"))
 
 
 def load_ivf_store(store_dir: str) -> tuple[IvfIndex, np.ndarray]:
@@ -165,9 +179,8 @@ def ingest_ivf_store(emb: rd.Dataset, store_dir: str) -> int:
         sizes = sizes.copy()
         sizes[counts.index.to_numpy()] += counts.to_numpy()
         added = int(counts.sum())
-    np.savez(os.path.join(store_dir, "centroids.npz"),
-             centroids=index.centroids, sizes=sizes,
-             gens=np.array(sorted(gens | {gen}), np.int64))
+    _write_marker(store_dir, centroids=index.centroids, sizes=sizes,
+                  gens=np.array(sorted(gens | {gen}), np.int64))
     return added
 
 

@@ -33,17 +33,29 @@ def export_duckdb(parquet_files: list[str], db_path: str, table: str,
 
     if not parquet_files:
         raise ValueError("no parquet files to export")
+
+    def ident(name: str) -> str:
+        # double-quote escaping for identifiers; paths go through parameter
+        # binding below, never string interpolation (a quote in a path or
+        # table name must not splice the statement — code-review
+        # r3-closing-2 finding #10)
+        return '"' + name.replace('"', '""') + '"'
+
     con = duckdb.connect(db_path)
     try:
-        proj = ", ".join(f'"{c}"' for c in columns) if columns else "*"
-        src = f"read_parquet({parquet_files!r})"
+        proj = ", ".join(ident(c) for c in columns) if columns else "*"
+        src = "read_parquet(?)"
         if mode == "replace":
-            con.execute(f'CREATE OR REPLACE TABLE "{table}" AS SELECT {proj} FROM {src}')
+            con.execute(
+                f"CREATE OR REPLACE TABLE {ident(table)} AS SELECT {proj} FROM {src}",
+                [list(parquet_files)],
+            )
         elif mode == "append":
-            con.execute(f'INSERT INTO "{table}" SELECT {proj} FROM {src}')
+            con.execute(f"INSERT INTO {ident(table)} SELECT {proj} FROM {src}",
+                        [list(parquet_files)])
         else:
             raise ValueError(f"unknown mode {mode!r}")
-        (n,) = con.execute(f'SELECT COUNT(*) FROM "{table}"').fetchone()
+        (n,) = con.execute(f"SELECT COUNT(*) FROM {ident(table)}").fetchone()
         return int(n)
     finally:
         con.close()
@@ -90,7 +102,8 @@ def read_duckdb(db_path: str, table: str) -> rd.Dataset:
 
     con = duckdb.connect(db_path, read_only=True)
     try:
-        tbl = con.execute(f'SELECT * FROM "{table}"').arrow()
+        safe = '"' + table.replace('"', '""') + '"'
+        tbl = con.execute(f"SELECT * FROM {safe}").arrow()
     finally:
         con.close()
     if isinstance(tbl, pa.RecordBatchReader):  # duckdb>=1.0 returns a reader

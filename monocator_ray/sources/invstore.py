@@ -78,7 +78,7 @@ def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
         for f in os.listdir(store_dir)
         if f.startswith("bucket=")
     ]
-    committed = meta.get("gens", [0])
+    committed = sorted(_committed_gens(store_dir, meta))
     # never renumber onto ANY existing run, committed or orphan
     return _ingest(docs, store_dir, meta["num_buckets"],
                    gen=max(present + committed) + 1,
@@ -88,6 +88,32 @@ def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
 def _bucket_file_gen(fname: str) -> int:
     """bucket=<id>-g<gen>-<blockkey>.parquet -> gen."""
     return int(fname.split("-g")[1].split("-")[0]) if "-g" in fname else 0
+
+
+def _committed_gens(store_dir: str, meta: dict) -> set[int]:
+    """Committed generations.  A meta without a 'gens' key predates the
+    committed-gens discipline, when EVERY present file was live — treat
+    all present generations as committed (defaulting to {0} would drop,
+    and compaction would then DELETE, that store's increments —
+    code-review r3-closing-2 finding #1)."""
+    if "gens" in meta:
+        return set(meta["gens"])
+    return {
+        _bucket_file_gen(f) for f in os.listdir(store_dir)
+        if f.startswith("bucket=")
+    } or {0}
+
+
+def _write_meta(store_dir: str, meta: dict) -> None:
+    """Atomic meta commit: a crash DURING an in-place rewrite would leave
+    a truncated meta.json and an unreadable store (finding #3) — write a
+    temp file and os.replace it."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".metatmp")
+    with os.fdopen(fd, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(store_dir, "meta.json"))
 
 
 def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
@@ -141,13 +167,12 @@ def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
     # success marker LAST: a crashed build leaves no meta.json (or, on
     # ingest, the previous meta, whose committed-gens list keeps the
     # orphan generation's files INVISIBLE to search — the annstore rule)
-    prev_gens = []
+    prev_gens: set[int] = set()
     if gen > 0:
         with open(os.path.join(store_dir, "meta.json")) as fh:
-            prev_gens = json.load(fh).get("gens", [0])
-    with open(os.path.join(store_dir, "meta.json"), "w") as fh:
-        json.dump({"n_docs": n_docs, "num_buckets": num_buckets,
-                   "gens": sorted(set(prev_gens) | {gen})}, fh)
+            prev_gens = _committed_gens(store_dir, json.load(fh)) - {gen}
+    _write_meta(store_dir, {"n_docs": n_docs, "num_buckets": num_buckets,
+                            "gens": sorted(prev_gens | {gen})})
     return n_docs
 
 
@@ -163,7 +188,7 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
     with open(os.path.join(store_dir, "meta.json")) as fh:
         meta = json.load(fh)
     n_docs, nb = meta["n_docs"], meta["num_buckets"]
-    gens = set(meta.get("gens", [0]))
+    gens = _committed_gens(store_dir, meta)
     want = set(
         (hash_str64(np.array(list(terms), dtype=object)) % np.uint64(nb))
         .astype(np.int64).tolist()
@@ -233,7 +258,7 @@ def compact_inverted_store(store_dir: str) -> int:
     files.  Returns the number of live postings files after compaction."""
     with open(os.path.join(store_dir, "meta.json")) as fh:
         meta = json.load(fh)
-    gens = set(meta.get("gens", [0]))
+    gens = _committed_gens(store_dir, meta)
     present = [_bucket_file_gen(f) for f in os.listdir(store_dir)
                if f.startswith("bucket=")]
     g = max(present + sorted(gens)) + 1
@@ -254,10 +279,9 @@ def compact_inverted_store(store_dir: str) -> int:
                   .sort_by([("term", "ascending"), ("doc_id", "ascending")]))
         pq.write_table(merged, os.path.join(store_dir, f"bucket={bid}-g{g}-0.parquet"))
         written += 1
-    # THE commit: only generation g is live from here on
-    with open(os.path.join(store_dir, "meta.json"), "w") as fh:
-        json.dump({"n_docs": meta["n_docs"], "num_buckets": meta["num_buckets"],
-                   "gens": [g]}, fh)
+    # THE commit: only generation g is live from here on (atomic rename)
+    _write_meta(store_dir, {"n_docs": meta["n_docs"],
+                            "num_buckets": meta["num_buckets"], "gens": [g]})
     # best-effort cleanup: after the commit EVERYTHING but generation g is
     # dead — including crashed-ingest orphans from before the compaction
     for f in os.listdir(store_dir):

@@ -71,11 +71,16 @@ class ExtractStage:
             page_dom = registrable_domain(page_host)
             kept: list[str] = []
             n_int = n_ext = 0
-            for href in ex.links:
+            # counts observe EVERY anchor (incl. rel=nofollow — same
+            # treatment as the meta-robots nofollow path: reporting sees
+            # what the page contains); only ex.links feed the frontier
+            for followable, href in (
+                [(True, h) for h in ex.links] + [(False, h) for h in ex.nofollow]
+            ):
                 child = join_url(base, href)
                 if not child:
                     continue
-                if len(kept) < self.link_cap:
+                if followable and len(kept) < self.link_cap:
                     kept.append(child)
                 if registrable_domain(host_of(child)) == page_dom:
                     n_int += 1

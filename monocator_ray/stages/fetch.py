@@ -287,8 +287,20 @@ class HttpFetcher:
             with self._opener.open(req, timeout=self.timeout_s) as resp:  # noqa: S310
                 body, _ = truncate_body(iter(lambda: resp.read(65536), b""), self.max_body)
                 enc = (resp.headers.get("Content-Encoding") or "").lower().strip()
-                if body and enc in ("gzip", "deflate"):
-                    body = self._decompress_capped(body, enc, self.max_body)
+                # RFC 9110: x-gzip aliases gzip; 'identity' is a no-op
+                # coding; anything else (multi-coding chains, br without a
+                # decoder) must NOT flow downstream as html — compressed
+                # bytes would poison sha256/dedup/extraction (code-review
+                # r3-closing-2 finding #7)
+                codings = [c.strip() for c in enc.split(",")
+                           if c.strip() and c.strip() != "identity"]
+                if body and codings:
+                    if codings == ["gzip"] or codings == ["x-gzip"]:
+                        body = self._decompress_capped(body, "gzip", self.max_body)
+                    elif codings == ["deflate"]:
+                        body = self._decompress_capped(body, "deflate", self.max_body)
+                    else:
+                        body = None  # undecodable encoding: status kept
                 return body, int(resp.status)
         except urllib.error.HTTPError as e:
             return None, int(e.code)

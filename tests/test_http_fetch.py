@@ -84,6 +84,21 @@ class _Handler(BaseHTTPRequestHandler):
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            elif self.path == "/xgzip":
+                import gzip as _gzip
+
+                body = _gzip.compress(b"<html><body>x-gzip alias</body></html>")
+                self.send_response(200)
+                self.send_header("Content-Encoding", "x-gzip")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            elif self.path == "/brotli":
+                self.send_response(200)
+                self.send_header("Content-Encoding", "br")
+                self.send_header("Content-Length", "4")
+                self.end_headers()
+                self.wfile.write(b"\x0b\x02\x80!")  # no br decoder here
             elif self.path == "/badgzip":
                 self.send_response(200)
                 self.send_header("Content-Encoding", "gzip")
@@ -234,6 +249,13 @@ def test_compressed_responses_decode_and_zipbomb_capped(servers):
     # broken encoding: status kept, body dropped
     assert rows["badgzip"]["fetch_status"] == 200
     assert rows["badgzip"]["html"] is None
+    # RFC 9110 x-gzip alias decodes; an undecodable coding (br) drops the
+    # body instead of leaking compressed bytes downstream as html
+    out2 = f(_batch([f"{base}/xgzip", f"{base}/brotli"]))
+    rows2 = {r["url"].rsplit("/", 1)[1]: r for r in out2.to_pylist()}
+    assert rows2["xgzip"]["html"] == b"<html><body>x-gzip alias</body></html>"
+    assert rows2["brotli"]["fetch_status"] == 200
+    assert rows2["brotli"]["html"] is None
 
 
 def test_fetch_robots_rfc9309_availability(servers):

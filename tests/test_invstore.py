@@ -183,3 +183,36 @@ def test_crashed_ingest_invisible_and_compaction(tmp_path):
          "text": pa.array(["of of of of of of of of of of"], pa.string())})), store)
     got3 = search_inverted_store(store, ("of",), k=3).to_pandas()
     assert 10 ** 8 in set(got3["doc_id"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pre_gens_meta_treats_all_files_as_live(tmp_path):
+    """Back-compat (code-review r3-closing-2 #1): a store whose meta.json
+    predates the committed-gens discipline (no 'gens' key) must treat
+    EVERY present generation as live — defaulting to {0} would drop the
+    old increments from search and compaction would then delete them."""
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, compact_inverted_store, ingest_inverted_store,
+        search_inverted_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    store = str(tmp_path / "legacy")
+    n = docs.count()
+    build_inverted_store(docs.filter(expr=f"doc_id < {n // 2}"), store, num_buckets=8)
+    ingest_inverted_store(docs.filter(expr=f"doc_id >= {n // 2}"), store)
+    want = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+
+    # rewrite meta in the OLD format (no gens key)
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    del meta["gens"]
+    json.dump(meta, open(os.path.join(store, "meta.json"), "w"))
+
+    got = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+    assert got.to_dict("records") == want.to_dict("records")
+    # compaction preserves the whole view (and upgrades the meta format)
+    compact_inverted_store(store)
+    got2 = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
+    assert got2.to_dict("records") == want.to_dict("records")
+    assert json.load(open(os.path.join(store, "meta.json")))["gens"]

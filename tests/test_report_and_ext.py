@@ -349,6 +349,19 @@ def test_meta_robots_noindex_nofollow():
     assert rows[0]["links_internal"] == 2  # counts still observed
     assert rows[1]["noindex"] is False and rows[1]["links"] == ["http://h1.test/c"]
 
+    # rel=nofollow: same counting treatment as meta-robots nofollow —
+    # counts observe the anchor, the frontier never gets it
+    page_rel = (b'<html><body><a href="/a">a</a>'
+                b'<a rel="nofollow" href="http://other.test/x">x</a></body></html>')
+    batch2 = pa.table({
+        "url": pa.array(["http://h1.test/z"], pa.string()),
+        "html": pa.array([page_rel], pa.binary()),
+        "fetch_status": pa.array(np.array([200], np.int32), pa.int32()),
+    })
+    r2 = ExtractStage(link_cap=16, with_vat=False)(batch2).to_pylist()[0]
+    assert r2["links"] == ["http://h1.test/a"]  # nofollow not followed
+    assert r2["links_internal"] == 1 and r2["links_external"] == 1  # but counted
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_canonical_extraction_and_groups(tmp_path):
