@@ -1395,16 +1395,24 @@ def q_neardup_clusters(sf_dir: str) -> rd.Dataset:
 # ---- embedding-cosine near-dup pairs (rows-only) ----
 class _BlockPairs:
     """One (B, N) similarity block per batch against the broadcast
-    normalized corpus — no O(N^2) matrix exists anywhere."""
+    QUANTIZED corpus — no O(N^2) matrix exists anywhere.  Uses the
+    ann.quantize_ints exact-arithmetic bridge (the ann_exact_topk
+    discipline): int64 dots/norms, sim = float(dot)/sqrt(float(bb)*
+    float(qq)) — the identical IEEE expression DuckDB evaluates, which is
+    what upgrades this query from rows-only to SQL-oracle-backed."""
 
     def __init__(self, ref, thr):
-        self.full, self.full_ids = ray.get(ref)  # once per worker
+        self.Q, self.qq, self.full_ids = ray.get(ref)  # once per worker
         self.thr = thr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        m = _normalize(table_to_matrix(batch))
+        from monocator_ray.stages.ann import quantize_ints
+
+        B = quantize_ints(table_to_matrix(batch))
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        sims = m @ self.full.T
+        dot = (B @ self.Q.T).astype(np.float64)  # int64 matmul: exact
+        bb = np.einsum("ij,ij->i", B, B).astype(np.float64)
+        sims = dot / np.sqrt(bb[:, None] * self.qq[None, :].astype(np.float64))
         keep = (sims >= self.thr) & (self.full_ids[None, :] > ids[:, None])
         bi, fj = np.nonzero(keep)
         return pa.table(
@@ -1452,12 +1460,20 @@ def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
 
     Default threshold tuned so the driver tables yield a non-empty result
     (their random embeddings top out ~0.51 cosine); real corpora use ~0.95.
+
+    SQL-ORACLED since r3-closing: similarities use the quantized-integer
+    bridge (ann.quantize_ints), so DuckDB's self-join over
+    list_inner_product of the same quantized lists produces bit-identical
+    sims and the identical pair set.
     """
+    from monocator_ray.stages.ann import quantize_ints
+
     ensure_shipped()
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    full = _normalize(table_to_matrix(tbl))
+    Q = quantize_ints(table_to_matrix(tbl))
+    qq = np.einsum("ij,ij->i", Q, Q)
     full_ids = tbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bcast = ray.put((full, full_ids))
+    bcast = ray.put((Q, qq, full_ids))
 
     emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     out = emb.map_batches(

@@ -1347,6 +1347,25 @@ REGISTRY: dict = {
     # min-doc_id representative (rows-only; union-find-pinned in pytest,
     # removal tail shared with the SQL-oracled dedup_jaccard)
     "dedup_minhash": (D.q_dedup_minhash, None),
+    # exact all-pairs embedding near-dup — SQL-oracled via the quantized
+    # integer bridge (the ann_exact_topk discipline)
+    "embedding_neardup": (
+        D.q_embedding_neardup,
+        """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE)*1024) AS BIGINT)) AS qv
+          FROM embeddings),
+        n AS (SELECT vec_id, qv, list_inner_product(qv, qv) AS qq FROM q)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               CAST(FLOOR((list_inner_product(a.qv, b.qv)
+                           / sqrt(a.qq * b.qq)) * 100) AS BIGINT) AS sim_pct
+        FROM n a JOIN n b ON b.vec_id > a.vec_id
+        WHERE (list_inner_product(a.qv, b.qv) / sqrt(a.qq * b.qq)) >= 0.45
+        ORDER BY vec_a, vec_b
+        """,
+    ),
     # distributed covariance PCA (exact-int64 d^2 partials; rows-only —
     # eigendecomposition has no SQL analog; numpy-pinned in pytest)
     "embedding_pca": (D.q_embedding_pca, None),
@@ -1598,7 +1617,7 @@ REGISTRY: dict = {
     "lm_perplexity": (D.q_lm_perplexity, None),
     "bpe_tokenize": (D.q_bpe_tokenize, None),
     "neardup_clusters": (D.q_neardup_clusters, None),
-    "embedding_neardup": (D.q_embedding_neardup, None),
+    # (embedding_neardup moved up: SQL-oracled via the quantized bridge)
     "embedding_neardup_lsh": (D.q_embedding_neardup_lsh, None),
     # Count-Min-Sketch approximate term counts vs exact top-k (sketch op —
     # no SQL analog; accuracy pinned by tests/test_cms.py)

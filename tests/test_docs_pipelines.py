@@ -123,12 +123,14 @@ def test_embedding_neardup_matches_all_pairs_matrix():
 
     got = _pdf(q_embedding_neardup(SF_DIR))
 
+    # driver recompute with the SAME quantized-integer bridge the engine
+    # (and the DuckDB oracle) use — bit-identical sims by construction
+    from monocator_ray.stages.ann import quantize_ints
+
     tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"])
-    m = table_to_matrix(tbl)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1
-    m = m / norms
-    sims = m @ m.T
+    Q = quantize_ints(table_to_matrix(tbl))
+    qq = np.einsum("ij,ij->i", Q, Q).astype(np.float64)
+    sims = (Q @ Q.T).astype(np.float64) / np.sqrt(qq[:, None] * qq[None, :])
     ids = tbl["vec_id"].to_numpy(zero_copy_only=False)
     ii, jj = np.nonzero(np.triu(sims >= 0.45, k=1))
     want = sorted(
