@@ -172,6 +172,8 @@ BENCH_QUERIES = [
     "skyline_customers",
     "integrity_audit",
     "shortest_paths",
+    "order_peer_stats",
+    "embedding_neardup",
 ]
 
 

@@ -1240,6 +1240,22 @@ REGISTRY: dict = {
         ORDER BY e.event_id
         """,
     ),
+    # window frame EXCLUDE CURRENT ROW: per-order peer (leave-one-out) stats
+    "order_peer_stats": (
+        R.q_order_peer_stats,
+        """
+        SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS o_custkey,
+               CAST(COALESCE(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 EXCLUDE CURRENT ROW), 0) AS BIGINT) AS peer_cents,
+               CAST(COUNT(*) OVER (
+                 PARTITION BY o_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                 EXCLUDE CURRENT ROW) AS BIGINT) AS n_peers
+        FROM orders ORDER BY o_orderkey
+        """,
+    ),
     # gaps-and-islands: longest consecutive-active-day streak per user
     "user_streaks": (
         R.q_user_streaks,

@@ -2969,3 +2969,52 @@ def q_integrity_audit(sf_dir: str) -> pa.Table:
         "n_dup_customers": pa.array([dup_customers], pa.int64()),
         "n_bad_prices": pa.array([bad_prices], pa.int64()),
     })
+
+
+# ---- window frame EXCLUDE CURRENT ROW (peer statistics) ----
+def q_order_peer_stats(sf_dir: str) -> rd.Dataset:
+    """Per order: the summed cents and count of the customer's OTHER
+    orders — the window EXCLUDE CURRENT ROW frame clause (peer/leave-one-
+    out statistics; the last T.61x frame feature not yet covered: ROWS /
+    RANGE / GROUPS frames all have queries).  Decomposable exactly:
+    peer_sum = group_sum - own, n_peers = group_n - 1, so ONE user-hash
+    partition pass with a per-run sum + vectorized subtraction — no
+    per-row window evaluation.  Single-order customers get peer_cents 0
+    (the oracle COALESCEs SQL's empty-frame NULL)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"],
+             "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+             "cents": _cents(t["o_totalprice"])}
+        )
+
+    _OUT = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                      ("peer_cents", pa.int64()), ("n_peers", pa.int64())])
+
+    def peers_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="mergesort")
+        ok, ck, cents = ok[order], ck[order], cents[order]
+        starts, ends = run_boundaries(ck)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        gsum = np.repeat(cum[ends] - cum[starts], ends - starts)
+        gn = np.repeat(ends - starts, ends - starts)
+        return pa.table(
+            {"o_orderkey": pa.array(ok, pa.int64()),
+             "o_custkey": pa.array(ck, pa.int64()),
+             "peer_cents": pa.array(gsum - cents, pa.int64()),
+             "n_peers": pa.array(gn - 1, pa.int64())}
+        )
+
+    return hash_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        peers_part,
+        num_parts=32,
+    ).sort("o_orderkey")
