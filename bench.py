@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "shortest_paths",
     "order_peer_stats",
     "embedding_neardup",
+    "event_moving_median",
 ]
 
 

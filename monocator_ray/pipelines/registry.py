@@ -1256,6 +1256,18 @@ REGISTRY: dict = {
         FROM orders ORDER BY o_orderkey
         """,
     ),
+    # sliding order statistic: discrete moving median over the last 5 events
+    "event_moving_median": (
+        R.q_event_moving_median,
+        """
+        SELECT event_id, user_id,
+               CAST(quantile_disc(CAST(FLOOR(value*100) AS BIGINT), 0.5) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS med5_cents
+        FROM events ORDER BY event_id
+        """,
+    ),
     # gaps-and-islands: longest consecutive-active-day streak per user
     "user_streaks": (
         R.q_user_streaks,

@@ -3018,3 +3018,64 @@ def q_order_peer_stats(sf_dir: str) -> rd.Dataset:
         peers_part,
         num_parts=32,
     ).sort("o_orderkey")
+
+
+# ---- sliding-window order statistic: 5-event moving median ----
+def q_event_moving_median(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Per event: the DISCRETE median of the user's last ``k`` event values
+    (cents) — the sliding ORDER-STATISTIC window (robust-stats cousin of
+    event_moving_avg's sliding sum; quantile_disc semantics idx =
+    ceil(q*n)-1, the customer_median_order convention, so everything stays
+    integer-exact).  One user-hash partition pass; inside, each user run
+    builds its (n, k) sentinel-padded stride matrix, one vectorized row
+    sort, and a per-row index pick by window length — no per-row window
+    re-evaluation."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    SENT = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": t["event_id"],
+             "user_id": t["user_id"],
+             "ts_us": pa.array(
+                 t["ts"].to_numpy(zero_copy_only=False).view(np.int64), pa.int64()),
+             "cents": pc.cast(pc.floor(pc.multiply(t["value"], pa.scalar(100.0))),
+                              pa.int64())}
+        )
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("med5_cents", pa.int64())])
+
+    def med_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, cents = eid[order], uid[order], cents[order]
+        starts, ends = run_boundaries(uid)
+        out = np.empty(len(eid), np.int64)
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            v = cents[s:e]
+            n = len(v)
+            # (n, k) trailing-window matrix, +inf sentinel pads short rows
+            idx = np.arange(n)[:, None] - np.arange(k - 1, -1, -1)[None, :]
+            win = np.where(idx >= 0, v[np.clip(idx, 0, None)], SENT)
+            win.sort(axis=1)
+            wlen = np.minimum(np.arange(1, n + 1), k)
+            pick = np.ceil(wlen / 2).astype(np.int64) - 1
+            # +max sentinels sort to the END, so the real window occupies
+            # the FIRST wlen columns and the pick needs no shift
+            out[s:e] = win[np.arange(n), pick]
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "med5_cents": pa.array(out, pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        med_part,
+        num_parts=32,
+    ).sort("event_id")
