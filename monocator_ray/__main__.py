@@ -113,6 +113,17 @@ def main(argv: list[str] | None = None) -> int:
     ce.add_argument("--min-tokens", type=int, default=10)
     ce.add_argument("--plain", action="store_true", help="no gzip")
 
+    si = sub.add_parser(
+        "search",
+        help="build (once) and query the persistent inverted index over a "
+             "(doc_id, text) parquet table",
+    )
+    si.add_argument("terms", nargs="+", help="query terms")
+    si.add_argument("--table", required=True, help="parquet with doc_id, text")
+    si.add_argument("--store", required=True, help="index dir (built if absent)")
+    si.add_argument("--k", type=int, default=10)
+    si.add_argument("--rebuild", action="store_true", help="force a fresh build")
+
     rh = sub.add_parser(
         "rehearse",
         help="run EVERY registered query vs its DuckDB oracle (the driver's "
@@ -177,6 +188,26 @@ def main(argv: list[str] | None = None) -> int:
             ds = fill_text(ds)
         ds.write_parquet(args.out)
         print(json.dumps({"out": args.out, "rows": ds.count()}))
+    elif args.cmd == "search":
+        _init_ray(args.num_cpus)
+        import os
+
+        import ray.data as rd
+
+        from monocator_ray.sources.invstore import (
+            build_inverted_store, search_inverted_store,
+        )
+
+        if args.rebuild or not os.path.exists(
+            os.path.join(args.store, "meta.json")
+        ):
+            build_inverted_store(
+                rd.read_parquet(args.table, columns=["doc_id", "text"]),
+                args.store,
+            )
+        hits = search_inverted_store(args.store, tuple(args.terms), k=args.k)
+        print(json.dumps({"store": args.store, "terms": args.terms,
+                          "hits": hits.to_pylist()}))
     elif args.cmd == "duck-export":
         from monocator_ray.sources.duck import export_crawl_duckdb
 

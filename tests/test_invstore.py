@@ -216,3 +216,36 @@ def test_pre_gens_meta_treats_all_files_as_live(tmp_path):
     got2 = search_inverted_store(store, ("the", "of"), k=10).to_pandas()
     assert got2.to_dict("records") == want.to_dict("records")
     assert json.load(open(os.path.join(store, "meta.json")))["gens"]
+
+
+def test_search_cli(tmp_path):
+    """`search` subcommand: builds the index on first use, serves queries
+    from it afterwards (store reused, no rebuild)."""
+    import json as _json
+    import subprocess
+    import sys
+
+    env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+           "HOME": "/root", "RAY_ADDRESS": "local"}
+    store = str(tmp_path / "idx")
+
+    def run():
+        r = subprocess.run(
+            [sys.executable, "-m", "monocator_ray", "--num-cpus", "4",
+             "search", "the", "of", "--table",
+             "/root/testdata/sf0.001/documents.parquet",
+             "--store", store, "--k", "5"],
+            capture_output=True, text=True, env=env, cwd="/root/repo",
+            timeout=300,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return _json.loads(r.stdout.strip().splitlines()[-1])
+
+    first = run()
+    assert len(first["hits"]) == 5 and first["hits"][0]["score"] > 0
+    import os as _os
+
+    mtime = _os.path.getmtime(_os.path.join(store, "meta.json"))
+    second = run()  # reuses the committed store
+    assert second["hits"] == first["hits"]
+    assert _os.path.getmtime(_os.path.join(store, "meta.json")) == mtime
