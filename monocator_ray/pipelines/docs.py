@@ -39,6 +39,7 @@ from monocator_ray.stages.ann import (
     LshCoder,
     _normalize,
     global_topk,
+    quantize_ints,
     table_to_matrix,
 )
 from monocator_ray.stages.dedup import (
@@ -1402,17 +1403,21 @@ class _BlockPairs:
     what upgrades this query from rows-only to SQL-oracle-backed."""
 
     def __init__(self, ref, thr):
-        self.Q, self.qq, self.full_ids = ray.get(ref)  # once per worker
+        Q, qq, self.full_ids = ray.get(ref)  # once per worker
+        # float64 copies ONCE per worker: every dot is an exact integer far
+        # below 2^53, so the BLAS float64 matmul equals the int64 matmul
+        # bit-for-bit at 10-50x the speed (numpy integer matmul bypasses
+        # BLAS — code-review r3-closing-3 finding #1)
+        self.Qf = Q.astype(np.float64)
+        self.qqf = qq.astype(np.float64)
         self.thr = thr
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from monocator_ray.stages.ann import quantize_ints
-
-        B = quantize_ints(table_to_matrix(batch))
+        B = quantize_ints(table_to_matrix(batch)).astype(np.float64)
         ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        dot = (B @ self.Q.T).astype(np.float64)  # int64 matmul: exact
-        bb = np.einsum("ij,ij->i", B, B).astype(np.float64)
-        sims = dot / np.sqrt(bb[:, None] * self.qq[None, :].astype(np.float64))
+        dot = B @ self.Qf.T  # exact: integer-valued float64 products
+        bb = np.einsum("ij,ij->i", B, B)
+        sims = dot / np.sqrt(bb[:, None] * self.qqf[None, :])
         keep = (sims >= self.thr) & (self.full_ids[None, :] > ids[:, None])
         bi, fj = np.nonzero(keep)
         return pa.table(
@@ -1451,12 +1456,13 @@ class _MultiBandCoder:
 
 def q_embedding_neardup(sf_dir: str, threshold: float = 0.45) -> rd.Dataset:
     """EXACT all-pairs cosine near-dup, block-distributed (VERDICT r1 #4):
-    the normalized (N x d) matrix broadcasts once via ray.put and every
+    the QUANTIZED (N x d) matrix broadcasts once via ray.put and every
     batch computes its (B x N) similarity block on a worker, emitting only
     qualifying (vec_a < vec_b) pairs — no O(N^2) similarity matrix exists
     anywhere, on the driver or off it.  Memory contract: one worker holds
-    O(N*d) floats (1 GB at 10^6 x 256-d float32); beyond that use the
-    LSH-bucketed variant below, which never needs the full matrix.
+    O(N*d) int64 quantized values broadcast plus a float64 working copy
+    (~4 GB combined at 10^6 x 256-d); beyond that use the LSH-bucketed
+    variant below, which never needs the full matrix.
 
     Default threshold tuned so the driver tables yield a non-empty result
     (their random embeddings top out ~0.51 cosine); real corpora use ~0.95.
@@ -1494,7 +1500,9 @@ def q_embedding_neardup_lsh(sf_dir: str, threshold: float = 0.45, num_bands: int
     that still runs when the corpus no longer fits one worker's heap.
     Recall for a pair at cosine s is 1-(1-p^nbits)^num_bands with
     p = 1 - arccos(s)/pi (~0.9998 at s=0.9 with the defaults; the 0.45
-    default threshold matches the exact variant so the driver's random
+    default threshold nominally matches the exact variant (which scores
+    QUANTIZED sims since r3-closing — a ~1e-3 shift, so pairs within that
+    margin of the threshold may differ between the two) so the driver's random
     tables yield rows, at ~0.6 recall — real corpora near-dup at ~0.95,
     where recall is effectively 1)."""
     ensure_shipped()
