@@ -29,6 +29,7 @@ import ray.data as rd
 
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.grouped import driver_grouped_agg
+from monocator_ray.sources.storelock import locked_writer
 
 # fold rule per non-key column, by name prefix convention
 _FOLDS = {"n_": "sum", "total_": "sum", "sum_": "sum", "max_": "max", "min_": "min"}
@@ -41,6 +42,7 @@ def _fold_of(col: str) -> str:
     raise ValueError(f"column {col!r} has no fold rule (prefix one of {list(_FOLDS)})")
 
 
+@locked_writer
 def ingest_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
                     aggs: list[tuple], names: list[str]) -> pd.DataFrame:
     """Aggregate one increment (driver_grouped_agg semantics: the RESULT is
@@ -106,6 +108,7 @@ def read_merged(store_dir: str, key_cols: list[str]) -> pd.DataFrame:
     return _fold_files(files, key_cols)
 
 
+@locked_writer
 def compact(store_dir: str, key_cols: list[str]) -> int:
     """Fold all live generations into ONE ``base=<G>.parquet`` (G = the
     newest live gen) — the aggstore analog of fpstore's LSM compaction,

@@ -34,8 +34,10 @@ import ray.data as rd
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.ann import IvfIndex, _normalize, global_topk, table_to_matrix
 from monocator_ray.stages.grouped import collect_arrow, run_boundaries
+from monocator_ray.sources.storelock import locked_writer
 
 
+@locked_writer
 def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
                     train_sample: int = 2048) -> IvfIndex:
     """Partition the embedding Dataset into per-list parquet files.
@@ -131,6 +133,7 @@ def _file_gen(name: str) -> int:
     return 0
 
 
+@locked_writer
 def ingest_ivf_store(emb: rd.Dataset, store_dir: str) -> int:
     """APPEND an embedding increment to an existing store — the
     incremental-family path (fpstore/invstore pattern): new vectors are

@@ -39,6 +39,7 @@ import ray.data as rd
 
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.stages.textstats import fingerprint_arrow
+from monocator_ray.sources.storelock import locked_writer
 from monocator_ray.stages.grouped import (
     cached_stage,
     collect_arrow,
@@ -198,6 +199,7 @@ def _write_generation(fp_ds: rd.Dataset, run_dir: str, num_shards: int) -> list[
     return manifest.to_pylist() if manifest.num_rows else []
 
 
+@locked_writer
 def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset:
     """Ingest a (doc_id, text) increment: return the NOVEL survivors
     (first-wins within the increment, nothing already in the store) and
@@ -247,6 +249,7 @@ def store_size(store_dir: str) -> int:
                for f in json.load(open(os.path.join(d, "_MANIFEST.json"))))
 
 
+@locked_writer
 def compact(store_dir: str, num_shards: int = 16) -> int:
     """LSM compaction: merge every committed generation into ONE new
     generation of sorted shards, then drop the inputs.  Probe cost scales

@@ -45,8 +45,10 @@ import ray.data as rd
 
 from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
+from monocator_ray.sources.storelock import locked_writer
 
 
+@locked_writer
 def build_inverted_store(docs: rd.Dataset, store_dir: str,
                          num_buckets: int = 64) -> int:
     """Tokenize ``docs`` (columns doc_id, text) into per-bucket postings
@@ -60,6 +62,7 @@ def build_inverted_store(docs: rd.Dataset, store_dir: str,
     return _ingest(docs, store_dir, num_buckets, gen=0, prev_docs=0)
 
 
+@locked_writer
 def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
     """APPEND a document increment to an existing store — the fpstore-style
     incremental path.  Postings files are immutable and additive (search
@@ -249,6 +252,7 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+@locked_writer
 def compact_inverted_store(store_dir: str) -> int:
     """Merge each bucket's live generation files into ONE term-sorted file
     at a fresh generation, committed by the meta.json rewrite (gens=[G])

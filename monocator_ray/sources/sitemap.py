@@ -43,9 +43,11 @@ def parse_sitemap(data: bytes) -> tuple[list[str], list[str]]:
         # parser — stdlib etree expands internal entities, so a hostile
         # billion-laughs sitemap would otherwise OOM the worker
         # (code-review r3-closing finding #4; legitimate sitemaps per
-        # sitemaps.org carry no DOCTYPE)
-        head = stripped[:4096]
-        if b"<!DOCTYPE" in head or b"<!ENTITY" in head:
+        # sitemaps.org carry no DOCTYPE).  Scan the WHOLE payload, not a
+        # prefix: a DOCTYPE can be pushed arbitrarily deep by leading XML
+        # comments (ADVICE r3 #1), and the payload is already fully in
+        # memory, bounded by the fetch body cap.
+        if b"<!DOCTYPE" in stripped or b"<!ENTITY" in stripped:
             raise ValueError("sitemap XML with DTD/entities rejected")
         try:
             root = ET.fromstring(stripped)

@@ -439,19 +439,25 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
     transparency rules -> ((t, h, w, 3) uint8 RGB, fps rational).
     Composition: frames paint their sub-rectangle onto the running canvas
     (transparent-index pixels skipped); disposal 2 clears the rectangle to
-    background (black) after display, disposal 3 restores the pre-frame
-    canvas.  fps derives from the first nonzero graphic-control delay
+    the header's background color (GCT[bg_index]; black when there is no
+    GCT) after display, disposal 3 restores the pre-frame canvas.  fps derives from the first nonzero graphic-control delay
     (centiseconds; default 10 cs = 10 fps like real decoders)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h = struct.unpack_from("<HH", data, 6)
     flags = data[10]
+    bg_index = data[11]  # logical-screen background color index
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
         pos += n * 3
+    # disposal-2 restore color: the header's background color from the GCT
+    # (ADVICE r3 #3 — clearing to opaque black diverged from reference
+    # decoders).  No GCT, or bg index past it -> black, like real decoders.
+    bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
+              else np.zeros(3, np.uint8))
     canvas = np.zeros((h, w, 3), np.uint8)
     frames: list[np.ndarray] = []
     delay_cs = 0
@@ -511,7 +517,7 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
                 rect[:] = table[idx]
             frames.append(canvas.copy())
             if disposal == 2:
-                canvas[iy : iy + ih, ix : ix + iw] = 0
+                canvas[iy : iy + ih, ix : ix + iw] = bg_rgb
             elif disposal == 3:
                 canvas = saved
             disposal = 0

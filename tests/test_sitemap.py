@@ -112,3 +112,15 @@ def test_dtd_and_entity_payloads_rejected():
     batch = pa.table({"url": pa.array(["http://e.example/s.xml"], pa.string()),
                       "body": pa.array([evil], pa.binary())})
     assert sitemap_urls_batch(batch).num_rows == 0
+
+
+def test_dtd_pushed_past_prefix_window_still_rejected():
+    """ADVICE r3 #1: a DOCTYPE shoved deep into the payload by >4KB of
+    leading XML comments must still be rejected — the guard scans the
+    WHOLE payload, not a prefix window."""
+    evil = (b'<?xml version="1.0"?>'
+            + b"<!-- " + b"pad " * 2048 + b"-->"  # ~8KB of comment padding
+            + b'<!DOCTYPE a [<!ENTITY b "bb">]>'
+            b"<urlset><url><loc>&b;</loc></url></urlset>")
+    with pytest.raises(ValueError, match="DTD"):
+        parse_sitemap(evil)

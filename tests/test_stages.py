@@ -820,3 +820,37 @@ def test_gif_animation_roundtrip_and_composition():
     assert (out[1][0, 0] == [255, 0, 0]).all()  # outside the rect untouched
     # frame 2 painted after disposal-2 cleared the rect; f2 covers fully red
     assert (out[2] == [255, 0, 0]).all()
+
+
+def test_gif_disposal2_restores_background_color():
+    """ADVICE r3 #3: disposal-2 clears the frame rect to the HEADER's
+    background color (GCT[bg_index]), not opaque black — parity with
+    reference decoders for GIFs that rely on restore-to-background."""
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_gif_frames, _lzw_encode_gif
+
+    def subblocks(lzw):
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            out.append(len(lzw[i:i+255])); out += lzw[i:i+255]
+        out.append(0)
+        return bytes(out)
+
+    # palette: red, green, blue, black; background index = 2 (blue)
+    table = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  0, 0, 0])
+    hdr = b"GIF89a" + struct.pack("<HH", 4, 4) + bytes([0x81, 2, 0]) + table
+    # frame 0 full red with disposal=2; frame 1 a 1x1 green pixel at (0,0)
+    # leaving the rest of the cleared canvas visible
+    gce2 = b"\x21\xf9\x04" + bytes([(2 << 2)]) + struct.pack("<H", 5) + b"\x00\x00"
+    f0 = b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 4) + b"\x00\x02" + \
+         subblocks(_lzw_encode_gif(np.zeros(16, np.int64), 2))
+    f1 = b"\x2c" + struct.pack("<HHHH", 0, 0, 1, 1) + b"\x00\x02" + \
+         subblocks(_lzw_encode_gif(np.array([1], np.int64), 2))
+    out, _fps = decode_gif_frames(hdr + gce2 + f0 + f1 + b"\x3b")
+    assert (out[0] == [255, 0, 0]).all()          # frame 0 displays red
+    assert (out[1][0, 0] == [0, 255, 0]).all()    # new pixel green
+    assert (out[1][1, 1] == [0, 0, 255]).all()    # cleared rect -> blue bg
+    assert (out[1][3, 3] == [0, 0, 255]).all()
