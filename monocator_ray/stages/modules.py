@@ -8,10 +8,17 @@ certificate chain is ``Optional<List<Certificate>>``; results flow
 ``module.visit -> CrawlResult -> convertToEntity -> repository.save``
 (TODO.MD:38-51) with a ``FullScanCache.find(ip)`` memo (TODO.MD:5,41).
 
-The sandbox has no network, so the probe functions are import-gated stubs
-(``NetworkUnavailable``) — but the Arrow entity schemas, the module-dispatch
-flow, the per-version scan map and the keyed cache are real and tested, so a
-real prober drops in behind ``probe_fn``.
+The modules are safe-by-default: with no injected prober they raise
+``NetworkUnavailable`` (the sandbox has no OUTBOUND network).  REAL probers
+live in ``stages.probes`` — pure-stdlib TLS / DNS (RFC 1035) / SMTP
+(RFC 5321) clients, driven in the test suite against local in-process
+servers (``tests/test_probes.py``) exactly like the HTTP fetcher and the
+RFC 9309 robots acquisition.  A deployment wires them in with the
+factories::
+
+    TlsModule(probe_fn=probes.tls_probe_fn(), cert_fn=probes.tls_cert_fn())
+    DnsModule(probe_fn=probes.dns_probe_fn(resolver_addr))
+    SmtpModule(probe_fn=probes.smtp_probe_fn())
 """
 
 from __future__ import annotations
@@ -117,6 +124,56 @@ class TlsModule:
         # prober may still return None (chain unavailable) -> null column
         chain = self.cert_fn(ip) if (connect_ok and self.cert_fn is not None) else None
         return {"connect_ok": connect_ok, "scans": scans, "certificate_chain": chain}
+
+
+@dataclass
+class DnsModule:
+    """DNS module: per-domain prefix x rrtype resolution -> DNS_RESULT
+    rows (``dns.prefixes`` / ``dns.rrtypes`` config surface,
+    /root/reference/src/TODO.MD:58-59).  ``cache`` memoizes per
+    (name, rrtype) like FullScanCache — a domain visited under several
+    seeds resolves once per run."""
+
+    prefixes: tuple = ("", "www")
+    rrtypes: tuple = ("A", "AAAA", "MX", "TXT")
+    probe_fn: object = _no_network_probe  # (name, rrtype) -> list[str]
+    cache: KeyedCache = field(default_factory=KeyedCache)
+
+    def visit(self, domain: str) -> pa.Table:
+        rows = []
+        for p in self.prefixes:
+            name = f"{p}.{domain}" if p else domain
+            for rt in self.rrtypes:
+                vals = self.cache.find_or_compute(
+                    (name, rt), lambda k: self.probe_fn(k[0], k[1])
+                )
+                rows.append({"domain": domain, "prefix": p, "rrtype": rt,
+                             "values": vals})
+        return pa.Table.from_pylist(rows, schema=DNS_RESULT) if rows else pa.table(
+            {f.name: pa.array([], f.type) for f in DNS_RESULT}
+        )
+
+
+@dataclass
+class SmtpModule:
+    """SMTP module: banner-probe each MX host -> SMTP_RESULT rows.  The MX
+    list comes from DnsModule's ``MX`` rrtype values (``"pref host"`` —
+    pass just the hosts); ``cache`` keys on mx_host so shared mail
+    infrastructure probes once per run."""
+
+    probe_fn: object = _no_network_probe  # (mx_host) -> {connect_ok, banner}
+    cache: KeyedCache = field(default_factory=KeyedCache)
+
+    def visit(self, domain: str, mx_hosts: list[str]) -> pa.Table:
+        rows = []
+        for mx in mx_hosts:
+            r = self.cache.find_or_compute(mx, self.probe_fn)
+            rows.append({"domain": domain, "mx_host": mx,
+                         "connect_ok": bool(r["connect_ok"]),
+                         "banner": r["banner"]})
+        return pa.Table.from_pylist(rows, schema=SMTP_RESULT) if rows else pa.table(
+            {f.name: pa.array([], f.type) for f in SMTP_RESULT}
+        )
 
 
 def convert_to_entity(result: pa.Table, schema: pa.Schema, where: str = "module") -> pa.Table:
