@@ -296,7 +296,7 @@ def q_top_terms(sf_dir: str, k: int = 50) -> pa.Table:
         topk_part,
         num_parts=32,
     )
-    pdf = _collect_table(cand.materialize()).to_pandas()
+    pdf = _collect_table(cand.materialize()).to_pandas()  # bounded: O(parts x k) top-k candidates
     out = pdf.sort_values(
         ["n", "word"], ascending=[False, True], kind="mergesort"
     ).head(k)
@@ -409,7 +409,7 @@ def q_sample_k_per_lang(sf_dir: str, k: int = 50) -> pa.Table:
         return pa.Table.from_pandas(df.groupby("lang", sort=False).head(k),
                                     preserve_index=False)
 
-    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: O(blocks x langs x k) per-batch group heads
     out = (
         pdf.sort_values(["lang", "h32", "doc_id"], kind="mergesort")
         .groupby("lang", sort=False).head(k)
@@ -511,7 +511,7 @@ def kmeans_init_centroids(sf_dir: str, k: int) -> np.ndarray:
             "h32", pa.array(h[np.sort(keep)], pa.int64())
         )
 
-    pdf = emb.map_batches(cand, batch_format="pyarrow").to_pandas()
+    pdf = emb.map_batches(cand, batch_format="pyarrow").to_pandas()  # bounded: hash-threshold sample candidates, E[rows] ~ k x oversample
     pdf = pdf.sort_values(["h32", "vec_id"], kind="mergesort").head(k)
     return np.vstack(pdf["embedding"].to_numpy())
 
@@ -553,7 +553,7 @@ def q_kmeans_clusters(sf_dir: str, k: int = 8, iters: int = 3) -> pa.Table:
         partials = emb.map_batches(
             cached_stage(KMeansPartial, centroids_ref=ray.put(c)),
             batch_format="pyarrow", batch_size=4096,
-        ).to_pandas()
+        ).to_pandas()  # bounded: O(parts x k x dim) k-means partials
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, c.shape[1]), dtype=np.float64)
         for cl, n, vs in zip(partials["cluster"], partials["n"], partials["vsum"]):
@@ -603,7 +603,7 @@ def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
 
     merged = CountMinSketch()
     for blob in (
-        ds.map_batches(partial_sketch, batch_format="pyarrow").to_pandas()["sketch"]
+        ds.map_batches(partial_sketch, batch_format="pyarrow").to_pandas()["sketch"]  # bounded: O(blocks) fixed-size CMS sketch blobs
     ):
         part = CountMinSketch()
         part.table = np.frombuffer(blob, dtype=np.int64).reshape(part.table.shape).copy()
@@ -977,7 +977,7 @@ def _dedup_pairs_small(raw: rd.Dataset, key_cols: list[str], all_cols: list[str]
     tbl = _collect_table(raw)
     if tbl is None:
         return pa.table({c: pa.array([], pa.int64()) for c in all_cols})
-    df = tbl.select(all_cols).to_pandas().drop_duplicates(subset=key_cols)
+    df = tbl.select(all_cols).to_pandas().drop_duplicates(subset=key_cols)  # bounded: gated raw.count() <= _SMALL_PAIRS above
     df = df.sort_values(key_cols, kind="stable")
     return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -1256,7 +1256,7 @@ def q_ann_topk(sf_dir: str, n_queries: int = 8, k: int = 5) -> pa.Table:
         batch_format="pyarrow",
         batch_size=4096,
     )
-    merged = collect_arrow(local)
+    merged = collect_arrow(local)  # bounded: O(parts x queries x k) local top-k
     out = global_topk(merged, k)
     return out.select(["query_id", "vec_id", "rank"])
 
@@ -1338,7 +1338,7 @@ def q_ann_ivf_topk(sf_dir: str, n_queries: int = 8, k: int = 5, nlist: int = 16,
         cached_stage(_IvfProbe, index_ref=index_ref, payload_ref=payload_ref, k=k),
         batch_format="pyarrow", batch_size=4096,
     )
-    merged = collect_arrow(local)
+    merged = collect_arrow(local)  # bounded: O(parts x queries x k) local top-k
     out = global_topk(merged, k)
     return out.select(["query_id", "vec_id", "rank"])
 
@@ -1583,7 +1583,7 @@ def q_dataset_split(sf_dir: str) -> pa.Table:
 
     pdf = (
         ds.map_batches(assign, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: O(blocks x splits x langs) count partials
         .groupby(["split", "lang"], as_index=False)["n_docs"].sum()
         .sort_values(["split", "lang"])
         .reset_index(drop=True)
@@ -1659,7 +1659,7 @@ def q_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
         lambda t: [t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
         score_part,
         num_parts=32,
-    ).to_pandas()
+    ).to_pandas()  # bounded: O(parts x k) per-partition top-k
     if "score" not in local.columns:  # no doc contains any query term:
         # a groupby over zero groups yields a schema-less empty frame
         local = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
@@ -1714,7 +1714,7 @@ def q_compression_ratio(sf_dir: str, low_pct: int = 30) -> pa.Table:
             }
         )
 
-    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: O(blocks x langs) per-lang stat partials
     out = pdf.groupby("lang", as_index=False).agg(
         n_docs=("n_docs", "sum"), n_repetitive=("n_repetitive", "sum"),
         min_pct=("min_pct", "min"), max_pct=("max_pct", "max"),
@@ -1786,7 +1786,7 @@ def q_semdedup(sf_dir: str, k: int = 8, iters: int = 3, threshold: float = 0.45)
         partials = emb.map_batches(
             cached_stage(KMeansPartial, centroids_ref=ray.put(c)),
             batch_format="pyarrow", batch_size=4096,
-        ).to_pandas()
+        ).to_pandas()  # bounded: O(parts x k x dim) k-means partials
         counts = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, c.shape[1]), dtype=np.float64)
         for cl, n, vs in zip(partials["cluster"], partials["n"], partials["vsum"]):
@@ -1940,7 +1940,7 @@ def q_token_quantiles_approx(sf_dir: str, k: int = 256) -> pa.Table:
         return pd.DataFrame(rows, columns=["lang", "blob"])
 
     merged: dict[str, KLLSketch] = {}
-    for _, row in ds.map_batches(partial, batch_format="pandas").to_pandas().iterrows():
+    for _, row in ds.map_batches(partial, batch_format="pandas").to_pandas().iterrows():  # bounded: O(blocks x langs) fixed-size KLL blobs
         sk = KLLSketch.from_bytes(row["blob"])
         if row["lang"] in merged:
             merged[row["lang"]].merge(sk)
@@ -1987,7 +1987,7 @@ def q_ann_pq_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
         cached_stage(PqScorer, tables_ref=ray.put(index.adc_tables(qm)), m=m, k=k),
         batch_format="pyarrow", batch_size=8192,
     )
-    merged = collect_arrow(local)
+    merged = collect_arrow(local)  # bounded: O(parts x queries x k) local top-k
     return global_topk(merged, k).select(["query_id", "vec_id", "rank"])
 
 
@@ -2014,7 +2014,7 @@ def _word_histogram(sf_dir: str) -> dict[str, int]:
 
     pdf = (
         ds.map_batches(partial, batch_format="pyarrow")
-        .to_pandas()
+        .to_pandas()  # bounded: O(blocks x vocab) word partials (vocab << corpus, docstring)
         .groupby("word", as_index=False)["n"].sum()
     )
     return dict(zip(pdf["word"], pdf["n"].astype(int)))
@@ -3095,7 +3095,7 @@ def q_lang_classifier(sf_dir: str) -> rd.Dataset:
         [("c", "sum")],
         ["lang", "tok", "c"],
         num_parts=32,
-    ).to_pandas()  # O(vocab x langs): this IS the model, it lands driver-side
+    ).to_pandas()  # bounded: O(vocab x langs) — this IS the model, driver-side
 
     langs = np.array(sorted(cnt["lang"].unique()))
     vocab = np.array(sorted(cnt["tok"].unique()))
@@ -3530,7 +3530,7 @@ def q_dsir_select(sf_dir: str) -> rd.Dataset:
         [("raw_c", "sum"), ("tgt_c", "sum")],
         ["tok", "raw_c", "tgt_c"],
         num_parts=32,
-    ).to_pandas()  # O(vocab): this IS the model (bounded; hashing-trick
+    ).to_pandas()  # bounded: O(vocab) — this IS the model (hashing-trick
     # upgrade documented above removes this step at open-web vocab)
 
     vocab = np.sort(cnt["tok"].to_numpy(dtype=object))
@@ -3693,7 +3693,7 @@ def _survivors_after_removal(pairs: rd.Dataset, sf_dir: str) -> rd.Dataset:
     n_removed = removed.count()
     force_join = os.environ.get("MONOCATOR_FORCE_ANTIJOIN") == "1"
     if n_removed <= _SMALL_PAIRS and not force_join:
-        rm = (collect_arrow(removed)["rm_doc_id"].to_numpy(zero_copy_only=False)
+        rm = (collect_arrow(removed)["rm_doc_id"].to_numpy(zero_copy_only=False)  # bounded: gated n_removed <= _SMALL_PAIRS (anti-join path above cap)
               if n_removed else np.array([], np.int64))
         rm_ref = ray.put(np.sort(rm))
 
@@ -3774,7 +3774,7 @@ def q_embedding_pca(sf_dir: str, n_components: int = 4) -> pa.Table:
         )
 
     emb = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    parts = collect_arrow(emb.map_batches(partial, batch_format="pyarrow",
+    parts = collect_arrow(emb.map_batches(partial, batch_format="pyarrow",  # bounded: O(blocks x d^2) PCA moment partials
                                           batch_size=4096))
     n_total = 0
     s_total = np.zeros(d_probe, dtype=object)
@@ -3835,7 +3835,7 @@ def q_ann_exact_topk(sf_dir: str, n_queries: int = 8, k: int = 5,
     qids = qtbl["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     qq = np.einsum("ij,ij->i", Q, Q)
     pref = ray.put((qids, Q, qq))
-    local = collect_arrow(
+    local = collect_arrow(  # bounded: O(parts x queries x k) local top-k (O(N*d) contract above)
         emb.map_batches(
             cached_stage(ExactIntTopK, payload_ref=pref, k=k, label=label),
             batch_format="pyarrow",

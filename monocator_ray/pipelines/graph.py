@@ -188,7 +188,7 @@ def _pagerank_adaptive(edges: rd.Dataset) -> pa.Table:
     n_edges = edges.count()
 
     if n_edges <= _SMALL_EDGES:
-        t = collect_arrow(edges)
+        t = collect_arrow(edges)  # bounded: small-graph gate n_edges <= _SMALL_EDGES
         nodes, r = pagerank_int(t["src"].to_numpy(zero_copy_only=False),
                                 t["dst"].to_numpy(zero_copy_only=False))
         return pa.table({"node": pa.array(nodes, pa.int64()),
@@ -208,7 +208,7 @@ def _pagerank_adaptive(edges: rd.Dataset) -> pa.Table:
         partials = edges.map_batches(
             cached_stage(_RankPass, nodes_ref=nodes_ref, contrib_ref=contrib_ref),
             batch_format="pyarrow", batch_size=65536,
-        ).to_pandas()
+        ).to_pandas()  # bounded: O(blocks x nodes) sparse contribs (Pregel O(nodes) bound)
         s = np.zeros(n, dtype=np.int64)
         np.add.at(s, np.searchsorted(nodes, partials["dst"].to_numpy(np.int64)),
                   partials["s"].to_numpy(np.int64))
@@ -372,7 +372,7 @@ def q_hits(sf_dir: str) -> pa.Table:
     n_edges = edges.count()
 
     if n_edges <= _SMALL_EDGES:
-        t = collect_arrow(edges)
+        t = collect_arrow(edges)  # bounded: small-graph gate n_edges <= _SMALL_EDGES
         hubs, h, auths, a = hits_int(t["src"].to_numpy(zero_copy_only=False),
                                      t["dst"].to_numpy(zero_copy_only=False))
     else:
@@ -617,7 +617,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     # sorted packed array — no wedge shuffle, no union, partitions emit one
     # count each.  Above the bound (or with wide ids) the co-partitioned
     # tagged-union path below runs; both paths are pinned equal in tests.
-    et = collect_arrow(edges) if (
+    et = collect_arrow(edges) if (  # bounded: gate n_edges <= _TRI_BCAST_EDGES (comment above)
         n_edges <= _TRI_BCAST_EDGES
     ) else None
     if et is not None:
@@ -645,7 +645,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                 lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
                 cached_stage(CountClosed, pref=packed_ref),
                 num_parts=64,
-            ).to_pandas()
+            ).to_pandas()  # bounded: O(parts) one count per partition
             return pa.table({"n_triangles": pa.array([int(counts["n"].sum())], pa.int64())})
 
     def wedges_part(t: pa.Table) -> pa.Table:
@@ -682,7 +682,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                    t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)],
         close_part,
         num_parts=64,
-    ).to_pandas()
+    ).to_pandas()  # bounded: O(parts) one count per partition
     return pa.table({"n_triangles": pa.array([int(closed["n"].sum())], pa.int64())})
 
 
@@ -736,7 +736,7 @@ def q_bfs_depths(sf_dir: str, max_partkey: int = 5, max_depth: int = 10) -> pa.T
 
     seeds = np.unique(
         src_ds.map_batches(emit_sources, batch_format="pyarrow")
-        .to_pandas()["node"]
+        .to_pandas()["node"]  # bounded: O(sources) seed node ids
         .to_numpy()
     )
     depth_of: dict[int, int] = {int(n): 0 for n in seeds}
@@ -748,7 +748,7 @@ def q_bfs_depths(sf_dir: str, max_partkey: int = 5, max_depth: int = 10) -> pa.T
         found = (
             edges.map_batches(cached_stage(_FrontierPass, fref=fref),
                               batch_format="pyarrow")
-            .to_pandas()["node"]
+            .to_pandas()["node"]  # bounded: O(nodes) BFS frontier (Pregel-style bound)
             .to_numpy()
         )
         found = np.unique(found)
@@ -936,7 +936,7 @@ def q_shortest_paths(sf_dir: str, max_partkey: int = 3, rounds: int = 4) -> pa.T
 
     nodes = np.unique(
         src_ds.map_batches(emit_sources, batch_format="pyarrow")
-        .to_pandas()["node"].to_numpy()
+        .to_pandas()["node"].to_numpy()  # bounded: O(sources) seed node ids
     ).astype(np.int64)
     dist = np.zeros(len(nodes), np.int64)
 
@@ -946,7 +946,7 @@ def q_shortest_paths(sf_dir: str, max_partkey: int = 3, rounds: int = 4) -> pa.T
         cand = (
             edges.map_batches(cached_stage(_RelaxPass, nodes_ref=nref, dist_ref=dref),
                               batch_format="pyarrow")
-            .to_pandas()
+            .to_pandas()  # bounded: O(nodes) relax candidates (Bellman-Ford broadcast bound)
         )
         if cand.empty:
             break

@@ -43,3 +43,56 @@ def test_no_driver_side_fact_table_reads():
         "driver-side fact-table read(s) found (distribute the build side "
         "or add a documented-bound allowlist entry):\n" + "\n".join(hits)
     )
+
+
+# ---- unbounded-collect guard (VERDICT r3 "Next round" #6) -------------------
+#
+# Every DRIVER-SIDE collect (`.to_pandas()` / `collect_arrow(`) in a pipeline
+# must carry a written size bound: a `# bounded:` marker on the same line or
+# within the two lines above, stating WHY the collected result is small
+# (post-aggregation partials, per-partition top-k, sketches, dimension
+# tables, an enforced adaptive cap ...).  Collects inside NESTED defs are
+# worker-side per-partition/per-batch conversions (pandas kernels inside
+# map_batches functions) — those never materialize a dataset on the driver
+# and are exempt.  rehearse.py is the driver-side oracle-comparison harness
+# (collecting results IS its job at sf0.01) and is exempt as a file.
+
+COLLECT = re.compile(r"\.to_pandas\(\)|collect_arrow\(")
+BOUND_MARK = re.compile(r"#\s*bounded:")
+ANY_DEF = re.compile(r"^(\s*)def \w+")
+EXEMPT_FILES = {"rehearse.py"}
+
+
+def test_driver_collects_carry_written_bounds():
+    hits = []
+    for fname in sorted(os.listdir(PIPE_DIR)):
+        if not fname.endswith(".py") or fname in EXEMPT_FILES:
+            continue
+        lines = open(os.path.join(PIPE_DIR, fname), encoding="utf-8").read().splitlines()
+        nested_until_indent = None  # inside a nested def while indent > this
+        for i, line in enumerate(lines):
+            stripped = line.strip()
+            indent = len(line) - len(line.lstrip()) if stripped else None
+            m = ANY_DEF.match(line)
+            if m:
+                if len(m.group(1)) > 0 and nested_until_indent is None:
+                    nested_until_indent = len(m.group(1))
+                elif len(m.group(1)) == 0:
+                    nested_until_indent = None
+            elif (nested_until_indent is not None and indent is not None
+                  and indent <= nested_until_indent):
+                nested_until_indent = None  # nested def body ended
+            in_worker_fn = (
+                nested_until_indent is not None
+                and not (m and len(m.group(1)) == nested_until_indent)
+            )
+            if not COLLECT.search(line) or in_worker_fn:
+                continue
+            window = lines[max(0, i - 2) : i + 1]
+            if not any(BOUND_MARK.search(w) for w in window):
+                hits.append(f"{fname}:{i + 1}: {stripped}")
+    assert not hits, (
+        "driver-side collect(s) without a written `# bounded:` size "
+        "contract (state the O(.) bound or distribute the step):\n"
+        + "\n".join(hits)
+    )
