@@ -237,3 +237,48 @@ def test_low_default_host_cap_matches_oracle(web, tmp_path):
     sim = _sim(web, default_host_cap=5)
     vlog, seen = _engine(web, tmp_path / "lowcap", num_shards=3, default_host_cap=5)
     _assert_matches(vlog, seen, sim)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_shard_actor_death_mid_crawl_resumes_identically(web, tmp_path):
+    """VERDICT r3 #3: a 100-TB cluster loses ACTORS mid-epoch, not just
+    clean driver kills.  ray.kill a frontier/seen shard after epoch 2
+    (checkpoints at 0 and 2), let the next epoch fail, then resume from
+    the last checkpoint — artifacts must be identical to the
+    uninterrupted run with zero re-fetches."""
+    import ray
+    from ray.exceptions import RayActorError
+
+    from monocator_ray.crawl.driver import CrawlDriver
+    from monocator_ray.state.robots import synth_robots as sr
+
+    cfg = CrawlConfig(
+        num_shards=4, budget_per_epoch=64, max_depth=4, link_cap=16,
+        num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+        checkpoint_every=2,
+    )
+    full_out = tmp_path / "full_ad"
+    crawl(web["spec"].seeds(6), web["dir"], str(full_out), cfg, robots=sr(HOSTS))
+    full_log = read_visit_log(str(full_out))
+
+    part_out = tmp_path / "part_ad"
+    drv = CrawlDriver(web["dir"], str(part_out), cfg, robots=sr(HOSTS))
+    drv.push_seeds(web["spec"].seeds(6))
+    for _ in range(3):
+        drv.run_epoch()  # epochs 0..2; checkpoints at 0 and 2
+    fetched_before = drv.seq
+    ray.kill(drv.shards[1], no_restart=True)  # actor death, not a clean stop
+    with pytest.raises(RayActorError):
+        drv.run_epoch()  # the in-flight epoch is lost with the shard
+    drv.shutdown()
+    assert fetched_before < full_log.num_rows
+
+    # restart from the last checkpoint (epoch 2); the dead-shard epoch's
+    # partial artifacts are purged by the resume path
+    crawl(web["spec"].seeds(6), web["dir"], str(part_out), cfg,
+          robots=sr(HOSTS), resume=True)
+    resumed_log = read_visit_log(str(part_out))
+    assert resumed_log.num_rows == full_log.num_rows
+    assert resumed_log.equals(full_log), "post-actor-death artifacts differ"
+    seqs = resumed_log["seq"].to_pylist()
+    assert len(seqs) == len(set(seqs)), "re-fetch detected after actor death"
