@@ -11,14 +11,16 @@ nearest-neighbor resize is pure indexing.  Round 3 adds a REAL pure-numpy
 PNG codec (stdlib zlib inflate + the five per-row filters, 8-bit
 gray/RGB/RGBA/palette, non-interlaced), a REAL GIF codec (variable-
 width LZW decode per the public GIF89a spec, global/local color tables,
-89a extension skipping), and a REAL baseline JPEG codec
+89a extension skipping), and a REAL JPEG codec
 (``stages/jpegcodec.py``: ITU-T T.81 sequential DCT, in-stream DQT/DHT,
-4:4:4/4:2:2/4:2:0, restart markers) — every dominant web image container
-now decodes without PIL.  The remaining compressed formats (MP3 / MP4,
-plus progressive JPEG, Adam7-interlaced PNG and interlaced GIF) stay
-GATED behind ``NotImplementedError`` — their decoders (ffmpeg /
-progressive-scan IDCT) are not in this container; the dispatch sniffs
-magic bytes so swapping a real codec in is one branch.
+4:4:4/4:2:2/4:2:0, restart markers; round 4 adds PROGRESSIVE (SOF2)
+decode — spectral selection + successive approximation per Annex G,
+pinned by decode(progressive(x)) == decode(baseline(x))) — every dominant
+web image container now decodes without PIL.  The remaining compressed
+formats (MP3 / MP4, Adam7-interlaced PNG and interlaced GIF) stay GATED
+behind ``NotImplementedError`` — their decoders are not in this
+container; the dispatch sniffs magic bytes so swapping a real codec in
+is one branch.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -37,7 +39,16 @@ import pyarrow as pa
 # top-level import (not lazy in __call__) — the worker-import trap from the
 # round-2 notes: a lazy import inside worker code is invisible to pytest and
 # only the driver-flow rehearsal catches it
-from monocator_ray.stages.jpegcodec import decode_jpeg, encode_jpeg
+from monocator_ray.stages.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_progressive_jpeg,
+)
+
+
+def _enc_prog_jpeg(im):
+    # q95 keeps the planted perturbation's dhash-cell locality intact
+    return encode_progressive_jpeg(im, quality=95)
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -1079,10 +1090,16 @@ def synth_image_dup_table(n: int = 48, seed: int = 7) -> pa.Table:
     base = None
     for i in range(n):
         k = i % 4
-        # odd quads are PNG end to end (planted PNG duplicates — VERDICT r2
-        # #3 done-criterion); dHash runs on decoded pixels, so the planted
-        # structure is identical under either container
-        enc = (lambda im: encode_png(im, filter_cycle=True)) if (i // 4) % 2 else encode_bmp
+        # quads cycle containers: BMP, PNG (VERDICT r2 #3), PROGRESSIVE
+        # JPEG (VERDICT r3 #4 — lossy, but an exact byte copy still decodes
+        # to identical pixels, and a single-pixel perturbation only touches
+        # one 8x8 coefficient block, so locality holds); dHash runs on
+        # decoded pixels, so the planted structure survives any container
+        enc = [
+            encode_bmp,
+            lambda im: encode_png(im, filter_cycle=True),
+            lambda im: _enc_prog_jpeg(im),
+        ][(i // 4) % 3]
         if k == 0 or k == 3 or base is None:
             w, h = 12 + (i % 3) * 4, 8 + (i % 2) * 4
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)

@@ -115,11 +115,15 @@ def test_quality_monotonicity():
     assert errs == sorted(errs)  # and more error
 
 
-def test_progressive_and_garbage_are_rejected_cleanly():
+def test_invalid_scans_and_garbage_are_rejected_cleanly():
     img = _smooth(16, 16)
     data = bytearray(encode_jpeg(img, quality=90))
     sof = data.find(b"\xff\xc0")
-    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    data[sof + 1] = 0xC2  # flip SOF0 -> SOF2: the baseline scan header
+    # (Ss=0, Se=63) is INVALID for a progressive DC scan (T.81 G.1.1.1.1)
+    with pytest.raises(ValueError, match="Se=0"):
+        decode_jpeg(bytes(data))
+    data[sof + 1] = 0xC3  # lossless stays gated
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError):
@@ -171,3 +175,80 @@ def test_fill_bytes_gray_sampling_and_cmyk_gate():
     d4[sof + 2 + 2 + 1 + 4] = 4  # ncomp -> 4 (CMYK shape)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(d4))
+
+
+def test_progressive_roundtrip_matches_baseline():
+    """decode(progressive(x)) == decode(baseline(x)) bit-for-bit: both
+    codings carry the same quantized coefficients, so any difference is a
+    scan-decode bug.  Covers all subsamplings, odd dims (padded MCU grids
+    with clamped edge blocks), and grayscale (non-interleaved DC)."""
+    import numpy as np
+
+    from monocator_ray.stages.jpegcodec import encode_progressive_jpeg
+
+    rng = np.random.RandomState(11)
+    cases = [
+        ((24, 32), "444"), ((17, 23), "444"),
+        ((24, 32), "422"), ((19, 21), "422"),
+        ((32, 32), "420"), ((18, 27), "420"),
+    ]
+    for (hh, ww), sub in cases:
+        img = rng.randint(0, 256, (hh, ww, 3)).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsample=sub))
+        prog = decode_jpeg(encode_progressive_jpeg(img, quality=85, subsample=sub))
+        assert np.array_equal(base, prog), (hh, ww, sub)
+    g = rng.randint(0, 256, (21, 13)).astype(np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(g, quality=85)),
+        decode_jpeg(encode_progressive_jpeg(g, quality=85)),
+    )
+
+
+def test_progressive_eobrun_spans_blocks():
+    """A near-flat image makes almost every AC block empty -> long EOBn
+    runs spanning many blocks (and refinement correction bits riding the
+    run); the stream must still decode identically to baseline."""
+    import numpy as np
+
+    from monocator_ray.stages.jpegcodec import encode_progressive_jpeg
+
+    img = np.full((64, 64, 3), 128, np.uint8)
+    img[10, 10] = [200, 40, 90]  # one feature in a sea of EOB runs
+    blob = encode_progressive_jpeg(img, quality=50)
+    assert b"\xff\xc2" in blob  # really progressive
+    assert np.array_equal(decode_jpeg(blob),
+                          decode_jpeg(encode_jpeg(img, quality=50)))
+
+
+def test_progressive_with_restart_markers():
+    """DRI applies per scan in progressive mode: DC predictors and EOB
+    runs reset at every RSTn; decode must still match baseline."""
+    import numpy as np
+
+    from monocator_ray.stages.jpegcodec import encode_progressive_jpeg
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (40, 48, 3)).astype(np.uint8)
+    blob = encode_progressive_jpeg(img, quality=80, restart_interval=3)
+    assert b"\xff\xd0" in blob  # restart markers present
+    assert np.array_equal(decode_jpeg(blob),
+                          decode_jpeg(encode_jpeg(img, quality=80)))
+
+
+def test_progressive_scan_header_validation():
+    """Spec-corner pins for T.81 G.1.1.1.1 scan-header rules."""
+    import struct as _st
+
+    import numpy as np
+
+    from monocator_ray.stages.jpegcodec import encode_progressive_jpeg
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    blob = bytearray(encode_progressive_jpeg(img, quality=85))
+    sos = blob.find(b"\xff\xda")
+    (ln,) = _st.unpack_from(">H", blob, sos + 2)
+    # first scan is interleaved DC (3 comps): corrupt Ss to 1 -> an AC scan
+    # with ns=3 must be rejected
+    blob[sos + 2 + ln - 3] = 1
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg(bytes(blob))
