@@ -125,6 +125,25 @@ SCREENSHOT_MODES = (
     "if_suspicious",
 )
 
+# Screenshot entity (reference `screenshot` module save flow,
+# /root/reference/src/TODO.MD:62-67).  No browser exists in this
+# container, so `png` is a DETERMINISTIC RENDER DIGEST — a layout
+# rasterization of the page's visible text and link structure (see
+# report.capture_screenshots) — not a pixel-true browser frame; the
+# schema, trigger flow and persistence are the real contract a browser
+# renderer would drop into.
+SCREENSHOT = pa.schema(
+    [
+        ("url", pa.string()),
+        ("url_hash", pa.uint64()),
+        ("mode", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("png", pa.binary()),
+        ("digest_sha256", pa.binary()),
+    ]
+)
+
 
 def assert_schema(table: pa.Table, schema: pa.Schema, where: str = "") -> pa.Table:
     """Stage-boundary schema assertion (cheap: names + types only)."""
