@@ -16,11 +16,12 @@ width LZW decode per the public GIF89a spec, global/local color tables,
 4:4:4/4:2:2/4:2:0, restart markers; round 4 adds PROGRESSIVE (SOF2)
 decode — spectral selection + successive approximation per Annex G,
 pinned by decode(progressive(x)) == decode(baseline(x))) — every dominant
-web image container now decodes without PIL.  The remaining compressed
-formats (MP3 / MP4, Adam7-interlaced PNG and interlaced GIF) stay GATED
-behind ``NotImplementedError`` — their decoders are not in this
-container; the dispatch sniffs magic bytes so swapping a real codec in
-is one branch.
+web image container now decodes without PIL.  Round 4 also closes the
+interlace gates: Adam7 PNG (7-pass sub-image deinterleave, each pass
+unfiltered independently) and interlaced GIF (4-pass row scatter).  The
+remaining compressed formats (MP3 / MP4) stay GATED behind
+``NotImplementedError`` — their decoders are not in this container; the
+dispatch sniffs magic bytes so swapping a real codec in is one branch.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -187,47 +188,21 @@ def encode_png(pixels: np.ndarray, filter_cycle: bool = False) -> bytes:
     )
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """PNG -> (H, W, 3) uint8 RGB, pure numpy + stdlib zlib (VERDICT r2
-    #3: PNG is the dominant real web-image container and needs no external
-    decoder — zlib inflate + 5 per-row filters, W3C PNG spec).  Supports
-    8-bit gray / RGB / RGBA / palette, non-interlaced (Adam7 stays gated:
-    the 7-pass deinterleave is rare on the web and trivially detectable).
-    Alpha is dropped (features/dHash consume RGB).  Unfiltering is
-    vectorized where the filter allows (None/Up fully; Sub via per-lane
-    cumsum); Average/Paeth walk pixels with vector ops over channels."""
-    import zlib
+# Adam7 pass grid (x_start, y_start, x_step, y_step), W3C PNG §8.2
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
-    if data[:8] != _PNG_SIG:
-        raise ValueError("not a PNG")
-    pos, idat, plte = 8, [], None
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(data):
-        ln = struct.unpack_from(">I", data, pos)[0]
-        typ = data[pos + 4 : pos + 8]
-        body = data[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
-        elif typ == b"PLTE":
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(body)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
-    if interlace:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"bad PNG color type {ctype}")
+
+def _png_unfilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Filtered scanline stream (filter byte + row bytes per line) -> the
+    reconstructed (h, w*channels) uint8 samples.  Shared by the
+    non-interlaced path and each Adam7 sub-image (a pass filters against
+    its OWN previous scanline).  Unfiltering is vectorized where the
+    filter allows (None/Up fully; Sub via per-lane cumsum); Average/Paeth
+    walk pixels with vector ops over channels."""
     stride = w * channels
-    raw = zlib.decompress(b"".join(idat))
     if len(raw) != h * (stride + 1):
-        raise ValueError("PNG IDAT length mismatch")
+        raise ValueError("PNG scanline length mismatch")
     scan = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
     ftypes = scan[:, 0]
     filt = scan[:, 1:].astype(np.int32)
@@ -268,7 +243,95 @@ def decode_png(data: bytes) -> np.ndarray:
         cur = np.asarray(cur, np.int32)
         out[y] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, channels)
+    return out
+
+
+def encode_png_adam7(pixels: np.ndarray) -> bytes:
+    """uint8 RGB/gray image -> Adam7-interlaced PNG (filter 0 rows; the
+    decoder handles any filter, the encoder exists to pin it)."""
+    import zlib
+
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[:, :, None]
+        ctype = 0
+    elif px.shape[2] == 3:
+        ctype = 2
+    else:
+        raise ValueError("expected HxW gray or HxWx3 RGB")
+    h, w, ch = px.shape
+    out = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        sub = px[y0::ys, x0::xs]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for row in sub:
+            out.append(0)
+            out += row.astype(np.uint8).tobytes()
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1))
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB, pure numpy + stdlib zlib (VERDICT r2
+    #3: PNG is the dominant real web-image container and needs no external
+    decoder — zlib inflate + 5 per-row filters, W3C PNG spec).  Supports
+    8-bit gray / RGB / RGBA / palette, non-interlaced AND Adam7 interlaced
+    (round 4: the 7-pass sub-image deinterleave, each pass unfiltered
+    against its own scanlines).  Alpha is dropped (features/dHash consume
+    RGB).  Unfiltering is in :func:`_png_unfilter`."""
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(data):
+        ln = struct.unpack_from(">I", data, pos)[0]
+        typ = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", body)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {ctype}")
+    raw = zlib.decompress(b"".join(idat))
+    if interlace:  # Adam7 (W3C PNG §8.2): 7 sub-images, each filtered
+        img = np.zeros((h, w, channels), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = -(-(w - x0) // xs) if w > x0 else 0
+            ph = -(-(h - y0) // ys) if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (pw * channels + 1)
+            sub = _png_unfilter(raw[off : off + need], ph, pw, channels)
+            off += need
+            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+        if off != len(raw):
+            raise ValueError("PNG IDAT length mismatch (Adam7)")
+    else:
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG IDAT length mismatch")
+        img = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -278,6 +341,20 @@ def decode_png(data: bytes) -> np.ndarray:
     if channels == 2:  # gray+alpha: luma channel, alpha dropped
         return np.repeat(img[:, :, :1], 3, axis=2)
     return img[:, :, :3]  # RGB / RGBA (alpha dropped)
+
+
+def _gif_deinterlace(idx: np.ndarray) -> np.ndarray:
+    """GIF89a interlaced frame rows arrive in 4 passes (every 8th from 0,
+    every 8th from 4, every 4th from 2, every 2nd from 1); scatter the
+    stored rows back to image order."""
+    ih = idx.shape[0]
+    order = np.concatenate([
+        np.arange(0, ih, 8), np.arange(4, ih, 8),
+        np.arange(2, ih, 4), np.arange(1, ih, 2),
+    ])
+    out = np.empty_like(idx)
+    out[order] = idx
+    return out
 
 
 def _lzw_encode_gif(indices: np.ndarray, mcs: int) -> bytes:
@@ -498,8 +575,6 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
                 n = 2 << (lflags & 7)
                 table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if lflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if table is None:
                 raise ValueError("GIF frame without a color table")
             mcs = data[pos]
@@ -511,6 +586,8 @@ def decode_gif_frames(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
                 pos += 1 + ln
             pos += 1  # block terminator
             idx = _lzw_decode_gif(bytes(lzw), mcs, iw * ih).reshape(ih, iw)
+            if lflags & 0x40:
+                idx = _gif_deinterlace(idx)
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF index out of palette range")
             # malformed/hostile rects past the canvas: clip like real
@@ -573,8 +650,6 @@ def decode_gif(data: bytes) -> np.ndarray:
                 n = 2 << (lflags & 7)
                 table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
                 pos += n * 3
-            if lflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             if table is None:
                 raise ValueError("GIF frame without a color table")
             mcs = data[pos]
@@ -585,6 +660,8 @@ def decode_gif(data: bytes) -> np.ndarray:
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             idx = _lzw_decode_gif(bytes(lzw), mcs, iw * ih)
+            if lflags & 0x40:
+                idx = _gif_deinterlace(idx.reshape(ih, iw)).reshape(-1)
             if int(idx.max(initial=0)) >= len(table):
                 raise ValueError("GIF index out of palette range")
             frame = table[idx.reshape(ih, iw)]

@@ -854,3 +854,58 @@ def test_gif_disposal2_restores_background_color():
     assert (out[1][0, 0] == [0, 255, 0]).all()    # new pixel green
     assert (out[1][1, 1] == [0, 0, 255]).all()    # cleared rect -> blue bg
     assert (out[1][3, 3] == [0, 0, 255]).all()
+
+
+def test_adam7_interlaced_png_roundtrip():
+    """Adam7 decode (round 4): the 7-pass deinterleave reproduces the
+    source exactly, on sizes that exercise empty and 1-wide passes."""
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_png, encode_png, encode_png_adam7
+
+    rng = np.random.RandomState(21)
+    for hh, ww in [(16, 16), (9, 13), (7, 5), (1, 1), (3, 20), (8, 3)]:
+        img = rng.randint(0, 256, (hh, ww, 3)).astype(np.uint8)
+        blob = encode_png_adam7(img)
+        assert blob[28] == 1  # IHDR interlace byte
+        assert np.array_equal(decode_png(blob), img)
+        # and equals the non-interlaced coding of the same pixels
+        assert np.array_equal(decode_png(blob), decode_png(encode_png(img)))
+    g = rng.randint(0, 256, (11, 6)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png_adam7(g)),
+                          np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_interlaced_gif_roundtrip():
+    """Interlaced GIF (round 4): rows stored in the 4-pass order scatter
+    back to image order; pinned against the non-interlaced decode of the
+    same frame."""
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_gif, _lzw_encode_gif
+
+    def subblocks(lzw):
+        out = bytearray()
+        for i in range(0, len(lzw), 255):
+            out.append(len(lzw[i:i+255])); out += lzw[i:i+255]
+        out.append(0)
+        return bytes(out)
+
+    rng = np.random.RandomState(22)
+    for hh, ww in [(13, 7), (8, 8), (3, 5), (1, 4)]:
+        img_idx = rng.randint(0, 4, (hh, ww))
+        table = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  0, 0, 0])
+        hdr = b"GIF89a" + struct.pack("<HH", ww, hh) + bytes([0x81, 0, 0]) + table
+        # interlaced storage order: passes 0::8, 4::8, 2::4, 1::2
+        order = np.concatenate([np.arange(0, hh, 8), np.arange(4, hh, 8),
+                                np.arange(2, hh, 4), np.arange(1, hh, 2)])
+        stored = img_idx[order].reshape(-1)
+        f_i = (b"\x2c" + struct.pack("<HHHH", 0, 0, ww, hh) + bytes([0x40])
+               + b"\x02" + subblocks(_lzw_encode_gif(stored, 2)))
+        f_n = (b"\x2c" + struct.pack("<HHHH", 0, 0, ww, hh) + b"\x00"
+               + b"\x02" + subblocks(_lzw_encode_gif(img_idx.reshape(-1), 2)))
+        got_i = decode_gif(hdr + f_i + b"\x3b")
+        got_n = decode_gif(hdr + f_n + b"\x3b")
+        assert np.array_equal(got_i, got_n), (hh, ww)
