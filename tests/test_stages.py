@@ -523,10 +523,16 @@ def test_png_roundtrip_all_filters_and_color_types():
     )
     assert np.array_equal(decode_png(blob), plte[idx])
 
-    # interlaced and 16-bit stay gated, sniff + dispatch work
+    # flipping the interlace byte makes the IDAT stream Adam7-shaped-wrong
+    # (r4: Adam7 itself decodes — see test_adam7_interlaced_png_roundtrip);
+    # 16-bit depth stays gated; sniff + dispatch work
     bad = bytearray(encode_png(rgb))
     ihdr_off = 8 + 8  # sig + len/type
     bad[ihdr_off + 12] = 1  # interlace byte of IHDR
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    bad[ihdr_off + 12] = 0
+    bad[ihdr_off + 8] = 16  # depth byte
     with _pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
     c = PureCodec()
@@ -691,7 +697,7 @@ def test_gif_lzw_table_reset_roundtrip():
     assert (out == img).all()
 
 
-def test_gif_extensions_skipped_and_interlace_gated():
+def test_gif_extensions_skipped_and_interlace_scatters():
     import struct
 
     import numpy as np
@@ -710,12 +716,15 @@ def test_gif_extensions_skipped_and_interlace_gated():
     # PureCodec dispatches GIF for real now
     assert PureCodec().sniff(spliced) == "image/gif"
     assert (PureCodec().decode_image(spliced) == img).all()
-    # interlace flag stays gated (Adam7-PNG analog)
+    # r4: the interlace flag now DEINTERLACES (4-pass row scatter); on a
+    # stream whose rows were stored sequentially the flag permutes rows —
+    # on this fixture only row 1 is nonzero and it lands on row 2 (pass-4
+    # storage slot 2 of [0, 2, 1, 3])
     lidx = spliced.index(b"\x2c")
     flags_at = lidx + 9
     inter = spliced[:flags_at] + bytes([spliced[flags_at] | 0x40]) + spliced[flags_at + 1:]
-    with _pytest.raises(NotImplementedError):
-        decode_gif(inter)
+    got = decode_gif(inter)
+    assert (got[2, 2] == 200).all() and (got[1, 2] == 0).all()
 
 
 def test_gif_subrectangle_frame_painted_at_offset():
