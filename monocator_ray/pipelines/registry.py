@@ -142,6 +142,47 @@ def q_crawl_corpus(sf_dir: str):
     )
     return curate_dataset(docs, min_tokens=10)
 
+def q_screenshot_digests(sf_dir: str):
+    """Screenshot save flow end-to-end over the flagship crawl (rows-only):
+    always-mode triggers -> deterministic render digest -> PNG -> parquet
+    entity; returns (url_hash, mode, width, height, digest hex) sorted by
+    hash.  Determinism of the digest is what the driver's stability check
+    exercises; pixel-true rendering needs a browser (schemas.SCREENSHOT
+    contract)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray import report
+
+    q_crawl_flagship(sf_dir)  # ensure artifacts exist
+    out = f"/tmp/monocator_q_crawl_out_{os.getpid()}"
+    dest = f"/tmp/monocator_q_shots_{os.getpid()}"
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    report.capture_screenshots(out, "always", dest)
+    tbl = pa.concat_tables([
+        pq.read_table(os.path.join(dest, f),
+                      columns=["url_hash", "mode", "width", "height",
+                               "digest_sha256"])
+        for f in sorted(os.listdir(dest)) if f.endswith(".parquet")
+    ])
+    import numpy as np
+
+    uh = tbl["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64).view(np.int64)
+    hexes = [d.hex() for d in tbl["digest_sha256"].to_pylist()]
+    out_t = pa.table({
+        "url_hash": pa.array(uh, pa.int64()),
+        "mode": tbl["mode"],
+        "width": tbl["width"],
+        "height": tbl["height"],
+        "digest": pa.array(hexes, pa.string()),
+    })
+    return out_t.sort_by("url_hash")
+
+
 # name -> (callable(sf_dir) -> Dataset|Table|DataFrame, oracle_sql | None)
 REGISTRY: dict = {
     # --- relational (SURVEY.md §2.5-2.7) ---
@@ -1403,6 +1444,7 @@ REGISTRY: dict = {
     # crawl pages artifact -> curated corpus (composition of the two engine
     # halves; rows-only — the crawl side has no SQL analog)
     "crawl_corpus": (q_crawl_corpus, None),
+    "screenshot_digests": (q_screenshot_digests, None),
     # inbound anchor-text aggregation over crawled pages (rows-only)
     "anchor_texts": (q_anchor_texts, None),
     # multimodal: perceptual-hash image near-dup pairs (rows-only; exact
