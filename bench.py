@@ -175,6 +175,8 @@ BENCH_QUERIES = [
     "order_peer_stats",
     "embedding_neardup",
     "event_moving_median",
+    # round-4 additions: screenshot save flow over the flagship crawl
+    "screenshot_digests",
 ]
 
 
