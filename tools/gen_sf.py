@@ -134,7 +134,10 @@ def generate(sf: float, out: str, seed: int = 42) -> dict[str, int]:
         "ts": pa.array(ts),
         "user_id": pa.array(rng.randint(0, n_users, n_ev).astype(np.int64)),
         "event_type": pa.array(np.array(EVENT_TYPES)[rng.randint(0, 5, n_ev)]),
-        "value": pa.array(np.round(rng.exponential(50, n_ev), 4)),
+        # 2 decimals like the driver tables: value*100 must be an exact
+        # integer or the Arrow half-even vs DuckDB half-away rounding split
+        # breaks every cents-based oracle (memory: oracle-exactness trap)
+        "value": pa.array(np.round(rng.exponential(50, n_ev), 2)),
         "props": pa.array([f'{{"k": {k}}}' for k in rng.randint(0, 100, n_ev)]),
     }))
 
