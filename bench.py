@@ -242,8 +242,14 @@ def run_queries() -> dict[str, float]:
         lambda b: b, batch_format="pyarrow"
     ).materialize()
 
+    skip = set()
+    for i, a in enumerate(sys.argv):
+        if a == "--skip" and i + 1 < len(sys.argv):
+            skip = set(sys.argv[i + 1].split(","))
     out = {}
     for name in BENCH_QUERIES:
+        if name in skip:
+            continue
         fn, _sql = REGISTRY[name]
         t0 = time.monotonic()
         res = fn(SF_DIR)
