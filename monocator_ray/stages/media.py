@@ -18,10 +18,15 @@ decode — spectral selection + successive approximation per Annex G,
 pinned by decode(progressive(x)) == decode(baseline(x))) — every dominant
 web image container now decodes without PIL.  Round 4 also closes the
 interlace gates: Adam7 PNG (7-pass sub-image deinterleave, each pass
-unfiltered independently) and interlaced GIF (4-pass row scatter).  The
-remaining compressed formats (MP3 / MP4) stay GATED behind
-``NotImplementedError`` — their decoders are not in this container; the
-dispatch sniffs magic bytes so swapping a real codec in is one branch.
+unfiltered independently) and interlaced GIF (4-pass row scatter), plus
+the CONTAINER layer of the two compressed formats (``stages/mp4.py``):
+ISO BMFF (MP4) box walk / sample tables / demux with a real end-to-end
+decode for the uncompressed ``raw `` RGB24 sample entry, and the MPEG
+audio (MP3) frame walker (exact duration / bitrate / VBR detection).
+Only the compressed CODEC payloads (H.264/H.265/AAC bitstreams, MP3
+subband synthesis) stay GATED behind ``NotImplementedError`` — their
+decoders are not in this container; container metadata still flows via
+``PureCodec.container_metadata`` so gated rows carry real dims/duration.
 
 Ray-side contract (unchanged, tested): actor-pool / cached-task
 ``map_batches`` stage, SMALL ``batch_size`` (64-256) because payloads are
@@ -44,6 +49,17 @@ from monocator_ray.stages.jpegcodec import (
     decode_jpeg,
     encode_jpeg,
     encode_progressive_jpeg,
+)
+# top-level (not lazy) import so ensure_shipped() registers the mp4 module
+# for pickle-by-value BEFORE any worker needs it — a lazy in-method import
+# resolves on the worker, where the repo is not on sys.path
+from monocator_ray.stages.mp4 import (
+    decode_mp4,
+    encode_mp4_raw,
+    encode_mp4_stub,
+    parse_mp3,
+    parse_mp4,
+    synth_mp3,
 )
 
 
@@ -788,15 +804,23 @@ def resize_nearest(img: np.ndarray, w: int, h: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def _looks_like_mpeg_audio(payload: bytes) -> bool:
+    """Strict MPEG-audio frame-sync sniff: 11 sync bits AND no reserved
+    version/layer/bitrate/samplerate fields (a bare 0xFF prefix is far too
+    common in arbitrary binaries to sniff on alone)."""
+    if len(payload) < 4 or payload[0] != 0xFF or (payload[1] & 0xE0) != 0xE0:
+        return False
+    version_bits = (payload[1] >> 3) & 3
+    layer_bits = (payload[1] >> 1) & 3
+    br_idx = (payload[2] >> 4) & 0xF
+    sr_idx = (payload[2] >> 2) & 3
+    return version_bits != 1 and layer_bits != 0 and br_idx not in (0, 15) and sr_idx != 3
+
+
 class PureCodec:
     """Dispatch by magic bytes.  Decodes the uncompressed formats for real;
     raises NotImplementedError for compressed ones (PIL/ffmpeg territory) —
     like a real codec registry with those plugins absent."""
-
-    _COMPRESSED = {
-        b"ID3": "audio/mpeg",
-        b"\x00\x00\x00\x18ftyp": "video/mp4",
-    }
 
     def sniff(self, payload: bytes) -> str:
         if payload[:3] == b"\xff\xd8\xff":
@@ -813,9 +837,10 @@ class PureCodec:
             return "audio/wav"
         if payload[:9] == b"YUV4MPEG2":
             return "video/x-yuv4mpeg"
-        for magic, mime in self._COMPRESSED.items():
-            if payload[: len(magic)] == magic:
-                return mime
+        if payload[4:8] == b"ftyp":  # any ISO BMFF brand/size (was: one size)
+            return "video/mp4"
+        if payload[:3] == b"ID3" or _looks_like_mpeg_audio(payload):
+            return "audio/mpeg"
         return "application/octet-stream"
 
     def decode_image(self, payload: bytes) -> np.ndarray:
@@ -844,7 +869,41 @@ class PureCodec:
             return decode_y4m(payload)
         if mime == "image/gif":  # animated GIF: the de-facto web video
             return decode_gif_frames(payload)
+        if mime == "video/mp4":
+            # container demux is real for every codec; the 'raw ' RGB24
+            # sample entry decodes end to end, compressed codecs gate
+            # inside decode_mp4 (stages/mp4.py)
+            return decode_mp4(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: ffmpeg)")
+
+    def container_metadata(self, payload: bytes) -> dict | None:
+        """Real container-layer metadata for the compressed-codec formats
+        (MP4 box tables / MP3 frame walk) — available even when the codec
+        payload itself is gated.  None for formats without a metadata
+        layer here."""
+        mime = self.sniff(payload)
+        if mime == "video/mp4":
+            info = parse_mp4(payload)
+            v = info.video_track()
+            return {
+                "mime": mime,
+                "duration_ms": info.duration_ms(),
+                "width": v.width if v else 0,
+                "height": v.height if v else 0,
+                "n_samples": v.n_samples if v else 0,
+                "codec": v.codec if v else "",
+            }
+        if mime == "audio/mpeg":
+            m = parse_mp3(payload)
+            return {
+                "mime": mime,
+                "duration_ms": m.duration_ms,
+                "width": 0,
+                "height": 0,
+                "n_samples": m.n_frames,
+                "codec": f"mp3-{'vbr' if m.vbr else 'cbr'}",
+            }
+        return None
 
     # fixed-width features (FEATURE_DIM floats), all vectorized
 
@@ -937,7 +996,16 @@ class MediaFeatureExtractor:
                 return (self.codec.video_features(frames, fps),
                         frames.shape[2], frames.shape[1], 1)
         except NotImplementedError:
-            pass
+            # codec gated — the CONTAINER layer may still carry real dims
+            # (MP4 sample tables / MP3 frame walk); keep decoded=0 and the
+            # deterministic fake feature, but report true metadata
+            try:
+                meta = self.codec.container_metadata(payload)
+            except (ValueError, NotImplementedError):
+                meta = None
+            if meta is not None:
+                return (self.fake.decode(payload, kind),
+                        int(meta["width"]), int(meta["height"]), 0)
         except ValueError:
             pass
         return self.fake.decode(payload, kind), 0, 0, 0
@@ -1056,15 +1124,25 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             hs.append(h)
             durs.append(0)
         elif kind == "audio":
-            rate, ms = 8000, 50 + (i % 4) * 25
-            t = np.arange(int(rate * ms / 1000))
-            samples = (np.sin(2 * np.pi * (220 + i) * t / rate) * 16000).astype(np.int16)
-            payloads.append(encode_wav(samples, rate))
-            mimes.append("audio/wav")
-            ws.append(0)
-            hs.append(0)
-            durs.append(ms)
-        elif i % 6 == 2:  # real decodable video (Y4M C444 or animated GIF)
+            if (i // 3) % 4 == 3:
+                # structurally-real MP3 (header-exact frames; PCM decode
+                # gated — exercises the container-metadata fallback)
+                nf = 4 + (i % 5)
+                payloads.append(synth_mp3(nf, kbps_seq=[128, 160]))
+                mimes.append("audio/mpeg")
+                ws.append(0)
+                hs.append(0)
+                durs.append(int(nf * 1152 * 1000 / 44100))
+            else:
+                rate, ms = 8000, 50 + (i % 4) * 25
+                t = np.arange(int(rate * ms / 1000))
+                samples = (np.sin(2 * np.pi * (220 + i) * t / rate) * 16000).astype(np.int16)
+                payloads.append(encode_wav(samples, rate))
+                mimes.append("audio/wav")
+                ws.append(0)
+                hs.append(0)
+                durs.append(ms)
+        elif i % 6 == 2:  # real decodable video (Y4M C444, animated GIF, raw-MP4)
             w, h, t = 16, 12, 5 + (i % 4)
             yy, xx = np.mgrid[0:h, 0:w].astype(np.uint8)
             frames = np.stack(
@@ -1073,24 +1151,30 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                            np.full((h, w), 128, np.uint8)], axis=-1)
                  for fi in range(t)]
             ).astype(np.uint8)
-            if (i // 6) % 2 == 1:  # rotate in the animated-GIF web-video path
+            variant = (i // 6) % 3
+            if variant == 1:  # animated-GIF web-video path
                 # palettize hard (GIF <= 256 colors over ALL frames)
                 gframes = (frames // 64 * 64).astype(np.uint8)
                 payloads.append(encode_gif_frames(gframes, delay_cs=4))
                 mimes.append("image/gif")
-                durs.append(t * 40)
+            elif variant == 2:  # ISO BMFF with the uncompressed 'raw ' codec
+                payloads.append(encode_mp4_raw(frames, fps=(25, 1)))
+                mimes.append("video/mp4")
             else:
                 payloads.append(encode_y4m(frames, fps=(25, 1)))
                 mimes.append("video/x-yuv4mpeg")
-                durs.append(t * 40)
+            durs.append(t * 40)
             ws.append(w)
             hs.append(h)
-        else:  # opaque compressed-container stand-in (stays gated)
-            payloads.append(rng.bytes(128 + i))
-            mimes.append("application/octet-stream")
-            ws.append(0)
-            hs.append(0)
-            durs.append(0)
+        else:  # compressed-container stand-in: REAL avc1 MP4 box structure,
+            # opaque codec payload (decode gated, metadata real)
+            w, h, t = 32, 24, 3 + (i % 3)
+            nals = [rng.bytes(40 + 8 * j) for j in range(t)]
+            payloads.append(encode_mp4_stub(nals, w, h, b"avc1", fps=(25, 1)))
+            mimes.append("video/mp4")
+            ws.append(w)
+            hs.append(h)
+            durs.append(t * 40)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n), pa.int64()),

@@ -1,0 +1,169 @@
+"""ISO BMFF (MP4) demuxer + MP3 frame-walker tests (stages/mp4.py).
+
+The pinning strategy mirrors test_jpeg.py: a matching encoder makes the
+decoder's whole box/sample-table machinery verifiable bit-for-bit
+(decode(encode_mp4_raw(x)) == x), plus spec-corner pins so shared
+encoder/decoder bugs can't roundtrip invisibly (the zigzag lesson from
+round 3)."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from monocator_ray.stages.mp4 import (
+    Mp4Track,
+    decode_mp4,
+    demux_track_samples,
+    encode_mp4_raw,
+    encode_mp4_stub,
+    parse_mp3,
+    parse_mp4,
+    synth_mp3,
+)
+
+
+def _frames(t, h=12, w=16, seed=3):
+    return np.random.RandomState(seed).randint(0, 256, size=(t, h, w, 3), dtype=np.uint8)
+
+
+def test_raw_mp4_roundtrip_exact():
+    """decode(encode(x)) == x across odd/even frame counts — pins stts
+    delta runs, stsc chunk-run expansion (2 samples/chunk + odd trailing
+    chunk), stsz fixed-size path, stco offsets and stss."""
+    for t in (1, 2, 5, 8):
+        frames = _frames(t)
+        blob = encode_mp4_raw(frames, fps=(30, 1))
+        back, fps = decode_mp4(blob)
+        assert fps == (30, 1)
+        assert np.array_equal(back, frames), f"t={t}"
+
+
+def test_parse_mp4_metadata_spec_corners():
+    frames = _frames(6)
+    blob = encode_mp4_raw(frames, fps=(25, 1))
+    # spec pin: ftyp first, sample-entry fields at their ISO offsets
+    assert blob[4:8] == b"ftyp"
+    info = parse_mp4(blob)
+    assert info.timescale == 25 and info.duration == 6
+    track = info.video_track()
+    assert track is not None
+    assert (track.width, track.height, track.depth) == (16, 12, 24)
+    assert track.codec == "raw "
+    assert track.kind == "video" and track.n_samples == 6
+    assert abs(info.duration_ms() - 240.0) < 1e-9
+    # dts from stts: uniform deltas starting at 0
+    assert track.sample_dts.tolist() == [0, 1, 2, 3, 4, 5]
+    # every sample is sync (stss enumerates all)
+    assert track.sync_samples is not None
+    assert track.sync_samples.tolist() == [0, 1, 2, 3, 4, 5]
+    # sample offsets are strictly increasing and inside the file
+    off, siz = track.sample_offsets, track.sample_sizes
+    assert (np.diff(off) > 0).all() and int(off[-1] + siz[-1]) <= len(blob)
+
+
+def test_demux_any_codec_and_compressed_gate():
+    """Demux is real for ANY codec (variable stsz path included); only
+    DECODE gates on compressed sample entries."""
+    nals = [b"nal-one", b"nal-two-longer", b"x"]
+    blob = encode_mp4_stub(nals, 64, 48, b"avc1", fps=(24, 1))
+    info = parse_mp4(blob)
+    track = info.video_track()
+    assert track.codec == "avc1" and (track.width, track.height) == (64, 48)
+    assert track.sample_sizes.tolist() == [7, 14, 1]
+    assert demux_track_samples(blob, track) == nals
+    with pytest.raises(NotImplementedError):
+        decode_mp4(blob)
+
+
+def test_mp4_box_walk_rejects_malformed():
+    frames = _frames(2)
+    blob = bytearray(encode_mp4_raw(frames))
+    # no ftyp -> not BMFF
+    with pytest.raises(ValueError):
+        parse_mp4(b"\x00" * 32)
+    # box size overrunning its parent is a parse error, not truncation
+    bad = bytearray(blob)
+    bad[0:4] = struct.pack(">I", len(blob) + 64)  # ftyp claims past EOF
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(bad))
+    # a truncated file loses moov entirely
+    with pytest.raises(ValueError):
+        parse_mp4(bytes(blob[: blob.index(b"moov") - 4]))
+
+
+def test_mp4_largesize_and_to_end_boxes():
+    """size==1 (64-bit largesize) and size==0 (to end of scope) headers."""
+    frames = _frames(3)
+    blob = encode_mp4_raw(frames)
+    # rewrite the trailing moov box header as a largesize box
+    mi = blob.rindex(b"moov") - 4
+    size = struct.unpack_from(">I", blob, mi)[0]
+    body = blob[mi + 8 : mi + size]
+    large = struct.pack(">I4sQ", 1, b"moov", 16 + len(body)) + body
+    back, _ = decode_mp4(blob[:mi] + large)
+    assert np.array_equal(back, frames)
+    # size==0: moov runs to end of file
+    zero = struct.pack(">I4s", 0, b"moov") + body
+    back2, _ = decode_mp4(blob[:mi] + zero)
+    assert np.array_equal(back2, frames)
+
+
+def test_mp3_cbr_walk_exact_duration():
+    blob = synth_mp3(10)
+    m = parse_mp3(blob)
+    assert m.n_frames == 10
+    assert m.sample_rate == 44100 and m.channels == 2
+    assert m.bitrate_kbps == 128.0 and not m.vbr
+    # MPEG-1 Layer III: 1152 samples/frame, duration exact from the walk
+    assert abs(m.duration_ms - 10 * 1152 * 1000 / 44100) < 1e-9
+    # spec pin: frame length = 144 * bitrate / rate + padding
+    assert len(blob) == 10 * (144 * 128000 // 44100)
+
+
+def test_mp3_vbr_id3_and_trailing_tag():
+    m = parse_mp3(synth_mp3(6, kbps_seq=[128, 192], id3=True, mono=True))
+    assert m.vbr and m.channels == 1
+    assert m.id3v2_bytes == 110  # 10-byte header + 100-byte body
+    assert m.n_frames == 6
+    assert abs(m.bitrate_kbps - 160.0) < 1e-9  # average of 128/192
+    # trailing ID3v1 tag after the last frame is tolerated, not a frame
+    blob = synth_mp3(4) + b"TAG" + b"\x00" * 125
+    assert parse_mp3(blob).n_frames == 4
+    # garbage upfront is an error, not a silent resync
+    with pytest.raises(ValueError):
+        parse_mp3(b"\x00\x12" + synth_mp3(2))
+
+
+def test_mp3_sample_rates_and_layers():
+    for rate in (44100, 48000, 32000):
+        m = parse_mp3(synth_mp3(3, sample_rate=rate))
+        assert m.sample_rate == rate
+        assert abs(m.duration_ms - 3 * 1152 * 1000 / rate) < 1e-9
+
+
+def test_purecodec_mp4_video_path_and_sniff():
+    from monocator_ray.stages.media import PureCodec
+
+    c = PureCodec()
+    frames = _frames(4)
+    blob = encode_mp4_raw(frames)
+    assert c.sniff(blob) == "video/mp4"
+    back, fps = c.decode_video(blob)
+    assert np.array_equal(back, frames) and fps == (25, 1)
+    # strict MP3 sniff: a bare 0xFF prefix is NOT audio/mpeg
+    assert c.sniff(b"\xff\x00garbage") == "application/octet-stream"
+    assert c.sniff(b"\xff\xfbfoo") == "audio/mpeg"  # valid MPEG1-L3 header
+    assert c.sniff(synth_mp3(2)) == "audio/mpeg"
+
+
+def test_stsc_multi_run_chunk_expansion():
+    """Pin the chunk-run -> absolute-offset mapping against a hand-built
+    sample table (the one genuinely fiddly BMFF mapping)."""
+    track = Mp4Track(1, "video", "raw ", 25, 5)
+    data = b"HDR" + b"".join(bytes([65 + i]) * (i + 1) for i in range(5))
+    # chunks at offsets 3, 6, 13 holding 2,2,1 samples of sizes 1..5
+    track.sample_sizes = np.array([1, 2, 3, 4, 5], np.int64)
+    track.sample_offsets = np.array([3, 4, 6, 9, 13], np.int64)
+    got = demux_track_samples(data, track)
+    assert got == [b"A", b"BB", b"CCC", b"DDDD", b"EEEEE"]

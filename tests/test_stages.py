@@ -399,10 +399,23 @@ def test_compressed_formats_gated():
     assert c.sniff(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
     with _pytest.raises(ValueError):
         c.decode_image(b"\xff\xd8\xff\xe0rest")
+    # MP3: the PCM decode (huffman/IMDCT/synthesis) is the gate — the
+    # frame-walk metadata layer is real (container_metadata below)
     with _pytest.raises(NotImplementedError):
         c.decode_audio(b"ID3\x04rest")
+    # MP4: the container parses for real; a COMPRESSED codec is the gate
+    from monocator_ray.stages.mp4 import encode_mp4_stub, synth_mp3
+
+    stub = encode_mp4_stub([b"fake-nal"] * 3, 32, 24, b"avc1")
+    assert c.sniff(stub) == "video/mp4"
     with _pytest.raises(NotImplementedError):
-        c.decode_video(b"\x00\x00\x00\x18ftypisom rest")
+        c.decode_video(stub)
+    # ...but the metadata layer flows for both gated formats
+    meta = c.container_metadata(stub)
+    assert (meta["codec"], meta["width"], meta["height"], meta["n_samples"]) == \
+        ("avc1", 32, 24, 3)
+    m = c.container_metadata(synth_mp3(5))
+    assert m["n_samples"] == 5 and m["codec"] == "mp3-cbr"
 
 
 # ---- media plumbing (real codecs for BMP/WAV rows, fake for video) ----
@@ -426,10 +439,17 @@ def test_media_pipeline_plumbing():
     for r in out:
         by_kind.setdefault(r["kind"], []).append(r)
     assert all(r["decoded"] == 1 for r in by_kind["image"])
-    assert all(r["decoded"] == 1 for r in by_kind["audio"])
-    # video rows: Y4M payloads decode for real, opaque containers fall back
+    # audio: WAV rows decode for real; the rotated MP3 rows are codec-gated
+    # (decoded=0) but real at the container layer
+    adec = sorted(r["decoded"] for r in by_kind["audio"])
+    assert adec[0] == 0 and adec[-1] == 1
+    # video rows: Y4M/GIF/raw-MP4 payloads decode for real, compressed
+    # avc1 containers fall back (with REAL container dims)
     vdec = sorted(r["decoded"] for r in by_kind["video"])
     assert vdec[0] == 0 and vdec[-1] == 1
+    for r in by_kind["video"]:
+        if not r["decoded"]:  # gated avc1: dims from the real sample table
+            assert r["width"] == 32 and r["height"] == 24
     for r in by_kind["video"]:
         if r["decoded"]:
             assert r["width"] == 16 and r["height"] == 12
