@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "neardup_clusters",
     "media_features",
     "media_frames",
+    "media_metadata",
     "ngram_jaccard_pairs",
     "top_terms",
     "token_quantiles",

@@ -728,6 +728,25 @@ def q_media_features(sf_dir: str) -> rd.Dataset:
     )
 
 
+def q_media_metadata(sf_dir: str) -> rd.Dataset:
+    """Container-layer metadata scan (stages/media.py
+    ContainerMetadataExtractor): sniff + MP4 sample tables / MP3 frame
+    walk / image-video header dims per row, NO codec decode — the cheap
+    triage pass before deciding what to decode at 100 TB.  Rows-only:
+    binary container parsing has no SQL equivalent; the parsers are pinned
+    by tests/test_mp4.py and the codec roundtrip suites."""
+    from monocator_ray.stages.media import ContainerMetadataExtractor, synth_media_table
+
+    ensure_shipped()
+    tbl = synth_media_table(96)
+    return (
+        rd.from_arrow(tbl)
+        .map_batches(cached_stage(ContainerMetadataExtractor),
+                     batch_format="pyarrow", batch_size=32)
+        .sort("media_id")
+    )
+
+
 @ray.remote
 def _eval_grams_task(docs_path: str, n: int, eval_max_id: int) -> np.ndarray:
     """Distinct n-gram hashes of the eval set, built in ONE worker task

@@ -1711,6 +1711,7 @@ REGISTRY: dict = {
     "ann_store_topk": (D.q_ann_store_topk, None),
     "media_features": (D.q_media_features, None),
     "media_frames": (D.q_media_frames, None),
+    "media_metadata": (D.q_media_metadata, None),
     # integer fixed-point PageRank over the derived part-supplier graph —
     # BIGINT floor math on both sides, so it hash-matches exactly
     "pagerank": (G.q_pagerank, G.PAGERANK_SQL),

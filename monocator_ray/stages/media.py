@@ -1038,6 +1038,57 @@ class MediaFeatureExtractor:
         )
 
 
+class ContainerMetadataExtractor:
+    """map_batches stage: sniff + real container-layer metadata per row
+    WITHOUT decoding any codec payload — MP4 sample tables, MP3 frame walk,
+    and header dims for the decodable image/video formats.  This is the
+    cheap first pass a 100-TB media pipeline runs before deciding what to
+    decode: O(header bytes) per row, no pixel work."""
+
+    def __init__(self):
+        self.codec = PureCodec()
+
+    def _one(self, payload: bytes) -> tuple[str, str, float, int, int, int]:
+        """-> (mime, codec, duration_ms, n_samples, width, height)"""
+        c = self.codec
+        mime = c.sniff(payload)
+        try:
+            meta = c.container_metadata(payload)
+            if meta is not None:  # MP4 / MP3: codec-independent metadata
+                return (mime, meta["codec"], float(meta["duration_ms"]),
+                        int(meta["n_samples"]), int(meta["width"]), int(meta["height"]))
+            if mime.startswith("image/"):
+                img = c.decode_image(payload)
+                return (mime, mime.split("/")[1], 0.0, 1, img.shape[1], img.shape[0])
+            if mime == "audio/wav":
+                samples, rate = c.decode_audio(payload)
+                return (mime, "pcm16", len(samples) * 1000.0 / rate, len(samples), 0, 0)
+            if mime == "video/x-yuv4mpeg":
+                frames, fps = c.decode_video(payload)
+                dur = frames.shape[0] * 1000.0 * fps[1] / fps[0]
+                return (mime, "y4m-444", dur, frames.shape[0],
+                        frames.shape[2], frames.shape[1])
+        except (ValueError, NotImplementedError):
+            pass
+        return (mime, "", 0.0, 0, 0, 0)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [self._one(p.as_py() if p.is_valid else b"") for p in batch["payload"]]
+        mimes, codecs, durs, ns, ws, hs = zip(*rows) if rows else ((),) * 6
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "sniffed_mime": pa.array(mimes, pa.string()),
+                "codec": pa.array(codecs, pa.string()),
+                "duration_ms": pa.array(durs, pa.float64()),
+                "n_samples": pa.array(ns, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+            }
+        )
+
+
 class VideoFrameSampler:
     """map_batches stage: explode each decodable video row into k sampled
     frame rows, each re-encoded as a BMP image payload — the standard

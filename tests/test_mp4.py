@@ -157,6 +157,35 @@ def test_purecodec_mp4_video_path_and_sniff():
     assert c.sniff(synth_mp3(2)) == "audio/mpeg"
 
 
+def test_container_metadata_stage():
+    """ContainerMetadataExtractor: codec-free triage over the full synth
+    mix — gated avc1/MP3 rows still report real duration/dims/counts."""
+    from monocator_ray.stages.media import ContainerMetadataExtractor, synth_media_table
+
+    tbl = synth_media_table(48)
+    out = ContainerMetadataExtractor()(tbl)
+    assert out.num_rows == 48
+    rows = {r["media_id"]: r for r in out.to_pylist()}
+    mimes = tbl["mime"].to_pylist()
+    for i in range(48):
+        r = rows[i]
+        # sniff agrees with the synthesized mime for every row
+        assert r["sniffed_mime"] == mimes[i], (i, r, mimes[i])
+        if mimes[i] == "video/mp4":
+            assert r["codec"] in ("raw ", "avc1")
+            assert r["n_samples"] >= 3 and r["duration_ms"] > 0
+            assert r["width"] > 0 and r["height"] > 0
+        elif mimes[i] == "audio/mpeg":
+            assert r["codec"] == "mp3-cbr" or r["codec"] == "mp3-vbr"
+            assert r["n_samples"] >= 4 and r["duration_ms"] > 0
+        elif mimes[i].startswith("image/"):
+            assert r["width"] == tbl["width"][i].as_py()
+            assert r["height"] == tbl["height"][i].as_py()
+    # the avc1 (gated-codec) rows are present and carry sample-table truth
+    avc1 = [r for r in rows.values() if r["codec"] == "avc1"]
+    assert avc1 and all(r["width"] == 32 and r["height"] == 24 for r in avc1)
+
+
 def test_stsc_multi_run_chunk_expansion():
     """Pin the chunk-run -> absolute-offset mapping against a hand-built
     sample table (the one genuinely fiddly BMFF mapping)."""
