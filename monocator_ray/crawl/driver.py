@@ -68,6 +68,14 @@ class CrawlConfig:
     fetch_batch_size: int = 1024
     extract_batch_size: int = 512
     checkpoint_every: int = 1
+    # checkpoints per FULL state snapshot: the first checkpoint of a chain
+    # writes frontier/seen/hosts in full, the next (full_checkpoint_every-1)
+    # write only deltas (pushes/pops/dirty hosts) — O(changes) per epoch
+    # instead of O(total state).  1 = every checkpoint full (round-3
+    # behavior); at the 10^10-URL design point the seen set alone is
+    # ~80 GB, so delta checkpoints are what makes a per-epoch cadence
+    # affordable.  Restore reads the last full snapshot + its delta spans.
+    full_checkpoint_every: int = 4
     blacklist: frozenset = frozenset()
     host_caps: dict | None = None  # host -> web_max_pages override (VisitRequest)
     with_vat: bool = True
@@ -155,12 +163,18 @@ class CrawlDriver:
                 host_delays=host_delays,
                 default_delay_ms=config.default_delay_ms,
                 host_caps=config.host_caps,
+                # no checkpoints -> no delta logs (they would otherwise
+                # accumulate for the crawl's whole lifetime)
+                track_deltas=config.checkpoint_every > 0,
             )
             for i in range(config.num_shards)
         ]
         self.link_filter = LinkFilter(config.max_depth, config.blacklist, self.robots)
         self.seq = 0
         self.epoch = 0
+        # checkpoint chain: the epoch dirs since (and including) the last
+        # FULL snapshot, commit order — the next delta's restore set
+        self._ckpt_chain: list[str] = []
         self.lineage_rows: list[dict] = []
         self._prev_stats = [
             {"offered": 0, "fetched": 0, "new": 0, "dup_dropped": 0} for _ in range(config.num_shards)
@@ -526,23 +540,32 @@ class CrawlDriver:
             pq.write_table(pa.Table.from_pylist(rows), os.path.join(edir, "lineage.parquet"))
 
     def _checkpoint(self, edir: str) -> None:
-        dumps = ray.get([s.dump.remote() for s in self.shards])
+        """Shard-side parallel checkpoint: every shard writes its own files
+        (no driver funnel), the driver only collects counters and commits
+        the manifest LAST (manifest-last = the store-family crash rule).
+        The first checkpoint of a chain is a full snapshot; the next
+        cfg.full_checkpoint_every-1 are delta spans."""
         ckpt = os.path.join(edir, "checkpoint")
         os.makedirs(ckpt, exist_ok=True)
-        for i, d in enumerate(dumps):
-            pq.write_table(d["frontier"], os.path.join(ckpt, f"frontier-{i}.parquet"))
-            pq.write_table(d["seen"], os.path.join(ckpt, f"seen-{i}.parquet"))
-            pq.write_table(d["hosts"], os.path.join(ckpt, f"hosts-{i}.parquet"))
+        full = (not self._ckpt_chain) or len(self._ckpt_chain) >= self.cfg.full_checkpoint_every
+        counters = ray.get([s.dump_checkpoint.remote(ckpt, full) for s in self.shards])
         manifest = {
             "epoch": self.epoch,
             "seq": self.seq,
             "num_shards": self.cfg.num_shards,
-            "counters": [d["counters"] for d in dumps],
+            "mode": "full" if full else "delta",
+            # for a delta span: the epoch of the PREVIOUS checkpoint in the
+            # chain (restore walks these pointers back to the full snapshot)
+            "base_epoch": None
+            if full
+            else int(os.path.basename(self._ckpt_chain[-1]).split("=")[1]),
+            "counters": counters,
         }
         with open(os.path.join(ckpt, "manifest.json"), "w") as f:
             json.dump(manifest, f)
         with open(os.path.join(edir, "_SUCCESS"), "w") as f:
             f.write("")
+        self._ckpt_chain = [edir] if full else self._ckpt_chain + [edir]
 
     def restore_from(self, edir: str) -> None:
         ckpt = os.path.join(edir, "checkpoint")
@@ -552,24 +575,23 @@ class CrawlDriver:
         # attempt at epoch N+1 may have written some crawl parts without a
         # checkpoint; the re-run can legitimately produce a different part
         # layout (inline vs worker-pool path), so stale parts would survive
-        # and duplicate seq rows in the visit log (ADVICE r1)
+        # and duplicate seq rows in the visit log (ADVICE r1).  Chain dirs
+        # are all <= the checkpointed epoch, so the purge never eats them.
         for name in os.listdir(self.out_dir):
             if name.startswith("epoch=") and int(name.split("=")[1]) > manifest["epoch"]:
                 shutil.rmtree(os.path.join(self.out_dir, name))
         assert manifest["num_shards"] == self.cfg.num_shards, "shard count is pinned in lineage (SURVEY.md §4.2)"
-        states = []
-        for i in range(self.cfg.num_shards):
-            states.append(
-                {
-                    "frontier": pq.read_table(os.path.join(ckpt, f"frontier-{i}.parquet")),
-                    "seen": pq.read_table(os.path.join(ckpt, f"seen-{i}.parquet")),
-                    "hosts": pq.read_table(os.path.join(ckpt, f"hosts-{i}.parquet")),
-                    "counters": manifest["counters"][i],
-                }
-            )
-        ray.get([s.restore.remote(st) for s, st in zip(self.shards, states)])
+        chain = checkpoint_chain_from(self.out_dir, edir)
+        ckpt_dirs = [os.path.join(d, "checkpoint") for d in chain]
+        ray.get(
+            [
+                s.restore_checkpoint.remote(ckpt_dirs, manifest["counters"][i])
+                for i, s in enumerate(self.shards)
+            ]
+        )
         self.seq = manifest["seq"]
         self.epoch = manifest["epoch"] + 1
+        self._ckpt_chain = chain
         self._prev_stats = [
             {k: c[k] for k in ("offered", "fetched", "new", "dup_dropped")}
             for c in manifest["counters"]
@@ -674,6 +696,25 @@ def visit(
     return crawl([f"http://{domain}/"], pages_dir, out_dir, cfg, robots=robots)
 
 
+def checkpoint_chain_from(out_dir: str, edir: str) -> list[str]:
+    """The restore set for checkpoint ``edir``: epoch dirs from its full
+    snapshot through ``edir`` itself, commit order (walks the manifests'
+    base_epoch pointers back until a ``mode == "full"`` snapshot)."""
+    chain = [edir]
+    while True:
+        with open(os.path.join(chain[0], "checkpoint", "manifest.json")) as f:
+            m = json.load(f)
+        if m.get("mode", "full") == "full":
+            return chain
+        chain.insert(0, os.path.join(out_dir, f"epoch={m['base_epoch']}"))
+
+
+def checkpoint_chain(out_dir: str) -> list[str]:
+    """The latest checkpoint's restore chain ([] if no checkpoint)."""
+    last = latest_checkpoint(out_dir)
+    return checkpoint_chain_from(out_dir, last) if last else []
+
+
 def latest_checkpoint(out_dir: str) -> str | None:
     if not os.path.isdir(out_dir):
         return None
@@ -729,14 +770,16 @@ def export_pages(out_dir: str, dest: str) -> None:
 
 
 def read_seen_set(out_dir: str) -> np.ndarray:
-    """Final URL-seen set from the last checkpoint (sorted uint64)."""
-    last = latest_checkpoint(out_dir)
-    if last is None:
-        return np.empty(0, dtype=np.uint64)
-    ckpt = os.path.join(last, "checkpoint")
-    parts = [
-        pq.read_table(os.path.join(ckpt, f))["url_hash"].to_numpy(zero_copy_only=False)
-        for f in sorted(os.listdir(ckpt))
-        if f.startswith("seen-")
-    ]
+    """Final URL-seen set from the last checkpoint chain (sorted uint64):
+    the full snapshot's ``seen-*`` files plus every later delta span's
+    ``seen-delta-*`` files (disjoint by construction — a delta holds only
+    NEW hashes)."""
+    parts = []
+    for d in checkpoint_chain(out_dir):
+        ckpt = os.path.join(d, "checkpoint")
+        parts.extend(
+            pq.read_table(os.path.join(ckpt, f))["url_hash"].to_numpy(zero_copy_only=False)
+            for f in sorted(os.listdir(ckpt))
+            if f.startswith("seen-")
+        )
     return np.sort(np.concatenate(parts).astype(np.uint64)) if parts else np.empty(0, dtype=np.uint64)

@@ -24,6 +24,7 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
+from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.grouped import (
@@ -2669,8 +2670,8 @@ def q_concurrent_sessions(sf_dir: str, dur_min: int = 5) -> pa.Table:
                          "peak": pa.array(peaks, pa.int64())})
 
     def keys(t: pa.Table) -> list[np.ndarray]:
-        from monocator_ray.hashing import hash_str64
-
+        # hash_str64 from module top: this closure runs ON WORKERS via
+        # hash_partitioned — a lazy import there has no repo on sys.path
         return [hash_str64(t["event_type"]),
                 t["bucket"].to_numpy(zero_copy_only=False).view(np.uint64)]
 

@@ -15,7 +15,8 @@ import pyarrow as pa
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Sum
 
-from monocator_ray.hashing import hash_str64
+from monocator_ray.hashing import hash_str64, hash_url64
+from monocator_ray.stages.media import encode_png
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.grouped import hash_partitioned, run_boundaries
@@ -456,9 +457,9 @@ class ScreenshotRenderer:
         self.height = height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # encode_png from module top — a lazy import here would run ON THE
+        # WORKER, where the repo is not on sys.path (the verify-recipe trap)
         import hashlib
-
-        from monocator_ray.stages.media import encode_png
 
         pngs, digests = [], []
         for text, hlen in zip(batch["text"].to_pylist(), batch["html_len"].to_pylist()):
@@ -516,8 +517,8 @@ def capture_screenshots(
     )
 
     def prep(batch: pa.Table) -> pa.Table:
-        from monocator_ray.hashing import hash_url64
-
+        # hash_url64 comes from the module top — a lazy import here would
+        # run ON THE WORKER, where the repo is not on sys.path
         urls = batch["url"].to_pylist()
         uh = hash_url64(urls).view(np.int64)
         hlen = pa.array(
@@ -611,7 +612,12 @@ def seen_except_frontier(out_dir: str) -> int:
     exclusion array plus one shard at 8 B/entry."""
     import pyarrow.parquet as pq
 
-    from monocator_ray.crawl.driver import artifact_files, latest_checkpoint
+    from monocator_ray.crawl.driver import artifact_files, checkpoint_chain
+
+    def _hashes(path: str) -> np.ndarray:
+        return (
+            pq.read_table(path)["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        )
 
     excl = [
         pq.read_table(f, columns=["url_hash"])["url_hash"]
@@ -619,19 +625,28 @@ def seen_except_frontier(out_dir: str) -> int:
         .astype(np.uint64)
         for f in artifact_files(out_dir)
     ]
+    # current frontier from the checkpoint CHAIN: the full snapshot's
+    # frontier files, plus each delta span's pushes, minus its pops —
+    # exactly the reconstruction restore_checkpoint performs
     seen_files: list[str] = []
-    last = latest_checkpoint(out_dir)
-    if last:
-        ckpt = os.path.join(last, "checkpoint")
+    frontier_parts: list[np.ndarray] = []
+    pop_parts: list[np.ndarray] = []
+    for d in checkpoint_chain(out_dir):
+        ckpt = os.path.join(d, "checkpoint")
         for f in sorted(os.listdir(ckpt)):
-            if f.startswith("frontier-"):
-                excl.append(
-                    pq.read_table(os.path.join(ckpt, f))["url_hash"]
-                    .to_numpy(zero_copy_only=False)
-                    .astype(np.uint64)
-                )
+            p = os.path.join(ckpt, f)
+            if f.startswith("frontier-") or f.startswith("fpush-"):
+                frontier_parts.append(_hashes(p))
+            elif f.startswith("fpop-"):
+                pop_parts.append(_hashes(p))
             elif f.startswith("seen-"):
-                seen_files.append(os.path.join(ckpt, f))
+                seen_files.append(p)
+    if frontier_parts:
+        frontier = np.unique(np.concatenate(frontier_parts))
+        if pop_parts:
+            pops = np.unique(np.concatenate(pop_parts))
+            frontier = np.setdiff1d(frontier, pops, assume_unique=True)
+        excl.append(frontier)
     excluded = np.unique(np.concatenate(excl)) if excl else np.empty(0, np.uint64)
     missing = 0
     for f in seen_files:
@@ -785,8 +800,6 @@ def canonical_groups(out_dir: str) -> rd.Dataset:
             "n_pages": pa.array((ends - starts)[keep], pa.int64()),
             "first_url": g["url"].take(pa.array(firsts)),
         })
-
-    from monocator_ray.hashing import hash_str64
 
     return hash_partitioned(
         feats.map_batches(to_target, batch_format="pyarrow"),

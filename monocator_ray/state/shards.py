@@ -34,8 +34,11 @@ global visit order is identical at any parallelism (SPEC exact-order match).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 from monocator_ray.stages.filters import first_wins_dedup
 from monocator_ray.urlnorm import host_of
@@ -106,6 +109,20 @@ def _empty_frontier_table() -> pa.Table:
     )
 
 
+def _frontier_table(cols: dict) -> pa.Table:
+    """Columnar frontier state -> the checkpoint frontier schema."""
+    return pa.table(
+        {
+            "depth": pa.array(cols["depth"], pa.int32()),
+            "host_hash": pa.array(cols["host_hash"], pa.uint64()),
+            "discovery_time": pa.array(cols["discovery_time"], pa.int64()),
+            "url_hash": pa.array(cols["url_hash"], pa.uint64()),
+            "url": cols["url"],
+            "parent_url_hash": pa.array(cols["parent_url_hash"], pa.uint64()),
+        }
+    )
+
+
 class FrontierShard:
     """Plain class; wrap with ``ray.remote`` at pool construction."""
 
@@ -120,6 +137,7 @@ class FrontierShard:
         default_delay_ms: int = 0,
         seen_capacity: int = 1 << 20,
         host_caps: dict[str, int] | None = None,
+        track_deltas: bool = True,
     ):
         self.shard_id = shard_id
         self.num_shards = num_shards
@@ -155,6 +173,20 @@ class FrontierShard:
         # deterministic equivalent of global per-epoch first-wins dedup (J1).
         self._pending_tables: list[pa.Table] = []
         self.counters = {"offered": 0, "new": 0, "dup_dropped": 0, "capped_dropped": 0, "fetched": 0}
+        # incremental-checkpoint deltas (S4): everything that changed since
+        # the last checkpoint, so a delta checkpoint writes O(changes) —
+        # NOT O(total state).  At the 10^10-URL design point the full seen
+        # set is ~80 GB across shards; re-dumping it every epoch (the
+        # round-3 scheme) is the dominant checkpoint cost and a driver
+        # funnel.  Pushes double as the seen-set delta: a URL enters seen
+        # exactly when it enters the frontier (contract above).
+        # track_deltas=False (driver sets it when checkpointing is OFF)
+        # keeps the buffers from growing unboundedly over an uncheckpointed
+        # crawl's lifetime.
+        self._track_deltas = track_deltas
+        self._delta_push: list[pa.Table] = []
+        self._delta_pop: list[np.ndarray] = []
+        self._dirty_hosts: set[int] = set()
 
     # ---- seen-set (A1) ----
     def _check_and_add(self, hashes: np.ndarray) -> np.ndarray:
@@ -205,6 +237,7 @@ class FrontierShard:
                 delay = self.host_delays.get(hosts[i], self.default_delay_ms)
                 cap = self.host_caps.get(hosts[i], self.max_pages)
                 self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
+                self._dirty_hosts.add(hhi)
         fresh = {
             "depth": sub["depth"].to_numpy(zero_copy_only=False).astype(np.int32),
             "host_hash": hh,
@@ -223,6 +256,10 @@ class FrontierShard:
         order_new = np.argsort(new_keys, kind="stable")
         new_keys = new_keys[order_new]
         fresh = _take(fresh, order_new)
+        # delta log for incremental checkpoints: the fresh rows ARE both
+        # the frontier-push delta and the seen-set delta
+        if self._track_deltas:
+            self._delta_push.append(_frontier_table(fresh))
         nf = len(self._fkey)
         merged = {
             k: (
@@ -302,6 +339,10 @@ class FrontierShard:
         # composes to the same value whether applied per epoch or once.
         hh_arr = f["host_hash"]
         uniq, inv = np.unique(hh_arr, return_inverse=True)
+        # the token-advance below mutates every frontier host's state —
+        # the constrained walk is already O(hosts) Python, so the dirty
+        # marking adds a constant factor, not a new asymptotic cost
+        self._dirty_hosts.update(int(x) for x in uniq.tolist())
         allow = np.empty(len(uniq), dtype=np.int64)
         drop_host = np.zeros(len(uniq), dtype=bool)
         for j, hh in enumerate(uniq.tolist()):
@@ -372,6 +413,7 @@ class FrontierShard:
                 st[2] += c
                 if st[1] > 0:
                     st[0] -= st[1] * c
+                self._dirty_hosts.add(int(hh))
         self.counters["fetched"] += int(taken_idx.size)
         out = _take(f, taken_idx) if taken_idx.size else None
         # drop taken + permanently-capped rows from the frontier
@@ -379,6 +421,11 @@ class FrontierShard:
         if self._drop_idx:
             remove = np.concatenate([remove, np.array(self._drop_idx, dtype=np.int64)])
         if remove.size:
+            # delta log: removed rows (taken + permanently capped-dropped)
+            # leave the frontier; a url_hash is unique in the frontier's
+            # whole lifetime (seen-gated), so hashes identify rows exactly
+            if self._track_deltas:
+                self._delta_pop.append(f["url_hash"][remove].copy())
             keep = np.ones(len(f["depth"]), dtype=bool)
             keep[remove] = False
             self._f = {
@@ -428,33 +475,127 @@ class FrontierShard:
         return numeric + int(f["url"].nbytes)
 
     # ---- checkpoint (S4) ----
+    def _hosts_table(self, keys: list[int]) -> pa.Table:
+        return pa.table(
+            {
+                "host_hash": pa.array(keys, pa.uint64()),
+                "tokens_ms": pa.array([self.hosts[k][0] for k in keys], pa.float64()),
+                "delay_ms": pa.array([self.hosts[k][1] for k in keys], pa.int64()),
+                "fetched": pa.array([self.hosts[k][2] for k in keys], pa.int64()),
+                "last_epoch": pa.array([self.hosts[k][3] for k in keys], pa.int64()),
+                "cap": pa.array([self.hosts[k][4] for k in keys], pa.int64()),
+            }
+        )
+
     def dump(self) -> dict:
-        """Checkpointable state as arrow tables (driver writes them)."""
+        """FULL checkpointable state as arrow tables (kept for tests and
+        small crawls; the crawl driver uses :meth:`dump_checkpoint`)."""
         self.flush_pending()  # identical to flushing at next peek
-        f = self._f
-        frontier = pa.table(
-            {
-                "depth": pa.array(f["depth"], pa.int32()),
-                "host_hash": pa.array(f["host_hash"], pa.uint64()),
-                "discovery_time": pa.array(f["discovery_time"], pa.int64()),
-                "url_hash": pa.array(f["url_hash"], pa.uint64()),
-                "url": f["url"],
-                "parent_url_hash": pa.array(f["parent_url_hash"], pa.uint64()),
-            }
-        )
+        frontier = _frontier_table(self._f)
         seen = pa.table({"url_hash": pa.array(self.seen.to_sorted(), pa.uint64())})
-        hh = list(self.hosts.keys())
-        hosts = pa.table(
-            {
-                "host_hash": pa.array(hh, pa.uint64()),
-                "tokens_ms": pa.array([self.hosts[k][0] for k in hh], pa.float64()),
-                "delay_ms": pa.array([self.hosts[k][1] for k in hh], pa.int64()),
-                "fetched": pa.array([self.hosts[k][2] for k in hh], pa.int64()),
-                "last_epoch": pa.array([self.hosts[k][3] for k in hh], pa.int64()),
-                "cap": pa.array([self.hosts[k][4] for k in hh], pa.int64()),
-            }
-        )
+        hosts = self._hosts_table(list(self.hosts.keys()))
         return {"frontier": frontier, "seen": seen, "hosts": hosts, "counters": dict(self.counters)}
+
+    def dump_checkpoint(self, ckpt_dir: str, full: bool) -> dict:
+        """Write this shard's checkpoint files directly into ``ckpt_dir``
+        (shard-side parallel I/O: the driver never funnels state through
+        ``ray.get`` — on a multi-node cluster ``ckpt_dir`` is shared
+        storage, the standard checkpoint-store assumption).  Returns the
+        counters for the driver's manifest.
+
+        ``full=True`` writes the whole state (frontier/seen/hosts) and
+        resets the delta chain.  ``full=False`` writes only what changed
+        since the previous checkpoint: ``fpush`` (frontier rows added —
+        these double as the seen-set delta, written separately as
+        ``seen-delta`` so every seen consumer sees one file family),
+        ``fpop`` (url_hashes of rows that left the frontier) and
+        ``hosts-delta`` (politeness rows touched).  Cost is O(changes per
+        span), not O(total state) — at 10^10 URLs re-dumping the ~80 GB
+        seen set every epoch is the difference between a usable and an
+        unusable checkpoint cadence."""
+        self.flush_pending()
+        i = self.shard_id
+        if full:
+            st = self.dump()
+            pq.write_table(st["frontier"], os.path.join(ckpt_dir, f"frontier-{i}.parquet"))
+            pq.write_table(st["seen"], os.path.join(ckpt_dir, f"seen-{i}.parquet"))
+            pq.write_table(st["hosts"], os.path.join(ckpt_dir, f"hosts-{i}.parquet"))
+        else:
+            push = (
+                pa.concat_tables(self._delta_push)
+                if self._delta_push
+                else _frontier_table(_empty_cols())
+            )
+            pq.write_table(push, os.path.join(ckpt_dir, f"fpush-{i}.parquet"))
+            # seen delta = pushed url_hashes, sorted so each file is a
+            # probe-ready run for the seen audits (report.py)
+            sd = np.sort(push["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64))
+            pq.write_table(
+                pa.table({"url_hash": pa.array(sd, pa.uint64())}),
+                os.path.join(ckpt_dir, f"seen-delta-{i}.parquet"),
+            )
+            pops = (
+                np.concatenate(self._delta_pop).astype(np.uint64)
+                if self._delta_pop
+                else np.empty(0, np.uint64)
+            )
+            pq.write_table(
+                pa.table({"url_hash": pa.array(pops, pa.uint64())}),
+                os.path.join(ckpt_dir, f"fpop-{i}.parquet"),
+            )
+            dirty = [k for k in self._dirty_hosts if k in self.hosts]
+            pq.write_table(
+                self._hosts_table(dirty), os.path.join(ckpt_dir, f"hosts-delta-{i}.parquet")
+            )
+        self._delta_push = []
+        self._delta_pop = []
+        self._dirty_hosts = set()
+        return dict(self.counters)
+
+    def restore_checkpoint(self, ckpt_dirs: list[str], counters: dict) -> None:
+        """Rebuild state from a checkpoint CHAIN: ``ckpt_dirs[0]`` holds a
+        full snapshot, each later dir a delta span (in commit order).
+        frontier = full ∪ pushes \\ pops; seen = full ∪ seen-deltas;
+        hosts = full upserted by each span's dirty rows, last wins."""
+        i = self.shard_id
+        base = ckpt_dirs[0]
+        frontier_parts = [pq.read_table(os.path.join(base, f"frontier-{i}.parquet"))]
+        seen_parts = [
+            pq.read_table(os.path.join(base, f"seen-{i}.parquet"))["url_hash"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        ]
+        hosts_tables = [pq.read_table(os.path.join(base, f"hosts-{i}.parquet"))]
+        pop_parts = []
+        for d in ckpt_dirs[1:]:
+            frontier_parts.append(pq.read_table(os.path.join(d, f"fpush-{i}.parquet")))
+            seen_parts.append(
+                pq.read_table(os.path.join(d, f"seen-delta-{i}.parquet"))["url_hash"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            pop_parts.append(
+                pq.read_table(os.path.join(d, f"fpop-{i}.parquet"))["url_hash"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.uint64)
+            )
+            hosts_tables.append(pq.read_table(os.path.join(d, f"hosts-delta-{i}.parquet")))
+        frontier = (
+            pa.concat_tables(frontier_parts) if len(frontier_parts) > 1 else frontier_parts[0]
+        )
+        if pop_parts:
+            pops = np.unique(np.concatenate(pop_parts))
+            if pops.size and frontier.num_rows:
+                fh = frontier["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                pos = np.minimum(np.searchsorted(pops, fh), pops.size - 1)
+                frontier = frontier.filter(pa.array(pops[pos] != fh))
+        seen = pa.table(
+            {"url_hash": pa.array(np.unique(np.concatenate(seen_parts)), pa.uint64())}
+        )
+        hosts = (
+            pa.concat_tables(hosts_tables) if len(hosts_tables) > 1 else hosts_tables[0]
+        )
+        self.restore({"frontier": frontier, "seen": seen, "hosts": hosts, "counters": counters})
 
     def restore(self, state: dict) -> None:
         f = state["frontier"]
@@ -474,6 +615,8 @@ class FrontierShard:
         if hashes.size:
             self.filter.insert_batch(hashes)
         h = state["hosts"]
+        # duplicate host_hash rows are allowed (a restore_checkpoint chain
+        # concatenates base + delta spans in commit order): LAST one wins
         self.hosts = {
             int(k): [float(t), int(d), int(fc), int(le), int(cp)]
             for k, t, d, fc, le, cp in zip(
@@ -486,3 +629,9 @@ class FrontierShard:
             )
         }
         self.counters = dict(state["counters"])
+        # the restored state IS the checkpoint — the next delta span
+        # starts empty
+        self._pending_tables = []
+        self._delta_push = []
+        self._delta_pop = []
+        self._dirty_hosts = set()

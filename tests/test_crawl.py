@@ -282,3 +282,93 @@ def test_shard_actor_death_mid_crawl_resumes_identically(web, tmp_path):
     assert resumed_log.equals(full_log), "post-actor-death artifacts differ"
     seqs = resumed_log["seq"].to_pylist()
     assert len(seqs) == len(set(seqs)), "re-fetch detected after actor death"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_incremental_checkpoint_chain(web, tmp_path):
+    """Incremental checkpoints (round 4): the first checkpoint of every
+    chain is a FULL snapshot, the next full_checkpoint_every-1 are delta
+    spans (pushes/pops/dirty hosts only — O(changes), not O(state)); a
+    crawl whose checkpoints are all-full and one on the default chain
+    schedule produce IDENTICAL artifacts and seen sets, and mid-chain
+    delta dirs are smaller on disk than full snapshots."""
+    import json
+    import os
+
+    from monocator_ray.crawl.driver import checkpoint_chain
+
+    out_chain = tmp_path / "chained"
+    vlog_c, seen_c = _engine(web, out_chain, 4, full_checkpoint_every=3)
+    out_full = tmp_path / "allfull"
+    vlog_f, seen_f = _engine(web, out_full, 4, full_checkpoint_every=1)
+    assert vlog_c.equals(vlog_f)
+    assert np.array_equal(seen_c, seen_f)
+
+    def _ckpts(out):
+        dirs = sorted(
+            (d for d in os.listdir(out) if d.startswith("epoch=")
+             and os.path.isdir(os.path.join(out, d, "checkpoint"))),
+            key=lambda n: int(n.split("=")[1]),
+        )
+        return [os.path.join(out, d, "checkpoint") for d in dirs]
+
+    import pyarrow.parquet as pq
+
+    def _rows(ckpt, prefix):
+        return sum(
+            pq.read_metadata(os.path.join(ckpt, f2)).num_rows
+            for f2 in os.listdir(ckpt)
+            if f2.startswith(prefix) and f2.endswith(".parquet")
+        )
+
+    ckpts = _ckpts(out_chain)
+    modes = []
+    for c in ckpts:
+        with open(os.path.join(c, "manifest.json")) as f:
+            m = json.load(f)
+        modes.append(m["mode"])
+        files = set(os.listdir(c))
+        if m["mode"] == "full":
+            assert m["base_epoch"] is None
+            assert "frontier-0.parquet" in files and "seen-0.parquet" in files
+            assert not any(f2.startswith(("fpush-", "fpop-")) for f2 in files)
+        else:
+            assert isinstance(m["base_epoch"], int)
+            assert {"fpush-0.parquet", "fpop-0.parquet",
+                    "seen-delta-0.parquet", "hosts-delta-0.parquet"} <= files
+            assert "frontier-0.parquet" not in files
+    # the schedule: full, delta, delta, full, delta, delta, ...
+    assert modes[0] == "full"
+    for i, m in enumerate(modes):
+        assert m == ("full" if i % 3 == 0 else "delta"), (i, modes)
+    assert "delta" in modes  # the crawl ran long enough to chain
+    # the chain's contributions are DISJOINT (a delta holds only hashes
+    # new since the previous checkpoint): read_seen_set concatenates the
+    # chain without dedup, so any overlap would surface as duplicates
+    assert len(seen_c) == len(np.unique(seen_c))
+    # ...and each delta span writes strictly less seen data than the
+    # cumulative set it avoids re-dumping — the row-level statement of
+    # "delta checkpoints cost O(changes), not O(state)"
+    from monocator_ray.crawl.driver import checkpoint_chain as _cc
+
+    final_chain = [os.path.join(d, "checkpoint") for d in _cc(str(out_chain))]
+    cumulative = _rows(final_chain[0], "seen-")
+    for c in final_chain[1:]:
+        d_rows = _rows(c, "seen-delta-")
+        # a full dump at this point would have written `cumulative + d_rows`
+        # rows; the delta wrote d_rows
+        assert d_rows < len(seen_c)
+        cumulative += d_rows
+    # conservation: the chain reconstructs the final seen set exactly
+    assert cumulative == len(seen_c)
+
+    # chain walk: the LAST checkpoint's restore set starts at its most
+    # recent full snapshot and ends at itself
+    chain = checkpoint_chain(str(out_chain))
+    epochs = [int(os.path.basename(d).split("=")[1]) for d in chain]
+    assert epochs == sorted(epochs)
+    with open(os.path.join(chain[0], "checkpoint", "manifest.json")) as f:
+        assert json.load(f)["mode"] == "full"
+    with open(os.path.join(chain[-1], "checkpoint", "manifest.json")) as f:
+        last_m = json.load(f)
+    assert len(chain) == 1 + (0 if last_m["mode"] == "full" else epochs[-1] - epochs[0])
