@@ -76,6 +76,12 @@ class CrawlConfig:
     # ~80 GB, so delta checkpoints are what makes a per-epoch cadence
     # affordable.  Restore reads the last full snapshot + its delta spans.
     full_checkpoint_every: int = 4
+    # after a new FULL snapshot commits, earlier checkpoints can never be
+    # needed again (resume always restores the LATEST chain, which now
+    # starts at the new full) — drop their payloads, keep the crawl
+    # artifacts.  Without GC a 10^10-URL crawl accumulates a full O(seen)
+    # snapshot every full_checkpoint_every epochs forever.
+    gc_checkpoints: bool = True
     blacklist: frozenset = frozenset()
     host_caps: dict | None = None  # host -> web_max_pages override (VisitRequest)
     with_vat: bool = True
@@ -566,6 +572,26 @@ class CrawlDriver:
         with open(os.path.join(edir, "_SUCCESS"), "w") as f:
             f.write("")
         self._ckpt_chain = [edir] if full else self._ckpt_chain + [edir]
+        if full and self.cfg.gc_checkpoints:
+            self._gc_checkpoints(edir)
+
+    def _gc_checkpoints(self, current_edir: str) -> None:
+        """Drop checkpoint payloads + _SUCCESS markers of epochs BEFORE the
+        just-committed full snapshot (crawl artifacts stay).  Runs only
+        AFTER the new full's _SUCCESS is on disk, so a crash at any point
+        here leaves the latest restorable chain intact — partial GC just
+        leaves some unreferenced old files."""
+        cur = int(os.path.basename(current_edir).split("=")[1])
+        for name in os.listdir(self.out_dir):
+            if not name.startswith("epoch=") or int(name.split("=")[1]) >= cur:
+                continue
+            d = os.path.join(self.out_dir, name)
+            ck = os.path.join(d, "checkpoint")
+            marker = os.path.join(d, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)  # marker first: never a _SUCCESS without files
+            if os.path.isdir(ck):
+                shutil.rmtree(ck)
 
     def restore_from(self, edir: str) -> None:
         ckpt = os.path.join(edir, "checkpoint")

@@ -298,9 +298,13 @@ def test_incremental_checkpoint_chain(web, tmp_path):
     from monocator_ray.crawl.driver import checkpoint_chain
 
     out_chain = tmp_path / "chained"
-    vlog_c, seen_c = _engine(web, out_chain, 4, full_checkpoint_every=3)
+    # gc_checkpoints=False: this test inspects the WHOLE checkpoint
+    # history (mode schedule, per-span row counts); GC has its own test
+    vlog_c, seen_c = _engine(web, out_chain, 4, full_checkpoint_every=3,
+                             gc_checkpoints=False)
     out_full = tmp_path / "allfull"
-    vlog_f, seen_f = _engine(web, out_full, 4, full_checkpoint_every=1)
+    vlog_f, seen_f = _engine(web, out_full, 4, full_checkpoint_every=1,
+                             gc_checkpoints=False)
     assert vlog_c.equals(vlog_f)
     assert np.array_equal(seen_c, seen_f)
 
@@ -372,3 +376,58 @@ def test_incremental_checkpoint_chain(web, tmp_path):
     with open(os.path.join(chain[-1], "checkpoint", "manifest.json")) as f:
         last_m = json.load(f)
     assert len(chain) == 1 + (0 if last_m["mode"] == "full" else epochs[-1] - epochs[0])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_checkpoint_gc_keeps_only_live_chain(web, tmp_path):
+    """gc_checkpoints (default on): once a new FULL snapshot commits,
+    every earlier epoch's checkpoint payload + _SUCCESS marker is dropped
+    (crawl artifacts stay), the surviving chain restores, and the
+    artifacts equal an un-GC'd run's."""
+    import os
+
+    from monocator_ray.crawl.driver import checkpoint_chain, latest_checkpoint
+
+    out = tmp_path / "gc"
+    vlog, seen = _engine(web, out, 4, full_checkpoint_every=3)
+    out_ref = tmp_path / "nogc"
+    vlog_r, seen_r = _engine(web, out_ref, 4, full_checkpoint_every=3,
+                             gc_checkpoints=False)
+    assert vlog.equals(vlog_r) and np.array_equal(seen, seen_r)
+
+    epochs_with_ckpt = sorted(
+        int(n.split("=")[1]) for n in os.listdir(out)
+        if n.startswith("epoch=") and os.path.isdir(os.path.join(out, n, "checkpoint"))
+    )
+    chain = checkpoint_chain(str(out))
+    chain_epochs = sorted(int(os.path.basename(d).split("=")[1]) for d in chain)
+    # everything surviving IS the live chain — nothing older kept
+    assert epochs_with_ckpt == chain_epochs
+    ref_epochs = sorted(
+        int(n.split("=")[1]) for n in os.listdir(out_ref)
+        if n.startswith("epoch=") and os.path.isdir(os.path.join(out_ref, n, "checkpoint"))
+    )
+    assert len(ref_epochs) > len(chain_epochs)  # GC actually dropped history
+    # crawl ARTIFACTS of GC'd epochs survive
+    for e in set(ref_epochs) - set(chain_epochs):
+        d = os.path.join(out, f"epoch={e}")
+        if os.path.isdir(d):
+            assert not os.path.exists(os.path.join(d, "_SUCCESS"))
+            assert not os.path.isdir(os.path.join(d, "checkpoint"))
+    # the survivor chain is the restore set: resume from it reproduces
+    # the uninterrupted artifacts (crash everything after the last ckpt)
+    last = latest_checkpoint(str(out))
+    last_epoch = int(os.path.basename(last).split("=")[1])
+    for n in list(os.listdir(out)):
+        if n.startswith("epoch=") and int(n.split("=")[1]) > last_epoch:
+            import shutil as _sh
+
+            _sh.rmtree(os.path.join(out, n))
+    cfg = CrawlConfig(num_shards=4, budget_per_epoch=64, max_depth=4,
+                      link_cap=16, num_buckets=BUCKETS, fetch_concurrency=2,
+                      extract_concurrency=2, full_checkpoint_every=3)
+    from monocator_ray.state.robots import synth_robots as sr
+
+    crawl(web["spec"].seeds(6), web["dir"], str(out), cfg, robots=sr(HOSTS),
+          resume=True)
+    assert read_visit_log(str(out)).equals(vlog_r)
