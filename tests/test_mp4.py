@@ -186,6 +186,26 @@ def test_container_metadata_stage():
     assert avc1 and all(r["width"] == 32 and r["height"] == 24 for r in avc1)
 
 
+def test_mp4_y4m_cross_container_frame_identity():
+    """The SAME frames shipped through MP4('raw ') and Y4M(C444) decode
+    bit-identically, so downstream perceptual hashes / frame features are
+    container-independent — the property a dedup pipeline over mixed web
+    video relies on.  (Y4M carries YCbCr planes; MP4 'raw ' carries
+    packed RGB — feed the same plane bytes through both.)"""
+    from monocator_ray.stages.media import PureCodec, decode_y4m, encode_y4m
+
+    rng = np.random.RandomState(11)
+    frames = rng.randint(0, 256, size=(4, 8, 10, 3), dtype=np.uint8)
+    via_y4m, fps_y = decode_y4m(encode_y4m(frames, fps=(25, 1)))
+    via_mp4, fps_m = decode_mp4(encode_mp4_raw(frames, fps=(25, 1)))
+    assert np.array_equal(via_y4m, via_mp4)
+    assert fps_y == fps_m == (25, 1)
+    c = PureCodec()
+    f_y = c.video_features(via_y4m, fps_y)
+    f_m = c.video_features(via_mp4, fps_m)
+    assert np.array_equal(f_y, f_m)
+
+
 def test_stsc_multi_run_chunk_expansion():
     """Pin the chunk-run -> absolute-offset mapping against a hand-built
     sample table (the one genuinely fiddly BMFF mapping)."""
