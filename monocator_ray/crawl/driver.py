@@ -453,13 +453,26 @@ class CrawlDriver:
             salt_chunk = max(8, salt_chunk // 8)
         fetch_refs = []
         rr_f = 0
+        # hot-BUCKET salting (the mega-host case the SPEC's "salt hot hosts"
+        # is about): a Zipf-head host can fill a whole epoch by itself, and
+        # its pages all live in ONE bucket — strict owner affinity would
+        # serialize the epoch on one fetcher's FIFO queue (measured: the
+        # head-host depth cohorts of a 960k-page web ran 114-145 s vs 9-20 s
+        # for balanced epochs).  Chunks are contiguous in (host_hash, url)
+        # order, so their pruned row-groups are DISJOINT — non-owner
+        # fetchers decode each group exactly once, no cache penalty — and
+        # the visit order/artifacts are fixed before dispatch, so placement
+        # cannot change results.  Buckets above the per-fetcher fair share
+        # round-robin; balanced buckets keep warm-cache owner affinity.
+        fair = -(-taken.num_rows // max(1, nf))
         for b in np.unique(bucket):
             lo = int(np.searchsorted(bucket, b, side="left"))
             hi = int(np.searchsorted(bucket, b, side="right"))
             owner = self._fetchers[int(b) % nf]
+            hot_bucket = (hi - lo) > fair
             for s in range(lo, hi, salt_chunk):
                 chunk = taken.slice(s, min(salt_chunk, hi - s))
-                if tail_epoch:
+                if tail_epoch or hot_bucket:
                     owner = self._fetchers[rr_f % nf]
                     rr_f += 1
                 fetch_refs.append(owner.fetch_chunk.remote(chunk))
@@ -606,21 +619,61 @@ class CrawlDriver:
         for name in os.listdir(self.out_dir):
             if name.startswith("epoch=") and int(name.split("=")[1]) > manifest["epoch"]:
                 shutil.rmtree(os.path.join(self.out_dir, name))
-        assert manifest["num_shards"] == self.cfg.num_shards, "shard count is pinned in lineage (SURVEY.md §4.2)"
         chain = checkpoint_chain_from(self.out_dir, edir)
         ckpt_dirs = [os.path.join(d, "checkpoint") for d in chain]
-        ray.get(
-            [
-                s.restore_checkpoint.remote(ckpt_dirs, manifest["counters"][i])
-                for i, s in enumerate(self.shards)
-            ]
-        )
+        old_n, new_n = manifest["num_shards"], self.cfg.num_shards
+        if old_n == new_n:
+            counters = manifest["counters"]
+            ray.get(
+                [
+                    s.restore_checkpoint.remote(ckpt_dirs, counters[i])
+                    for i, s in enumerate(self.shards)
+                ]
+            )
+        else:
+            # RESHARD on resume (the north rule's N -> 4N story): the visit
+            # order is shard-count-invariant by construction (pinned at
+            # 1/3/4 shards in tests), so a checkpoint taken at N shards can
+            # resume on M when one count divides the other — host_hash
+            # partitions then split/merge exactly (h % N == (h % M) % N).
+            assert max(old_n, new_n) % min(old_n, new_n) == 0, (
+                f"reshard {old_n} -> {new_n}: counts must be k-multiples "
+                "(host-hash partitions only split/merge exactly then)"
+            )
+            zero = {"offered": 0, "new": 0, "dup_dropped": 0,
+                    "capped_dropped": 0, "fetched": 0}
+            srcs_per_new: list[list[int]] = []
+            counters = []
+            for j in range(new_n):
+                if new_n > old_n:  # upscale: one source covers k siblings
+                    srcs_per_new.append([j % old_n])
+                    # counters are lineage TOTALS: attribute each old
+                    # shard's to its first sibling, zeros elsewhere —
+                    # totals conserved, per-shard attribution restarts
+                    counters.append(dict(manifest["counters"][j]) if j < old_n else dict(zero))
+                else:  # downscale: merge the k sources exactly
+                    srcs = [i for i in range(old_n) if i % new_n == j]
+                    srcs_per_new.append(srcs)
+                    merged = dict(zero)
+                    for i in srcs:
+                        for k in merged:
+                            merged[k] += manifest["counters"][i][k]
+                    counters.append(merged)
+            ray.get(
+                [
+                    s.restore_checkpoint.remote(ckpt_dirs, counters[j], srcs_per_new[j])
+                    for j, s in enumerate(self.shards)
+                ]
+            )
         self.seq = manifest["seq"]
         self.epoch = manifest["epoch"] + 1
-        self._ckpt_chain = chain
+        # after a reshard the old chain's files are per-OLD-shard; the next
+        # checkpoint must start a fresh FULL chain at the new count (a
+        # crash before it lands re-runs the same idempotent reshard)
+        self._ckpt_chain = chain if old_n == new_n else []
         self._prev_stats = [
             {k: c[k] for k in ("offered", "fetched", "new", "dup_dropped")}
-            for c in manifest["counters"]
+            for c in counters
         ]
 
     def run(self) -> CrawlResult:
@@ -808,4 +861,9 @@ def read_seen_set(out_dir: str) -> np.ndarray:
             for f in sorted(os.listdir(ckpt))
             if f.startswith("seen-")
         )
-    return np.sort(np.concatenate(parts).astype(np.uint64)) if parts else np.empty(0, dtype=np.uint64)
+    # unique, not just sort: after a reshard-on-resume, sibling shards
+    # carry overlapping supersets (seen files are url_hash-only, so a
+    # source's set can't be split — see FrontierShard.restore_checkpoint);
+    # the SET is what callers mean.  Non-resharded runs are disjoint by
+    # construction, where unique == sort.
+    return np.unique(np.concatenate(parts).astype(np.uint64)) if parts else np.empty(0, dtype=np.uint64)

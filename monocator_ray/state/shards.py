@@ -552,34 +552,70 @@ class FrontierShard:
         self._dirty_hosts = set()
         return dict(self.counters)
 
-    def restore_checkpoint(self, ckpt_dirs: list[str], counters: dict) -> None:
+    def restore_checkpoint(
+        self,
+        ckpt_dirs: list[str],
+        counters: dict,
+        src_shards: list[int] | None = None,
+    ) -> None:
         """Rebuild state from a checkpoint CHAIN: ``ckpt_dirs[0]`` holds a
         full snapshot, each later dir a delta span (in commit order).
         frontier = full ∪ pushes \\ pops; seen = full ∪ seen-deltas;
-        hosts = full upserted by each span's dirty rows, last wins."""
-        i = self.shard_id
+        hosts = full upserted by each span's dirty rows, last wins.
+
+        RESHARDING (``src_shards`` != [self.shard_id]): a checkpoint taken
+        at N shards can restore onto M shards when one count divides the
+        other — the driver passes each new shard the list of OLD shard ids
+        whose partitions cover it.  Frontier and politeness rows re-filter
+        exactly to ``host_hash % M == shard_id`` (they carry host_hash).
+        The SEEN set is inherited WHOLE from the source shards: its file
+        is url_hash-only (8 B/entry — by design), so entries cannot be
+        split by host; but because N | M implies
+        ``h % N == (h % M) % N``, the source shard's set is a correct
+        SUPERSET of this shard's partition, and membership probes only
+        ever arrive for hosts routed here — extra entries are dead weight
+        (per-shard seen memory stays at the OLD shard's size after an
+        upscale instead of shrinking k-fold; the cluster is k× bigger, so
+        per-node memory still drops), never wrong answers.  Downscaling
+        merges k source shards exactly.  This is the N -> 4N resume story
+        of the north rule: carry a crawl's checkpoint onto a larger
+        cluster without re-crawling."""
+        # src_shards is passed ONLY on a reshard (even when a new shard's
+        # source list happens to be its own id — its partition is then a
+        # strict subset of the source's rows and MUST still be filtered,
+        # or sibling shards would duplicate them)
+        reshard = src_shards is not None
+        srcs = src_shards if reshard else [self.shard_id]
         base = ckpt_dirs[0]
-        frontier_parts = [pq.read_table(os.path.join(base, f"frontier-{i}.parquet"))]
+        frontier_parts = [
+            pq.read_table(os.path.join(base, f"frontier-{i}.parquet")) for i in srcs
+        ]
         seen_parts = [
             pq.read_table(os.path.join(base, f"seen-{i}.parquet"))["url_hash"]
             .to_numpy(zero_copy_only=False)
             .astype(np.uint64)
+            for i in srcs
         ]
-        hosts_tables = [pq.read_table(os.path.join(base, f"hosts-{i}.parquet"))]
+        # chain order outer, sources inner: per-dir source tables are
+        # host-disjoint, so the hosts last-wins upsert order is preserved
+        hosts_tables = [
+            pq.read_table(os.path.join(base, f"hosts-{i}.parquet")) for i in srcs
+        ]
         pop_parts = []
         for d in ckpt_dirs[1:]:
-            frontier_parts.append(pq.read_table(os.path.join(d, f"fpush-{i}.parquet")))
-            seen_parts.append(
-                pq.read_table(os.path.join(d, f"seen-delta-{i}.parquet"))["url_hash"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-            )
-            pop_parts.append(
-                pq.read_table(os.path.join(d, f"fpop-{i}.parquet"))["url_hash"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.uint64)
-            )
-            hosts_tables.append(pq.read_table(os.path.join(d, f"hosts-delta-{i}.parquet")))
+            for i in srcs:
+                frontier_parts.append(pq.read_table(os.path.join(d, f"fpush-{i}.parquet")))
+                seen_parts.append(
+                    pq.read_table(os.path.join(d, f"seen-delta-{i}.parquet"))["url_hash"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                pop_parts.append(
+                    pq.read_table(os.path.join(d, f"fpop-{i}.parquet"))["url_hash"]
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.uint64)
+                )
+                hosts_tables.append(pq.read_table(os.path.join(d, f"hosts-delta-{i}.parquet")))
         frontier = (
             pa.concat_tables(frontier_parts) if len(frontier_parts) > 1 else frontier_parts[0]
         )
@@ -589,11 +625,18 @@ class FrontierShard:
                 fh = frontier["url_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
                 pos = np.minimum(np.searchsorted(pops, fh), pops.size - 1)
                 frontier = frontier.filter(pa.array(pops[pos] != fh))
-        seen = pa.table(
-            {"url_hash": pa.array(np.unique(np.concatenate(seen_parts)), pa.uint64())}
-        )
         hosts = (
             pa.concat_tables(hosts_tables) if len(hosts_tables) > 1 else hosts_tables[0]
+        )
+        if reshard:
+            if frontier.num_rows:
+                fh = frontier["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                frontier = frontier.filter(pa.array(fh % self.num_shards == self.shard_id))
+            if hosts.num_rows:
+                hh = hosts["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                hosts = hosts.filter(pa.array(hh % self.num_shards == self.shard_id))
+        seen = pa.table(
+            {"url_hash": pa.array(np.unique(np.concatenate(seen_parts)), pa.uint64())}
         )
         self.restore({"frontier": frontier, "seen": seen, "hosts": hosts, "counters": counters})
 

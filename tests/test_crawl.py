@@ -346,13 +346,11 @@ def test_incremental_checkpoint_chain(web, tmp_path):
     for i, m in enumerate(modes):
         assert m == ("full" if i % 3 == 0 else "delta"), (i, modes)
     assert "delta" in modes  # the crawl ran long enough to chain
-    # the chain's contributions are DISJOINT (a delta holds only hashes
-    # new since the previous checkpoint): read_seen_set concatenates the
-    # chain without dedup, so any overlap would surface as duplicates
-    assert len(seen_c) == len(np.unique(seen_c))
-    # ...and each delta span writes strictly less seen data than the
-    # cumulative set it avoids re-dumping — the row-level statement of
-    # "delta checkpoints cost O(changes), not O(state)"
+    # each delta span writes strictly less seen data than the cumulative
+    # set it avoids re-dumping — the row-level statement of "delta
+    # checkpoints cost O(changes), not O(state)"; the conservation
+    # equality at the end doubles as the disjointness proof (overlapping
+    # files would make the file-row sum exceed the unique count)
     from monocator_ray.crawl.driver import checkpoint_chain as _cc
 
     final_chain = [os.path.join(d, "checkpoint") for d in _cc(str(out_chain))]
@@ -431,3 +429,58 @@ def test_checkpoint_gc_keeps_only_live_chain(web, tmp_path):
     crawl(web["spec"].seeds(6), web["dir"], str(out), cfg, robots=sr(HOSTS),
           resume=True)
     assert read_visit_log(str(out)).equals(vlog_r)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_resume_resharded_4x_and_down(web, tmp_path):
+    """Reshard on resume (the north rule's N -> 4N move): a crawl
+    checkpointed at 2 shards resumes at 8 (4x upscale), and one
+    checkpointed at 8 resumes at 2 (4x downscale) — both finish with
+    artifacts IDENTICAL to an uninterrupted run and zero re-fetches
+    (the visit order is shard-count-invariant by construction, so the
+    mid-crawl switch must be invisible)."""
+    import os
+
+    from monocator_ray.crawl.driver import CrawlDriver
+    from monocator_ray.state.robots import synth_robots as sr
+
+    def cfg(n):
+        return CrawlConfig(
+            num_shards=n, budget_per_epoch=64, max_depth=4, link_cap=16,
+            num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+        )
+
+    full_out = tmp_path / "ref"
+    crawl(web["spec"].seeds(6), web["dir"], str(full_out), cfg(4), robots=sr(HOSTS))
+    full_log = read_visit_log(str(full_out))
+    full_seen = read_seen_set(str(full_out))
+
+    for old_n, new_n, tag in ((2, 8, "up"), (8, 2, "down")):
+        out = tmp_path / f"reshard_{tag}"
+        drv = CrawlDriver(web["dir"], str(out), cfg(old_n), robots=sr(HOSTS))
+        drv.push_seeds(web["spec"].seeds(6))
+        for _ in range(3):
+            drv.run_epoch()
+        assert drv.seq < full_log.num_rows
+        drv.shutdown()
+        crawl(web["spec"].seeds(6), web["dir"], str(out), cfg(new_n),
+              robots=sr(HOSTS), resume=True)
+        log = read_visit_log(str(out))
+        # shard_id is h % num_shards AT FETCH TIME — it legitimately
+        # changes across the reshard; everything observable (order, urls,
+        # depths, epochs, statuses) must not
+        cols = [c for c in full_log.column_names if c != "shard_id"]
+        assert log.select(cols).equals(full_log.select(cols)), \
+            f"reshard {old_n}->{new_n} diverged"
+        assert np.array_equal(read_seen_set(str(out)), full_seen)
+        seqs = log["seq"].to_pylist()
+        assert len(seqs) == len(set(seqs)), "re-fetch after reshard"
+        # the post-reshard chain restarted FULL at the new count
+        import json as _json
+
+        from monocator_ray.crawl.driver import checkpoint_chain
+
+        chain = checkpoint_chain(str(out))
+        with open(os.path.join(chain[0], "checkpoint", "manifest.json")) as f:
+            m = _json.load(f)
+        assert m["num_shards"] == new_n
