@@ -299,7 +299,9 @@ def decode_mp4(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
         if len(payload) != w * h * 3:
             raise ValueError(f"raw sample {i} is {len(payload)} bytes, want {w * h * 3}")
         frames[i] = np.frombuffer(payload, np.uint8).reshape(h, w, 3)
-    # fps from the (uniform) stts delta; mixed deltas fall back to average
+    # fps from the FIRST stts delta (the 'raw ' encoder always emits one
+    # uniform run; a variable-rate track would need per-frame timestamps,
+    # which callers can read from track.sample_dts directly)
     if track.n_samples > 1:
         d = int(track.sample_dts[1] - track.sample_dts[0])
     else:

@@ -237,7 +237,8 @@ class FrontierShard:
                 delay = self.host_delays.get(hosts[i], self.default_delay_ms)
                 cap = self.host_caps.get(hosts[i], self.max_pages)
                 self.hosts[hhi] = [float(max(self.epoch_ms, delay)), delay, 0, 0, cap]
-                self._dirty_hosts.add(hhi)
+                if self._track_deltas:
+                    self._dirty_hosts.add(hhi)
         fresh = {
             "depth": sub["depth"].to_numpy(zero_copy_only=False).astype(np.int32),
             "host_hash": hh,
@@ -342,7 +343,8 @@ class FrontierShard:
         # the token-advance below mutates every frontier host's state —
         # the constrained walk is already O(hosts) Python, so the dirty
         # marking adds a constant factor, not a new asymptotic cost
-        self._dirty_hosts.update(int(x) for x in uniq.tolist())
+        if self._track_deltas:
+            self._dirty_hosts.update(int(x) for x in uniq.tolist())
         allow = np.empty(len(uniq), dtype=np.int64)
         drop_host = np.zeros(len(uniq), dtype=bool)
         for j, hh in enumerate(uniq.tolist()):
@@ -413,7 +415,8 @@ class FrontierShard:
                 st[2] += c
                 if st[1] > 0:
                     st[0] -= st[1] * c
-                self._dirty_hosts.add(int(hh))
+                if self._track_deltas:
+                    self._dirty_hosts.add(int(hh))
         self.counters["fetched"] += int(taken_idx.size)
         out = _take(f, taken_idx) if taken_idx.size else None
         # drop taken + permanently-capped rows from the frontier
