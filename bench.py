@@ -176,8 +176,11 @@ BENCH_QUERIES = [
     "order_peer_stats",
     "embedding_neardup",
     "event_moving_median",
-    # round-4 additions: screenshot save flow over the flagship crawl
+    # round-4 additions: screenshot save flow over the flagship crawl,
+    # grouped robust spread, ordered string_agg journeys
     "screenshot_digests",
+    "customer_order_mad",
+    "user_event_paths",
 ]
 
 

@@ -1917,6 +1917,35 @@ REGISTRY: dict = {
         FROM orders GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
+    # grouped robust spread: MAD = lower-median of |x - lower-median(x)|,
+    # both medians quantile_disc (integer-exact); the engine computes both
+    # order-statistic passes inside ONE hash partition (no second shuffle)
+    "customer_order_mad": (
+        R.q_customer_order_mad,
+        """
+        WITH c AS (SELECT o_custkey,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                   FROM orders),
+        m AS (SELECT o_custkey,
+                     CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents
+              FROM c GROUP BY o_custkey)
+        SELECT c.o_custkey, m.median_cents,
+               CAST(quantile_disc(ABS(c.cents - m.median_cents), 0.5)
+                    AS BIGINT) AS mad_cents
+        FROM c JOIN m USING (o_custkey)
+        GROUP BY c.o_custkey, m.median_cents ORDER BY c.o_custkey
+        """,
+    ),
+    # ordered string_agg: per-user '>'-joined event_type journey in
+    # (ts, event_id) order — event_id breaks ts ties on both engines
+    "user_event_paths": (
+        R.q_user_event_paths,
+        """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
     # fixed-width value histogram; values are nonnegative so DuckDB's
     # truncating // and numpy's flooring // agree on every bin
     "value_histogram": (

@@ -1331,6 +1331,105 @@ def q_customer_median_order(sf_dir: str) -> rd.Dataset:
     return out.sort("o_custkey")
 
 
+# ---- grouped robust spread: exact median absolute deviation ----
+def q_customer_order_mad(sf_dir: str) -> rd.Dataset:
+    """Exact per-customer MAD of order value: mad = lower-median of
+    |cents - lower-median(cents)| — the robust-spread aggregate behind
+    outlier gating.  The naive plan is TWO grouped-median jobs with a
+    broadcast join between them (two shuffles); one hash partition by
+    ``o_custkey`` co-locates each customer's complete order set, so both
+    order-statistic passes are partition-local — the second "pass" is just
+    a second lexsort over the deviations.  All integer cents: the lower
+    median of integers is an integer, so |x - med| and its median stay
+    exact (same quantile_disc(.5) == start + ceil(n/2) - 1 convention as
+    q_customer_median_order, bit-stable vs the oracle)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_custkey", pa.int64()), ("median_cents", pa.int64()),
+         ("mad_cents", pa.int64())]
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def mad_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((cents, key))
+        key, cents = key[order], cents[order]
+        starts, ends = run_boundaries(key)
+        n = ends - starts
+        mid = starts + (n + 1) // 2 - 1  # lower median == quantile_disc .5
+        med = cents[mid]
+        dev = np.abs(cents - np.repeat(med, n))
+        # second order-statistic pass, still local: key is already the
+        # primary sort key, so this re-ranks only within each run
+        dev = dev[np.lexsort((dev, key))]
+        return pa.table(
+            {
+                "o_custkey": pa.array(key[starts], pa.int64()),
+                "median_cents": pa.array(med, pa.int64()),
+                "mad_cents": pa.array(dev[mid], pa.int64()),
+            }
+        )
+
+    out = hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        mad_part,
+        num_parts=32,
+    )
+    return out.sort("o_custkey")
+
+
+# ---- ordered string_agg: per-user event journey paths ----
+def q_user_event_paths(sf_dir: str) -> rd.Dataset:
+    """Per-user ordered event journey: the '>'-joined ``event_type``
+    sequence in (ts, event_id) order — ordered string_agg, the
+    path-analysis primitive behind funnel mining and Markov attribution.
+    One hash partition by ``user_id``; per partition ONE lexsort ranks
+    every user's events at once and each run's path is a C-level
+    ``str.join`` over the sorted type slice (the Python loop is O(groups)
+    building output rows, not per-row work).  Deterministic: ``event_id``
+    breaks ts ties identically on both engines."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    _OUT = pa.schema(
+        [("user_id", pa.int64()), ("n_events", pa.int64()),
+         ("path", pa.string())]
+    )
+
+    def path_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        starts, ends = run_boundaries(uid)
+        paths = [">".join(et[s:e]) for s, e in zip(starts, ends)]
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts], pa.int64()),
+                "n_events": pa.array(ends - starts, pa.int64()),
+                "path": pa.array(paths, pa.string()),
+            }
+        )
+
+    return hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        path_part,
+        num_parts=64,
+    ).sort("user_id")
+
+
 # ---- fixed-width value histogram (O(bins) result, shuffle-free) ----
 def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
     """Histogram of event values in fixed $20 bins: ``bin = cents //

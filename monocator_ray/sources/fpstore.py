@@ -77,15 +77,28 @@ class _ShardProber:
 
     Fences arrive via the constructor (a broadcast-sized list); shard
     arrays load lazily per worker and live in an LRU keyed by
-    (path, mtime) so a regenerated store never serves stale bytes."""
+    (path, mtime) so a regenerated store never serves stale bytes.
 
-    def __init__(self, fences_json: str, cache_shards: int = 64):
-        fences = json.loads(fences_json)
+    Compaction race: ``compact()`` sweeps superseded COMMITTED runs after
+    its manifest commit, so a prober holding pre-compact fences can stat a
+    deleted shard file (storelock.py promises readers are safe concurrent
+    with writers — this is the code that keeps that promise for fpstore).
+    Compaction preserves membership exactly, so on FileNotFoundError the
+    prober re-reads the fences from the store and re-probes — an exact
+    retry, not best-effort.  ``ingest`` itself holds the writer lock, so
+    its probe never races; this path exists for lock-free readers."""
+
+    def __init__(self, fences_json: str, store_dir: str = "",
+                 cache_shards: int = 64):
+        self._load_fences(json.loads(fences_json))
+        self.store_dir = store_dir
+        self.cache: dict = {}
+        self.cache_shards = cache_shards
+
+    def _load_fences(self, fences: list[dict]) -> None:
         self.fences = fences
         self.los = np.array([f["lo"] for f in fences], dtype=np.int64)
         self.his = np.array([f["hi"] for f in fences], dtype=np.int64)
-        self.cache: dict = {}
-        self.cache_shards = cache_shards
 
     def _shard(self, path: str) -> np.ndarray:
         key = (path, os.stat(path).st_mtime_ns)
@@ -97,9 +110,7 @@ class _ShardProber:
         self.cache[key] = arr
         return arr
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or not self.fences:
-            return batch
+    def _probe(self, batch: pa.Table) -> pa.Table:
         fp = batch["fp"].to_numpy(zero_copy_only=False)
         seen = np.zeros(len(fp), dtype=bool)
         for i, f in enumerate(self.fences):
@@ -114,6 +125,20 @@ class _ShardProber:
             idx = np.nonzero(in_range)[0]
             seen[idx[hit]] = True
         return batch.filter(pa.array(~seen))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or not self.fences:
+            return batch
+        for _ in range(3):  # concurrent compactions are rare; 3 is plenty
+            try:
+                return self._probe(batch)
+            except FileNotFoundError:
+                if not self.store_dir:
+                    raise
+                self._load_fences(_fences(self.store_dir))
+                if not self.fences:
+                    return batch
+        return self._probe(batch)
 
 
 class _FpStage:
@@ -216,7 +241,8 @@ def ingest(docs: rd.Dataset, store_dir: str, num_shards: int = 16) -> rd.Dataset
     fences = _fences(store_dir)
     novel = local.map_batches(
         # cached per worker process so shard arrays survive across batches
-        cached_stage(_ShardProber, fences_json=json.dumps(fences)),
+        cached_stage(_ShardProber, fences_json=json.dumps(fences),
+                     store_dir=store_dir),
         batch_format="pyarrow",
     ).materialize()
 

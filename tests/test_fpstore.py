@@ -307,3 +307,38 @@ def test_aggstore_compact_preserves_view(tmp_path):
     got = read_merged(store, ["lang"])
     assert int(got[got.lang == "fr"]["n_docs"].iloc[0]) == 9
     assert int(got[got.lang == "en"]["n_docs"].iloc[0]) == 17
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prober_survives_concurrent_compaction_sweep(tmp_path):
+    """A reader that snapshotted fences BEFORE a compact() must not crash
+    when the compaction sweeps the superseded runs, and must still report
+    exact membership (storelock.py's reader-concurrent-with-writer promise;
+    compaction preserves membership, so refresh-and-reprobe is exact)."""
+    import json
+
+    from monocator_ray.sources.fpstore import (
+        _fences, _ShardProber, compact, ingest,
+    )
+    from monocator_ray.stages.textstats import fingerprint_arrow
+
+    store = str(tmp_path / "fp")
+    ingest(_docs_tbl([(0, "old doc a"), (1, "old doc b")]), store)
+    ingest(_docs_tbl([(2, "old doc c")]), store)
+
+    stale = _fences(store)  # reader snapshot taken pre-compact
+    assert len(stale) >= 2
+    compact(store)  # sweeps run=0 / run=1: every stale fence path is gone
+
+    prober = _ShardProber(fences_json=json.dumps(stale), store_dir=store)
+    texts = ["old doc a", "brand new", "old doc c"]
+    fp = fingerprint_arrow(pa.chunked_array([pa.array(texts)])).view(np.int64)
+    batch = pa.table({"doc_id": pa.array([7, 8, 9], pa.int64()),
+                      "fp": pa.array(fp, pa.int64())})
+    out = prober(batch)  # stale paths -> FileNotFoundError -> refresh
+    assert out["doc_id"].to_pylist() == [8]
+
+    # without a store_dir the prober has nothing to refresh from: re-raise
+    bare = _ShardProber(fences_json=json.dumps(stale))
+    with pytest.raises(FileNotFoundError):
+        bare(batch)
