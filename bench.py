@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "screenshot_digests",
     "customer_order_mad",
     "user_event_paths",
+    "value_tier_lookup",
 ]
 
 

@@ -1946,6 +1946,24 @@ REGISTRY: dict = {
         FROM events GROUP BY user_id ORDER BY user_id
         """,
     ),
+    # broadcast range-lookup join: BETWEEN-join against a small disjoint
+    # interval dim table == one searchsorted against broadcast bounds (the
+    # engine never shuffles the fact side); quadratic tier widths make the
+    # intervals irregular so a plain division can't reproduce them
+    "value_tier_lookup": (
+        R.q_value_tier_lookup,
+        """
+        WITH t AS (SELECT k, 25*k*k AS lo,
+                          CASE WHEN k = 63 THEN 1099511627776
+                               ELSE 25*(k+1)*(k+1) - 1 END AS hi
+                   FROM generate_series(0, 63) s(k)),
+        e AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS cents FROM events)
+        SELECT CAST(t.k AS BIGINT) AS tier, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+        FROM e JOIN t ON e.cents BETWEEN t.lo AND t.hi
+        GROUP BY t.k ORDER BY tier
+        """,
+    ),
     # fixed-width value histogram; values are nonnegative so DuckDB's
     # truncating // and numpy's flooring // agree on every bin
     "value_histogram": (

@@ -1459,6 +1459,44 @@ def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# ---- broadcast range-lookup join: irregular-interval dim table ----
+def q_value_tier_lookup(sf_dir: str, num_tiers: int = 64) -> pa.Table:
+    """Assign each event to an IRREGULAR price tier (quadratic widths,
+    ``lo_k = 25*k^2`` cents) and aggregate per tier — the range-lookup
+    join (``JOIN ON x BETWEEN lo AND hi``) every weblog pipeline runs
+    against an ip-to-geo / price-book style interval dim table.
+
+    Scale shape: the dim side is small and its intervals are disjoint and
+    sorted, so the join is NOT a shuffle — the sorted lower bounds are a
+    broadcast constant and each batch resolves its tier with ONE
+    ``np.searchsorted`` (binary search per row, vectorized).  At 100 TB
+    the fact side streams untouched; contrast with event_error_window,
+    which handles the genuinely-overlapping-interval case.  Per-tier
+    partials combine on the driver at O(num_tiers)
+    (driver_grouped_agg rationale)."""
+    ds = _read(sf_dir, "events", ["value"])
+    # quadratic bounds: tier k covers [25k^2, 25(k+1)^2 - 1] cents; the
+    # last tier's upper bound is open-ended (2^40) so no value falls off
+    los = (25 * np.arange(num_tiers, dtype=np.int64) ** 2)
+
+    def tiered(t: pa.Table) -> pa.Table:
+        cents = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        tier = np.searchsorted(los, cents, side="right") - 1
+        return pa.table({"tier": pa.array(tier, pa.int64()),
+                         "cents": pa.array(cents, pa.int64())})
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(tiered, batch_format="pyarrow"),
+        ["tier"],
+        [("cents", "count"), ("cents", "sum")],
+        ["tier", "n", "sum_cents"],
+    )
+    pdf = pdf.sort_values("tier").reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype(np.int64)
+    pdf["sum_cents"] = pdf["sum_cents"].astype(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 # ---- streaming watermark: late-event windowed aggregate (oracle) ----
 def q_watermark_windows(sf_dir: str, delay_min: int = 5) -> pa.Table:
     """Event-time windowing with WATERMARK late-data dropping — the
