@@ -132,3 +132,50 @@ def sitemap_urls_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"src_sitemap": pa.array(srcs, pa.string()),
                      "url": pa.array(urls, pa.string()),
                      "is_sitemap": pa.array(flags, pa.bool_())})
+
+
+def discover_sitemap_seeds(hosts: list[str], fetcher, scheme: str = "http",
+                           max_depth: int = 3) -> tuple[list[str], dict]:
+    """Full production seed discovery: fetch each host's robots.txt,
+    collect its non-group ``Sitemap:`` records (sitemaps.org), fetch those
+    sitemaps through the SAME fetcher — following ``<sitemapindex>``
+    recursion breadth-first up to ``max_depth`` rounds, one batched fetch
+    per round — and return ``(seed_urls, robots_rules)`` so the caller
+    seeds the frontier and keeps the politeness rules it already paid to
+    fetch.  ``fetcher`` is any HttpFetcher-contract batch stage; failed or
+    unparseable sitemap fetches are skipped exactly like
+    ``sitemap_seed_urls`` (a real crawler logs and moves on).
+
+    Scale shape: like fetch_robots, this runs inside the per-shard
+    host-discovery pass (hosts arrive already sharded) — rounds are
+    batched fetches, never a driver loop over individual URLs."""
+    from monocator_ray.state.robots import fetch_robots
+
+    rules = fetch_robots(hosts, fetcher, scheme)
+    roots: list[str] = []
+    for h in hosts:
+        for sm in getattr(rules.get(h), "sitemaps", []):
+            if sm not in roots:
+                roots.append(sm)
+
+    payloads: dict[str, bytes] = {}
+    frontier = list(roots)
+    for _ in range(max_depth):
+        need = [u for u in frontier if u not in payloads]
+        if not need:
+            break
+        got = fetcher(pa.table({"url": pa.array(need, pa.string())}))
+        children: list[str] = []
+        for u, body, status in zip(need, got["html"].to_pylist(),
+                                   got["fetch_status"].to_pylist()):
+            if not (200 <= status < 300 and body):
+                continue
+            payloads[u] = body
+            try:
+                _pages, kids = parse_sitemap(body)
+            except ValueError:
+                del payloads[u]  # not a sitemap: don't feed the resolver
+                continue
+            children.extend(k for k in kids if k not in payloads)
+        frontier = children
+    return sitemap_seed_urls(payloads, roots, max_depth), rules

@@ -17,6 +17,9 @@ class RobotsRules:
     disallow: list[str] = field(default_factory=list)
     allow: list[str] = field(default_factory=list)
     crawl_delay_ms: int = 0
+    # Sitemap: URLs are non-group records (sitemaps.org: "independent of
+    # the user-agent line") — collected file-wide regardless of agent
+    sitemaps: list[str] = field(default_factory=list)
 
     def allowed(self, path: str) -> bool:
         best_allow = -1
@@ -56,6 +59,13 @@ def parse_robots(text: str) -> RobotsRules:
             agents.append(val.lower())
             continue
         in_header = False
+        if key == "sitemap":
+            # non-group record: applies file-wide, but (like any other
+            # directive — Google's parser behavior) it still ends a
+            # User-agent header, so a following User-agent starts a group
+            if val:
+                rules.sitemaps.append(val)
+            continue
         if "*" not in agents:
             continue
         if key == "disallow" and val:

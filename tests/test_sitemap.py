@@ -124,3 +124,63 @@ def test_dtd_pushed_past_prefix_window_still_rejected():
             b"<urlset><url><loc>&b;</loc></url></urlset>")
     with pytest.raises(ValueError, match="DTD"):
         parse_sitemap(evil)
+
+
+def test_robots_sitemap_records_collected_file_wide():
+    from monocator_ray.state.robots import parse_robots
+
+    r = parse_robots(
+        """
+        User-agent: googlebot
+        Sitemap: http://a.example/sm-a.xml
+        User-agent: *
+        Disallow: /private
+        Sitemap: http://a.example/sm-b.xml.gz
+        """
+    )
+    # non-group records: both collected, regardless of agent group; and
+    # the Sitemap line ENDED the googlebot header, so Disallow applies
+    # to the '*' group that follows it
+    assert r.sitemaps == ["http://a.example/sm-a.xml",
+                          "http://a.example/sm-b.xml.gz"]
+    assert r.disallow == ["/private"]
+
+
+def test_discover_sitemap_seeds_end_to_end():
+    """robots.txt -> Sitemap records -> index recursion, through a fake
+    HttpFetcher-contract stage (batched rounds, no per-URL driver loop)."""
+    from monocator_ray.sources.sitemap import discover_sitemap_seeds
+
+    pages = {
+        "http://h1.example/robots.txt":
+            b"User-agent: *\nDisallow: /private\n"
+            b"Sitemap: http://h1.example/index.xml\n",
+        "http://h2.example/robots.txt": b"User-agent: *\nDisallow:\n",
+        "http://h1.example/index.xml": _INDEX.replace(b"a.example", b"h1.example"),
+        "http://h1.example/sm1.xml": _URLSET.replace(b"a.example", b"h1.example"),
+        # sm2.xml.gz intentionally missing: failed fetch is tolerated
+    }
+    calls = []
+
+    def fake_fetcher(batch: pa.Table) -> pa.Table:
+        urls = batch["url"].to_pylist()
+        calls.append(urls)
+        body = [pages.get(u) for u in urls]
+        return pa.table({
+            "url": pa.array(urls, pa.string()),
+            "html": pa.array(body, pa.binary()),
+            "fetch_status": pa.array([200 if b is not None else 404 for b in body],
+                                     pa.int32()),
+        })
+
+    seeds, rules = discover_sitemap_seeds(["h1.example", "h2.example"], fake_fetcher)
+    assert seeds == ["http://h1.example/p1", "http://h1.example/p2",
+                     "http://h1.example/p3"]
+    assert rules["h1.example"].disallow == ["/private"]
+    assert rules["h2.example"].sitemaps == []
+    # batched rounds: robots batch, then index root, then its children
+    assert calls[0] == ["http://h1.example/robots.txt",
+                        "http://h2.example/robots.txt"]
+    assert calls[1] == ["http://h1.example/index.xml"]
+    assert sorted(calls[2]) == ["http://h1.example/sm1.xml",
+                                "http://h1.example/sm2.xml.gz"]
