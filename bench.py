@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "customer_order_mad",
     "user_event_paths",
     "value_tier_lookup",
+    "event_transitions",
 ]
 
 

@@ -1936,6 +1936,21 @@ REGISTRY: dict = {
         GROUP BY c.o_custkey, m.median_cents ORDER BY c.o_custkey
         """,
     ),
+    # sequence bigrams: Markov transition counts over per-user journeys;
+    # LEAD over the same (ts, event_id) order is the SQL spelling of the
+    # engine's shifted same-user comparison
+    "event_transitions": (
+        R.q_event_transitions,
+        """
+        WITH s AS (SELECT user_id, event_type AS src,
+                          LEAD(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS dst
+                   FROM events)
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE dst IS NOT NULL
+        GROUP BY src, dst ORDER BY src, dst
+        """,
+    ),
     # ordered string_agg: per-user '>'-joined event_type journey in
     # (ts, event_id) order — event_id breaks ts ties on both engines
     "user_event_paths": (

@@ -1459,6 +1459,66 @@ def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# ---- sequence bigrams: Markov transition counts over user journeys ----
+def q_event_transitions(sf_dir: str) -> pa.Table:
+    """Event-type transition counts: for every consecutive pair of events
+    by the same user (in (ts, event_id) order), count (src, dst) — the
+    transition matrix behind Markov attribution / next-event prediction,
+    and the aggregate form of q_user_event_paths' bigrams.
+
+    Scale shape: one hash partition by user_id co-locates each user's
+    ordered run; transitions are a shifted comparison inside the run
+    (mask out run boundaries), pre-aggregated per partition to O(types^2)
+    rows; the driver combine is O(types^2) (driver_grouped_agg
+    rationale).  No join, no second shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+    _OUT = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("n", pa.int64())]
+    )
+
+    def trans_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        if len(uid) < 2:
+            return _OUT.empty_table()
+        same = uid[1:] == uid[:-1]  # consecutive rows of the SAME user
+        src, dst = et[:-1][same], et[1:][same]
+        if not len(src):
+            return _OUT.empty_table()
+        # partition-local combine: factorize each side, count the combined
+        # integer codes (string concat would need a separator no type can
+        # contain — numpy U-strings can't carry NUL)
+        us, si = np.unique(src, return_inverse=True)
+        ud, di = np.unique(dst, return_inverse=True)
+        code = si.astype(np.int64) * len(ud) + di
+        uc, inv = np.unique(code, return_inverse=True)
+        cnt = np.bincount(inv, minlength=len(uc)).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(us[uc // len(ud)], pa.string()),
+             "dst": pa.array(ud[uc % len(ud)], pa.string()),
+             "n": pa.array(cnt, pa.int64())}
+        )
+
+    partials = hash_partitioned(
+        ds,
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        trans_part,
+        num_parts=64,
+    )
+    pdf = driver_grouped_agg(partials, ["src", "dst"], [("n", "sum")],
+                             ["src", "dst", "n"])
+    pdf = pdf.sort_values(["src", "dst"]).reset_index(drop=True)
+    pdf["n"] = pdf["n"].astype(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
 # ---- broadcast range-lookup join: irregular-interval dim table ----
 def q_value_tier_lookup(sf_dir: str, num_tiers: int = 64) -> pa.Table:
     """Assign each event to an IRREGULAR price tier (quadratic widths,
