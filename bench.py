@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "user_event_paths",
     "value_tier_lookup",
     "event_transitions",
+    "cdc_chunk_stats",
 ]
 
 

@@ -3952,3 +3952,80 @@ def q_incremental_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
         build_inverted_store(first, store, num_buckets=32)
         ingest_inverted_store(rest, store)
         return search_inverted_store(store, _SEARCH_TERMS, k=k)
+
+
+# ---- content-defined chunking dedup (storage-level, rows-only) ----
+def q_cdc_chunk_stats(sf_dir: str) -> pa.Table:
+    """Corpus-level CDC dedup statistics: chunk every document with
+    content-defined boundaries (stages/dedup.cdc_chunks — Rabin rolling
+    hash, FastCDC min/avg/max cut discipline) and report what a
+    chunk-store would deduplicate: total vs distinct chunks, total vs
+    distinct bytes.  The storage-dedup view of a corpus (crawl snapshots /
+    versioned dumps share most chunks run-to-run) — complementary to the
+    document-level dedup family: CDC finds BYTE-range reuse across
+    otherwise-distinct documents, and its boundaries survive insertions
+    (shift resistance, pinned by tests).
+
+    No SQL analog (rolling-hash boundaries) -> rows-only; the exact
+    numbers are pinned by a pure-Python reference in pytest.
+
+    Scale shape: chunking is a per-doc map where the text lives; the ONE
+    shuffle hash-partitions (chunk_hash, len) so each partition counts its
+    distinct hashes locally (np.unique on int64); the driver folds
+    O(partitions) 1-row partials."""
+    from monocator_ray.stages.dedup import cdc_chunks
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        hs, ls = [], []
+        for s in t["text"].to_pylist():
+            raw = (s or "").encode("utf-8")
+            if not raw:
+                continue
+            _starts, lens, hashes = cdc_chunks(raw)
+            hs.append(hashes.view(np.int64))
+            ls.append(lens)
+        if not hs:
+            return pa.table({"chunk_hash": pa.array([], pa.int64()),
+                             "len": pa.array([], pa.int64())})
+        return pa.table({"chunk_hash": pa.array(np.concatenate(hs), pa.int64()),
+                         "len": pa.array(np.concatenate(ls), pa.int64())})
+
+    _OUT = pa.schema(
+        [("total_chunks", pa.int64()), ("distinct_chunks", pa.int64()),
+         ("total_bytes", pa.int64()), ("distinct_bytes", pa.int64())]
+    )
+
+    def part_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        h = t["chunk_hash"].to_numpy(zero_copy_only=False)
+        ln = t["len"].to_numpy(zero_copy_only=False)
+        order = np.argsort(h, kind="stable")
+        h, ln = h[order], ln[order]
+        starts, _ends = run_boundaries(h)
+        return pa.table(
+            {"total_chunks": pa.array([len(h)], pa.int64()),
+             "distinct_chunks": pa.array([len(starts)], pa.int64()),
+             "total_bytes": pa.array([int(ln.sum())], pa.int64()),
+             # one representative per distinct hash: chunk bytes the store keeps
+             "distinct_bytes": pa.array([int(ln[starts].sum())], pa.int64())}
+        )
+
+    partials = hash_partitioned(
+        ds.map_batches(chunk_batch, batch_format="pyarrow"),
+        lambda t: [t["chunk_hash"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        part_stats,
+        num_parts=32,
+    )
+    pdf = collect_arrow(partials).to_pandas()  # bounded: O(partitions) 1-row partials
+    tot = pdf.sum()
+    dup_bytes = int(tot["total_bytes"] - tot["distinct_bytes"])
+    return pa.table(
+        {"total_chunks": pa.array([int(tot["total_chunks"])], pa.int64()),
+         "distinct_chunks": pa.array([int(tot["distinct_chunks"])], pa.int64()),
+         "total_bytes": pa.array([int(tot["total_bytes"])], pa.int64()),
+         "dup_bytes": pa.array([dup_bytes], pa.int64())}
+    )

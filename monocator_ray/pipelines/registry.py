@@ -1704,6 +1704,10 @@ REGISTRY: dict = {
     # zlib compression-ratio repetition signal (no SQL analog — zlib;
     # pinned by planted repetitive/high-entropy fixtures in tests)
     "compression_ratio": (D.q_compression_ratio, None),
+    # content-defined chunking dedup stats (Rabin rolling-hash boundaries,
+    # FastCDC cut discipline) — no SQL analog for the rolling hash ->
+    # rows-only; numbers pinned by a pure-Python reference in pytest
+    "cdc_chunk_stats": (D.q_cdc_chunk_stats, None),
     # approximate k-NN graph (IVF co-partitioned; nprobe==nlist is pinned
     # exact vs brute force in tests) — rows-only
     "knn_graph": (D.q_knn_graph, None),

@@ -462,3 +462,87 @@ def byte_histogram_l1_bound(texts: list[bytes]) -> np.ndarray:
         if t:
             h[i] = np.bincount(np.frombuffer(t, np.uint8), minlength=256)
     return h
+
+
+# ---- content-defined chunking (Rabin-style CDC, FastCDC-shaped limits) ----
+# Storage-level dedup of crawl snapshots / corpus versions: boundaries are
+# decided by the CONTENT of a sliding window, so inserting bytes early in a
+# document re-synchronizes within one chunk and every later chunk hash is
+# unchanged — the property fixed-size chunking lacks (its boundaries all
+# shift).  Public technique: Muthitacharoen et al. LBFS (SOSP'01), FastCDC
+# (ATC'16) for the min/avg/max cut discipline.
+_CDC_P = np.uint64(0x9E3779B97F4A7C15 | 1)  # odd -> invertible mod 2^64
+_CDC_PINV = np.uint64(pow(int(_CDC_P), -1, 1 << 64))
+
+
+def cdc_boundaries(data: bytes, window: int = 48, min_size: int = 256,
+                   avg_size: int = 1024, max_size: int = 4096) -> np.ndarray:
+    """Chunk END offsets (exclusive, last == len(data)) for content-defined
+    chunking: cut after byte q-1 when the polynomial rolling hash of the
+    ``window`` bytes ending there has its low log2(avg_size) bits zero,
+    subject to min/max chunk sizes (a cut is forced at max_size; the final
+    tail chunk may be shorter than min_size).
+
+    The window hash at q depends ONLY on bytes [q-window, q) — never on the
+    previous cut — so two documents sharing a byte range re-synchronize to
+    identical boundaries inside it (shift resistance).  Vectorized: the
+    rolling hash for every position comes from one wraparound cumsum of
+    (byte+1)*P^-j and two power tables; candidate selection is a Python
+    walk over the SPARSE candidate list (O(chunks), not O(bytes))."""
+    assert avg_size & (avg_size - 1) == 0, "avg_size must be a power of two"
+    n = len(data)
+    if n <= min_size:
+        return np.array([n], dtype=np.int64) if n else np.empty(0, np.int64)
+    with np.errstate(over="ignore"):
+        b = np.frombuffer(data, np.uint8).astype(np.uint64) + np.uint64(1)
+        # pw[j] = P^j, pwi[j] = P^-j (mod 2^64; unsigned wraparound IS the mod)
+        pw = np.empty(n, np.uint64)
+        pw[0] = 1
+        pw[1:] = np.cumprod(np.full(n - 1, _CDC_P, np.uint64))
+        pwi = np.empty(n, np.uint64)
+        pwi[0] = 1
+        pwi[1:] = np.cumprod(np.full(n - 1, _CDC_PINV, np.uint64))
+        c = np.zeros(n + 1, np.uint64)
+        np.cumsum(b * pwi, out=c[1:])
+        wlen = min(window, n)
+        # H[i] = hash of bytes [i, i+wlen): (C[i+wlen]-C[i]) * P^(i+wlen-1)
+        h = (c[wlen:] - c[:-wlen]) * pw[wlen - 1:]
+    mask = np.uint64(avg_size - 1)
+    # a candidate cut at offset q means the window ENDS at q
+    cand = np.nonzero((h & mask) == 0)[0] + wlen
+    out = []
+    start, idx, m = 0, 0, len(cand)
+    while n - start > min_size:
+        limit = min(start + max_size, n)
+        while idx < m and cand[idx] < start + min_size:
+            idx += 1
+        if idx < m and cand[idx] < limit:
+            cut = int(cand[idx])
+            idx += 1
+        elif n - start > max_size:
+            cut = start + max_size  # forced cut: no candidate in range
+        else:
+            break  # tail shorter than max: keep as the final chunk
+        out.append(cut)
+        start = cut
+    out.append(n)
+    return np.array(out, dtype=np.int64)
+
+
+def cdc_chunks(data: bytes, **kw) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(offsets, lengths, blake2b-64 chunk hashes) for ``data`` under
+    content-defined chunking.  Hashing is O(bytes) C-level digest per chunk
+    (the per-chunk Python loop is O(chunks))."""
+    import hashlib
+
+    ends = cdc_boundaries(data, **kw)
+    if not len(ends):
+        z = np.empty(0, np.int64)
+        return z, z, np.empty(0, np.uint64)
+    starts = np.concatenate(([0], ends[:-1]))
+    hashes = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(data[s:e], digest_size=8).digest(), "little")
+         for s, e in zip(starts, ends)),
+        dtype=np.uint64, count=len(ends),
+    )
+    return starts, ends - starts, hashes

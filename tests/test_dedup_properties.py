@@ -194,3 +194,124 @@ def test_banded_levenshtein_large_docs_promote_lanes():
     assert h.dtype == np.int32 and h[0, ord("x")] == 40000
     keep = hist_l1_filter(h, np.array([0, 0]), np.array([1, 2]), 64)
     assert keep.tolist() == [True, False]
+
+
+# ---- content-defined chunking (stages/dedup.cdc_chunks) ----
+def _cdc_reference(data: bytes, window=48, min_size=256, avg_size=1024,
+                   max_size=4096):
+    """Independent pure-Python CDC: byte-at-a-time polynomial rolling hash
+    (Horner form), same cut rule — pins the vectorized wraparound math."""
+    import hashlib
+
+    from monocator_ray.stages.dedup import _CDC_P
+
+    P, M = int(_CDC_P), (1 << 64) - 1
+    n = len(data)
+    if n <= min_size:
+        return [data[:]] if n else []
+    wlen = min(window, n)
+    pw_top = pow(P, wlen, 1 << 64)
+    # rolling hash of window ending at q (bytes [q-wlen, q)), Horner-style
+    h = 0
+    cand = []
+    for q in range(n):
+        h = (h * P + (data[q] + 1)) & M
+        if q >= wlen:
+            h = (h - (data[q - wlen] + 1) * pw_top) & M
+        if q + 1 >= wlen and h & (avg_size - 1) == 0:
+            cand.append(q + 1)
+    cuts, start, idx = [], 0, 0
+    while n - start > min_size:
+        limit = min(start + max_size, n)
+        while idx < len(cand) and cand[idx] < start + min_size:
+            idx += 1
+        if idx < len(cand) and cand[idx] < limit:
+            cut = cand[idx]
+            idx += 1
+        elif n - start > max_size:
+            cut = start + max_size
+        else:
+            break
+        cuts.append(cut)
+        start = cut
+    cuts.append(n)
+    out, s = [], 0
+    for e in cuts:
+        out.append(data[s:e])
+        s = e
+    return out
+
+
+def test_cdc_chunks_match_bytewise_reference_and_cover():
+    from monocator_ray.stages.dedup import cdc_chunks
+
+    rng = np.random.RandomState(7)
+    for size in (0, 100, 257, 5000, 40000):
+        data = rng.bytes(size)
+        starts, lens, hashes = cdc_chunks(data)
+        ref = _cdc_reference(data)
+        got = [data[s:s + l] for s, l in zip(starts, lens)]
+        assert got == ref  # identical boundaries -> identical chunks
+        assert int(lens.sum()) == size  # exact cover
+        if len(lens) > 1:
+            assert lens[:-1].min() >= 256 and lens.max() <= 4096
+
+
+def test_cdc_shift_resistance_beats_fixed_chunking():
+    """THE property CDC exists for: inserting bytes near the front leaves
+    most later chunk hashes identical (fixed-size chunking shares none)."""
+    from monocator_ray.stages.dedup import cdc_chunks
+
+    rng = np.random.RandomState(11)
+    doc = rng.bytes(30000)
+    shifted = b"inserted!" + doc
+    _s1, _l1, h1 = cdc_chunks(doc)
+    _s2, _l2, h2 = cdc_chunks(shifted)
+    shared = len(np.intersect1d(h1, h2))
+    assert shared >= int(0.8 * len(h1))
+    # fixed-size chunking under the same shift shares nothing
+    fixed1 = {doc[i:i + 1024] for i in range(0, len(doc), 1024)}
+    fixed2 = {shifted[i:i + 1024] for i in range(0, len(shifted), 1024)}
+    assert not (fixed1 & fixed2)
+
+
+def test_cdc_chunk_stats_pipeline_matches_reference(tmp_path, ray_session):
+    """q_cdc_chunk_stats == a pure-Python chunk-store simulation, on a
+    corpus with a planted shared block across two documents."""
+    import hashlib
+
+    import ray.data as rd
+
+    from monocator_ray.pipelines.docs import q_cdc_chunk_stats
+    from monocator_ray.stages.dedup import cdc_chunks
+
+    rng = np.random.RandomState(3)
+    shared_block = "".join(chr(97 + b % 26) for b in rng.bytes(6000))
+    texts = []
+    for i in range(20):
+        filler = "".join(chr(97 + b % 26) for b in rng.bytes(3000 + 137 * i))
+        texts.append(filler + (shared_block if i % 3 == 0 else "") + f" tail {i}")
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string())})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, str(sf / "documents.parquet"))
+
+    out = q_cdc_chunk_stats(str(sf)).to_pylist()[0]
+
+    store = {}
+    total_chunks = total_bytes = 0
+    for s in texts:
+        raw = s.encode("utf-8")
+        starts, lens, hashes = cdc_chunks(raw)
+        total_chunks += len(lens)
+        total_bytes += int(lens.sum())
+        for h, l in zip(hashes.tolist(), lens.tolist()):
+            store[h] = l
+    assert out["total_chunks"] == total_chunks
+    assert out["distinct_chunks"] == len(store)
+    assert out["total_bytes"] == total_bytes
+    assert out["dup_bytes"] == total_bytes - sum(store.values())
+    # the planted shared block actually deduplicates something
+    assert out["dup_bytes"] >= 4000
