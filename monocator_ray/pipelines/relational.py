@@ -1279,6 +1279,27 @@ def q_corr_stats(sf_dir: str) -> pa.Table:
 
 
 # ---- grouped order statistics: exact per-customer median (oracle) ----
+def _custkey_cents_shape(t: pa.Table) -> pa.Table:
+    """(o_custkey, o_totalprice) -> (o_custkey, cents) — the shared map
+    stage of the grouped-order-statistics queries below."""
+    return pa.table({"o_custkey": t["o_custkey"],
+                     "cents": _cents(t["o_totalprice"])})
+
+
+def _grouped_lower_median_sort(key: np.ndarray, cents: np.ndarray):
+    """Sort by (key, cents) and locate each run's LOWER median: returns
+    (key, cents, starts, ends, mid) with cents[mid] == quantile_disc(.5)
+    per run (idx = start + ceil(n/2) - 1) — the one place the median
+    convention lives, shared by q_customer_median_order and
+    q_customer_order_mad so they can never diverge."""
+    order = np.lexsort((cents, key))
+    key, cents = key[order], cents[order]
+    starts, ends = run_boundaries(key)
+    n = ends - starts
+    mid = starts + (n + 1) // 2 - 1
+    return key, cents, starts, ends, mid
+
+
 def q_customer_median_order(sf_dir: str) -> rd.Dataset:
     """Exact per-customer median order value (cents) — grouped order
     statistics, the aggregate a shuffle-free partial tree CANNOT compute
@@ -1300,30 +1321,23 @@ def q_customer_median_order(sf_dir: str) -> rd.Dataset:
          ("median_cents", pa.int64())]
     )
 
-    def shape(t: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": t["o_custkey"],
-                         "cents": _cents(t["o_totalprice"])})
-
     def median_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _OUT.empty_table()
-        key = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = t["cents"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((cents, key))
-        key, cents = key[order], cents[order]
-        starts, ends = run_boundaries(key)
-        n = ends - starts
-        mid = starts + (n + 1) // 2 - 1  # lower median == quantile_disc .5
+        key, cents, starts, ends, mid = _grouped_lower_median_sort(
+            t["o_custkey"].to_numpy(zero_copy_only=False),
+            t["cents"].to_numpy(zero_copy_only=False),
+        )
         return pa.table(
             {
                 "o_custkey": pa.array(key[starts], pa.int64()),
-                "n_orders": pa.array(n.astype(np.int64), pa.int64()),
+                "n_orders": pa.array((ends - starts).astype(np.int64), pa.int64()),
                 "median_cents": pa.array(cents[mid], pa.int64()),
             }
         )
 
     out = hash_partitioned(
-        ds.map_batches(shape, batch_format="pyarrow"),
+        ds.map_batches(_custkey_cents_shape, batch_format="pyarrow"),
         lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
         median_part,
         num_parts=32,
@@ -1350,22 +1364,15 @@ def q_customer_order_mad(sf_dir: str) -> rd.Dataset:
          ("mad_cents", pa.int64())]
     )
 
-    def shape(t: pa.Table) -> pa.Table:
-        return pa.table({"o_custkey": t["o_custkey"],
-                         "cents": _cents(t["o_totalprice"])})
-
     def mad_part(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _OUT.empty_table()
-        key = t["o_custkey"].to_numpy(zero_copy_only=False)
-        cents = t["cents"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((cents, key))
-        key, cents = key[order], cents[order]
-        starts, ends = run_boundaries(key)
-        n = ends - starts
-        mid = starts + (n + 1) // 2 - 1  # lower median == quantile_disc .5
+        key, cents, starts, ends, mid = _grouped_lower_median_sort(
+            t["o_custkey"].to_numpy(zero_copy_only=False),
+            t["cents"].to_numpy(zero_copy_only=False),
+        )
         med = cents[mid]
-        dev = np.abs(cents - np.repeat(med, n))
+        dev = np.abs(cents - np.repeat(med, ends - starts))
         # second order-statistic pass, still local: key is already the
         # primary sort key, so this re-ranks only within each run
         dev = dev[np.lexsort((dev, key))]
@@ -1378,7 +1385,7 @@ def q_customer_order_mad(sf_dir: str) -> rd.Dataset:
         )
 
     out = hash_partitioned(
-        ds.map_batches(shape, batch_format="pyarrow"),
+        ds.map_batches(_custkey_cents_shape, batch_format="pyarrow"),
         lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
         mad_part,
         num_parts=32,

@@ -60,15 +60,25 @@ def _runs(store_dir: str) -> list[str]:
 
 
 def _fences(store_dir: str) -> list[dict]:
-    """Every complete generation's shard fences: [{path, lo, hi}, ...]."""
+    """Every complete generation's shard fences: [{path, lo, hi}, ...].
+
+    A run whose manifest vanishes between the listdir and the open is one
+    a concurrent ``compact()`` is mid-sweep on — by the commit rule its
+    superseding generation is already committed and listed, so SKIPPING
+    the vanished run is exact (this must not raise: the prober's own
+    FileNotFoundError recovery calls it)."""
     fences = []
     for d in _runs(store_dir):
-        with open(os.path.join(d, "_MANIFEST.json")) as fh:
-            for rec in json.load(fh):
-                fences.append(
-                    {"path": os.path.join(d, rec["file"]),
-                     "lo": int(rec["lo"]), "hi": int(rec["hi"])}
-                )
+        try:
+            with open(os.path.join(d, "_MANIFEST.json")) as fh:
+                recs = json.load(fh)
+        except FileNotFoundError:
+            continue  # swept mid-listing: superseded, new gen is visible
+        for rec in recs:
+            fences.append(
+                {"path": os.path.join(d, rec["file"]),
+                 "lo": int(rec["lo"]), "hi": int(rec["hi"])}
+            )
     return fences
 
 

@@ -85,6 +85,16 @@ def sitemap_seed_urls(payloads: dict[str, bytes], roots: list[str],
     start) and return deduped canonical page URLs in first-seen order.
     A child index referenced but not present in ``payloads`` is skipped
     (its fetch failed) — same tolerance as a real crawler."""
+    return _resolve_seed_urls(
+        {u: parse_sitemap(b) for u, b in payloads.items()}, roots, max_depth
+    )
+
+
+def _resolve_seed_urls(parsed: dict[str, tuple[list[str], list[str]]],
+                       roots: list[str], max_depth: int) -> list[str]:
+    """The recursion walk over ALREADY-PARSED sitemaps (url -> (pages,
+    children)) — shared by the offline resolver above and the network
+    discovery below so each payload is parsed exactly once."""
     seen_maps: set[str] = set()
     out: list[str] = []
     seen_pages: set[str] = set()
@@ -92,10 +102,10 @@ def sitemap_seed_urls(payloads: dict[str, bytes], roots: list[str],
     for _ in range(max_depth):
         nxt: list[str] = []
         for sm in frontier:
-            if sm in seen_maps or sm not in payloads:
+            if sm in seen_maps or sm not in parsed:
                 continue
             seen_maps.add(sm)
-            pages, children = parse_sitemap(payloads[sm])
+            pages, children = parsed[sm]
             for u in pages:
                 c = canonicalize_url(u)
                 if c and c not in seen_pages:
@@ -158,10 +168,16 @@ def discover_sitemap_seeds(hosts: list[str], fetcher, scheme: str = "http",
             if sm not in roots:
                 roots.append(sm)
 
-    payloads: dict[str, bytes] = {}
+    parsed: dict[str, tuple[list[str], list[str]]] = {}
     frontier = list(roots)
     for _ in range(max_depth):
-        need = [u for u in frontier if u not in payloads]
+        # dedup within the round too: two indexes referencing the same
+        # child in one round must not fetch it twice
+        need, seen_round = [], set()
+        for u in frontier:
+            if u not in parsed and u not in seen_round:
+                need.append(u)
+                seen_round.add(u)
         if not need:
             break
         got = fetcher(pa.table({"url": pa.array(need, pa.string())}))
@@ -170,12 +186,10 @@ def discover_sitemap_seeds(hosts: list[str], fetcher, scheme: str = "http",
                                    got["fetch_status"].to_pylist()):
             if not (200 <= status < 300 and body):
                 continue
-            payloads[u] = body
             try:
-                _pages, kids = parse_sitemap(body)
+                parsed[u] = parse_sitemap(body)
             except ValueError:
-                del payloads[u]  # not a sitemap: don't feed the resolver
-                continue
-            children.extend(k for k in kids if k not in payloads)
+                continue  # not a sitemap: don't feed the resolver
+            children.extend(k for k in parsed[u][1] if k not in parsed)
         frontier = children
-    return sitemap_seed_urls(payloads, roots, max_depth), rules
+    return _resolve_seed_urls(parsed, roots, max_depth), rules
