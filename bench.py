@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "value_tier_lookup",
     "event_transitions",
     "cdc_chunk_stats",
+    "embedding_dim_stats",
 ]
 
 

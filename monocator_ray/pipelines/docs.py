@@ -4029,3 +4029,48 @@ def q_cdc_chunk_stats(sf_dir: str) -> pa.Table:
          "total_bytes": pa.array([int(tot["total_bytes"])], pa.int64()),
          "dup_bytes": pa.array([dup_bytes], pa.int64())}
     )
+
+
+# ---- list UNNEST WITH ORDINALITY aggregate: per-dimension stats ----
+def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
+    """Per-dimension statistics of the embedding column — the SQL shape is
+    UNNEST(list) WITH ORDINALITY -> GROUP BY position (DuckDB spelling:
+    unnest + generate_subscripts expand in lockstep), the standard feature
+    audit before normalization / PCA.  Values ride the floor(x*1024)
+    quantized bridge (stages/ann.quantize_ints) so SUM/MIN/MAX are exact
+    int64 on both engines.
+
+    Scale shape: NO unnested row explosion and no shuffle — each batch
+    reduces its (rows x dim) matrix to O(dim) column partials where the
+    data lives; the driver folds O(blocks x dim) partial rows."""
+    from monocator_ray.stages.ann import quantize_ints, table_to_matrix
+
+    ensure_shipped()
+    ds = sized_read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = table_to_matrix(t)
+        if m.size == 0:
+            return pa.table(
+                {"dim": pa.array([], pa.int64()), "n": pa.array([], pa.int64()),
+                 "sum_q": pa.array([], pa.int64()), "min_q": pa.array([], pa.int64()),
+                 "max_q": pa.array([], pa.int64())}
+            )
+        q = quantize_ints(m)
+        d = q.shape[1]
+        return pa.table(
+            {"dim": pa.array(np.arange(1, d + 1, dtype=np.int64), pa.int64()),
+             "n": pa.array(np.full(d, q.shape[0], dtype=np.int64), pa.int64()),
+             "sum_q": pa.array(q.sum(axis=0), pa.int64()),
+             "min_q": pa.array(q.min(axis=0), pa.int64()),
+             "max_q": pa.array(q.max(axis=0), pa.int64())}
+        )
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: O(blocks x dim) partials
+    out = pdf.groupby("dim", as_index=False).agg(
+        n=("n", "sum"), sum_q=("sum_q", "sum"),
+        min_q=("min_q", "min"), max_q=("max_q", "max"),
+    ).sort_values("dim").reset_index(drop=True)
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1704,6 +1704,23 @@ REGISTRY: dict = {
     # zlib compression-ratio repetition signal (no SQL analog — zlib;
     # pinned by planted repetitive/high-entropy fixtures in tests)
     "compression_ratio": (D.q_compression_ratio, None),
+    # list UNNEST WITH ORDINALITY -> GROUP BY position (DuckDB: unnest +
+    # generate_subscripts expand in lockstep); floor(x*1024) quantized
+    # bridge keeps SUM/MIN/MAX exact int64 on both engines.  The engine
+    # never explodes rows: O(dim) column partials per batch, no shuffle
+    "embedding_dim_stats": (
+        D.q_embedding_dim_stats,
+        """
+        WITH u AS (SELECT CAST(generate_subscripts(embedding, 1) AS BIGINT) AS dim,
+                          CAST(FLOOR(unnest(embedding)*1024) AS BIGINT) AS q
+                   FROM embeddings)
+        SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sum_q,
+               CAST(MIN(q) AS BIGINT) AS min_q,
+               CAST(MAX(q) AS BIGINT) AS max_q
+        FROM u GROUP BY dim ORDER BY dim
+        """,
+    ),
     # content-defined chunking dedup stats (Rabin rolling-hash boundaries,
     # FastCDC cut discipline) — no SQL analog for the rolling hash ->
     # rows-only; numbers pinned by a pure-Python reference in pytest
