@@ -77,10 +77,11 @@ def build_ivf_store(emb: rd.Dataset, store_dir: str, nlist: int = 16,
         for s, e in zip(starts.tolist(), ends.tolist()):
             lid = int(lists[s])
             part = t.slice(s, e - s)
-            pq.write_table(
-                part.select(["vec_id", "embedding"]),
-                os.path.join(store_dir, f"list={lid}-{int(ids[s:e].min())}.parquet"),
-            )
+            # atomic publish (duplicate-task truncation guard, see fpstore)
+            final = os.path.join(store_dir, f"list={lid}-{int(ids[s:e].min())}.parquet")
+            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+            pq.write_table(part.select(["vec_id", "embedding"]), tmp)
+            os.replace(tmp, final)
             out_l.append(lid)
             out_n.append(e - s)
         return pa.table({"list_id": pa.array(out_l, pa.int32()),
@@ -148,7 +149,8 @@ def ingest_ivf_store(emb: rd.Dataset, store_dir: str) -> int:
     ensure_shipped()
     index, sizes = load_ivf_store(store_dir)
     gens = _committed_gens(store_dir)
-    present = {_file_gen(f) for f in os.listdir(store_dir) if f.startswith("list=")}
+    present = {_file_gen(f) for f in os.listdir(store_dir)
+               if f.startswith("list=") and f.endswith(".parquet")}
     gen = max(present | gens) + 1  # never renumber onto any existing run
     index_ref = ray.put(index)
     sdir = store_dir
@@ -166,10 +168,12 @@ def ingest_ivf_store(emb: rd.Dataset, store_dir: str) -> int:
         starts, ends = run_boundaries(lists)
         for s, e in zip(starts.tolist(), ends.tolist()):
             lid = int(lists[s])
-            pq.write_table(
-                t.slice(s, e - s).select(["vec_id", "embedding"]),
-                os.path.join(sdir, f"list={lid}-g{gen}-{int(ids[s:e].min())}.parquet"),
-            )
+            # atomic publish (duplicate-task truncation guard, see fpstore)
+            final = os.path.join(
+                sdir, f"list={lid}-g{gen}-{int(ids[s:e].min())}.parquet")
+            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+            pq.write_table(t.slice(s, e - s).select(["vec_id", "embedding"]), tmp)
+            os.replace(tmp, final)
             out_l.append(lid)
             out_n.append(e - s)
         return pa.table({"list_id": pa.array(out_l, pa.int32()),
@@ -200,7 +204,7 @@ def search_ivf_store(store_dir: str, queries: np.ndarray, k: int = 5,
     files = sorted(
         os.path.join(store_dir, f)
         for f in os.listdir(store_dir)
-        if f.startswith("list=")
+        if f.startswith("list=") and f.endswith(".parquet")
         and int(f.split("=", 1)[1].split("-", 1)[0]) in wanted
         and _file_gen(f) in gens
     )

@@ -66,7 +66,10 @@ def write_clustered(ds: rd.Dataset, key: str, out_dir: str, num_ranges: int = 16
         order = np.argsort(g[key].to_numpy(zero_copy_only=False), kind="mergesort")
         g = g.take(pa.array(order))
         path = os.path.join(out_dir, f"range-{rid:05d}.parquet")
-        pq.write_table(g, path)
+        # atomic publish (duplicate-task truncation guard, see fpstore)
+        tmp = f"{path}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        pq.write_table(g, tmp)
+        os.replace(tmp, path)
         k = g[key].to_numpy(zero_copy_only=False)
         return pa.table(
             {"range_id": pa.array([rid], pa.int64()),

@@ -213,8 +213,17 @@ def _write_generation(fp_ds: rd.Dataset, run_dir: str, num_shards: int) -> list[
         # unsigned-hex min: partitions hold disjoint fp sets, so names never
         # collide; Python's & gives the unsigned 64-bit value
         name = f"fp-{int(fp[0]) & 0xFFFFFFFFFFFFFFFF:016x}.parquet"
-        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}),
-                       os.path.join(run_dir, name))
+        # ATOMIC publish (unique temp + os.replace), NOT a direct write:
+        # Ray may re-execute a map task (retry/straggler), and a duplicate
+        # still running after the manifest commit would reopen the
+        # committed path WITH TRUNCATE — a concurrent probe then reads a
+        # 0-byte parquet (caught in the wild: the r4 fpstore flake).  The
+        # content is a pure function of the partition, so a late duplicate
+        # replacing the file atomically is a no-op.
+        final = os.path.join(run_dir, name)
+        tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+        pq.write_table(pa.table({"fp": pa.array(fp, pa.int64())}), tmp)
+        os.replace(tmp, final)
         return pa.table(
             {"file": pa.array([name], pa.string()),
              "lo": pa.array([int(fp[0])], pa.int64()),

@@ -79,7 +79,7 @@ def ingest_inverted_store(docs: rd.Dataset, store_dir: str) -> int:
     present = [
         _bucket_file_gen(f)
         for f in os.listdir(store_dir)
-        if f.startswith("bucket=")
+        if f.startswith("bucket=") and f.endswith(".parquet")
     ]
     committed = sorted(_committed_gens(store_dir, meta))
     # never renumber onto ANY existing run, committed or orphan
@@ -103,7 +103,7 @@ def _committed_gens(store_dir: str, meta: dict) -> set[int]:
         return set(meta["gens"])
     return {
         _bucket_file_gen(f) for f in os.listdir(store_dir)
-        if f.startswith("bucket=")
+        if f.startswith("bucket=") and f.endswith(".parquet")
     } or {0}
 
 
@@ -158,10 +158,13 @@ def _ingest(docs: rd.Dataset, store_dir: str, num_buckets: int,
                 "doc_id": pa.array(doc[s:e], pa.int64()),
                 "tf": pa.array(tf[s:e], pa.int64()),
             })
-            pq.write_table(
-                part,
-                os.path.join(sdir, f"bucket={bucket[s]}-g{gen}-{blockkey}.parquet"),
-            )
+            # atomic publish: a duplicate/straggler execution of this map
+            # task after the meta commit would otherwise truncate a LIVE
+            # file under a concurrent reader (the fpstore 0-byte flake)
+            final = os.path.join(sdir, f"bucket={bucket[s]}-g{gen}-{blockkey}.parquet")
+            tmp = f"{final}.tmp-{os.getpid()}-{os.urandom(4).hex()}"
+            pq.write_table(part, tmp)
+            os.replace(tmp, final)
         return pa.table({"n": pa.array([len(ids)], pa.int64())})
 
     counts = docs.map_batches(write_block, batch_format="pyarrow").to_pandas()
@@ -201,7 +204,7 @@ def search_inverted_store(store_dir: str, terms: tuple[str, ...],
     files = [
         os.path.join(store_dir, f)
         for f in sorted(os.listdir(store_dir))
-        if f.startswith("bucket=")
+        if f.startswith("bucket=") and f.endswith(".parquet")
         and int(f.split("=")[1].split("-")[0]) in want
         and _bucket_file_gen(f) in gens
     ]
@@ -264,11 +267,12 @@ def compact_inverted_store(store_dir: str) -> int:
         meta = json.load(fh)
     gens = _committed_gens(store_dir, meta)
     present = [_bucket_file_gen(f) for f in os.listdir(store_dir)
-               if f.startswith("bucket=")]
+               if f.startswith("bucket=") and f.endswith(".parquet")]
     g = max(present + sorted(gens)) + 1
     by_bucket: dict[int, list[str]] = {}
     for f in os.listdir(store_dir):
-        if f.startswith("bucket=") and _bucket_file_gen(f) in gens:
+        if (f.startswith("bucket=") and f.endswith(".parquet")
+                and _bucket_file_gen(f) in gens):
             by_bucket.setdefault(int(f.split("=")[1].split("-")[0]), []).append(f)
     written = 0
     for bid, fnames in sorted(by_bucket.items()):

@@ -249,3 +249,67 @@ def test_search_cli(tmp_path):
     second = run()  # reuses the committed store
     assert second["hits"] == first["hits"]
     assert _os.path.getmtime(_os.path.join(store, "meta.json")) == mtime
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_planted_tmp_files_invisible_and_swept(tmp_path):
+    """Worker-side data files publish atomically (tmp + os.replace — a
+    duplicate/straggler map task must never truncate a live file: the
+    fpstore 0-byte flake).  A crashed writer's leftover .tmp file must be
+    (a) invisible to search and generation numbering, (b) swept by
+    compaction."""
+    from monocator_ray.pipelines.docs import _SEARCH_TERMS
+    from monocator_ray.sources.invstore import (
+        build_inverted_store, compact_inverted_store, ingest_inverted_store,
+        search_inverted_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    store = str(tmp_path / "inv")
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    n = docs.count()
+    cut = n // 2
+    build_inverted_store(docs.filter(expr=f"doc_id < {cut}"), store, num_buckets=4)
+    baseline_files = sorted(f for f in os.listdir(store) if f.endswith(".parquet"))
+
+    # a crashed duplicate writer left a truncated tmp with a plausible name
+    open(os.path.join(store, "bucket=0-g7-deadbeef.parquet.tmp-9-ab"), "w").close()
+
+    got = search_inverted_store(store, _SEARCH_TERMS, k=10)  # must not read it
+    assert got.num_rows > 0
+    ingest_inverted_store(docs.filter(expr=f"doc_id >= {cut}"), store)
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta["gens"] == [0, 1]  # numbering ignored the g7 tmp name
+    compact_inverted_store(store)
+    assert not [f for f in os.listdir(store) if ".tmp-" in f]  # swept
+    assert search_inverted_store(store, _SEARCH_TERMS, k=10).num_rows > 0
+
+    # no store operation leaves its own tmp files behind either
+    assert baseline_files  # sanity: the store had real shards to begin with
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_annstore_planted_tmp_invisible(tmp_path):
+    """Same contract for the IVF store: a leftover .tmp list file is never
+    opened by search and never drives generation numbering."""
+    import numpy as np
+
+    from monocator_ray.sources.annstore import (
+        build_ivf_store, ingest_ivf_store, search_ivf_store,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    store = str(tmp_path / "ann")
+    build_ivf_store(emb, store, nlist=4)
+    open(os.path.join(store, "list=0-g9-0.parquet.tmp-9-ab"), "w").close()
+
+    q = np.stack([r["embedding"] for r in emb.limit(2).take_all()]).astype(np.float32)
+    got = search_ivf_store(store, q, k=3, nprobe=4)  # full probe touches list 0
+    assert got.num_rows > 0
+    ingest_ivf_store(emb.limit(8), store)  # numbering must ignore g9 tmp
+    import numpy as _np
+    gens = {int(f.split("-g")[1].split("-")[0]) for f in os.listdir(store)
+            if f.startswith("list=") and "-g" in f and f.endswith(".parquet")}
+    assert gens == {1}  # the real increment landed at gen 1, not 10
