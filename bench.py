@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "cdc_chunk_stats",
     "embedding_dim_stats",
+    "above_customer_avg",
 ]
 
 

@@ -1957,6 +1957,24 @@ REGISTRY: dict = {
         GROUP BY c.o_custkey, m.median_cents ORDER BY c.o_custkey
         """,
     ),
+    # correlated per-group aggregate ("above own group average"): the SQL
+    # needs a grouped-avg self-join; the engine does ONE partition pass
+    # with the exact integer cross-multiplication cents*n > sum
+    "above_customer_avg": (
+        R.q_above_customer_avg,
+        """
+        WITH c AS (SELECT o_custkey,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                   FROM orders),
+        a AS (SELECT o_custkey, SUM(cents) AS s, COUNT(*) AS n
+              FROM c GROUP BY o_custkey)
+        SELECT c.o_custkey, CAST(ANY_VALUE(a.n) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN c.cents * a.n > a.s THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM c JOIN a USING (o_custkey)
+        GROUP BY c.o_custkey ORDER BY c.o_custkey
+        """,
+    ),
     # sequence bigrams: Markov transition counts over per-user journeys;
     # LEAD over the same (ts, event_id) order is the SQL spelling of the
     # engine's shifted same-user comparison

@@ -1466,6 +1466,52 @@ def q_value_histogram(sf_dir: str, width_cents: int = 2000) -> pa.Table:
     return pa.Table.from_pandas(pdf, preserve_index=False)
 
 
+# ---- correlated per-group aggregate: rows above their own group mean ----
+def q_above_customer_avg(sf_dir: str) -> rd.Dataset:
+    """Per customer: how many of their orders are strictly above their OWN
+    average order value — the classic correlated-aggregate shape
+    ("employees above department average").  The SQL spelling needs a
+    self-join to the grouped average; the engine needs neither a join nor
+    a second pass: one hash partition co-locates each customer's orders,
+    and ``cents * n > sum`` is the exact integer cross-multiplication of
+    ``cents > sum/n`` (no division, no float ties — same discipline as
+    above_avg_orders' scalar-subquery variant)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    _OUT = pa.schema(
+        [("o_custkey", pa.int64()), ("n_orders", pa.int64()),
+         ("n_above", pa.int64())]
+    )
+
+    def above_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        key = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key, cents = key[order], cents[order]
+        starts, ends = run_boundaries(key)
+        n = (ends - starts).astype(np.int64)
+        sums = np.add.reduceat(cents, starts)
+        above = cents * np.repeat(n, n) > np.repeat(sums, n)
+        n_above = np.add.reduceat(above, starts).astype(np.int64)
+        # a single-order run: reduceat over an all-False mask is fine, but
+        # note cents*1 > cents is False, so n_above = 0 as SQL agrees
+        return pa.table(
+            {"o_custkey": pa.array(key[starts], pa.int64()),
+             "n_orders": pa.array(n, pa.int64()),
+             "n_above": pa.array(n_above, pa.int64())}
+        )
+
+    out = hash_partitioned(
+        ds.map_batches(_custkey_cents_shape, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        above_part,
+        num_parts=32,
+    )
+    return out.sort("o_custkey")
+
+
 # ---- sequence bigrams: Markov transition counts over user journeys ----
 def q_event_transitions(sf_dir: str) -> pa.Table:
     """Event-type transition counts: for every consecutive pair of events
