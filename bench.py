@@ -186,6 +186,12 @@ BENCH_QUERIES = [
     "cdc_chunk_stats",
     "embedding_dim_stats",
     "above_customer_avg",
+    # round-4 continuation: market-basket pairs, set ops, coverage audit,
+    # full TPC-H Q5 two-fkey join
+    "part_cooccurrence",
+    "customer_year_setops",
+    "orderkey_gaps",
+    "local_supplier_revenue",
 ]
 
 

@@ -2230,4 +2230,73 @@ REGISTRY: dict = {
         FROM hashed ORDER BY pos
         """,
     ),
+    # market-basket co-occurrence: the within-order self-join spelling;
+    # engine generates pairs vectorized inside one order-hash partition
+    # and combines by packed pair code (no join)
+    "part_cooccurrence": (
+        R.q_part_cooccurrence,
+        """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM d a JOIN d b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p1, p2 HAVING COUNT(*) >= 2 ORDER BY p1, p2
+        """,
+    ),
+    # set operations: INTERSECT + both EXCEPTs over two year-sets in one
+    # engine pass (per-customer OR of side bits, one shuffle)
+    "customer_year_setops": (
+        R.q_customer_year_setops,
+        """
+        WITH a AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1996),
+             b AS (SELECT DISTINCT o_custkey FROM orders
+                   WHERE year(o_orderdate) = 1997)
+        SELECT o_custkey, op FROM (
+          SELECT o_custkey, 'both' AS op
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+          UNION ALL
+          SELECT o_custkey, '1996_only'
+          FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+          UNION ALL
+          SELECT o_custkey, '1997_only'
+          FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+        ) ORDER BY o_custkey
+        """,
+    ),
+    # key-space coverage audit: per-bucket gap counts vs a generated grid;
+    # engine needs no generate_series join — bucket width is arithmetic
+    "orderkey_gaps": (
+        R.q_orderkey_gaps,
+        """
+        WITH m AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+        c AS (SELECT o_orderkey // 1024 AS bucket, COUNT(*) AS hi
+              FROM orders WHERE CAST(ROUND(o_totalprice*100) AS BIGINT)
+                               >= 30000000 GROUP BY 1)
+        SELECT CAST(k AS BIGINT) AS bucket,
+               CAST(LEAST(1024, mx + 1 - k*1024) - COALESCE(hi, 0) AS BIGINT)
+                 AS n_missing
+        FROM m CROSS JOIN UNNEST(range(0, CAST(mx // 1024 AS BIGINT) + 1)) AS s(k)
+        LEFT JOIN c ON c.bucket = k
+        ORDER BY bucket
+        """,
+    ),
+    # full TPC-H Q5: two independent fkeys correlated by an equality
+    # filter; supplier nation resolves via broadcast LUT batch-side
+    "local_supplier_revenue": (
+        R.q_local_supplier_revenue,
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                    AS BIGINT) AS revenue_cpc
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA' AND year(o_orderdate) = 1996
+        GROUP BY n_name ORDER BY revenue_cpc DESC, n_name
+        """,
+    ),
 }

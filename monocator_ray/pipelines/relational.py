@@ -3337,3 +3337,278 @@ def q_event_moving_median(sf_dir: str, k: int = 5) -> rd.Dataset:
         med_part,
         num_parts=32,
     ).sort("event_id")
+
+
+# ---- market-basket co-occurrence: within-group pair generation ----
+def q_part_cooccurrence(sf_dir: str) -> rd.Dataset:
+    """Part pairs bought together in >= 2 orders — the market-basket
+    co-occurrence shape ("frequently bought together").  The SQL spelling
+    is a within-order self-join; the engine never joins: one hash
+    partition by order co-locates each basket, pairs are generated
+    VECTORIZED inside the partition (for the r-th item of a basket, its
+    pair partners are the basket's first r-1 items — repeat/arange
+    arithmetic, no Python loop over baskets), partial-counted by packed
+    int64 pair code, then a second hash partition by pair code combines
+    counts and applies the support filter DISTRIBUTED.
+
+    Scale shape: pair volume is sum(k^2/2) over basket sizes k — bounded
+    by the basket cap (TPC-H: k <= 7), never by the table; both shuffles
+    move pre-aggregated (code, n) partials only.  Skew: the pair-code
+    hash is uniform, so the combine stage has no hot keys even when one
+    part is in every basket."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    _PART = pa.schema([("code", pa.int64()), ("n", pa.int64())])
+
+    def pairs_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PART.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pk, ok))
+        ok, pk = ok[order], pk[order]
+        # DISTINCT (order, part): a part twice in one basket is one pair arm
+        keep = np.ones(len(ok), dtype=bool)
+        keep[1:] = (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])
+        ok, pk = ok[keep], pk[keep]
+        starts, ends = run_boundaries(ok)
+        n = ends - starts
+        # local index j of each row within its basket; row r pairs as the
+        # RIGHT arm with the j rows before it (same basket, smaller part —
+        # the sort made within-basket partkeys ascending and distinct)
+        j = np.arange(len(ok)) - np.repeat(starts, n)
+        total = int(j.sum())
+        if total == 0:
+            return _PART.empty_table()
+        right = np.repeat(np.arange(len(ok)), j)
+        # left arms of row r = its basket start + (0 .. j-1)
+        intra = np.arange(total) - np.repeat(np.cumsum(j) - j, j)
+        left = np.repeat(np.repeat(starts, n), j) + intra
+        code = pk[left] * np.int64(1) * (np.int64(1) << np.int64(32)) + pk[right]
+        uc, cnt = np.unique(code, return_counts=True)
+        return pa.table({"code": pa.array(uc, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = hash_partitioned(
+        ds,
+        lambda t: [t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        pairs_part,
+        num_parts=32,
+    )
+
+    _OUT = pa.schema([("p1", pa.int64()), ("p2", pa.int64()), ("n", pa.int64())])
+
+    def combine_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        g = t.group_by("code").aggregate([("n", "sum")])
+        code = g["code"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        m = n >= 2  # support filter, applied distributed
+        code, n = code[m], n[m]
+        return pa.table({"p1": pa.array(code >> 32, pa.int64()),
+                         "p2": pa.array(code & 0xFFFFFFFF, pa.int64()),
+                         "n": pa.array(n, pa.int64())})
+
+    out = hash_partitioned(
+        partials,
+        lambda t: [t["code"].to_numpy(zero_copy_only=False).view(np.uint64)],
+        combine_part,
+        num_parts=32,
+    )
+    return out.sort(["p1", "p2"])
+
+
+# ---- set operations: INTERSECT / EXCEPT as a one-shuffle bitmask ----
+def q_customer_year_setops(sf_dir: str) -> rd.Dataset:
+    """Customers who ordered in 1996, 1997, or both — INTERSECT and both
+    EXCEPTs of the two year-sets in ONE pass.  The SQL spelling runs
+    three set operations over two DISTINCT subqueries; the engine tags
+    each row with a side bit (1996 -> 1, 1997 -> 2), pre-ORs the bits per
+    customer inside each batch, hash-partitions by customer once, and
+    ORs again: 3 = 'both' (INTERSECT), 1/2 = the EXCEPT sides.  Set ops
+    of any arity reduce to this k-bit mask with ONE shuffle total.
+
+    Scale shape: batch-level combine bounds shuffle rows at
+    O(blocks x distinct customers-per-block); the mask OR is exact under
+    any partitioning/arrival order (commutative, idempotent)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    _P = pa.schema([("o_custkey", pa.int64()), ("bit", pa.int64())])
+
+    def tag_part(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        bit = np.where(y == 1996, 1, np.where(y == 1997, 2, 0)).astype(np.int64)
+        m = bit > 0
+        ck, bit = ck[m], bit[m]
+        if not len(ck):
+            return _P.empty_table()
+        order = np.argsort(ck, kind="stable")
+        ck, bit = ck[order], bit[order]
+        starts, ends = run_boundaries(ck)
+        acc = np.bitwise_or.reduceat(bit, starts)
+        return pa.table({"o_custkey": pa.array(ck[starts], pa.int64()),
+                         "bit": pa.array(acc, pa.int64())})
+
+    _OUT = pa.schema([("o_custkey", pa.int64()), ("op", pa.string())])
+    _OPS = np.array(["", "1996_only", "1997_only", "both"], dtype=object)
+
+    def mask_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        bit = t["bit"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ck, kind="stable")
+        ck, bit = ck[order], bit[order]
+        starts, ends = run_boundaries(ck)
+        acc = np.bitwise_or.reduceat(bit, starts)
+        return pa.table({"o_custkey": pa.array(ck[starts], pa.int64()),
+                         "op": pa.array(_OPS[acc], pa.string())})
+
+    out = hash_partitioned(
+        ds.map_batches(tag_part, batch_format="pyarrow"),
+        lambda t: [t["o_custkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        mask_part,
+        num_parts=32,
+    )
+    return out.sort("o_custkey")
+
+
+# ---- key-space coverage audit: gap counts per fixed-width id bucket ----
+def q_orderkey_gaps(sf_dir: str) -> pa.Table:
+    """Per 1024-wide bucket of the order-id space [0, max]: how many ids
+    have NO high-value order (o_totalprice >= 300000) — the sequence-gap /
+    coverage-audit shape (missing ids, unassigned ranges).  No sort and
+    no neighbor exchange: buckets are fixed arithmetic ranges, so a
+    grouped count per bucket plus the bucket's own width gives the gap
+    count; the global max rides the same one-pass partial (max over
+    bucket maxes).  The full bucket grid is rebuilt driver-side so
+    all-missing buckets still appear."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    W = 1024
+
+    def part(t: pa.Table) -> pa.Table:
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        hi = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False) >= 300000 * 100
+        b = k // W
+        g = pa.table({
+            "bucket": pa.array(b, pa.int64()),
+            "hi": pa.array(hi.astype(np.int64), pa.int64()),
+            "k": pa.array(k, pa.int64()),
+        }).group_by("bucket").aggregate([("hi", "sum"), ("k", "max")])
+        return g.rename_columns(["bucket", "hi", "kmax"])
+
+    pdf = driver_grouped_agg(ds.map_batches(part, batch_format="pyarrow"),
+                             ["bucket"], [("hi", "sum"), ("kmax", "max")],
+                             ["bucket", "hi", "kmax"])
+    # bounded: O(key_space / W) grid rows — result-sized by definition
+    mx = int(pdf["kmax"].max())
+    grid = pd.DataFrame({"bucket": np.arange(mx // W + 1, dtype=np.int64)})
+    out = grid.merge(pdf[["bucket", "hi"]], on="bucket", how="left").fillna(0)
+    width = np.minimum(W, mx + 1 - out["bucket"].to_numpy() * W)
+    out["n_missing"] = (width - out["hi"].to_numpy()).astype(np.int64)
+    out = out[["bucket", "n_missing"]].sort_values("bucket").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- TPC-H Q5: two-fkey multi-way join with an equality correlation ----
+def q_local_supplier_revenue(sf_dir: str) -> pa.Table:
+    """Revenue per ASIA nation from lineitems whose SUPPLIER and CUSTOMER
+    share the nation, order-year 1996 — full TPC-H Q5, the join shape
+    q_nation_revenue's single-fkey chain can't express: lineitem carries
+    two independent foreign keys (orderkey -> customer nation via orders,
+    suppkey -> supplier nation) correlated by an equality filter.
+
+    100-TB plan: supplier-side nation resolves BATCH-SIDE via a broadcast
+    LUT (supplier is a dimension: 10k rows/SF; at warehouse scale the LUT
+    is tens of MB — ray.put once, read per actor), and the region filter
+    prunes lineitem BEFORE its first shuffle (only ~1/5 of rows survive).
+    The surviving fact pre-aggregates per (orderkey, s_nation) — O(orders)
+    — before the orders join; the customer join gets a per-(custkey,
+    s_nation) pre-aggregate; the correlation filter runs batch-side after
+    it.  Exact integer cents x percent throughout."""
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table, 25 rows
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()  # bounded: dimension table, 5 rows
+    asia = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia_nations = set(nation.loc[nation["n_regionkey"] == asia, "n_nationkey"].tolist())
+    supplier = pq.read_table(  # bounded: dimension table, 10k rows/SF (broadcast LUT — see docstring)
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    smax = int(pc.max(supplier["s_suppkey"]).as_py())
+    slut = np.full(smax + 1, -1, np.int64)
+    slut[supplier["s_suppkey"].to_numpy()] = supplier["s_nationkey"].to_numpy()
+    slut_ref = ray.put((slut, frozenset(asia_nations)))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    class SuppNation:
+        def __init__(self, ref):
+            self.slut, self.asia = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            sk = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            snat = self.slut[np.clip(sk, 0, len(self.slut) - 1)]
+            m = np.isin(snat, list(self.asia))
+            t = t.filter(pa.array(m))
+            snat = snat[m]
+            r = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(
+                    pa.scalar(100, pa.int64()),
+                    pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
+                ),
+            )
+            g = pa.table({"l_orderkey": t["l_orderkey"],
+                          "s_nat": pa.array(snat, pa.int64()),
+                          "r": r}).group_by(["l_orderkey", "s_nat"]).aggregate([("r", "sum")])
+            return g.rename_columns(["l_orderkey", "s_nat", "r"])
+
+    rev = partitioned_aggregate(
+        li.map_batches(cached_stage(SuppNation, ref=slut_ref), batch_format="pyarrow"),
+        ["l_orderkey", "s_nat"], [("r", "sum")], ["l_orderkey", "s_nat", "r"],
+        num_parts=32,
+    )
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def year_filter(t: pa.Table) -> pa.Table:
+        m = pc.equal(pc.year(t["o_orderdate"]), pa.scalar(1996, pa.int64()))
+        return t.filter(m).select(["o_orderkey", "o_custkey"])
+
+    j1 = rev.join(
+        orders.map_batches(year_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = partitioned_aggregate(
+        j1.select_columns(["o_custkey", "s_nat", "r"]),
+        ["o_custkey", "s_nat"], [("r", "sum")], ["o_custkey", "s_nat", "r"],
+        num_parts=32,
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def local_only(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["s_nat"], pc.cast(t["c_nationkey"], pa.int64()))
+        return t.filter(m).select(["s_nat", "r"])
+
+    pdf = driver_grouped_agg(
+        j2.map_batches(local_only, batch_format="pyarrow"),
+        ["s_nat"], [("r", "sum")], ["s_nat", "revenue_cpc"],
+    )
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    pdf["n_name"] = pdf["s_nat"].map(names)
+    pdf = pdf[["n_name", "revenue_cpc"]].sort_values(
+        ["revenue_cpc", "n_name"], ascending=[False, True]).reset_index(drop=True)
+    pdf["revenue_cpc"] = pdf["revenue_cpc"].astype(np.int64)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
