@@ -252,3 +252,90 @@ def test_progressive_scan_header_validation():
     blob[sos + 2 + ln - 3] = 1
     with pytest.raises(ValueError, match="single-component"):
         decode_jpeg(bytes(blob))
+
+
+def test_noninterleaved_scans_decode_identically_to_interleaved():
+    """T.81 A.2: one SOS per component carries the SAME quantized
+    coefficients as the interleaved scan (padding blocks are simply never
+    coded), so the decoded pixels must be bit-identical — for every
+    sampling layout, and with restart markers inside each scan (the DC
+    predictor and RST modulo counter reset per scan, E.2.4)."""
+    rng = np.random.default_rng(7)
+    for shape, sub in [((24, 33, 3), "444"), ((24, 33, 3), "420"),
+                       ((17, 21, 3), "422")]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(x, quality=70, subsample=sub))
+        noni = encode_jpeg(x, quality=70, subsample=sub, interleave=False)
+        assert noni.count(b"\xff\xda") == 3  # three single-component scans
+        assert np.array_equal(base, decode_jpeg(noni)), (shape, sub)
+        noni_r = encode_jpeg(x, quality=70, subsample=sub,
+                             interleave=False, restart_interval=3)
+        assert np.array_equal(base, decode_jpeg(noni_r)), (shape, sub, "rst")
+
+
+def test_16bit_dqt_transcode_is_identical_and_sof1_roundtrips():
+    """Pq=1 DQT layout (T.81 B.2.4.1): widening an 8-bit stream's tables
+    to 16-bit (same values) must not change a single pixel; a genuinely
+    16-bit encode (quality=2, force_baseline=False -> entries ~3000) must
+    emit SOF1 + Pq=1 and still roundtrip a smooth ramp closely."""
+    import struct
+
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    e8 = encode_jpeg(x, quality=85)
+
+    def widen_dqt(data: bytes) -> bytes:
+        out = bytearray(data[:2])
+        pos = 2
+        while pos < len(data):
+            marker = data[pos + 1]
+            if marker in (0xD9, 0xDA):
+                out += data[pos:]
+                break
+            (seglen,) = struct.unpack_from(">H", data, pos + 2)
+            seg = data[pos:pos + 2 + seglen]
+            if marker == 0xDB:
+                body = seg[4:]
+                nb = bytearray()
+                i = 0
+                while i < len(body):
+                    nb.append(0x10 | (body[i] & 0x0F))
+                    for v in body[i + 1:i + 65]:
+                        nb += struct.pack(">H", v)
+                    i += 65
+                seg = b"\xff\xdb" + struct.pack(">H", 2 + len(nb)) + bytes(nb)
+            out += seg
+            pos += 2 + seglen
+        return bytes(out)
+
+    assert np.array_equal(decode_jpeg(e8), decode_jpeg(widen_dqt(e8)))
+
+    ramp = np.tile(np.linspace(0, 255, 40, dtype=np.uint8)[None, :, None],
+                   (32, 1, 3))
+    b = encode_jpeg(ramp, quality=2, force_baseline=False)
+    assert b"\xff\xc1" in b and b"\xff\xc0" not in b  # SOF1, not SOF0
+    # DQT precision nibble is set on every table
+    i = b.find(b"\xff\xdb")
+    assert b[i + 4] >> 4 == 1
+    d = decode_jpeg(b)
+    assert d.shape == ramp.shape
+    assert int(np.abs(d.astype(int) - ramp.astype(int)).max()) < 64
+
+
+def test_partially_interleaved_scan_stays_gated():
+    """1 < Ns < Nf sequential scans remain a documented gate."""
+    import struct
+
+    x = _smooth(16, 16)
+    e = encode_jpeg(x, quality=85)
+    # rewrite the 3-component SOS header to claim only 2 components —
+    # the decoder must refuse, not mis-decode
+    i = e.find(b"\xff\xda")
+    (seglen,) = struct.unpack_from(">H", e, i + 2)
+    body = bytearray(e[i + 4:i + 2 + seglen])
+    body[0] = 2
+    body = body[:1 + 2 * 2] + body[1 + 2 * 3:]
+    seg = b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
+    hacked = e[:i] + seg + e[i + 2 + seglen:]
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(hacked)
