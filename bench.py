@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "customer_year_setops",
     "orderkey_gaps",
     "local_supplier_revenue",
+    "cumulative_users",
+    "global_median_price",
 ]
 
 

@@ -2299,4 +2299,33 @@ REGISTRY: dict = {
         GROUP BY n_name ORDER BY revenue_cpc DESC, n_name
         """,
     ),
+    # running count-distinct growth curve: windowed COUNT(DISTINCT) in the
+    # SQL spelling; first-seen min + prefix sum in the engine
+    "cumulative_users": (
+        R.q_cumulative_users,
+        """
+        WITH f AS (SELECT user_id,
+                          CAST(MIN(date_trunc('hour', ts)) AS TIMESTAMP) AS hour
+                   FROM events GROUP BY user_id),
+        b AS (SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM f),
+        grid AS (SELECT CAST(UNNEST(generate_series(lo, hi,
+                          INTERVAL 1 HOUR)) AS TIMESTAMP) AS hour FROM b),
+        nn AS (SELECT hour, COUNT(*) AS n_new FROM f GROUP BY hour)
+        SELECT g.hour,
+               CAST(SUM(COALESCE(nn.n_new, 0))
+                    OVER (ORDER BY g.hour) AS BIGINT) AS n_users
+        FROM grid g LEFT JOIN nn USING (hour) ORDER BY g.hour
+        """,
+    ),
+    # exact global median via two-pass distributed selection (histogram +
+    # single-bin refine) — no global sort, no shuffle
+    "global_median_price": (
+        R.q_global_median_price,
+        """
+        SELECT CAST(quantile_disc(CAST(ROUND(l_extendedprice*100) AS BIGINT),
+                                  0.5) AS BIGINT) AS median_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        """,
+    ),
 }

@@ -3612,3 +3612,118 @@ def q_local_supplier_revenue(sf_dir: str) -> pa.Table:
         ["revenue_cpc", "n_name"], ascending=[False, True]).reset_index(drop=True)
     pdf["revenue_cpc"] = pdf["revenue_cpc"].astype(np.int64)
     return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+# ---- running count-distinct: cumulative unique users by day ----
+def q_cumulative_users(sf_dir: str) -> pa.Table:
+    """Per hour: the cumulative number of DISTINCT users seen so far — the
+    growth-curve metric every analytics pipeline runs.  The naive SQL is
+    a windowed COUNT(DISTINCT) (quadratic re-scan); the engine reduces it
+    to first-seen semantics: one hash partition by user computes each
+    user's first-seen hour (min — decomposable), the O(hours) per-hour
+    first-seen counts fold on the driver, and a prefix sum over the
+    ordered hour grid is the cumulative curve.  Hours with no first-seen
+    users still appear (the grid spans min..max first-seen hour).
+
+    Scale shape: the only shuffle carries (user, min_hour) partials
+    pre-combined per batch; everything after is O(hours) — result-sized.
+    No window, no distinct re-scan."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def first_seen_part(t: pa.Table) -> pa.Table:
+        hr = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        g = pa.table({"user_id": t["user_id"], "hr": hr}).group_by(
+            "user_id").aggregate([("hr", "min")])
+        return g.rename_columns(["user_id", "hr"])
+
+    # per-user global first hour (min re-combines across partitions)
+    firsts = partitioned_aggregate(
+        ds.map_batches(first_seen_part, batch_format="pyarrow"),
+        ["user_id"], [("hr", "min")], ["user_id", "hr"],
+        num_parts=32,
+    )
+    pdf = driver_grouped_agg(
+        firsts.map_batches(
+            lambda t: pa.table({"hr": t["hr"],
+                                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["hr"], [("one", "sum")], ["hr", "n_new"],
+    )
+    # bounded: O(hours) grid rows — result-sized by definition
+    pdf = pdf.sort_values("hr").reset_index(drop=True)
+    lo, hi = int(pdf["hr"].min()), int(pdf["hr"].max())
+    us_hr = 3_600_000_000
+    grid = pd.DataFrame({"hr": np.arange(lo, hi + us_hr, us_hr, dtype=np.int64)})
+    out = grid.merge(pdf, on="hr", how="left").fillna(0)
+    out["n_users"] = out["n_new"].cumsum().astype(np.int64)
+    out["hour"] = pd.to_datetime(out["hr"], unit="us")
+    out = out[["hour", "n_users"]]
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- exact global median by two-pass distributed selection ----
+def q_global_median_price(sf_dir: str) -> pa.Table:
+    """Exact global median of lineitem's extended price (in cents) WITHOUT
+    a global sort: classic two-pass distributed selection.  Pass 1 folds a
+    fixed 4096-bin histogram per batch (driver combine is O(bins)); the
+    bin containing the target rank is found driver-side; pass 2 collects
+    ONLY that bin's values (n/bins rows in expectation, exact under any
+    skew bound the histogram reveals) and selects the rank within them.
+
+    Scale shape: pass 1 is a full scan folding O(bins) partials — no
+    shuffle at all; pass 2's collect is bounded by the heaviest bin
+    (uniform hash-free binning over the value range; a pathological
+    single-value column makes the bin == the value, and the early-exit
+    answers without collecting).  Versus sort-based medians this moves
+    2 x scan instead of 1 x shuffle of every row."""
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    BINS = 4096
+
+    # pass 1: global min/max + histogram in ONE scan (fixed-point bins
+    # over the cents domain; min/max ride as two extra partial columns)
+    def hist_part(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        if not len(c):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        # provisional binning by value // step over the full int64-cents
+        # positive domain: prices are bounded by 10^8 cents, step keeps
+        # bin count O(BINS) without knowing min/max in advance
+        step = max(1, 10**8 // BINS)
+        b = c // step
+        u, inv = np.unique(b, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        lo = np.full(len(u), c.min(), np.int64)
+        hi = np.full(len(u), c.max(), np.int64)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(cnt, pa.int64()),
+                         "lo": pa.array(lo, pa.int64()),
+                         "hi": pa.array(hi, pa.int64())})
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(hist_part, batch_format="pyarrow"),
+        ["bin"], [("n", "sum"), ("lo", "min"), ("hi", "max")],
+        ["bin", "n", "lo", "hi"],
+    )  # bounded: O(BINS) rows
+    pdf = pdf.sort_values("bin").reset_index(drop=True)
+    total = int(pdf["n"].sum())
+    target = (total - 1) // 2  # lower median, 0-indexed (quantile_disc 0.5)
+    cum = pdf["n"].cumsum().to_numpy()
+    bi = int(np.searchsorted(cum, target + 1))
+    the_bin = int(pdf["bin"].iloc[bi])
+    rank_in_bin = target - (int(cum[bi - 1]) if bi else 0)
+    step = max(1, 10**8 // BINS)
+
+    # pass 2: collect ONLY the median bin's values
+    def bin_filter(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        v = c[c // step == the_bin]
+        return pa.table({"v": pa.array(v, pa.int64())})
+
+    vals = collect_arrow(ds.map_batches(bin_filter, batch_format="pyarrow"))  # bounded: one histogram bin — n/BINS rows in expectation (see docstring)
+    v = np.sort(vals["v"].to_numpy(zero_copy_only=False))
+    med = int(v[rank_in_bin])
+    return pa.table({"median_cents": pa.array([med], pa.int64()),
+                     "n_rows": pa.array([total], pa.int64())})
