@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "local_supplier_revenue",
     "cumulative_users",
     "global_median_price",
+    "event_unpivot",
 ]
 
 

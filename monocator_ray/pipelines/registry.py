@@ -2328,4 +2328,24 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # UNPIVOT: wide-to-long inverse of event_pivot — the oracle UNPIVOTs
+    # DuckDB's own conditional-agg pivot, pinning the round trip
+    "event_unpivot": (
+        R.q_event_unpivot,
+        """
+        WITH wide AS (
+          SELECT user_id,
+                 COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+                 COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+                 COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                 COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+                 COUNT(*) FILTER (WHERE event_type = 'view') AS view
+          FROM events GROUP BY user_id)
+        SELECT user_id, event_type, CAST(n AS BIGINT) AS n
+        FROM wide
+        UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+        WHERE n > 0
+        ORDER BY user_id, event_type
+        """,
+    ),
 }

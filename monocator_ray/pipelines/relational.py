@@ -3727,3 +3727,57 @@ def q_global_median_price(sf_dir: str) -> pa.Table:
     med = int(v[rank_in_bin])
     return pa.table({"median_cents": pa.array([med], pa.int64()),
                      "n_rows": pa.array([total], pa.int64())})
+
+
+# ---- UNPIVOT: wide-to-long over the pivoted per-user count matrix ----
+def q_event_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT — the inverse of q_event_pivot: the wide per-user count
+    matrix back to long (user_id, event_type, n) rows, zero counts
+    dropped (UNPIVOT's default NULL/absent semantics).  The engine builds
+    the same wide matrix (shared machinery: per-batch (user, type)
+    partials, one user-hash shuffle) and unpivots INSIDE the partition —
+    a pure batch-local reshape (tile/repeat + flatten), no extra shuffle;
+    wide-to-long never moves data, only the pivot direction does.
+
+    The round trip (pivot ∘ unpivot == identity on nonzero cells) is what
+    the oracle pins: DuckDB UNPIVOTs its own conditional-agg pivot."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([("event_type", "count")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                      ("n", pa.int64())])
+
+    def unpivot_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        uid, et, n = uid[order], et[order], n[order]
+        starts, ends = run_boundaries(uid)
+        users = uid[starts]
+        # wide matrix (the pivot) ...
+        mat = np.zeros((len(users), len(types)), dtype=np.int64)
+        row = np.repeat(np.arange(len(users)), ends - starts)
+        col = pd.Series(et).map({t_: i for i, t_ in enumerate(types)}).to_numpy()
+        np.add.at(mat, (row, col), n)
+        # ... unpivoted right back: row-major flatten IS the long layout
+        long_uid = np.repeat(users, len(types))
+        long_type = np.tile(np.asarray(types, dtype=object), len(users))
+        long_n = mat.reshape(-1)
+        keep = long_n > 0  # UNPIVOT drops absent cells
+        return pa.table({"user_id": pa.array(long_uid[keep], pa.int64()),
+                         "event_type": pa.array(long_type[keep], pa.string()),
+                         "n": pa.array(long_n[keep], pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: [t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        unpivot_part,
+        num_parts=32,
+    ).sort(["user_id", "event_type"])
