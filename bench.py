@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "cumulative_users",
     "global_median_price",
     "event_unpivot",
+    "bm25_search",
 ]
 
 

@@ -1691,6 +1691,133 @@ def q_keyword_search(sf_dir: str, k: int = 20) -> pa.Table:
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# ---- BM25 ranked retrieval (exact-integer scoring) ----
+def q_bm25_search(sf_dir: str, k: int = 20) -> pa.Table:
+    """BM25 ranked retrieval over the fixed query terms (Robertson/
+    Sparck-Jones Okapi BM25, k1=6/5, b=3/4) with the transcendental
+    ``log`` idf replaced by its EXACT rational surrogate
+    ``idf'(t) = (2(N-df)+1) / (2df+1)`` — the argument of the standard
+    BM25 idf log, so the per-term ranking is monotone-identical — making
+    every per-term contribution an exact integer both engines compute
+    bit-identically:
+
+        c(t,d) = floor( 2^20 * 22*T*tf*(2(N-df)+1)
+                        / ((2df+1) * (10*T*tf + 3*T + 9*dl*N)) )
+
+    derived from ``idf' * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``
+    with ``avgdl = T/N`` by clearing denominators (multiply num and den
+    by 10*T); DuckDB evaluates the same expression in HUGEINT.  N = all
+    documents, T = total tokens, dl = per-doc token count.
+
+    Scale shape: (1) ONE streaming tokenize pass reduces each doc to a
+    fixed-width stats row ``(doc_id, dl, tf per query term)`` — O(N) rows
+    x (2+|Q|) int64s (~50 B/doc; the corpus text never shuffles and never
+    returns); (2) T and df via O(1)-result map partials + driver combine;
+    (3) scoring is batch-local over the stats rows (one row per doc — no
+    co-location needed) with per-batch top-k partials; (4) driver merge of
+    O(blocks x k) rows.  The exact-integer contributions use object-dtype
+    (arbitrary-precision) arithmetic on HIT rows only — bounded by
+    |Q| x hits/batch, distributed across workers."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    terms = list(_SEARCH_TERMS)
+    nq = len(terms)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    n_docs = _docs(sf_dir, ["doc_id"]).count()
+
+    _STATS = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())]
+                       + [(f"tf_{i}", pa.int64()) for i in range(nq)])
+
+    def doc_stats(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rows_id, rows_dl = [], []
+        rows_tf = [[] for _ in range(nq)]
+        tpos = {t_: i for i, t_ in enumerate(terms)}
+        for i, s in enumerate(t["text"].to_pylist()):
+            if not s:
+                continue
+            arr = np.array(_WS_SPLIT.split(s.strip(" ")), dtype=object)
+            arr = arr[arr != ""]
+            if not len(arr):
+                continue
+            rows_id.append(int(ids[i]))
+            rows_dl.append(len(arr))
+            hits = arr[np.isin(arr, terms)]
+            cnt = [0] * nq
+            if len(hits):
+                vals, counts = np.unique(hits, return_counts=True)
+                for v, c in zip(vals, counts):
+                    cnt[tpos[v]] = int(c)
+            for j in range(nq):
+                rows_tf[j].append(cnt[j])
+        if not rows_id:
+            return _STATS.empty_table()
+        return pa.table({"doc_id": pa.array(rows_id, pa.int64()),
+                         "dl": pa.array(rows_dl, pa.int64()),
+                         **{f"tf_{j}": pa.array(rows_tf[j], pa.int64())
+                            for j in range(nq)}})
+
+    stats = ds.map_batches(doc_stats, batch_format="pyarrow").materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"T": pa.array([], pa.int64()),
+                             **{f"df_{j}": pa.array([], pa.int64())
+                                for j in range(nq)}})
+        out = {"T": pa.array([int(pc.sum(t["dl"]).as_py() or 0)], pa.int64())}
+        for j in range(nq):
+            tf = t[f"tf_{j}"].to_numpy(zero_copy_only=False)
+            out[f"df_{j}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(out)
+
+    # bounded: O(blocks) one-row partials (global T + per-term df)
+    p = stats.map_batches(partials, batch_format="pyarrow").to_pandas()
+    T = int(p["T"].sum()) if len(p) else 0
+    df = [int(p[f"df_{j}"].sum()) if len(p) else 0 for j in range(nq)]
+    N = n_docs
+    SCALE = 1 << 20
+    # per-term integer constants of c(t,d) (see formula above)
+    A = [SCALE * 22 * T * (2 * (N - df[j]) + 1) for j in range(nq)]
+    B = [2 * df[j] + 1 for j in range(nq)]
+
+    def score_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or T == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        dl = t["dl"].to_numpy(zero_copy_only=False)
+        score = np.zeros(len(did), dtype=np.int64)
+        for j in range(nq):
+            if df[j] == 0:
+                continue
+            tf = t[f"tf_{j}"].to_numpy(zero_copy_only=False)
+            m = tf > 0
+            if not m.any():
+                continue
+            tfo = tf[m].astype(object)   # exact arbitrary-precision ints
+            dlo = dl[m].astype(object)
+            c = (A[j] * tfo) // (B[j] * (10 * T * tfo + 3 * T + 9 * dlo * N))
+            score[m] += c.astype(np.int64)
+        hit = score > 0
+        did, score = did[hit], score[hit]
+        top = np.lexsort((did, -score))[:k]
+        return pa.table({"doc_id": pa.array(did[top], pa.int64()),
+                         "score": pa.array(score[top], pa.int64())})
+
+    # bounded: O(blocks x k) per-batch top-k partials
+    local = stats.map_batches(score_part, batch_format="pyarrow").to_pandas()
+    if local.empty:
+        local = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="int64")})
+    out = (
+        local.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ---- compression-ratio quality signal (zlib; rows-only) ----
 def q_compression_ratio(sf_dir: str, low_pct: int = 30) -> pa.Table:
     """Per-language compression-ratio statistics — the RefinedWeb/MassiveText

@@ -979,6 +979,35 @@ REGISTRY: dict = {
         SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
         """,
     ),
+    # BM25 (k1=6/5, b=3/4) with the exact rational idf surrogate
+    # (2(N-df)+1)/(2df+1); contributions are exact integers in HUGEINT,
+    # so the oracle hashes bit-identically (see q_bm25_search docstring)
+    "bm25_search": (
+        D.q_bm25_search,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS term
+          FROM documents),
+        tokc AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS dl FROM tokc GROUP BY doc_id),
+        g AS (SELECT (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS T,
+                     (SELECT COUNT(*) FROM documents) AS N),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokc
+               WHERE term IN ('the', 'of', 'la', 'van') GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        contrib AS (
+          SELECT tf.doc_id,
+                 CAST((CAST(1048576 AS HUGEINT) * 22 * g.T * tf.tf
+                        * (2 * (g.N - df.df) + 1))
+                      // ((2 * df.df + 1)
+                          * (CAST(10 AS HUGEINT) * g.T * tf.tf
+                             + 3 * g.T + 9 * dl.dl * g.N)) AS BIGINT) AS c
+          FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g),
+        s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score
+              FROM contrib GROUP BY doc_id)
+        SELECT doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT 20
+        """,
+    ),
     # same retrieval, served from the persistent inverted-index store
     # (sources/invstore.py) — reads only the query terms' hash buckets
     "keyword_search_store": (
