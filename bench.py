@@ -196,6 +196,10 @@ BENCH_QUERIES = [
     "global_median_price",
     "event_unpivot",
     "bm25_search",
+    "large_volume_orders",
+    "suppliers_per_type",
+    "sole_fault_suppliers",
+    "nation_trade_matrix",
 ]
 
 

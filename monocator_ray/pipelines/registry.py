@@ -2357,6 +2357,71 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # TPC-H Q18: HAVING on the pre-aggregated fact BEFORE any join
+    "large_volume_orders": (
+        R.q_large_volume_orders,
+        """
+        WITH q AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 300)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents, sum_qty
+        FROM q JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_cents DESC, o_orderkey LIMIT 100
+        """,
+    ),
+    # TPC-H Q16: COUNT(DISTINCT supplier) per part type across a join
+    "suppliers_per_type": (
+        R.q_suppliers_per_type,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT p_type, l_suppkey
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand <> 'Brand#1')
+        SELECT p_type, COUNT(*) AS supplier_cnt FROM pairs GROUP BY p_type
+        ORDER BY supplier_cnt DESC, p_type
+        """,
+    ),
+    # TPC-H Q21: EXISTS/NOT-EXISTS double correlation as per-order flags
+    "sole_fault_suppliers": (
+        R.q_sole_fault_suppliers,
+        """
+        WITH pair AS (
+          SELECT l_orderkey, l_suppkey,
+                 MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+          FROM lineitem GROUP BY l_orderkey, l_suppkey),
+        o AS (SELECT l_orderkey, COUNT(*) AS n_supp, SUM(r) AS n_fault
+              FROM pair GROUP BY l_orderkey),
+        culprit AS (
+          SELECT p.l_suppkey FROM pair p JOIN o USING (l_orderkey)
+          WHERE o.n_supp > 1 AND o.n_fault = 1 AND p.r = 1)
+        SELECT l_suppkey AS s_suppkey, COUNT(*) AS numwait
+        FROM culprit GROUP BY l_suppkey
+        ORDER BY numwait DESC, s_suppkey LIMIT 10
+        """,
+    ),
+    # TPC-H Q7: revenue matrix between supplier and customer nations
+    "nation_trade_matrix": (
+        R.q_nation_trade_matrix,
+        """
+        WITH rev AS (
+          SELECT l_orderkey, s_nationkey AS supp_nat,
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS r
+          FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+          GROUP BY l_orderkey, s_nationkey)
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(SUM(r) AS BIGINT) AS revenue_cpc
+        FROM rev JOIN orders ON l_orderkey = o_orderkey
+                 JOIN customer ON o_custkey = c_custkey
+                 JOIN nation sn ON supp_nat = sn.n_nationkey
+                 JOIN nation cn ON c_nationkey = cn.n_nationkey
+        GROUP BY supp_nation, cust_nation ORDER BY supp_nation, cust_nation
+        """,
+    ),
     # UNPIVOT: wide-to-long inverse of event_pivot — the oracle UNPIVOTs
     # DuckDB's own conditional-agg pivot, pinning the round trip
     "event_unpivot": (

@@ -3781,3 +3781,234 @@ def q_event_unpivot(sf_dir: str) -> rd.Dataset:
         unpivot_part,
         num_parts=32,
     ).sort(["user_id", "event_type"])
+
+
+# ---- TPC-H Q18 shape: large-volume orders (HAVING filter + join chain) ----
+def q_large_volume_orders(sf_dir: str) -> rd.Dataset:
+    """Orders whose total line quantity exceeds 300, with the ordering
+    customer — the TPC-H Q18 plan shape: the HAVING filter runs on the
+    PRE-AGGREGATED fact (one (orderkey, sum_qty) row per order, built by
+    coarse hash partitions) BEFORE any join, so both joins move only the
+    qualifying tail (~0.3%% of orders), never raw lineitem.  Both joins
+    are partitioned hash joins (orders and customer are fact-sized at
+    scale — no broadcast).  Quantities are integral doubles; exact
+    integer sums via round-then-cast on both engines."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+
+    sums = partitioned_aggregate(
+        li.map_batches(qty, batch_format="pyarrow"),
+        ["l_orderkey"], [("qty", "sum")], ["l_orderkey", "sum_qty"],
+        num_parts=_join_parts(sf_dir, "lineitem"),
+    )
+    big = sums.filter(expr="sum_qty > 300")
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def ocents(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "total_cents": _cents(t["o_totalprice"])})
+
+    j1 = big.join(
+        orders.map_batches(ocents, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    j2 = j1.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"c_name": t["c_name"], "c_custkey": t["o_custkey"],
+                         "o_orderkey": t["l_orderkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "total_cents": t["total_cents"],
+                         "sum_qty": t["sum_qty"]})
+
+    return (j2.map_batches(shape, batch_format="pyarrow")
+              .sort(["total_cents", "o_orderkey"], descending=[True, False])
+              .limit(100))
+
+
+# ---- TPC-H Q16 shape: distinct supplier count per part type ----
+def q_suppliers_per_type(sf_dir: str) -> rd.Dataset:
+    """COUNT(DISTINCT supplier) per part type, excluding one brand — the
+    TPC-H Q16 shape (distinct-count across a join).  Plan: part is a true
+    dimension -> its (partkey -> type) map broadcasts once (brand filter
+    applied build-side); each lineitem batch maps partkey -> type and
+    emits batch-distinct (p_type, l_suppkey) pairs (combiner: output is
+    O(types x suppliers/batch), not O(lineitem)); ONE hash partition on
+    the full pair makes local distinct == global distinct; the final
+    count per type is an O(blocks x types) driver combine.  The fact
+    table never shuffles raw rows."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_type"])  # bounded: dimension table
+    keep = pc.invert(pc.equal(part["p_brand"], pa.scalar("Brand#1")))
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    lut = np.full(int(pk.max()) + 2, "", dtype=object) if len(pk) else np.full(1, "", dtype=object)
+    lut[pk] = part["p_type"].to_numpy(zero_copy_only=False)
+    lut_ref = ray.put(lut)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        typ = np.where(keys < len(lu), lu[np.minimum(keys, len(lu) - 1)], "")
+        m = typ != ""
+        g = pa.table({"p_type": pa.array(typ[m], pa.string()),
+                      "l_suppkey": pa.array(
+                          t["l_suppkey"].to_numpy(zero_copy_only=False)[m],
+                          pa.int64())}).group_by(["p_type", "l_suppkey"]).aggregate([])
+        return g
+
+    pair_ds = li.map_batches(pairs, batch_format="pyarrow")
+    distinct = partitioned_aggregate(
+        pair_ds, ["p_type", "l_suppkey"], [("l_suppkey", "count")],
+        ["p_type", "l_suppkey", "_n"],
+        num_parts=_join_parts(sf_dir, "lineitem"),
+    )
+    out = driver_grouped_agg(distinct, ["p_type"], [("l_suppkey", "count")],
+                             ["p_type", "supplier_cnt"])
+    out = out.sort_values(["supplier_cnt", "p_type"],
+                          ascending=[False, True], kind="mergesort").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---- TPC-H Q21 shape: sole-fault suppliers in multi-supplier orders ----
+def q_sole_fault_suppliers(sf_dir: str) -> rd.Dataset:
+    """Suppliers who were the ONLY supplier with returned ('R') lines in a
+    multi-supplier order, counted over such orders — the TPC-H Q21
+    EXISTS / NOT-EXISTS double-correlation, expressed as per-order
+    grouped flags instead of two self-joins.  Plan: per batch, lineitem
+    combines to distinct (orderkey, suppkey, any_R) triples; ONE hash
+    partition on orderkey co-locates each order; inside the partition a
+    re-combine + run detection computes n_supp / n_fault per order and
+    emits culprit suppkeys (order has >1 supplier, exactly 1 faulty);
+    the per-supplier count is a second (small) partitioned aggregate.
+    lineitem shuffles only as pre-reduced triples."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        r = pc.cast(pc.equal(t["l_returnflag"], pa.scalar("R")), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"], "r": r}).group_by(
+            ["l_orderkey", "l_suppkey"]).aggregate([("r", "max")]).rename_columns(
+            ["l_orderkey", "l_suppkey", "r"])
+
+    def culprits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"l_suppkey": pa.array([], pa.int64())})
+        g = t.group_by(["l_orderkey", "l_suppkey"]).aggregate([("r", "max")])
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        r = g["r_max"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ok, kind="mergesort")
+        ok, sk, r = ok[order], sk[order], r[order]
+        starts, ends = run_boundaries(ok)
+        n_supp = ends - starts
+        cum = np.concatenate([[0], np.cumsum(r)])
+        n_fault = cum[ends] - cum[starts]
+        qual = (n_supp > 1) & (n_fault == 1)
+        row_qual = np.repeat(qual, n_supp)
+        m = row_qual & (r == 1)
+        return pa.table({"l_suppkey": pa.array(sk[m], pa.int64())})
+
+    culprit_ds = hash_partitioned(
+        li.map_batches(triples, batch_format="pyarrow"),
+        lambda t: [t["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        culprits,
+        num_parts=_join_parts(sf_dir, "lineitem"),
+    )
+    counts = partitioned_aggregate(
+        culprit_ds, ["l_suppkey"], [("l_suppkey", "count")],
+        ["s_suppkey", "numwait"], num_parts=16,
+    )
+    return counts.sort(["numwait", "s_suppkey"], descending=[True, False]).limit(10)
+
+
+# ---- TPC-H Q7 shape: trade matrix between supplier and customer nations ----
+def q_nation_trade_matrix(sf_dir: str) -> rd.Dataset:
+    """Revenue by (supplier nation, customer nation) pair — the TPC-H Q7
+    volume-shipping shape: one fact (lineitem) needs BOTH ends of the
+    trade, reached through different paths.  Plan: supplier is a true
+    dimension -> (suppkey -> nationkey) broadcasts into the revenue
+    combiner, which pre-aggregates lineitem to (orderkey, supp_nation,
+    revenue) rows; orders joins that (partitioned hash join) to reach
+    o_custkey; a second pre-aggregation to (custkey, supp_nation) rows
+    keeps the customer join's left side at O(customers x nations) max;
+    customer joins (fact-sized at scale); nation names broadcast; the
+    O(nations^2) matrix folds on the driver.  Revenue is exact integer
+    cents x percent (the q_nation_revenue convention)."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])  # bounded: dimension table
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    slut = np.full(int(sk.max()) + 2, -1, dtype=np.int64) if len(sk) else np.full(1, -1, dtype=np.int64)
+    slut[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    slut_ref = ray.put(slut)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def rev_part(t: pa.Table) -> pa.Table:
+        lu = ray.get(slut_ref)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        snat = lu[np.minimum(keys, len(lu) - 1)]
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(
+                pa.scalar(100, pa.int64()),
+                pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
+            ),
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "supp_nat": pa.array(snat, pa.int64()),
+                         "r": r}).group_by(["l_orderkey", "supp_nat"]).aggregate(
+            [("r", "sum")]).rename_columns(["l_orderkey", "supp_nat", "r"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    j1 = li.map_batches(rev_part, batch_format="pyarrow").join(
+        orders,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    per_cust = partitioned_aggregate(
+        j1.select_columns(["o_custkey", "supp_nat", "r"]),
+        ["o_custkey", "supp_nat"], [("r", "sum")],
+        ["o_custkey", "supp_nat", "r"],
+        num_parts=_join_parts(sf_dir, "orders"),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table, 25 rows
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # bounded: O(nations^2) matrix rows
+    out = driver_grouped_agg(j2, ["supp_nat", "c_nationkey"], [("r", "sum")],
+                             ["supp_nat", "c_nationkey", "revenue_cpc"])
+    out["supp_nation"] = out["supp_nat"].map(names)
+    out["cust_nation"] = out["c_nationkey"].map(names)
+    out = (out[["supp_nation", "cust_nation", "revenue_cpc"]]
+           .sort_values(["supp_nation", "cust_nation"], kind="mergesort")
+           .reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
