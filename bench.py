@@ -200,6 +200,9 @@ BENCH_QUERIES = [
     "suppliers_per_type",
     "sole_fault_suppliers",
     "nation_trade_matrix",
+    "value_outliers",
+    "winsorized_value_stats",
+    "weighted_sample",
 ]
 
 

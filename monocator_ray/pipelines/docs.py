@@ -4201,3 +4201,45 @@ def q_embedding_dim_stats(sf_dir: str) -> pa.Table:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- deterministic weighted sampling (rational priority, RNG-free) ----
+def q_weighted_sample(sf_dir: str, k: int = 20) -> pa.Table:
+    """Weight-proportional sampling without RNG state: each doc gets the
+    integer priority ``(mix32(doc_id) * 1024) // n_chars`` and the k
+    SMALLEST priorities win (ties: doc_id ASC) — the deterministic
+    analog of A-Res weighted reservoir sampling (key = u^(1/w) replaced
+    by the exact rational hash/weight, preserving the property that
+    heavier docs systematically beat lighter ones at equal hash), so the
+    DuckDB oracle reproduces the selection exactly and re-runs are
+    stable.  Zero/negative-weight docs are excluded.
+
+    Scale shape: per-batch local top-k (one vectorized argpartition-style
+    sort per block), then a driver merge of O(blocks x k) partial rows —
+    the corpus never shuffles and never reaches the driver."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = w > 0
+        ids, w = ids[m], w[m]
+        if not len(ids):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "priority": pa.array([], pa.int64())})
+        prio = (_mix32(ids).astype(np.int64) * 1024) // w
+        top = np.lexsort((ids, prio))[:k]
+        return pa.table({"doc_id": pa.array(ids[top], pa.int64()),
+                         "n_chars": pa.array(w[top], pa.int64()),
+                         "priority": pa.array(prio[top], pa.int64())})
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: O(blocks x k) per-batch top-k
+    out = (
+        pdf.sort_values(["priority", "doc_id"], kind="mergesort")
+        .head(k)
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

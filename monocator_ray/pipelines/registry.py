@@ -2357,6 +2357,62 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # grouped 3-sigma outliers via exact integer cross-multiplication
+    "value_outliers": (
+        R.q_value_outliers,
+        """
+        WITH v AS (SELECT event_id, event_type,
+                          CAST(ROUND(value*100) AS BIGINT) AS c FROM events),
+        g AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(c) AS HUGEINT) AS s,
+                     CAST(SUM(CAST(c AS HUGEINT)*c) AS HUGEINT) AS q
+              FROM v GROUP BY event_type)
+        SELECT event_id, event_type, c AS value_cents
+        FROM v JOIN g USING (event_type)
+        WHERE (CAST(c AS HUGEINT)*n - s)*(CAST(c AS HUGEINT)*n - s)
+              > 9*(n*q - s*s)
+        ORDER BY event_id
+        """,
+    ),
+    # winsorized grouped mean; clip bounds are index-exact order statistics
+    "winsorized_value_stats": (
+        R.q_winsorized_value_stats,
+        """
+        WITH v AS (SELECT event_type, CAST(ROUND(value*100) AS BIGINT) AS c
+                   FROM events),
+        r AS (SELECT event_type, c,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) - 1 AS rk,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n FROM v),
+        b AS (SELECT event_type, ANY_VALUE(n) AS n,
+                     MAX(CASE WHEN rk = (n-1)//20 THEN c END) AS lo_cents,
+                     MAX(CASE WHEN rk = 19*(n-1)//20 THEN c END) AS hi_cents
+              FROM r GROUP BY event_type),
+        w AS (SELECT v.event_type,
+                     CASE WHEN c < lo_cents THEN lo_cents
+                          WHEN c > hi_cents THEN hi_cents ELSE c END AS cw
+              FROM v JOIN b USING (event_type))
+        SELECT w.event_type, b.n, b.lo_cents, b.hi_cents,
+               CAST(SUM(cw) AS BIGINT) AS wsum_cents,
+               CAST(SUM(cw) // b.n AS BIGINT) AS wmean_cents
+        FROM w JOIN b USING (event_type)
+        GROUP BY w.event_type, b.n, b.lo_cents, b.hi_cents
+        ORDER BY event_type
+        """,
+    ),
+    # deterministic weighted sampling: rational hash/weight priority
+    "weighted_sample": (
+        D.q_weighted_sample,
+        """
+        WITH h1 AS (SELECT doc_id, n_chars,
+                           (doc_id % 2147483648) * 2654435761 % 4294967296 AS _a
+                    FROM documents WHERE n_chars > 0),
+        h2 AS (SELECT *, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT *, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hashed AS (SELECT doc_id, n_chars, xor(_c, _c >> 13) AS h32 FROM h3),
+        p AS (SELECT doc_id, n_chars, (h32 * 1024) // n_chars AS priority FROM hashed)
+        SELECT doc_id, n_chars, priority FROM p
+        ORDER BY priority, doc_id LIMIT 20
+        """,
+    ),
     # TPC-H Q18: HAVING on the pre-aggregated fact BEFORE any join
     "large_volume_orders": (
         R.q_large_volume_orders,

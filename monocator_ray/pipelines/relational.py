@@ -4012,3 +4012,102 @@ def q_nation_trade_matrix(sf_dir: str) -> rd.Dataset:
            .sort_values(["supp_nation", "cust_nation"], kind="mergesort")
            .reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---- grouped z-score outliers (exact integer cross-multiplication) ----
+def q_value_outliers(sf_dir: str) -> rd.Dataset:
+    """Events whose value is more than 3 population-sigmas from their
+    event type's mean — the grouped anomaly-detection shape, made exact:
+    ``(v - s/n)^2 > 9 * (n*q - s^2)/n^2`` cross-multiplies to the pure
+    integer test ``(v*n - s)^2 > 9*(n*q - s^2)`` (v = value cents,
+    n/s/q = count/sum/sum-of-squares per type), so no float sigma ever
+    exists and the oracle hashes bit-identically (DuckDB runs the same
+    inequality in HUGEINT).
+
+    Scale shape: (1) per-batch (n, s, q) partials -> O(blocks x types)
+    driver combine -> broadcast dict of Python ints (exact, unbounded
+    precision); (2) one streaming filter pass; per-type rows use
+    object-dtype (arbitrary-precision) arithmetic — the int64 bound on
+    (v*n - s)^2 breaks near ~1e5 rows/type, so exactness does not depend
+    on the corpus staying small.  sum-of-squares partials are int64-safe
+    to ~3e9 rows/type at 5-digit cents; beyond that the partial pass
+    would need a HUGEINT-style split (documented bound)."""
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = _cents(t["value"])
+        return pa.table({"event_id": t["event_id"], "event_type": t["event_type"],
+                         "c": c, "c2": pc.multiply(c, c)})
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    g = driver_grouped_agg(prepped, ["event_type"],
+                           [("c", "count"), ("c", "sum"), ("c2", "sum")],
+                           ["event_type", "n", "s", "q"])
+    stats = {r.event_type: (int(r.n), int(r.s), int(r.q)) for r in g.itertuples()}
+    stats_ref = ray.put(stats)
+
+    def flag(t: pa.Table) -> pa.Table:
+        st = ray.get(stats_ref)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(et), dtype=bool)
+        for typ, (n, s, q) in st.items():
+            m = et == typ
+            if not m.any():
+                continue
+            co = c[m].astype(object)  # exact arbitrary-precision ints
+            keep[m] = (co * n - s) ** 2 > 9 * (n * q - s * s)
+        out = t.filter(pa.array(keep)).select(["event_id", "event_type", "c"])
+        return out.rename_columns(["event_id", "event_type", "value_cents"])
+
+    return prepped.map_batches(flag, batch_format="pyarrow").sort("event_id")
+
+
+# ---- winsorized grouped stats (index-exact percentile clipping) ----
+def q_winsorized_value_stats(sf_dir: str) -> rd.Dataset:
+    """Per-event-type mean after winsorizing values to the [p05, p95]
+    order statistics — the robust-aggregate shape.  The clip bounds are
+    INDEX-defined (sorted positions ``(n-1)//20`` and ``19*(n-1)//20``),
+    tie-safe and integer-exact, so the SQL oracle selects the same
+    elements via ROW_NUMBER arithmetic instead of a quantile function
+    whose convention might differ.
+
+    Scale shape: the grouped-order-statistics plan (one hash partition on
+    event_type, one lexsort per partition, vectorized gathers + segment
+    sums) — same contract as q_priority_price_quartiles_cont."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    _OUT = pa.schema([("event_type", pa.string()), ("n", pa.int64()),
+                      ("lo_cents", pa.int64()), ("hi_cents", pa.int64()),
+                      ("wsum_cents", pa.int64()), ("wmean_cents", pa.int64())])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"], "c": _cents(t["value"])})
+
+    def wins_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        c = g["c"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, et))
+        et, c = et[order], c[order]
+        starts, ends = run_boundaries(et)
+        n = (ends - starts).astype(np.int64)
+        lo = c[starts + (n - 1) // 20]
+        hi = c[starts + 19 * (n - 1) // 20]
+        cw = np.clip(c, np.repeat(lo, n), np.repeat(hi, n))
+        cum = np.concatenate([[0], np.cumsum(cw)])
+        wsum = cum[ends] - cum[starts]
+        return pa.table({"event_type": pa.array(et[starts], pa.string()),
+                         "n": pa.array(n, pa.int64()),
+                         "lo_cents": pa.array(lo, pa.int64()),
+                         "hi_cents": pa.array(hi, pa.int64()),
+                         "wsum_cents": pa.array(wsum, pa.int64()),
+                         "wmean_cents": pa.array(wsum // n, pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(shape, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["event_type"]),
+        wins_part,
+        num_parts=8,
+    ).sort("event_type")
