@@ -751,7 +751,12 @@ def encode_y4m(frames: np.ndarray, fps: tuple[int, int] = (25, 1)) -> bytes:
 
 
 def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
-    """YUV4MPEG2 C444 -> ((T, H, W, 3) uint8 frames, (fps_num, fps_den))."""
+    """YUV4MPEG2 -> ((T, H, W, 3) uint8 YCbCr frames, (fps_num, fps_den)).
+
+    Chroma: C444 verbatim; C422 / C420(jpeg|mpeg2|paldv) / C411 decode with
+    sample-duplication upsampling to full resolution (siting phase is
+    ignored by design — duplication is siting-free); Cmono gets neutral
+    (128) chroma.  C444alpha stays gated (4-plane)."""
     if not data.startswith(b"YUV4MPEG2"):
         raise ValueError("not a YUV4MPEG2 stream")
     eol = data.index(b"\n")
@@ -771,18 +776,49 @@ def decode_y4m(data: bytes) -> tuple[np.ndarray, tuple[int, int]]:
             chroma = val.decode()
     if w is None or h is None:
         raise ValueError("missing W/H in Y4M header")
-    if not chroma.startswith("444"):
+    # chroma plane geometry per the yuv4mpeg spec: C444 full, C422 half
+    # width, C420* (jpeg/mpeg2/paldv sitings share plane SIZES — siting
+    # only moves the sample phase, which sample-duplication upsampling
+    # ignores by design, documented), C411 quarter width, Cmono no chroma.
+    base = chroma.split(":")[0]  # strip e.g. "420jpeg" stays, "444alpha" below
+    if base.startswith("444alpha"):
+        raise NotImplementedError("C444alpha (4-plane) not supported")
+    if base.startswith("444"):
+        cw, ch = w, h
+    elif base.startswith("422"):
+        cw, ch = (w + 1) // 2, h
+    elif base.startswith("420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif base.startswith("411"):
+        cw, ch = (w + 3) // 4, h
+    elif base.startswith("mono"):
+        cw, ch = 0, 0
+    else:
         raise NotImplementedError(
-            f"only C444 supported (got C{chroma}; real impl: ffmpeg)")
-    frame_bytes = 3 * w * h
+            f"unknown Y4M chroma C{chroma} (real impl: ffmpeg)")
+    frame_bytes = w * h + 2 * cw * ch
     frames = []
     pos = eol + 1
     while pos < len(data):
         if data[pos : pos + 5] != b"FRAME":
             raise ValueError("bad FRAME marker")
         pos = data.index(b"\n", pos) + 1  # FRAME may carry parameters
-        planes = np.frombuffer(data, np.uint8, count=frame_bytes, offset=pos)
-        frames.append(planes.reshape(3, h, w).transpose(1, 2, 0))
+        if pos + frame_bytes > len(data):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(data, np.uint8, count=w * h, offset=pos).reshape(h, w)
+        if cw == 0:  # mono: neutral chroma
+            cb = np.full((h, w), 128, np.uint8)
+            cr = cb
+        else:
+            cb = np.frombuffer(data, np.uint8, count=cw * ch,
+                               offset=pos + w * h).reshape(ch, cw)
+            cr = np.frombuffer(data, np.uint8, count=cw * ch,
+                               offset=pos + w * h + cw * ch).reshape(ch, cw)
+            if (cw, ch) != (w, h):  # sample-duplication upsample, then
+                # trim the padding column/row odd dimensions produce
+                cb = cb.repeat(-(-w // cw), axis=1)[:, :w].repeat(-(-h // ch), axis=0)[:h]
+                cr = cr.repeat(-(-w // cw), axis=1)[:, :w].repeat(-(-h // ch), axis=0)[:h]
+        frames.append(np.stack([y, cb, cr], axis=-1))
         pos += frame_bytes
     return np.stack(frames) if frames else np.empty((0, h, w, 3), np.uint8), fps
 

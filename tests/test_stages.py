@@ -371,11 +371,32 @@ def test_y4m_roundtrip_and_frame_sampling():
     s = sample_frames(frames, 3)
     assert s.shape == (3, 10, 14, 3)
     assert np.array_equal(s[0], frames[0]) and np.array_equal(s[1], frames[2])
-    # chroma subsampling other than 444 is gated, not mis-decoded
+    # subsampled chroma decodes for real: C420 planes upsample by sample
+    # duplication (each chroma sample covers a 2x2 block)
     import pytest as _pytest
 
+    y = np.arange(16, dtype=np.uint8).reshape(4, 4)
+    cb = np.array([[10, 20], [30, 40]], np.uint8)
+    cr = np.array([[50, 60], [70, 80]], np.uint8)
+    blob420 = (b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n"
+               + y.tobytes() + cb.tobytes() + cr.tobytes())
+    f420, fps420 = decode_y4m(blob420)
+    assert f420.shape == (1, 4, 4, 3) and fps420 == (25, 1)
+    assert np.array_equal(f420[0, :, :, 0], y)
+    assert np.array_equal(f420[0, :, :, 1], cb.repeat(2, 1).repeat(2, 0))
+    assert np.array_equal(f420[0, :, :, 2], cr.repeat(2, 1).repeat(2, 0))
+    # C422: half width, full height
+    f422, _ = decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C422\nFRAME\n"
+                         + y.tobytes() + bytes(range(8)) + bytes(range(8)))
+    assert f422.shape == (1, 4, 4, 3)
+    assert np.array_equal(f422[0, :, :, 1],
+                          np.arange(8, dtype=np.uint8).reshape(4, 2).repeat(2, 1))
+    # mono: neutral chroma
+    fmono, _ = decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 Cmono\nFRAME\n" + y.tobytes())
+    assert np.array_equal(fmono[0, :, :, 0], y) and (fmono[0, :, :, 1] == 128).all()
+    # the 4-plane alpha variant stays gated, not mis-decoded
     with _pytest.raises(NotImplementedError):
-        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C420\nFRAME\n" + b"\x00" * 24)
+        decode_y4m(b"YUV4MPEG2 W4 H4 F25:1 C444alpha\nFRAME\n" + b"\x00" * 64)
     # features: video_features reports dims + frame count
     f = PureCodec().video_features(frames, (30, 1))
     assert f[1] == 14 and f[2] == 10 and f[13] == 6
