@@ -139,9 +139,17 @@ def decode_ppm(data: bytes) -> np.ndarray:
         fields.append(int(data[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
-    if maxval != 255:
-        raise NotImplementedError("only 8-bit PPM supported")
-    return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    if maxval == 255:
+        return np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+    if 0 < maxval < 255:
+        raw = np.frombuffer(data, np.uint8, count=w * h * 3, offset=pos)
+        return (raw.astype(np.int64) * 255 // maxval).astype(np.uint8).reshape(h, w, 3)
+    if 255 < maxval < 65536:
+        # 2-byte big-endian samples (Netpbm spec); exact rescale to 8-bit
+        # (handles non-full-range maxvals like 1000 uniformly)
+        raw = np.frombuffer(data, ">u2", count=w * h * 3, offset=pos)
+        return (raw.astype(np.int64) * 255 // maxval).astype(np.uint8).reshape(h, w, 3)
+    raise ValueError(f"bad PPM maxval {maxval}")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -296,7 +304,9 @@ def decode_png(data: bytes) -> np.ndarray:
     """PNG -> (H, W, 3) uint8 RGB, pure numpy + stdlib zlib (VERDICT r2
     #3: PNG is the dominant real web-image container and needs no external
     decoder — zlib inflate + 5 per-row filters, W3C PNG spec).  Supports
-    8-bit gray / RGB / RGBA / palette, non-interlaced AND Adam7 interlaced
+    8-bit gray / RGB / RGBA / palette and 16-bit gray / RGB / RGBA
+    (filters run on byte lanes with bpp = channels x 2, then the high
+    byte is the 16->8 downscale), non-interlaced AND Adam7 interlaced
     (round 4: the 7-pass sub-image deinterleave, each pass unfiltered
     against its own scanlines).  Alpha is dropped (features/dHash consume
     RGB).  Unfiltering is in :func:`_png_unfilter`."""
@@ -321,33 +331,40 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported (depth={depth})")
+    if depth not in (8, 16) or (depth == 16 and ctype == 3):
+        raise NotImplementedError(f"PNG depth {depth} (ctype {ctype}) not supported")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise ValueError(f"bad PNG color type {ctype}")
+    # PNG filters operate on BYTES with bpp = channels * bytes-per-sample
+    # (W3C PNG §9), so 16-bit images unfilter as `channels*2` byte lanes
+    # and reassemble afterwards (high byte, the standard 16->8 downscale)
+    bps = depth // 8
+    bch = channels * bps
     raw = zlib.decompress(b"".join(idat))
     if interlace:  # Adam7 (W3C PNG §8.2): 7 sub-images, each filtered
-        img = np.zeros((h, w, channels), np.uint8)
+        img = np.zeros((h, w, bch), np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = -(-(w - x0) // xs) if w > x0 else 0
             ph = -(-(h - y0) // ys) if h > y0 else 0
             if pw == 0 or ph == 0:
                 continue
-            need = ph * (pw * channels + 1)
-            sub = _png_unfilter(raw[off : off + need], ph, pw, channels)
+            need = ph * (pw * bch + 1)
+            sub = _png_unfilter(raw[off : off + need], ph, pw, bch)
             off += need
-            img[y0::ys, x0::xs] = sub.reshape(ph, pw, channels)
+            img[y0::ys, x0::xs] = sub.reshape(ph, pw, bch)
         if off != len(raw):
             raise ValueError("PNG IDAT length mismatch (Adam7)")
     else:
-        stride = w * channels
+        stride = w * bch
         if len(raw) != h * (stride + 1):
             raise ValueError("PNG IDAT length mismatch")
-        img = _png_unfilter(raw, h, w, channels).reshape(h, w, channels)
+        img = _png_unfilter(raw, h, w, bch).reshape(h, w, bch)
+    if bps == 2:  # big-endian 16-bit samples -> high byte
+        img = np.ascontiguousarray(img.reshape(h, w, channels, 2)[:, :, :, 0])
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -705,26 +722,59 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM16 mono/stereo -> (mono float32 samples in [-1, 1], rate)."""
+    """RIFF/WAVE -> (mono float32 samples in [-1, 1], rate).
+
+    Formats: PCM (fmt 1) at 8-bit unsigned / 16 / 24 (packed) / 32-bit
+    signed, IEEE float (fmt 3) at 32/64-bit, and WAVE_FORMAT_EXTENSIBLE
+    (fmt 0xFFFE) wrapping either (SubFormat GUID's leading uint16 is the
+    real format per RFC 2361).  Compressed codings (A-law/mu-law/ADPCM/
+    MP3) stay gated.  Multi-channel downmixes by plain mean."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
-    fmt = None
+    fmt = fmt_body = None
     while pos + 8 <= len(data):
         cid, size = struct.unpack_from("<4sI", data, pos)
         pos += 8
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", data, pos)
+            fmt_body = data[pos : pos + size]
         elif cid == b"data":
             if fmt is None:
                 raise ValueError("data chunk before fmt")
             audio_fmt, channels, rate, _bps, _align, bits = fmt
-            if audio_fmt != 1 or bits != 16:
-                raise NotImplementedError("only PCM16 supported (real impl: ffmpeg)")
-            raw = np.frombuffer(data, "<i2", count=size // 2, offset=pos)
+            if audio_fmt == 0xFFFE:  # EXTENSIBLE: real format in SubFormat
+                if len(fmt_body) < 26:
+                    raise ValueError("truncated WAVE_FORMAT_EXTENSIBLE fmt")
+                audio_fmt = struct.unpack_from("<H", fmt_body, 24)[0]
+            if audio_fmt == 1 and bits == 16:
+                raw = np.frombuffer(data, "<i2", count=size // 2, offset=pos)
+                out = raw.astype(np.float32) / 32768.0
+            elif audio_fmt == 1 and bits == 8:  # 8-bit PCM is UNSIGNED
+                raw = np.frombuffer(data, np.uint8, count=size, offset=pos)
+                out = (raw.astype(np.float32) - 128.0) / 128.0
+            elif audio_fmt == 1 and bits == 24:  # packed 3-byte little-endian
+                n = size // 3
+                b = np.frombuffer(data, np.uint8, count=n * 3, offset=pos).reshape(n, 3)
+                v = (b[:, 0].astype(np.int32)
+                     | (b[:, 1].astype(np.int32) << 8)
+                     | (b[:, 2].astype(np.int32) << 16))
+                v -= (v & 0x800000) << 1  # sign-extend bit 23
+                out = v.astype(np.float32) / 8388608.0
+            elif audio_fmt == 1 and bits == 32:
+                raw = np.frombuffer(data, "<i4", count=size // 4, offset=pos)
+                out = raw.astype(np.float32) / 2147483648.0
+            elif audio_fmt == 3 and bits == 32:
+                out = np.frombuffer(data, "<f4", count=size // 4, offset=pos).copy()
+            elif audio_fmt == 3 and bits == 64:
+                out = np.frombuffer(data, "<f8", count=size // 8, offset=pos).astype(np.float32)
+            else:
+                raise NotImplementedError(
+                    f"WAV fmt {audio_fmt}/{bits}-bit not supported (real impl: ffmpeg)")
             if channels > 1:
-                raw = raw[: (len(raw) // channels) * channels].reshape(-1, channels).mean(axis=1)
-            return np.asarray(raw, np.float32) / 32768.0, rate
+                out = out[: (len(out) // channels) * channels].reshape(
+                    -1, channels).mean(axis=1)
+            return np.asarray(out, np.float32), rate
         pos += size + (size & 1)
     raise ValueError("no data chunk")
 

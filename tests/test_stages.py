@@ -566,14 +566,18 @@ def test_png_roundtrip_all_filters_and_color_types():
 
     # flipping the interlace byte makes the IDAT stream Adam7-shaped-wrong
     # (r4: Adam7 itself decodes — see test_adam7_interlaced_png_roundtrip);
-    # 16-bit depth stays gated; sniff + dispatch work
+    # sub-byte depths stay gated (16-bit decodes — test_png_16bit_decode);
+    # a depth byte flipped to 16 on an 8-bit stream is a LENGTH error
     bad = bytearray(encode_png(rgb))
     ihdr_off = 8 + 8  # sig + len/type
     bad[ihdr_off + 12] = 1  # interlace byte of IHDR
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
     bad[ihdr_off + 12] = 0
-    bad[ihdr_off + 8] = 16  # depth byte
+    bad[ihdr_off + 8] = 16  # depth byte: stream is now half the 16-bit size
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    bad[ihdr_off + 8] = 4  # sub-byte depth: gated
     with _pytest.raises(NotImplementedError):
         decode_png(bytes(bad))
     c = PureCodec()
@@ -959,3 +963,112 @@ def test_interlaced_gif_roundtrip():
         got_i = decode_gif(hdr + f_i + b"\x3b")
         got_n = decode_gif(hdr + f_n + b"\x3b")
         assert np.array_equal(got_i, got_n), (hh, ww)
+
+
+def test_ppm_16bit_and_scaled_maxval():
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_ppm
+
+    # maxval 65535: 2-byte big-endian samples, exact *255//maxval rescale
+    vals = np.array([[[0, 257, 65535], [32768, 514, 1028]]], dtype=np.uint16)
+    data = b"P6 2 1 65535\n" + vals.astype(">u2").tobytes()
+    got = decode_ppm(data)
+    want = (vals.astype(np.int64) * 255 // 65535).astype(np.uint8)
+    assert np.array_equal(got, want)
+    # sub-8-bit maxval: 1-byte samples rescaled to full range
+    data = b"P6 2 1 15\n" + bytes([0, 5, 15, 1, 7, 8])
+    got = decode_ppm(data)
+    assert got.ravel().tolist() == [v * 255 // 15 for v in [0, 5, 15, 1, 7, 8]]
+
+
+def test_png_16bit_decode():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from monocator_ray.stages.media import _png_chunk, _PNG_SIG, decode_png
+
+    # 16-bit RGB, filter 0 rows: decode takes the high byte
+    rng = np.random.RandomState(3)
+    px16 = rng.randint(0, 65536, size=(4, 5, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + row.astype(">u2").tobytes() for row in px16)
+    blob = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+    got = decode_png(blob)
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))
+    # 16-bit gray with the Sub filter: PNG filters run on BYTES with
+    # bpp = 2 — a Sub-filtered row reconstructs per byte lane
+    g16 = np.array([[1000, 2000, 3000, 4000]], dtype=np.uint16)
+    row = g16[0].astype(">u2").tobytes()
+    rb = np.frombuffer(row, np.uint8).astype(np.int32).reshape(4, 2)
+    filtered = np.empty_like(rb)
+    filtered[0] = rb[0]
+    filtered[1:] = (rb[1:] - rb[:-1]) & 255
+    raw = b"\x01" + filtered.astype(np.uint8).tobytes()
+    blob = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 1, 16, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+    got = decode_png(blob)
+    want8 = (g16 >> 8).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(want8[:, :, None], 3, axis=2))
+    # 16-bit palette is invalid PNG -> stays gated
+    import pytest as _pytest
+
+    blob = (_PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 16, 3, 0, 0, 0))
+            + _png_chunk(b"IEND", b""))
+    with _pytest.raises(NotImplementedError):
+        decode_png(blob)
+
+
+def test_wav_format_family():
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import decode_wav
+
+    def wav(fmt, channels, rate, bits, body, fmt_extra=b""):
+        fmt_body = struct.pack("<HHIIHH", fmt, channels, rate,
+                               rate * channels * bits // 8,
+                               channels * bits // 8, bits) + fmt_extra
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(body))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    # 8-bit unsigned PCM
+    got, rate = decode_wav(wav(1, 1, 8000, 8, bytes([0, 128, 255])))
+    assert rate == 8000
+    assert np.allclose(got, [(0 - 128) / 128, 0.0, (255 - 128) / 128])
+    # 24-bit packed PCM incl. negative (sign-extend bit 23)
+    vals = [8388607, -8388608, 0, -1]
+    body = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    got, _ = decode_wav(wav(1, 1, 44100, 24, body))
+    assert np.allclose(got, np.array(vals, np.float32) / 8388608.0)
+    # 32-bit int PCM, stereo downmix
+    body = np.array([2**31 - 1, 2**31 - 1, -2**31, 2**31 - 1], "<i4").tobytes()
+    got, _ = decode_wav(wav(1, 2, 48000, 32, body))
+    assert len(got) == 2 and abs(got[0] - 1.0) < 1e-6 and abs(got[1]) < 0.51
+    # IEEE float32 / float64
+    body = np.array([0.5, -0.25], "<f4").tobytes()
+    got, _ = decode_wav(wav(3, 1, 16000, 32, body))
+    assert np.allclose(got, [0.5, -0.25])
+    body = np.array([0.125], "<f8").tobytes()
+    got, _ = decode_wav(wav(3, 1, 16000, 64, body))
+    assert np.allclose(got, [0.125])
+    # WAVE_FORMAT_EXTENSIBLE wrapping PCM16 (SubFormat leading uint16 = 1)
+    sub = struct.pack("<H", 1) + b"\x00\x00" + bytes(12)
+    extra = struct.pack("<HHI", 22, 16, 0x4) + sub
+    body = np.array([16384, -16384], "<i2").tobytes()
+    got, _ = decode_wav(wav(0xFFFE, 1, 22050, 16, body, fmt_extra=extra))
+    assert np.allclose(got, [0.5, -0.5])
+    # compressed codings stay gated
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(7, 1, 8000, 8, b"\x00\x00"))  # mu-law
