@@ -721,14 +721,43 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return hdr + body
 
 
+def _mulaw_table() -> np.ndarray:
+    """G.711 mu-law byte -> linear int16 (ITU-T G.711 decoder expansion:
+    invert the complement, then ((mantissa<<1 | 33) << exponent) - 33,
+    scaled by 2 to the 16-bit range - the table every codec ships)."""
+    u = np.arange(256, dtype=np.int32) ^ 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 1) | 33) << exp) - 33
+    val = np.where(sign, -mag, mag) * 4  # 14-bit -> 16-bit range
+    return val.astype(np.int16)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law byte -> linear int16 (toggle the even bits with 0x55,
+    then segment/mantissa expansion; 13-bit result scaled to 16-bit)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    mag = np.where(exp == 0, (mant << 1) | 1,
+                   (((mant << 1) | 0x21) << (exp - 1)))
+    # A-law sign convention is INVERTED vs mu-law: MSB set = positive
+    val = np.where(sign, mag, -mag) * 8  # 13-bit -> 16-bit range
+    return val.astype(np.int16)
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> (mono float32 samples in [-1, 1], rate).
 
     Formats: PCM (fmt 1) at 8-bit unsigned / 16 / 24 (packed) / 32-bit
     signed, IEEE float (fmt 3) at 32/64-bit, and WAVE_FORMAT_EXTENSIBLE
     (fmt 0xFFFE) wrapping either (SubFormat GUID's leading uint16 is the
-    real format per RFC 2361).  Compressed codings (A-law/mu-law/ADPCM/
-    MP3) stay gated.  Multi-channel downmixes by plain mean."""
+    real format per RFC 2361), plus G.711 A-law (fmt 6) and mu-law (fmt 7)
+    via exact ITU expansion tables (pinned bit-identical to audioop's).
+    ADPCM/MP3 codings stay gated.  Multi-channel downmixes by plain
+    mean."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
@@ -768,6 +797,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 out = np.frombuffer(data, "<f4", count=size // 4, offset=pos).copy()
             elif audio_fmt == 3 and bits == 64:
                 out = np.frombuffer(data, "<f8", count=size // 8, offset=pos).astype(np.float32)
+            elif audio_fmt in (6, 7) and bits == 8:  # G.711 A-law / mu-law
+                raw = np.frombuffer(data, np.uint8, count=size, offset=pos)
+                lut = _alaw_table() if audio_fmt == 6 else _mulaw_table()
+                out = lut[raw].astype(np.float32) / 32768.0
             else:
                 raise NotImplementedError(
                     f"WAV fmt {audio_fmt}/{bits}-bit not supported (real impl: ffmpeg)")

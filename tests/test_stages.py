@@ -1067,8 +1067,22 @@ def test_wav_format_family():
     body = np.array([16384, -16384], "<i2").tobytes()
     got, _ = decode_wav(wav(0xFFFE, 1, 22050, 16, body, fmt_extra=extra))
     assert np.allclose(got, [0.5, -0.5])
+    # G.711 mu-law / A-law expand bit-identically to the audioop oracle
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")  # audioop deprecated in 3.11
+        import audioop
+
+    allb = bytes(range(256))
+    got, _ = decode_wav(wav(7, 1, 8000, 8, allb))  # mu-law
+    ref = np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+    assert np.array_equal((got * 32768.0).astype(np.int16), ref)
+    got, _ = decode_wav(wav(6, 1, 8000, 8, allb))  # A-law
+    ref = np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+    assert np.array_equal((got * 32768.0).astype(np.int16), ref)
     # compressed codings stay gated
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_wav(wav(7, 1, 8000, 8, b"\x00\x00"))  # mu-law
+        decode_wav(wav(0x11, 1, 8000, 4, b"\x00\x00"))  # IMA ADPCM
