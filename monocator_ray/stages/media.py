@@ -748,16 +748,53 @@ def _alaw_table() -> np.ndarray:
     return val.astype(np.int16)
 
 
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_adpcm_blocks(nib: np.ndarray, pred0: np.ndarray, idx0: np.ndarray) -> np.ndarray:
+    """Vectorized IMA ADPCM: ``nib`` is (n_blocks, samples_per_block)
+    4-bit codes; state recurses WITHIN a block but blocks are independent,
+    so the loop runs over the block-local sample index with vector ops
+    across all blocks at once (the lockstep trick — O(samples/block)
+    iterations regardless of audio length).  Returns (n_blocks, 1+spb)
+    int16 including the header's seed sample."""
+    n, spb = nib.shape
+    out = np.empty((n, spb + 1), np.int16)
+    pred = pred0.astype(np.int32).copy()
+    idx = np.clip(idx0.astype(np.int32), 0, 88)
+    out[:, 0] = pred
+    for i in range(spb):
+        code = nib[:, i].astype(np.int32)
+        step = _IMA_STEPS[idx]
+        # diff = (step * (mant*2+1)) >> 3, computed via shifts per the spec
+        diff = step >> 3
+        diff += np.where(code & 4, step, 0)
+        diff += np.where(code & 2, step >> 1, 0)
+        diff += np.where(code & 1, step >> 2, 0)
+        pred = np.clip(pred + np.where(code & 8, -diff, diff), -32768, 32767)
+        idx = np.clip(idx + _IMA_INDEX_ADJ[code & 7], 0, 88)
+        out[:, i + 1] = pred
+    return out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> (mono float32 samples in [-1, 1], rate).
 
     Formats: PCM (fmt 1) at 8-bit unsigned / 16 / 24 (packed) / 32-bit
     signed, IEEE float (fmt 3) at 32/64-bit, and WAVE_FORMAT_EXTENSIBLE
     (fmt 0xFFFE) wrapping either (SubFormat GUID's leading uint16 is the
-    real format per RFC 2361), plus G.711 A-law (fmt 6) and mu-law (fmt 7)
-    via exact ITU expansion tables (pinned bit-identical to audioop's).
-    ADPCM/MP3 codings stay gated.  Multi-channel downmixes by plain
-    mean."""
+    real format per RFC 2361), G.711 A-law (fmt 6) and mu-law (fmt 7) via
+    exact ITU expansion tables (pinned bit-identical to audioop's), and
+    IMA ADPCM (fmt 0x11, mono/stereo, block-vectorized).  MS ADPCM and
+    MP3-in-WAV stay gated.  Multi-channel downmixes by plain mean."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
@@ -801,6 +838,30 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raw = np.frombuffer(data, np.uint8, count=size, offset=pos)
                 lut = _alaw_table() if audio_fmt == 6 else _mulaw_table()
                 out = lut[raw].astype(np.float32) / 32768.0
+            elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (mono/stereo)
+                ba = _align
+                if ba < 4 * channels or channels not in (1, 2):
+                    raise ValueError("bad IMA ADPCM block align / channels")
+                nb = size // ba
+                blk = np.frombuffer(data, np.uint8, count=nb * ba,
+                                    offset=pos).reshape(nb, ba)
+                chans = []
+                for c in range(channels):
+                    hdr = blk[:, 4 * c : 4 * c + 4]
+                    pred0 = (hdr[:, 0].astype(np.int32)
+                             | (hdr[:, 1].astype(np.int32) << 8))
+                    pred0 -= (pred0 & 0x8000) << 1  # sign-extend
+                    idx0 = hdr[:, 2].astype(np.int32)
+                    body = blk[:, 4 * channels :]
+                    if channels == 2:  # 4-byte groups alternate channels
+                        body = body.reshape(nb, -1, 2, 4)[:, :, c].reshape(nb, -1)
+                    nib = np.empty((nb, body.shape[1] * 2), np.uint8)
+                    nib[:, 0::2] = body & 0x0F   # low nibble first
+                    nib[:, 1::2] = body >> 4
+                    chans.append(_ima_adpcm_blocks(nib, pred0, idx0))
+                pcm = np.stack(chans, axis=-1).reshape(-1, channels)
+                out = pcm.mean(axis=1).astype(np.float32) / 32768.0
+                return np.asarray(out, np.float32), rate
             else:
                 raise NotImplementedError(
                     f"WAV fmt {audio_fmt}/{bits}-bit not supported (real impl: ffmpeg)")

@@ -1081,8 +1081,69 @@ def test_wav_format_family():
     got, _ = decode_wav(wav(6, 1, 8000, 8, allb))  # A-law
     ref = np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
     assert np.array_equal((got * 32768.0).astype(np.int16), ref)
-    # compressed codings stay gated
+    # compressed codings stay gated (IMA ADPCM decodes — see
+    # test_ima_adpcm_decode; MS ADPCM / MP3-in-WAV do not)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_wav(wav(0x11, 1, 8000, 4, b"\x00\x00"))  # IMA ADPCM
+        decode_wav(wav(0x02, 1, 8000, 4, b"\x00\x00"))  # MS ADPCM
+    with _pytest.raises(NotImplementedError):
+        decode_wav(wav(0x55, 1, 8000, 0, b"\x00\x00"))  # MP3-in-WAV
+
+
+def test_ima_adpcm_decode():
+    import struct
+    import warnings as _warnings
+
+    import numpy as np
+
+    from monocator_ray.stages.media import _ima_adpcm_blocks, decode_wav
+
+    # core recursion pinned to audioop's Intel/DVI ADPCM (same step/index
+    # tables and shift-form diff, state seeded (0, 0))
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore")
+        import audioop
+
+    rng = np.random.RandomState(5)
+    nib = rng.randint(0, 16, size=200).astype(np.uint8)
+    packed = bytes((int(nib[2 * i]) << 4) | int(nib[2 * i + 1])
+                   for i in range(100))  # audioop: high nibble first
+    ref = np.frombuffer(audioop.adpcm2lin(packed, 2, None)[0], "<i2")
+    got = _ima_adpcm_blocks(nib[None, :], np.array([0]), np.array([0]))[0, 1:]
+    assert np.array_equal(got, ref)
+
+    # full WAV container: mono, one block, header seeds (pred, index)
+    def wav_adpcm(channels, rate, block_align, body):
+        fmt_body = struct.pack("<HHIIHH", 0x11, channels, rate,
+                               rate, block_align, 4) + struct.pack("<HH", 2, 0)
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(body))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    data_bytes = bytes([0x21, 0x87, 0xFF, 0x00])  # 8 nibbles, low first
+    hdr = struct.pack("<hBB", 1000, 20, 0)
+    got, rate = decode_wav(wav_adpcm(1, 8000, 8, hdr + data_bytes))
+    assert rate == 8000 and len(got) == 9  # seed + 8 nibbles
+    nibs = []
+    for b in data_bytes:
+        nibs += [b & 0x0F, b >> 4]
+    want = _ima_adpcm_blocks(np.array([nibs], np.uint8),
+                             np.array([1000]), np.array([20]))[0]
+    assert np.array_equal((got * 32768.0).astype(np.int16), want)
+
+    # stereo: per-channel 4-byte headers then alternating 4-byte groups
+    h0 = struct.pack("<hBB", 500, 10, 0)
+    h1 = struct.pack("<hBB", -500, 30, 0)
+    g0, g1 = bytes([0x11, 0x22, 0x33, 0x44]), bytes([0x88, 0x99, 0xAA, 0xBB])
+    got, _ = decode_wav(wav_adpcm(2, 8000, 16, h0 + h1 + g0 + g1))
+    n0 = []
+    n1 = []
+    for b in g0:
+        n0 += [b & 0x0F, b >> 4]
+    for b in g1:
+        n1 += [b & 0x0F, b >> 4]
+    w0 = _ima_adpcm_blocks(np.array([n0], np.uint8), np.array([500]), np.array([10]))[0]
+    w1 = _ima_adpcm_blocks(np.array([n1], np.uint8), np.array([-500]), np.array([30]))[0]
+    want = (w0.astype(np.float64) + w1.astype(np.float64)) / 2 / 32768.0
+    assert np.allclose(got, want.astype(np.float32))
