@@ -203,6 +203,9 @@ BENCH_QUERIES = [
     "value_outliers",
     "winsorized_value_stats",
     "weighted_sample",
+    "user_event_bitmask",
+    "top_orders_with_ties",
+    "last_purchase_gap",
 ]
 
 

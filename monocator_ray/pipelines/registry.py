@@ -2357,6 +2357,45 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # custom decomposable aggregate: bitwise OR of event-type bits
+    "user_event_bitmask": (
+        R.q_user_event_bitmask,
+        """
+        WITH m AS (SELECT user_id,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                    WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+                    WHEN 'view' THEN 16 END AS bit FROM events)
+        SELECT user_id, CAST(BIT_OR(bit) AS BIGINT) AS type_mask,
+               CAST(bit_count(BIT_OR(bit)) AS BIGINT) AS n_types
+        FROM m GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    # DENSE_RANK <= 3 with ties all qualifying
+    "top_orders_with_ties": (
+        R.q_top_orders_with_ties,
+        """
+        WITH c AS (SELECT o_orderkey, o_orderpriority,
+                          CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents
+                   FROM orders)
+        SELECT o_orderpriority, o_orderkey, total_cents FROM c
+        QUALIFY dense_rank() OVER
+          (PARTITION BY o_orderpriority ORDER BY total_cents DESC) <= 3
+        ORDER BY o_orderpriority, total_cents DESC, o_orderkey
+        """,
+    ),
+    # windowed conditional carry-forward (CASE-masked running MAX)
+    "last_purchase_gap": (
+        R.q_last_purchase_gap,
+        """
+        SELECT event_id, user_id,
+          (epoch_us(ts) - epoch_us(
+             max(CASE WHEN event_type = 'purchase' THEN ts END) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           )) // 1000000 AS gap_s
+        FROM events ORDER BY event_id
+        """,
+    ),
     # grouped 3-sigma outliers via exact integer cross-multiplication
     "value_outliers": (
         R.q_value_outliers,

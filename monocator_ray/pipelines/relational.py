@@ -4111,3 +4111,157 @@ def q_winsorized_value_stats(sf_dir: str) -> rd.Dataset:
         wins_part,
         num_parts=8,
     ).sort("event_type")
+
+
+# ---- bitwise OR aggregate: per-user event-type bitmask ----
+def q_user_event_bitmask(sf_dir: str) -> rd.Dataset:
+    """Per-user bitmask of event types seen (BIT_OR of ``1 << type_idx``)
+    plus its popcount — the custom decomposable-aggregate shape: OR is
+    associative/commutative/idempotent, so per-batch partial ORs combine
+    exactly like sums but with none of pyarrow's built-in kernels;
+    segment-OR runs via ``np.bitwise_or.reduceat`` over one lexsort.
+    Plan: per-batch partials (O(users/batch) rows out), one hash
+    partition, final segment-OR inside the partition."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    bit = {t_: 1 << i for i, t_ in enumerate(types)}
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def seg_or(uid: np.ndarray, m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        order = np.argsort(uid, kind="mergesort")
+        uid, m = uid[order], m[order]
+        starts, _ends = run_boundaries(uid)
+        return uid[starts], np.bitwise_or.reduceat(m, starts)
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        m = pd.Series(t["event_type"].to_pandas()).map(bit).to_numpy(np.int64)
+        u, om = seg_or(uid, m)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "m": pa.array(om, pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "type_mask": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64())})
+        u, om = seg_or(t["user_id"].to_numpy(zero_copy_only=False),
+                       t["m"].to_numpy(zero_copy_only=False))
+        pop = np.array([int(x).bit_count() for x in om], dtype=np.int64)
+        return pa.table({"user_id": pa.array(u, pa.int64()),
+                         "type_mask": pa.array(om, pa.int64()),
+                         "n_types": pa.array(pop, pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["user_id"]),
+        final,
+        num_parts=16,
+    ).sort("user_id")
+
+
+# ---- DENSE_RANK-with-ties top-k per group ----
+def q_top_orders_with_ties(sf_dir: str) -> rd.Dataset:
+    """Orders whose total is among the 3 highest DISTINCT totals of their
+    priority — DENSE_RANK() <= 3 semantics, where ties all qualify (the
+    rank-with-ties family next to the row_number-based top-k queries).
+    Plan: a per-batch combiner keeps only rows at batch-local dense rank
+    <= 3 (sound: a value in the global top-3 distinct of its group is in
+    the top-3 distinct of every batch it appears in), so the shuffle
+    moves O(groups x 3 x batch) rows; the partition pass re-ranks
+    exactly."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    _SHAPED = pa.schema([("o_orderkey", pa.int64()),
+                         ("o_orderpriority", pa.string()),
+                         ("cents", pa.int64())])
+
+    def dense_top3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # empty partitions arrive as zero-COLUMN blocks
+            return _SHAPED.empty_table()
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-c, pr))
+        pr_s, c_s = pr[order], c[order]
+        starts, ends = run_boundaries(pr_s)
+        # dense rank within each run: count of distinct values seen so far
+        new_val = np.ones(len(c_s), dtype=np.int64)
+        new_val[1:] = (c_s[1:] != c_s[:-1]) | (pr_s[1:] != pr_s[:-1])
+        csum = np.cumsum(new_val)
+        rank = csum - np.repeat(csum[starts] - 1, ends - starts)
+        keep = order[rank <= 3]
+        return t.take(pa.array(np.sort(keep).astype(np.int64)))
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_orderpriority": t["o_orderpriority"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def part_final(t: pa.Table) -> pa.Table:
+        r = dense_top3(t)
+        return pa.table({"o_orderpriority": r["o_orderpriority"],
+                         "o_orderkey": r["o_orderkey"],
+                         "total_cents": r["cents"]})
+
+    pre = ds.map_batches(shape, batch_format="pyarrow").map_batches(
+        dense_top3, batch_format="pyarrow")
+    return hash_partitioned(
+        pre,
+        lambda t: _key_arrays(t, ["o_orderpriority"]),
+        part_final,
+        num_parts=8,
+    ).sort(["o_orderpriority", "total_cents", "o_orderkey"],
+           descending=[False, True, False])
+
+
+# ---- windowed conditional carry-forward: seconds since last purchase ----
+def q_last_purchase_gap(sf_dir: str) -> rd.Dataset:
+    """Per event: whole seconds since the same user's most recent EARLIER
+    purchase event (frame UNBOUNDED PRECEDING .. 1 PRECEDING over
+    (ts, event_id) order; NULL when none) — the windowed conditional
+    carry-forward shape: a CASE-masked running MAX that rows of OTHER
+    kinds read.  One hash partition per user timeline, one lexsort, one
+    masked cummax — no per-user dispatch.  ts is timestamp[us], so the
+    gap is the exact integer ``(ts - last_ts) // 1_000_000``."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("gap_s", pa.int64())])
+
+    def gap_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, et = uid[order], ts[order], eid[order], et[order]
+        n = len(uid)
+        starts, ends = run_boundaries(uid)
+        seg_base = np.repeat(starts, ends - starts)
+        # the running MAX(purchase ts) over [run_start, i-1] equals the ts
+        # at the POSITIONALLY last preceding purchase (ts is the sort key,
+        # so later position => >= ts): a cummax over purchase INDICES
+        # shifted by one row, clamped to the row's own run — segmented
+        # cummax without any per-run dispatch
+        idx = np.arange(n)
+        last_purchase_idx = np.where(et == "purchase", idx, -1)
+        lp = np.maximum.accumulate(last_purchase_idx)
+        lp_prev = np.empty(n, dtype=np.int64)
+        lp_prev[1:] = lp[:-1]
+        lp_prev[0] = -1
+        # clamp to own run: an index before run_start means "none"
+        valid = lp_prev >= seg_base
+        gap_vals = np.where(valid, (ts - ts[np.maximum(lp_prev, 0)]) // 1_000_000, 0)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "gap_s": pa.array(gap_vals, pa.int64(),
+                                           mask=~valid)})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        gap_part,
+        num_parts=32,
+    ).sort("event_id")
