@@ -897,6 +897,104 @@ def q_boilerplate_lines(sf_dir: str, max_freq: int = 5) -> rd.Dataset:
     )
 
 
+class UnitCounter:
+    """map_batches pass-1 partial like :class:`LineCounter` but with a
+    configurable split separator (``sep=' '`` counts TOKENS): (unit_hash,
+    n) occurrence counts within the batch."""
+
+    def __init__(self, sep: str = "\n"):
+        self.sep = sep
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        units: list[str] = []
+        for t in batch["text"].to_pylist():
+            units.extend((t or "").split(self.sep))
+        if units:
+            vals, counts = np.unique(hash_str64(units), return_counts=True)
+        else:
+            vals, counts = np.empty(0, np.uint64), np.empty(0, np.int64)
+        return pa.table(
+            {"unit_hash": pa.array(vals.view(np.int64), pa.int64()),
+             "n": pa.array(counts.astype(np.int64), pa.int64())}
+        )
+
+
+class UnitRewriter:
+    """map_batches pass-2 (removal variant): per doc, DROP hot units and
+    rebuild the text — kept units re-joined by the separator in original
+    order."""
+
+    def __init__(self, ref, sep: str = "\n"):
+        self.hot = ray.get(ref)  # sorted int64 unit hashes
+        self.sep = sep
+        self.hash_str64 = hash_str64
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hot = self.hot
+        out_text: list[str] = []
+        kept = np.zeros(len(ids), np.int64)
+        dropped = np.zeros(len(ids), np.int64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            units = (t or "").split(self.sep)
+            h = self.hash_str64(units).view(np.int64)
+            if len(hot):
+                idx = np.searchsorted(hot, h)
+                idx[idx == len(hot)] = 0
+                isdrop = hot[idx] == h
+            else:
+                isdrop = np.zeros(len(h), bool)
+            keep_units = [u for u, d in zip(units, isdrop) if not d]
+            out_text.append(self.sep.join(keep_units))
+            kept[i] = len(keep_units)
+            dropped[i] = len(units) - kept[i]
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()),
+             "text_clean": pa.array(out_text, pa.string()),
+             "n_kept": pa.array(kept, pa.int64()),
+             "n_dropped": pa.array(dropped, pa.int64())}
+        )
+
+
+def q_stopword_rewrite(sf_dir: str) -> rd.Dataset:
+    """Corpus-frequency stopword REMOVAL end to end: count every token's
+    corpus occurrences (q_boilerplate_lines' two-pass shape at token
+    granularity), call tokens with count above the MEAN type frequency
+    (``total_tokens // n_types`` — the classic above-average-frequency
+    stopword heuristic, a relative threshold that splits the distribution
+    at every scale tier) stopwords, and REBUILD each document from its
+    surviving tokens — the oracle compares the reconstructed text string
+    per doc, pinning order preservation and the exact drop set, not just
+    counts.  Tokens are plain single-space splits (reconstruction must be
+    byte-exact, so no regex collapsing).  Scale shape:
+    aggregate-then-broadcast — above-mean types number at most the
+    distinct-type count times the mass fraction above the mean (the Zipf
+    head; natural corpora put it at a few hundred types); documents
+    stream once and never shuffle."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+    counts = partitioned_aggregate(
+        ds.map_batches(cached_stage(UnitCounter, sep=" "), batch_format="pyarrow"),
+        ["unit_hash"], [("n", "sum")], ["unit_hash", "n"], num_parts=32,
+    ).materialize()
+    total = int(counts.sum("n") or 0)
+    n_types = counts.count()
+    max_freq = total // max(n_types, 1)
+    hot_ds = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], max_freq)).select(["unit_hash"]),
+        batch_format="pyarrow",
+    )
+    hot_tbl = _collect_table(hot_ds)  # bounded: the above-mean Zipf head
+    hot = (np.sort(hot_tbl["unit_hash"].to_numpy(zero_copy_only=False))
+           if hot_tbl is not None and hot_tbl.num_rows else np.empty(0, np.int64))
+    ref = ray.put(hot)
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(cached_stage(UnitRewriter, ref=ref, sep=" "), batch_format="pyarrow")
+        .sort("doc_id")
+    )
+
+
 def q_media_frames(sf_dir: str) -> rd.Dataset:
     """Video -> sampled key frames -> per-frame image features: the two-hop
     multimodal pipeline (VideoFrameSampler explodes Y4M rows into BMP image

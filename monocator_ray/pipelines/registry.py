@@ -672,6 +672,34 @@ REGISTRY: dict = {
         FROM l JOIN freq USING (line) GROUP BY doc_id ORDER BY doc_id
         """,
     ),
+    # corpus-frequency stopword REMOVAL: the oracle compares the rebuilt
+    # per-doc text string (order preservation + exact drop set)
+    "stopword_rewrite": (
+        D.q_stopword_rewrite,
+        """
+        WITH l AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+          FROM documents),
+        freq AS (SELECT tok, COUNT(*) AS n FROM l GROUP BY tok),
+        tot AS (SELECT (SELECT COUNT(*) FROM l) // (SELECT COUNT(*) FROM freq)
+                  AS max_freq),
+        kept AS (SELECT doc_id, tok, i FROM l JOIN freq USING (tok)
+                 CROSS JOIN tot WHERE n <= max_freq),
+        agg AS (SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY i) AS text_clean,
+                       CAST(COUNT(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id),
+        lp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+               FROM l GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(a.text_clean, '') AS text_clean,
+               COALESCE(a.n_kept, 0) AS n_kept,
+               lp.n_toks - COALESCE(a.n_kept, 0) AS n_dropped
+        FROM documents d JOIN lp USING (doc_id) LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id
+        """,
+    ),
     "stratified_sample": (
         D.q_stratified_sample,
         """
