@@ -206,6 +206,9 @@ BENCH_QUERIES = [
     "user_event_bitmask",
     "top_orders_with_ties",
     "last_purchase_gap",
+    "stopword_rewrite",
+    "nation_revenue_share",
+    "nation_rank_in_region",
 ]
 
 

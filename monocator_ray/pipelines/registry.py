@@ -2385,6 +2385,38 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # ratio_to_report in exact integer permille
+    "nation_revenue_share": (
+        R.q_nation_revenue_share,
+        """
+        WITH per_nat AS (
+          SELECT n_name,
+                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM orders JOIN customer ON o_custkey = c_custkey
+                      JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY n_name)
+        SELECT n_name, revenue_cents,
+               revenue_cents * 1000 // (SELECT SUM(revenue_cents) FROM per_nat)
+                 AS share_pm
+        FROM per_nat ORDER BY n_name
+        """,
+    ),
+    # RANK() window over an aggregated table (window-over-groupby)
+    "nation_rank_in_region": (
+        R.q_nation_rank_in_region,
+        """
+        WITH per_nat AS (
+          SELECT r_name, n_name, COUNT(*) AS n_customers
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+                        JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name)
+        SELECT r_name, n_name, n_customers,
+               CAST(RANK() OVER (PARTITION BY r_name
+                                 ORDER BY n_customers DESC) AS BIGINT) AS rk
+        FROM per_nat ORDER BY r_name, n_customers DESC, n_name
+        """,
+    ),
     # custom decomposable aggregate: bitwise OR of event-type bits
     "user_event_bitmask": (
         R.q_user_event_bitmask,

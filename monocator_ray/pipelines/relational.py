@@ -4265,3 +4265,75 @@ def q_last_purchase_gap(sf_dir: str) -> rd.Dataset:
         gap_part,
         num_parts=32,
     ).sort("event_id")
+
+
+# ---- ratio-to-report: revenue share per nation in exact permille ----
+def q_nation_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Each customer nation's share of total order revenue in permille —
+    the ratio_to_report window shape, made exact: share_pm =
+    ``(1000 * nation_cents) // total_cents`` (integer floor division on
+    both engines; no float ratio ever exists).  Plan: one partial-sum
+    pass over orders (per-batch (custkey-nation?) — customer nation comes
+    through the partitioned customer join of the q_nation_revenue
+    pattern, here simplified: orders join customer for nationkey, then an
+    O(nations) driver combine; the total is the same combine's sum, so
+    NO second pass)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def ocents(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])}).group_by(
+            "o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = partitioned_aggregate(
+        orders.map_batches(ocents, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum")], ["o_custkey", "cents"],
+        num_parts=_join_parts(sf_dir, "orders"),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = per_cust.join(
+        cust,
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table, 25 rows
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    # bounded: O(nations) rows
+    per_nat = driver_grouped_agg(j, ["c_nationkey"], [("cents", "sum")],
+                                 ["c_nationkey", "revenue_cents"])
+    total = int(per_nat["revenue_cents"].sum())
+    per_nat["n_name"] = per_nat["c_nationkey"].map(names)
+    per_nat["share_pm"] = per_nat["revenue_cents"] * 1000 // max(total, 1)
+    out = (per_nat[["n_name", "revenue_cents", "share_pm"]]
+           .sort_values("n_name", kind="mergesort").reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---- window over an aggregated table: rank nations within regions ----
+def q_nation_rank_in_region(sf_dir: str) -> rd.Dataset:
+    """Nations ranked by customer count WITHIN their region (RANK() with
+    gap semantics over an AGGREGATED table — the window-over-groupby
+    composition).  Plan: customer pre-aggregates per nation (per-batch
+    partials -> O(nations) driver combine), nation/region dims broadcast,
+    and the rank itself runs driver-side over the O(nations) result —
+    the window input is already aggregate-small, so no shuffle exists at
+    all beyond the one partial pass."""
+    cust = _read(sf_dir, "customer", ["c_nationkey"])
+    # bounded: O(blocks x nations) partials
+    per_nat = driver_grouped_agg(cust, ["c_nationkey"], [("c_nationkey", "count")],
+                                 ["c_nationkey", "n_customers"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()  # bounded: dimension table
+    nat = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    df = per_nat.merge(nat, left_on="c_nationkey", right_on="n_nationkey")
+    df = df.sort_values(["r_name", "n_customers", "n_name"],
+                        ascending=[True, False, True], kind="mergesort")
+    # RANK() with gaps: position of the first row sharing this count
+    df["rk"] = (df.groupby("r_name")["n_customers"]
+                  .rank(method="min", ascending=False).astype(np.int64))
+    out = (df[["r_name", "n_name", "n_customers", "rk"]]
+           .reset_index(drop=True))
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
