@@ -3796,13 +3796,17 @@ def q_large_volume_orders(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
 
     def qty(t: pa.Table) -> pa.Table:
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())})
+        # per-batch combiner: lineitem has ~4 rows/order, so the shuffle
+        # moves ~4x fewer rows (the nation_revenue pattern)
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64())}
+                     ).group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
 
     sums = partitioned_aggregate(
         li.map_batches(qty, batch_format="pyarrow"),
         ["l_orderkey"], [("qty", "sum")], ["l_orderkey", "sum_qty"],
-        num_parts=_join_parts(sf_dir, "lineitem"),
+        num_parts=32,
     )
     big = sums.filter(expr="sum_qty > 300")
 
