@@ -785,6 +785,40 @@ def _ima_adpcm_blocks(nib: np.ndarray, pred0: np.ndarray, idx0: np.ndarray) -> n
     return out
 
 
+_MS_ADAPT = np.array([230, 230, 230, 230, 307, 409, 512, 614,
+                      768, 614, 512, 409, 307, 230, 230, 230], np.int64)
+_MS_COEF1 = np.array([256, 512, 0, 192, 240, 460, 392], np.int64)
+_MS_COEF2 = np.array([0, -256, 0, 64, 0, -208, -232], np.int64)
+
+
+def _ms_adpcm_blocks(nib: np.ndarray, pred_idx: np.ndarray, delta0: np.ndarray,
+                     s1: np.ndarray, s2: np.ndarray) -> np.ndarray:
+    """Vectorized MS ADPCM (WAVE_FORMAT_ADPCM, the Microsoft coefficient
+    predictor): same block-lockstep trick as :func:`_ima_adpcm_blocks` —
+    ``nib`` is (n_blocks, samples) unsigned 4-bit codes, per-block header
+    state (coef index, initial delta, the two seed samples).  Returns
+    (n_blocks, 2 + samples) int16 INCLUDING the seeds (sample2 first,
+    then sample1 — the spec's output order)."""
+    n, spb = nib.shape
+    out = np.empty((n, spb + 2), np.int16)
+    c1 = _MS_COEF1[np.clip(pred_idx, 0, 6)]
+    c2 = _MS_COEF2[np.clip(pred_idx, 0, 6)]
+    delta = delta0.astype(np.int64).copy()
+    samp1 = s1.astype(np.int64).copy()
+    samp2 = s2.astype(np.int64).copy()
+    out[:, 0] = samp2
+    out[:, 1] = samp1
+    for i in range(spb):
+        code = nib[:, i].astype(np.int64)
+        signed = np.where(code >= 8, code - 16, code)
+        pred = (samp1 * c1 + samp2 * c2) >> 8
+        samp = np.clip(pred + signed * delta, -32768, 32767)
+        delta = np.maximum(16, (_MS_ADAPT[code] * delta) >> 8)
+        samp2, samp1 = samp1, samp
+        out[:, i + 2] = samp
+    return out
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE -> (mono float32 samples in [-1, 1], rate).
 
@@ -793,8 +827,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     (fmt 0xFFFE) wrapping either (SubFormat GUID's leading uint16 is the
     real format per RFC 2361), G.711 A-law (fmt 6) and mu-law (fmt 7) via
     exact ITU expansion tables (pinned bit-identical to audioop's), and
-    IMA ADPCM (fmt 0x11, mono/stereo, block-vectorized).  MS ADPCM and
-    MP3-in-WAV stay gated.  Multi-channel downmixes by plain mean."""
+    IMA ADPCM (fmt 0x11) and MS ADPCM (fmt 0x02), both mono/stereo and
+    block-lockstep vectorized.  GSM and MP3-in-WAV stay gated.
+    Multi-channel downmixes by plain mean."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     pos = 12
@@ -838,6 +873,35 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 raw = np.frombuffer(data, np.uint8, count=size, offset=pos)
                 lut = _alaw_table() if audio_fmt == 6 else _mulaw_table()
                 out = lut[raw].astype(np.float32) / 32768.0
+            elif audio_fmt == 0x02 and bits == 4:  # MS ADPCM (mono/stereo)
+                ba = _align
+                if ba < 7 * channels or channels not in (1, 2):
+                    raise ValueError("bad MS ADPCM block align / channels")
+                nb = size // ba
+                blk = np.frombuffer(data, np.uint8, count=nb * ba,
+                                    offset=pos).reshape(nb, ba)
+                hdr_len = 7 * channels
+                body = blk[:, hdr_len:]
+                # nibbles HIGH first; for stereo they alternate channels
+                nib_all = np.empty((nb, body.shape[1] * 2), np.uint8)
+                nib_all[:, 0::2] = body >> 4
+                nib_all[:, 1::2] = body & 0x0F
+
+                def le16(b0, b1):
+                    v = b0.astype(np.int32) | (b1.astype(np.int32) << 8)
+                    return v - ((v & 0x8000) << 1)
+
+                chans = []
+                for c in range(channels):
+                    pred_idx = blk[:, c].astype(np.int64)
+                    d0 = le16(blk[:, channels + 2 * c], blk[:, channels + 2 * c + 1])
+                    sa1 = le16(blk[:, 3 * channels + 2 * c], blk[:, 3 * channels + 2 * c + 1])
+                    sa2 = le16(blk[:, 5 * channels + 2 * c], blk[:, 5 * channels + 2 * c + 1])
+                    nib = nib_all[:, c::channels]
+                    chans.append(_ms_adpcm_blocks(nib, pred_idx, d0, sa1, sa2))
+                pcm = np.stack(chans, axis=-1).reshape(-1, channels)
+                out = pcm.mean(axis=1).astype(np.float32) / 32768.0
+                return np.asarray(out, np.float32), rate
             elif audio_fmt == 0x11 and bits == 4:  # IMA ADPCM (mono/stereo)
                 ba = _align
                 if ba < 4 * channels or channels not in (1, 2):

@@ -1081,12 +1081,12 @@ def test_wav_format_family():
     got, _ = decode_wav(wav(6, 1, 8000, 8, allb))  # A-law
     ref = np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
     assert np.array_equal((got * 32768.0).astype(np.int16), ref)
-    # compressed codings stay gated (IMA ADPCM decodes — see
-    # test_ima_adpcm_decode; MS ADPCM / MP3-in-WAV do not)
+    # compressed codings stay gated (IMA + MS ADPCM decode — see their
+    # tests; GSM / MP3-in-WAV do not)
     import pytest as _pytest
 
     with _pytest.raises(NotImplementedError):
-        decode_wav(wav(0x02, 1, 8000, 4, b"\x00\x00"))  # MS ADPCM
+        decode_wav(wav(0x31, 1, 8000, 0, b"\x00\x00"))  # GSM 6.10
     with _pytest.raises(NotImplementedError):
         decode_wav(wav(0x55, 1, 8000, 0, b"\x00\x00"))  # MP3-in-WAV
 
@@ -1146,4 +1146,72 @@ def test_ima_adpcm_decode():
     w0 = _ima_adpcm_blocks(np.array([n0], np.uint8), np.array([500]), np.array([10]))[0]
     w1 = _ima_adpcm_blocks(np.array([n1], np.uint8), np.array([-500]), np.array([30]))[0]
     want = (w0.astype(np.float64) + w1.astype(np.float64)) / 2 / 32768.0
+    assert np.allclose(got, want.astype(np.float32))
+
+
+def test_ms_adpcm_decode():
+    import struct
+
+    import numpy as np
+
+    from monocator_ray.stages.media import _ms_adpcm_blocks, decode_wav
+
+    # independent scalar reference, clean-room from the published MS
+    # ADPCM constants (coef table, adaptation table, >>8 predictor,
+    # delta floor 16)
+    ADAPT = [230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230]
+    COEF = [(256, 0), (512, -256), (0, 0), (192, 64),
+            (240, 0), (460, -208), (392, -232)]
+
+    def ref_decode(nibs, pidx, delta, s1, s2):
+        c1, c2 = COEF[pidx]
+        out = [s2, s1]
+        for code in nibs:
+            signed = code - 16 if code >= 8 else code
+            pred = (s1 * c1 + s2 * c2) >> 8
+            samp = max(-32768, min(32767, pred + signed * delta))
+            delta = max(16, (ADAPT[code] * delta) >> 8)
+            s2, s1 = s1, samp
+            out.append(samp)
+        return out
+
+    rng = np.random.RandomState(9)
+    nibs = rng.randint(0, 16, size=64).astype(np.uint8)
+    for pidx, d0, s1, s2 in [(0, 64, 100, -100), (3, 500, -3000, 2000),
+                             (6, 16, 32767, -32768)]:
+        got = _ms_adpcm_blocks(nibs[None, :], np.array([pidx]),
+                               np.array([d0]), np.array([s1]), np.array([s2]))[0]
+        assert got.tolist() == ref_decode(nibs.tolist(), pidx, d0, s1, s2)
+
+    # full WAV container, mono: 7-byte header + high-first nibbles
+    def wav_ms(channels, rate, block_align, body):
+        fmt_body = (struct.pack("<HHIIHH", 0x02, channels, rate, rate,
+                                block_align, 4)
+                    + struct.pack("<HHH", 4 + 4 * 7, 500, 7)
+                    + b"".join(struct.pack("<hh", a, b) for a, b in COEF))
+        return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(body))
+                + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                + b"data" + struct.pack("<I", len(body)) + body)
+
+    hdr = (struct.pack("<B", 1) + struct.pack("<h", 300)
+           + struct.pack("<h", 1000) + struct.pack("<h", -2000))
+    body_nibs = bytes([0x12, 0xF3, 0x08, 0x7C])
+    got, rate = decode_wav(wav_ms(1, 22050, 7 + 4, hdr + body_nibs))
+    assert rate == 22050 and len(got) == 2 + 8
+    nib_seq = []
+    for b in body_nibs:
+        nib_seq += [b >> 4, b & 0x0F]
+    want = ref_decode(nib_seq, 1, 300, 1000, -2000)
+    assert np.array_equal((got * 32768.0).astype(np.int16),
+                          np.array(want, np.int16))
+
+    # stereo: interleaved per-channel headers and alternating nibbles
+    hdr2 = (struct.pack("<BB", 0, 2) + struct.pack("<hh", 200, 400)
+            + struct.pack("<hh", 800, -800) + struct.pack("<hh", -1600, 1600))
+    body2 = bytes([0x5A, 0x3C])  # ch0 nibbles: 5,3  ch1 nibbles: A,C
+    got, _ = decode_wav(wav_ms(2, 8000, 14 + 2, hdr2 + body2))
+    w0 = ref_decode([0x5, 0x3], 0, 200, 800, -1600)
+    w1 = ref_decode([0xA, 0xC], 2, 400, -800, 1600)
+    want = (np.array(w0, np.float64) + np.array(w1, np.float64)) / 2 / 32768.0
     assert np.allclose(got, want.astype(np.float32))
