@@ -209,6 +209,7 @@ BENCH_QUERIES = [
     "stopword_rewrite",
     "nation_revenue_share",
     "nation_rank_in_region",
+    "mg_top_terms",
 ]
 
 

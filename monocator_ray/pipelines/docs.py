@@ -33,6 +33,7 @@ from ray.data.aggregate import Count, Max, Min, Sum
 from monocator_ray.hashing import hash_str64
 from monocator_ray.shipping import ensure_shipped
 from monocator_ray.state.cms import CountMinSketch
+from monocator_ray.state.mg import MisraGries
 from monocator_ray.sources.tables import sized_read_parquet
 from monocator_ray.stages.ann import (
     BruteForceTopK,
@@ -617,6 +618,58 @@ def q_cms_term_counts(sf_dir: str, k: int = 50) -> pa.Table:
             "word": exact["word"],
             "n_exact": exact["n"],
             "n_est": pa.array(est, pa.int64()),
+        }
+    )
+
+
+def q_mg_top_terms(sf_dir: str, k: int = 50, summary_k: int = 256) -> pa.Table:
+    """Deterministic heavy-hitter term counts from ONE streaming pass via
+    a Misra-Gries summary (state/mg.py) — the hard-bound counterpart of
+    q_cms_term_counts: output (word, n_exact, n_est_lower) with the MG
+    two-sided guarantee ``n_exact - N/(summary_k+1) <= n_est_lower <=
+    n_exact`` (N = total tokens), pinned in tests/test_graph.py.
+
+    Scale shape: every batch folds its exact token counts into a LOCAL
+    k-slot summary and emits O(summary_k) rows — reduce traffic is
+    corpus-size-independent (the CMS/HLL merge shape); the driver folds
+    block summaries with the Mergeable-Summaries rule.  The exact side
+    reuses q_top_terms' local-topk/global-merge pass."""
+    from monocator_ray.stages.textstats import _WS_SPLIT
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["text"])
+
+    def partial_mg(t: pa.Table) -> pa.Table:
+        mg = MisraGries(summary_k)
+        texts = t["text"].to_pylist()
+        joined = "\n".join(s.strip(" ") for s in texts if s)
+        if joined:
+            arr = np.array(_WS_SPLIT.split(joined), dtype=object)
+            arr = arr[arr != ""]
+            vals, counts = np.unique(arr, return_counts=True)
+            mg.add(vals.tolist(), counts.tolist())
+        return pa.table({
+            "terms": pa.array([list(mg.counts.keys())], pa.list_(pa.string())),
+            "ests": pa.array([list(mg.counts.values())], pa.list_(pa.int64())),
+            "n_items": pa.array([mg.n_items], pa.int64()),
+        })
+
+    merged = MisraGries(summary_k)
+    # bounded: O(blocks) fixed-size MG summaries (<= summary_k rows each)
+    parts = ds.map_batches(partial_mg, batch_format="pyarrow").to_pandas()
+    for terms, ests, n_items in zip(parts["terms"], parts["ests"], parts["n_items"]):
+        blk = MisraGries(summary_k)
+        blk.counts = dict(zip(list(terms), [int(e) for e in ests]))
+        blk.n_items = int(n_items)
+        merged.merge(blk)
+
+    exact = q_top_terms(sf_dir, k=k)
+    est = [merged.estimate(w) for w in exact["word"].to_pylist()]
+    return pa.table(
+        {
+            "word": exact["word"],
+            "n_exact": exact["n"],
+            "n_est_lower": pa.array(est, pa.int64()),
         }
     )
 

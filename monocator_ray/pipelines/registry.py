@@ -1782,6 +1782,10 @@ REGISTRY: dict = {
     # FastCDC cut discipline) — no SQL analog for the rolling hash ->
     # rows-only; numbers pinned by a pure-Python reference in pytest
     "cdc_chunk_stats": (D.q_cdc_chunk_stats, None),
+    # Misra-Gries heavy hitters (deterministic bound; rows-only — the
+    # summary's exact estimates depend on fold order; the BOUND is pinned
+    # in tests/test_graph.py against exact counts)
+    "mg_top_terms": (D.q_mg_top_terms, None),
     # approximate k-NN graph (IVF co-partitioned; nprobe==nlist is pinned
     # exact vs brute force in tests) — rows-only
     "knn_graph": (D.q_knn_graph, None),

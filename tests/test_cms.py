@@ -272,3 +272,71 @@ def test_lm_perplexity_separates_reference_like_from_gibberish(tmp_path):
     assert df.loc[100, "nll_milli_bits"] < df.loc[101, "nll_milli_bits"]
     assert df.loc[100, "nll_milli_bits"] < 2000  # near-memorized style
     assert (df["n_bytes"] > 0).all()
+
+
+def test_misra_gries_bounds_and_merge():
+    """MG deterministic guarantee: estimates are lower bounds within
+    N/(k+1) of truth, every item heavier than N/(k+1) is tracked — and
+    both properties survive an arbitrary merge tree (Mergeable
+    Summaries)."""
+    from monocator_ray.state.mg import MisraGries
+
+    rng = np.random.default_rng(7)
+    items = rng.zipf(1.3, 100_000)
+    items = items[items < 10_000]  # hashable small ints, heavy head
+    uniq, true = np.unique(items, return_counts=True)
+    truth = dict(zip(uniq.tolist(), true.tolist()))
+    n = len(items)
+    k = 64
+
+    # single summary
+    whole = MisraGries(k)
+    whole.add(items.tolist())
+    bound = n // (k + 1) + 1
+    for item, t in truth.items():
+        est = whole.estimate(item)
+        assert est <= t
+        assert t - est <= bound
+        if t > n // (k + 1):
+            assert item in whole.counts, f"heavy item {item} evicted"
+    assert len(whole.counts) <= k
+
+    # merge tree over 7 uneven chunks: bound must hold over the union
+    chunks = np.array_split(items, 7)
+    parts = []
+    for ch in chunks:
+        m = MisraGries(k)
+        m.add(ch.tolist())
+        parts.append(m)
+    merged = parts[0]
+    for m in parts[1:]:
+        merged.merge(m)
+    assert merged.n_items == n
+    for item, t in truth.items():
+        est = merged.estimate(item)
+        assert est <= t
+        assert t - est <= bound
+        if t > n // (k + 1):
+            assert item in merged.counts
+    assert len(merged.counts) <= k
+
+    # pre-aggregated add path == item-at-a-time path bound-wise
+    m2 = MisraGries(k)
+    m2.add(uniq.tolist(), true.tolist())
+    assert m2.n_items == n
+    for item, t in truth.items():
+        assert m2.estimate(item) <= t and t - m2.estimate(item) <= bound
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mg_top_terms_query():
+    from monocator_ray.pipelines.docs import q_mg_top_terms
+
+    t = q_mg_top_terms("/root/testdata/sf0.001").to_pandas()
+    assert len(t) > 0
+    assert (t["n_est_lower"] <= t["n_exact"]).all()
+    # every exact top term is heavy -> must be tracked with a nonzero
+    # lower bound at driver-table vocabulary sizes (31 types, k=256)
+    assert (t["n_est_lower"] > 0).all()
+    # and with more slots than vocabulary the summary is EXACT
+    assert (t["n_est_lower"] == t["n_exact"]).all()
