@@ -32,9 +32,12 @@ P_NOUN = ["ring", "bolt", "plate", "gear", "cog", "pin"]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.41, 0.15, 0.15, 0.15, 0.14]
-VOCAB = ("batch part spark line column order small sort fast value scan "
-         "a hash slow group key stream query join filter row table merge "
-         "shuffle read write block page index disk").split()
+# the driver tier's EXACT 31-word vocabulary (distinct tokens of
+# /root/testdata/sf*/documents.parquet) — retrieval queries (keyword /
+# bm25 search on 'the' etc.) stay non-degenerate at generated tiers
+VOCAB = ("a agg batch big column customer data dup fast filter group hash "
+         "join key line merge order part query row scan slow small sort "
+         "spark stream table the value vector window").split()
 
 
 def _money(rng, n, lo, hi):
