@@ -210,6 +210,7 @@ BENCH_QUERIES = [
     "nation_revenue_share",
     "nation_rank_in_region",
     "mg_top_terms",
+    "value_bag_ops",
 ]
 
 

@@ -2389,6 +2389,21 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # bag-semantics set ops (multiplicities matter): INTERSECT/EXCEPT ALL
+    "value_bag_ops": (
+        R.q_value_bag_ops,
+        """
+        WITH a AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'click'),
+             b AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS v FROM events
+                   WHERE event_type = 'view')
+        SELECT
+          (SELECT COUNT(*) FROM
+             (SELECT v FROM a INTERSECT ALL SELECT v FROM b)) AS n_intersect_all,
+          (SELECT COUNT(*) FROM
+             (SELECT v FROM a EXCEPT ALL SELECT v FROM b)) AS n_except_all
+        """,
+    ),
     # ratio_to_report in exact integer permille
     "nation_revenue_share": (
         R.q_nation_revenue_share,

@@ -4341,3 +4341,70 @@ def q_nation_rank_in_region(sf_dir: str) -> rd.Dataset:
     out = (df[["r_name", "n_name", "n_customers", "rk"]]
            .reset_index(drop=True))
     return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+
+
+# ---- bag-semantics set ops: INTERSECT ALL / EXCEPT ALL ----
+def q_value_bag_ops(sf_dir: str) -> rd.Dataset:
+    """Multiset (bag) set operations between the click-value and
+    view-value multisets: ``|A INTERSECT ALL B| = sum_v min(a_v, b_v)``
+    and ``|A EXCEPT ALL B| = sum_v max(a_v - b_v, 0)`` — the
+    bag-semantics counterpart of the set-semantics q_customer_year_setops
+    (multiplicities matter, so the per-key reduction is min/max-diff, not
+    a bitmask).  Plan: per-batch (value, side) count partials; ONE hash
+    partition on value co-locates both sides' counts; per-partition
+    vectorized min/diff fold to two scalars; O(parts) driver sum."""
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        m = (et == "click") | (et == "view")
+        if not m.any():
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "is_click": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        sub = t.filter(pa.array(m))
+        g = pa.table({
+            "v": _cents(sub["value"]),
+            "is_click": pc.cast(pc.equal(sub["event_type"], pa.scalar("click")),
+                                pa.int64()),
+        }).group_by(["v", "is_click"]).aggregate([("v", "count")])
+        return g.rename_columns(["v", "is_click", "n"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"n_intersect_all": pa.array([], pa.int64()),
+                             "n_except_all": pa.array([], pa.int64())})
+        g = t.group_by(["v", "is_click"]).aggregate([("n", "sum")])
+        v = g["v"].to_numpy(zero_copy_only=False)
+        side = g["is_click"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, v))
+        v, side, n = v[order], side[order], n[order]
+        starts, ends = run_boundaries(v)
+        a = np.zeros(len(starts), dtype=np.int64)  # click counts
+        b = np.zeros(len(starts), dtype=np.int64)  # view counts
+        lens = ends - starts
+        # each value has 1 or 2 rows (side 0 sorted before side 1)
+        one = lens == 1
+        first_side = side[starts]
+        a[one & (first_side == 1)] = n[starts][one & (first_side == 1)]
+        b[one & (first_side == 0)] = n[starts][one & (first_side == 0)]
+        two = lens == 2
+        a[two] = n[starts[two] + 1]   # side 1 (click) second in the pair
+        b[two] = n[starts[two]]       # side 0 (view) first
+        inter = int(np.minimum(a, b).sum())
+        exc = int(np.maximum(a - b, 0).sum())
+        return pa.table({"n_intersect_all": pa.array([inter], pa.int64()),
+                         "n_except_all": pa.array([exc], pa.int64())})
+
+    parts = hash_partitioned(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["v"]),
+        fold,
+        num_parts=16,
+    )
+    pdf = parts.to_pandas()  # bounded: O(parts) two-scalar partials
+    return rd.from_arrow(pa.table({
+        "n_intersect_all": pa.array([int(pdf["n_intersect_all"].sum())], pa.int64()),
+        "n_except_all": pa.array([int(pdf["n_except_all"].sum())], pa.int64()),
+    }))
