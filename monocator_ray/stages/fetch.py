@@ -235,6 +235,7 @@ class HttpFetcher:
         max_redirects: int = 5,
         max_concurrency: int = 32,
         allow_network: bool = False,
+        ssl_context=None,
     ):
         if not allow_network:
             raise RuntimeError(
@@ -251,7 +252,13 @@ class HttpFetcher:
             max_redirections = max_redirects
             max_repeats = max_redirects
 
-        self._opener = urllib.request.build_opener(_CappedRedirect)
+        handlers = [_CappedRedirect]
+        if ssl_context is not None:
+            # https with a caller-supplied trust store (CA pinning / test
+            # CAs); default context otherwise — certificate verification
+            # stays ON either way
+            handlers.append(urllib.request.HTTPSHandler(context=ssl_context))
+        self._opener = urllib.request.build_opener(*handlers)
         self._pool = None  # built lazily (ThreadPoolExecutor doesn't pickle)
 
     @staticmethod

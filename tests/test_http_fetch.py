@@ -286,3 +286,77 @@ def test_fetch_robots_rfc9309_availability(servers):
     rules = fetch_robots([host_a], f)
     assert not rules[host_a].allowed("/public")
     a.robots_mode = "404"
+
+
+def test_https_fetch_with_verified_local_tls():
+    """HTTPS end-to-end against a local TLS-wrapped HTTP server with REAL
+    certificate verification: the client context trusts only the test CA
+    and checks the hostname (the leaf carries an IPAddress(127.0.0.1)
+    SAN), mirroring the probe tests' no-network mock-server discipline.
+    An UNtrusted default-context fetch against the same server must fail
+    with status -1, proving verification is actually on."""
+    import datetime
+    import ipaddress
+    import ssl
+
+    from cryptography import x509 as cx
+    from cryptography.hazmat.primitives import serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.hazmat.primitives.hashes import SHA256
+    from cryptography.x509.oid import NameOID
+
+    def name(cn):
+        return cx.Name([cx.NameAttribute(NameOID.COMMON_NAME, cn)])
+
+    nb = datetime.datetime(2020, 1, 1)
+    na = datetime.datetime(2040, 1, 1)
+    ca_key = ec.generate_private_key(ec.SECP256R1())
+    leaf_key = ec.generate_private_key(ec.SECP256R1())
+    ca_cert = (cx.CertificateBuilder()
+               .subject_name(name("Fetch Test CA")).issuer_name(name("Fetch Test CA"))
+               .public_key(ca_key.public_key()).serial_number(cx.random_serial_number())
+               .not_valid_before(nb).not_valid_after(na)
+               .add_extension(cx.BasicConstraints(ca=True, path_length=None), True)
+               .sign(ca_key, SHA256()))
+    leaf_cert = (cx.CertificateBuilder()
+                 .subject_name(name("127.0.0.1")).issuer_name(name("Fetch Test CA"))
+                 .public_key(leaf_key.public_key()).serial_number(cx.random_serial_number())
+                 .not_valid_before(nb).not_valid_after(na)
+                 .add_extension(cx.SubjectAlternativeName(
+                     [cx.IPAddress(ipaddress.IPv4Address("127.0.0.1"))]), False)
+                 .sign(ca_key, SHA256()))
+    pem = serialization.Encoding.PEM
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    chain = os.path.join(d, "chain.pem")
+    key = os.path.join(d, "key.pem")
+    ca = os.path.join(d, "ca.pem")
+    open(chain, "wb").write(leaf_cert.public_bytes(pem) + ca_cert.public_bytes(pem))
+    open(key, "wb").write(leaf_key.private_bytes(
+        pem, serialization.PrivateFormat.PKCS8, serialization.NoEncryption()))
+    open(ca, "wb").write(ca_cert.public_bytes(pem))
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.stats_lock = threading.Lock()
+    srv.concurrent = srv.max_concurrent = 0
+    sctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    sctx.load_cert_chain(chain, key)
+    srv.socket = sctx.wrap_socket(srv.socket, server_side=True)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        url = f"https://127.0.0.1:{port}/ok"
+        cctx = ssl.create_default_context(cafile=ca)  # verify + hostname ON
+        f = HttpFetcher(timeout_s=3.0, allow_network=True, ssl_context=cctx)
+        batch = pa.table({"url": pa.array([url], pa.string())})
+        out = f(batch)
+        assert out["fetch_status"][0].as_py() == 200
+        assert b"ok /ok" in out["html"][0].as_py()
+        # default trust store does NOT contain the test CA -> must fail
+        f2 = HttpFetcher(timeout_s=3.0, allow_network=True)
+        out2 = f2(batch)
+        assert out2["fetch_status"][0].as_py() == -1
+    finally:
+        srv.shutdown()
+        srv.server_close()
