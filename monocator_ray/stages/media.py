@@ -710,6 +710,275 @@ def decode_gif(data: bytes) -> np.ndarray:
     raise ValueError("GIF contains no image frame")
 
 
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in [0,127] copies n+1
+    literal bytes, n in [-127,-1] repeats the next byte 1-n times, -128 is
+    a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # replicate run of 257-c
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out[:expect])
+
+
+def _lzw_decode_tiff(data: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): variable-width codes MSB-first
+    (GIF is LSB-first), 8-bit roots, Clear=256, EOI=257, and the
+    "EarlyChange" convention — the code width bumps one code EARLIER than
+    the table-size power of two (at table sizes 511/1023/2047)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = 0
+    nbits = 0
+    prev: bytes | None = None
+    pos = 0
+    n = len(data)
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out[:expect])  # truncated stream: best effort
+            buf = (buf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (buf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 256:  # Clear
+            table = table[:258]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EOI
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW stream")
+        out += entry
+        prev = entry
+        # EarlyChange: width grows when the NEXT code would not fit,
+        # evaluated one entry early
+        if len(table) + 1 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF-flavor LZW encoder (tests/fixtures; the decoder is the product
+    path) — MSB-first variable-width codes paired with the decoder's
+    EarlyChange rule (after adding entry: bump width when next_code >=
+    1<<width); stops adding at 4096 (codes stay < 4096, so the decoder's
+    unconditionally-grown table is only ever read at shared entries)."""
+    out = bytearray()
+    buf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal buf, nbits
+        buf = (buf << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(256, width)  # Clear
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code >= (1 << width) and width < 12:
+                width += 1
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def encode_tiff(img: np.ndarray, compression: int = 1, predictor: int = 1,
+                photometric: int | None = None, bo: str = "<") -> bytes:
+    """Minimal baseline TIFF writer (one strip, 8-bit gray/RGB/RGBA; both
+    byte orders; compressions 1 / 5-LZW / 32773-PackBits; predictor 2
+    horizontal differencing) — fixture/sink counterpart of decode_tiff."""
+    h, w = img.shape[:2]
+    spp = 1 if img.ndim == 2 else img.shape[2]
+    px = img.reshape(h, w, spp)
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+    if predictor == 2:
+        d = px.astype(np.int64)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        px = (d & 255).astype(np.uint8)
+    raw = px.tobytes()
+    if compression == 5:
+        strip = _tiff_lzw_encode(raw)
+    elif compression == 32773:
+        # naive PackBits: literal runs of <= 128 bytes
+        pb = bytearray()
+        for i in range(0, len(raw), 128):
+            chunk = raw[i : i + 128]
+            pb += bytes([len(chunk) - 1]) + chunk
+        strip = bytes(pb)
+    else:
+        strip = raw
+
+    def P(fmt: str, *v):
+        return struct.pack(bo + fmt, *v)
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, spp, None),
+        (259, 3, 1, compression), (262, 3, 1, photometric), (273, 4, 1, None),
+        (277, 3, 1, spp), (278, 4, 1, h), (279, 4, 1, len(strip)),
+        (284, 3, 1, 1), (317, 3, 1, predictor),
+    ]
+    ifd_size = 2 + 12 * len(entries) + 4
+    bps_off = 8 + ifd_size
+    bps_len = 2 * spp if spp > 2 else 0
+    strip_off = bps_off + bps_len
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + P("I", 8)
+    ifd = P("H", len(entries))
+    for tag, typ, cnt, val in entries:
+        if tag == 258:
+            if spp > 2:
+                ifd += P("HHI", tag, typ, cnt) + P("I", bps_off)
+            else:
+                ifd += P("HHI", tag, typ, cnt) + P("HH", 8, 0)
+        elif tag == 273:
+            ifd += P("HHI", tag, typ, cnt) + P("I", strip_off)
+        elif typ == 3:
+            ifd += P("HHI", tag, typ, cnt) + P("HH", val, 0)
+        else:
+            ifd += P("HHI", tag, typ, cnt) + P("I", val)
+    ifd += P("I", 0)  # next IFD offset: none
+    bps = b"".join(P("H", 8) for _ in range(spp)) if spp > 2 else b""
+    return hdr + ifd + bps + strip
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """Baseline TIFF -> (H, W, 3) uint8 RGB, pure numpy + stdlib (TIFF 6.0
+    spec): both byte orders, 8-bit gray / RGB / RGBA / palette, strip
+    organization, compressions 1 (none), 5 (LZW, with predictor 2
+    horizontal differencing) and 32773 (PackBits), planar config 1.
+    Tiled / 16-bit / CCITT / JPEG-in-TIFF variants stay gated."""
+    if data[:4] == b"II*\x00":
+        bo = "<"
+    elif data[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF")
+
+    def u16(off):
+        return struct.unpack_from(bo + "H", data, off)[0]
+
+    def u32(off):
+        return struct.unpack_from(bo + "I", data, off)[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    tags: dict[int, tuple[int, int, int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        tags[tag] = (typ, cnt, e + 8)
+
+    _SZ = {1: 1, 2: 1, 3: 2, 4: 4}
+
+    def values(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, voff = tags[tag]
+        size = _SZ.get(typ)
+        if size is None:
+            raise ValueError(f"unsupported TIFF field type {typ}")
+        total = size * cnt
+        off = voff if total <= 4 else u32(voff)
+        rd = u16 if size == 2 else (u32 if size == 4 else lambda o: data[o])
+        return [rd(off + j * size) for j in range(cnt)]
+
+    def one(tag, default=None):
+        v = values(tag)
+        return v[0] if v else default
+
+    w = one(256)
+    h = one(257)
+    if w is None or h is None:
+        raise ValueError("TIFF missing dimensions")
+    bps = values(258, [1])
+    comp = one(259, 1)
+    photo = one(262, 1)
+    spp = one(277, 1)
+    rows_per_strip = one(278, h)
+    offsets = values(273)
+    counts = values(279)
+    planar = one(284, 1)
+    predictor = one(317, 1)
+    if planar != 1:
+        raise NotImplementedError("TIFF planar config 2 not supported")
+    if any(b != 8 for b in bps):
+        raise NotImplementedError(f"only 8-bit TIFF supported (bps={bps})")
+    if comp not in (1, 5, 32773):
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+    if offsets is None or counts is None:
+        raise ValueError("TIFF missing strip offsets/counts")
+
+    raw = bytearray()
+    row_bytes = w * spp
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        nrows = min(rows_per_strip, h - si * rows_per_strip)
+        expect = nrows * row_bytes
+        chunk = data[off : off + cnt]
+        if comp == 1:
+            raw += chunk[:expect]
+        elif comp == 32773:
+            raw += _packbits_decode(chunk, expect)
+        else:
+            raw += _lzw_decode_tiff(chunk, expect)
+    if len(raw) < h * row_bytes:
+        raise ValueError("TIFF strip data truncated")
+    img = np.frombuffer(bytes(raw), np.uint8, count=h * row_bytes).reshape(h, w, spp)
+    if predictor == 2:  # horizontal differencing: undo via per-row cumsum
+        img = np.cumsum(img.astype(np.int64), axis=1).astype(np.uint8)
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
+    if photo == 3:  # palette: ColorMap is 3*2^bps 16-bit values, R then G then B
+        cmap = values(320)
+        if cmap is None:
+            raise ValueError("palette TIFF without ColorMap")
+        cm = (np.array(cmap, dtype=np.int64).reshape(3, -1) >> 8).astype(np.uint8)
+        return np.stack([cm[0][img[:, :, 0]], cm[1][img[:, :, 0]],
+                         cm[2][img[:, :, 0]]], axis=-1)
+    if photo == 0:  # WhiteIsZero: invert gray
+        img = 255 - img
+    if spp == 1:
+        return np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img[:, :, :3])  # RGB / RGBA (alpha dropped)
+
+
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """mono int16 samples -> RIFF/WAVE PCM16."""
     body = samples.astype("<i2").tobytes()
@@ -1075,6 +1344,8 @@ class PureCodec:
             return "image/gif"
         if payload[:2] == b"BM":
             return "image/bmp"
+        if payload[:4] in (b"II*\x00", b"MM\x00*"):
+            return "image/tiff"
         if payload[:2] == b"P6":
             return "image/x-portable-pixmap"
         if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
@@ -1099,6 +1370,8 @@ class PureCodec:
             return decode_bmp(payload)
         if mime == "image/x-portable-pixmap":
             return decode_ppm(payload)
+        if mime == "image/tiff":
+            return decode_tiff(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: PIL)")
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
@@ -1394,9 +1667,10 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # rotate the four real image codecs so every decode path is
-            # exercised by every consumer (PNG, GIF and JPEG real since r3)
-            variant = (i // 3) % 4
+            # rotate the five real image codecs so every decode path is
+            # exercised by every consumer (PNG, GIF and JPEG real since r3,
+            # TIFF since r4)
+            variant = (i // 3) % 5
             if variant == 1:
                 payloads.append(encode_png(img, filter_cycle=True))
                 mimes.append("image/png")
@@ -1412,6 +1686,10 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                 # all downstream feature/dup consumers need
                 payloads.append(encode_jpeg(img, quality=90, subsample="420"))
                 mimes.append("image/jpeg")
+            elif variant == 4:
+                # TIFF goes through the LZW + horizontal-predictor path
+                payloads.append(encode_tiff(img, compression=5, predictor=2))
+                mimes.append("image/tiff")
             else:
                 payloads.append(encode_bmp(img))
                 mimes.append("image/bmp")

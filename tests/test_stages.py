@@ -1215,3 +1215,53 @@ def test_ms_adpcm_decode():
     w1 = ref_decode([0xA, 0xC], 2, 400, -800, 1600)
     want = (np.array(w0, np.float64) + np.array(w1, np.float64)) / 2 / 32768.0
     assert np.allclose(got, want.astype(np.float32))
+
+
+def test_tiff_decode_family():
+    import numpy as np
+
+    from monocator_ray.stages.media import (
+        PureCodec, decode_tiff, encode_tiff as _write_tiff,
+    )
+
+    rng = np.random.RandomState(13)
+    rgb = rng.randint(0, 256, size=(9, 13, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, size=(7, 5), dtype=np.uint8)
+
+    # uncompressed, both byte orders
+    for bo in ("<", ">"):
+        assert np.array_equal(decode_tiff(_write_tiff(rgb, bo=bo)), rgb)
+    # gray replicates to RGB; WhiteIsZero inverts
+    got = decode_tiff(_write_tiff(gray))
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    got = decode_tiff(_write_tiff(gray, photometric=0))
+    assert np.array_equal(got, np.repeat((255 - gray)[:, :, None], 3, axis=2))
+    # PackBits incl. replicate runs (hand-built strip)
+    assert np.array_equal(decode_tiff(_write_tiff(rgb, compression=32773)), rgb)
+    from monocator_ray.stages.media import _packbits_decode
+
+    assert _packbits_decode(bytes([0xFE, 7, 2, 1, 2, 3]), 6) == bytes([7, 7, 7, 1, 2, 3])
+    # LZW, plain and with the horizontal predictor; data big enough to
+    # cross the 9->10 bit width boundary
+    big = rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8)
+    assert np.array_equal(decode_tiff(_write_tiff(big, compression=5)), big)
+    assert np.array_equal(
+        decode_tiff(_write_tiff(big, compression=5, predictor=2)), big)
+    # hand-pinned tiny LZW stream: Clear,'A',KwKwK(258),EOI == b'AAA'
+    from monocator_ray.stages.media import _lzw_decode_tiff
+
+    assert _lzw_decode_tiff(bytes([0x80, 0x10, 0x60, 0x50, 0x10]), 3) == b"AAA"
+    # sniff + dispatch
+    c = PureCodec()
+    blob = _write_tiff(rgb)
+    assert c.sniff(blob) == "image/tiff"
+    assert np.array_equal(c.decode_image(blob), rgb)
+    # exotic variants stay gated
+    import pytest as _pytest
+
+    bad = bytearray(_write_tiff(rgb))
+    # compression tag value lives in the IFD; flip it to CCITT (2)
+    blob2 = _write_tiff(rgb, compression=1).replace(
+        bytes([3, 1, 3, 0, 1, 0, 0, 0, 1, 0]), bytes([3, 1, 3, 0, 1, 0, 0, 0, 2, 0]), 1)
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_tiff(bytes(blob2))
