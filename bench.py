@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "nation_rank_in_region",
     "mg_top_terms",
     "value_bag_ops",
+    "rolling_distinct_types",
 ]
 
 

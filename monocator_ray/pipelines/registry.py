@@ -2389,6 +2389,18 @@ REGISTRY: dict = {
         FROM lineitem
         """,
     ),
+    # windowed DISTINCT aggregate (trailing-5 rolling distinct count)
+    "rolling_distinct_types": (
+        R.q_rolling_distinct_types,
+        """
+        SELECT event_id, user_id,
+               CAST(count(DISTINCT event_type) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS n_types_5
+        FROM events ORDER BY event_id
+        """,
+    ),
     # bag-semantics set ops (multiplicities matter): INTERSECT/EXCEPT ALL
     "value_bag_ops": (
         R.q_value_bag_ops,

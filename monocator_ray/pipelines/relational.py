@@ -4408,3 +4408,53 @@ def q_value_bag_ops(sf_dir: str) -> rd.Dataset:
         "n_intersect_all": pa.array([int(pdf["n_intersect_all"].sum())], pa.int64()),
         "n_except_all": pa.array([int(pdf["n_except_all"].sum())], pa.int64()),
     }))
+
+
+# ---- windowed DISTINCT aggregate: rolling distinct type count ----
+def q_rolling_distinct_types(sf_dir: str) -> rd.Dataset:
+    """COUNT(DISTINCT event_type) over each user's trailing-5-event window
+    — the windowed-DISTINCT aggregate shape, which neither a running sum
+    nor a rank can express.  The engine exploits the tiny type domain:
+    each row becomes a 5-bit mask (1 << type_idx), the window's distinct
+    count is the POPCOUNT of the OR of <= 5 POSITION-shifted mask arrays
+    (run-boundary-guarded), so the whole window family is five vectorized
+    ORs — no per-row window loop, no hash set.  One user-hash partition,
+    one lexsort."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("n_types_5", pa.int64())])
+
+    def window_part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, et = uid[order], eid[order], et[order]
+        n = len(uid)
+        starts, ends = run_boundaries(uid)
+        offs = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+        mask = pd.Series(et).map({t_: 1 << i for i, t_ in enumerate(types)}
+                                 ).to_numpy(np.int64)
+        acc = mask.copy()
+        for lag in range(1, 5):
+            shifted = np.zeros(n, dtype=np.int64)
+            shifted[lag:] = mask[:-lag]
+            acc |= np.where(offs >= lag, shifted, 0)
+        pop = np.zeros(n, dtype=np.int64)
+        for b in range(len(types)):
+            pop += (acc >> b) & 1
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "n_types_5": pa.array(pop, pa.int64())})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        window_part,
+        num_parts=32,
+    ).sort("event_id")
