@@ -145,6 +145,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--limit", type=int, default=20, help="print at most N rows")
     q.add_argument("--stats", action="store_true",
                    help="print ds.stats() (per-stage wall/CPU breakdown)")
+    q.add_argument("--explain", action="store_true",
+                   help="print the LAZY Ray Data operator plan without "
+                        "executing (driver-fold queries execute anyway and "
+                        "report their shape)")
 
     args = p.parse_args(argv)
     import ray
@@ -325,6 +329,19 @@ def main(argv: list[str] | None = None) -> int:
 
         fn, _sql = REGISTRY[args.name]
         res = fn(args.sf_dir)
+        if args.explain:
+            # a Dataset result is LAZY here: its repr is the logical
+            # operator chain, printed without triggering execution.
+            # Table/DataFrame results come from driver-fold pipelines whose
+            # distributed part already ran inside fn.
+            if isinstance(res, rd.Dataset):
+                print(res)
+                kind = "lazy-dataset"
+            else:
+                kind = "driver-fold (distributed partials already reduced)"
+                print(f"<{type(res).__name__}> from a {kind} pipeline")
+            print(json.dumps({"query": args.name, "plan": kind}))
+            return 0
         if args.out:
             if isinstance(res, rd.Dataset):
                 res = res.materialize()  # one execution for write AND count

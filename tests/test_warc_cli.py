@@ -159,6 +159,16 @@ def test_cli_query(tmp_path):
     )
     assert r.returncode == 2
 
+    # --explain prints the LAZY operator plan without executing
+    r = subprocess.run(
+        [sys.executable, "-m", "monocator_ray", "--num-cpus", "4", "query",
+         "event_unpivot", "--sf-dir", "/root/testdata/sf0.001", "--explain"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "MapBatches" in r.stdout and "Sort" in r.stdout
+    assert json.loads(r.stdout.strip().splitlines()[-1])["plan"] == "lazy-dataset"
+
 
 @pytest.mark.usefixtures("ray_session")
 def test_export_jsonl_roundtrip(tmp_path):
