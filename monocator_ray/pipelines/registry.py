@@ -2628,4 +2628,136 @@ REGISTRY: dict = {
         ORDER BY user_id, event_type
         """,
     ),
+    # TPC-H Q14: CASE-inside-aggregate ratio, exact integer permille
+    "promo_revenue_share": (
+        R.q_promo_revenue_share,
+        """
+        WITH rev AS (
+          SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS r,
+                 p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+            AND l_shipdate <  TIMESTAMP '1997-10-01')
+        SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END) AS BIGINT) AS promo_cpc,
+               CAST(SUM(r) AS BIGINT) AS total_cpc,
+               CAST(1000 * SUM(CASE WHEN p_type = 'PROMO' THEN r ELSE 0 END)
+                    // GREATEST(SUM(r), 1) AS BIGINT) AS promo_pm
+        FROM rev
+        """,
+    ),
+    # TPC-H Q13: count-of-counts distribution including the zero bucket
+    "order_count_distribution": (
+        R.q_order_count_distribution,
+        """
+        WITH oc AS (
+          SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        SELECT CAST(c_count AS BIGINT) AS c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM oc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+    ),
+    # TPC-H Q15: argmax-with-ties over an aggregated view
+    "top_supplier": (
+        R.q_top_supplier,
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+                   AS total_rev_cpc
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1997-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_rev_cpc
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev_cpc = (SELECT MAX(total_rev_cpc) FROM rev)
+        ORDER BY s_suppkey
+        """,
+    ),
+    # TPC-H Q22: global-scalar gate + NOT EXISTS anti join + code rollup
+    "global_sales_opportunity": (
+        R.q_global_sales_opportunity,
+        """
+        WITH pos AS (
+          SELECT CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM customer WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0),
+        eligible AS (
+          SELECT c_custkey % 7 AS code,
+                 CAST(ROUND(c_acctbal*100) AS BIGINT) AS bal
+          FROM customer, pos
+          WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) * pos.n > pos.s
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderdate >= TIMESTAMP '1999-01-01'))
+        SELECT code, CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(bal) AS BIGINT) AS totacctbal_cents
+        FROM eligible GROUP BY code ORDER BY code
+        """,
+    ),
+    # TPC-H Q8: national market share per order year, exact permille
+    "market_share": (
+        R.q_market_share,
+        """
+        WITH rev AS (
+          SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+                 CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS vol,
+                 s_nationkey
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation   ON c_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE r_name = 'AMERICA')
+        SELECT CAST(o_year AS BIGINT) AS o_year,
+               CAST(SUM(CASE WHEN s_nationkey = 1 THEN vol ELSE 0 END) AS BIGINT)
+                 AS target_cpc,
+               CAST(SUM(vol) AS BIGINT) AS total_cpc,
+               CAST(SUM(CASE WHEN s_nationkey = 1 THEN vol ELSE 0 END) * 1000
+                    // GREATEST(SUM(vol), 1) AS BIGINT) AS mkt_share_pm
+        FROM rev GROUP BY o_year ORDER BY o_year
+        """,
+    ),
+    # TPC-H Q17: correlated per-part mean gate via cross-multiplication
+    "small_quantity_revenue": (
+        R.q_small_quantity_revenue,
+        """
+        WITH li AS (
+          SELECT l_partkey, CAST(ROUND(l_quantity) AS BIGINT) AS qty,
+                 CAST(ROUND(l_extendedprice*100) AS BIGINT) AS cents
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#3'),
+        stats AS (
+          SELECT l_partkey, SUM(qty) AS sq, COUNT(*) AS n
+          FROM li GROUP BY l_partkey)
+        SELECT CAST(COALESCE(SUM(cents), 0) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_small
+        FROM li JOIN stats USING (l_partkey)
+        WHERE qty * 5 * n < sq
+        """,
+    ),
+    # TPC-H Q19: disjunctive (brand, size, qty) predicate triples
+    "disjunctive_revenue": (
+        R.q_disjunctive_revenue,
+        """
+        WITH li AS (
+          SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                 * (100 - CAST(ROUND(l_discount*100) AS BIGINT)) AS r,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS q, p_brand, p_size
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT CAST(COALESCE(SUM(r), 0) AS BIGINT) AS revenue_cpc,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM li
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND q BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25 AND q BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND q BETWEEN 20 AND 35)
+        """,
+    ),
 }

@@ -4458,3 +4458,379 @@ def q_rolling_distinct_types(sf_dir: str) -> rd.Dataset:
         window_part,
         num_parts=32,
     ).sort("event_id")
+
+
+# ---- TPC-H Q14 shape: conditional-aggregate ratio over a dim-filter ----
+def q_promo_revenue_share(sf_dir: str) -> rd.Dataset:
+    """Permille of one month's lineitem revenue that came from PROMO-type
+    parts (TPC-H Q14's CASE-inside-aggregate ratio).  Plan: the part
+    dimension broadcasts ONCE as a boolean LUT indexed by p_partkey (no
+    join shuffle — p_type is 1 bit/part); each lineitem batch folds to
+    TWO scalars (promo cents-x-pct, total); the driver combines O(blocks)
+    scalar pairs and takes the exact integer permille — no float ratio
+    ever exists, so Ray and DuckDB hash identically."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])  # bounded: dimension table
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    lut = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
+    lut[pk] = np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO")))
+    lut_ref = ray.put(lut)
+
+    lo = pa.scalar(np.datetime64("1997-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"))
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        ).to_numpy(zero_copy_only=False)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        promo = lu[np.minimum(keys, len(lu) - 1)]
+        return pa.table({"promo_cpc": pa.array([int(r[promo].sum())], pa.int64()),
+                         "total_cpc": pa.array([int(r.sum())], pa.int64())})
+
+    pdf = li.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: 2 scalars per block
+    promo_cpc = int(pdf["promo_cpc"].sum())
+    total_cpc = int(pdf["total_cpc"].sum())
+    out = pa.table({"promo_cpc": pa.array([promo_cpc], pa.int64()),
+                    "total_cpc": pa.array([total_cpc], pa.int64()),
+                    "promo_pm": pa.array([1000 * promo_cpc // max(total_cpc, 1)],
+                                          pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q13 shape: count-of-counts distribution incl. empty groups ----
+def q_order_count_distribution(sf_dir: str) -> rd.Dataset:
+    """How many customers placed exactly c orders, INCLUDING c=0 (TPC-H
+    Q13).  The zero bucket is the classic left-join trap: at scale you
+    never left-join customer to orders just to count misses.  Plan:
+    per-batch partial counts by custkey -> one hash-partitioned exact
+    count per customer -> per-PARTITION histogram of counts (O(distinct
+    counts) rows each) -> driver combine; the c=0 bucket is arithmetic
+    (total customers from parquet METADATA minus distinct buyers — no
+    customer scan at all)."""
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return g.rename_columns(["o_custkey", "n"])
+
+    per_cust = partitioned_aggregate(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        ["o_custkey"], [("n", "sum")], ["o_custkey", "n"],
+        num_parts=32,
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("n").aggregate([("n", "count")])
+        return g.rename_columns(["c_count", "custdist"])
+
+    pdf = (per_cust.map_batches(hist, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(partitions x distinct order counts)
+    pdf = pdf.groupby("c_count", as_index=False)["custdist"].sum()
+    n_customers = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    zero = n_customers - int(pdf["custdist"].sum())
+    if zero > 0:
+        pdf = pd.concat([pdf, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+                        ignore_index=True)
+    pdf = pdf.sort_values(["custdist", "c_count"], ascending=[False, False],
+                          kind="mergesort").reset_index(drop=True)
+    out = pa.table({"c_count": pa.array(pdf["c_count"], pa.int64()),
+                    "custdist": pa.array(pdf["custdist"], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q15 shape: argmax-with-ties over an aggregate ----
+def q_top_supplier(sf_dir: str) -> rd.Dataset:
+    """Supplier(s) with the maximum revenue in 1997Q1, ties kept (TPC-H
+    Q15's view + WHERE total = (SELECT MAX ...)).  Plan: per-batch
+    partial sums by suppkey -> hash-partitioned exact totals (supplier is
+    a dimension, so the per-supplier result is bounded) -> the driver
+    takes the max and the tie set from O(suppliers) rows; names broadcast
+    from the supplier dim."""
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-04-01", "us"))
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                             pc.less(t["l_shipdate"], hi)))
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        )
+        g = pa.table({"l_suppkey": t["l_suppkey"], "r": r}).group_by(
+            "l_suppkey").aggregate([("r", "sum")])
+        return g.rename_columns(["l_suppkey", "total_rev_cpc"])
+
+    pdf = driver_grouped_agg(
+        li.map_batches(partial, batch_format="pyarrow"),
+        ["l_suppkey"], [("total_rev_cpc", "sum")], ["l_suppkey", "total_rev_cpc"],
+    )  # bounded: O(suppliers) — dimension-sized
+    best = int(pdf["total_rev_cpc"].max())
+    winners = pdf[pdf["total_rev_cpc"] == best].copy()
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"]).to_pandas()  # bounded: dimension table
+    winners = winners.merge(supp, left_on="l_suppkey", right_on="s_suppkey")
+    winners = winners.sort_values("s_suppkey", kind="mergesort")
+    out = pa.table({"s_suppkey": pa.array(winners["s_suppkey"], pa.int64()),
+                    "s_name": pa.array(winners["s_name"], pa.string()),
+                    "total_rev_cpc": pa.array(winners["total_rev_cpc"], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q22 shape: global-scalar gate + anti join + grouped rollup ----
+def q_global_sales_opportunity(sf_dir: str) -> rd.Dataset:
+    """Idle rich customers by code bucket (TPC-H Q22): customers whose
+    balance beats the mean POSITIVE balance and who placed no order since
+    1999 (the driver tables are dense — every customer has SOME order, so
+    the literal no-orders gate would be empty at every sf; "lapsed since
+    1999" keeps Q22's NOT-EXISTS anti-join shape nonempty), grouped by
+    c_custkey % 7 (the cntrycode surrogate).  Plan: pass 1 folds customer
+    to two scalars (sum/count of positive balances); the above-mean gate
+    is the exact cross-multiplication bal*n > sum (no float mean); the
+    recency gate is Ray's native left_anti join against the DISTINCT
+    recent-order custkeys (pre-reduced inside map_batches — the anti
+    right side is O(recent buyers), never the orders fact); the code
+    rollup is a driver combine of O(7) partials."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        b = _cents(t["c_acctbal"]).to_numpy(zero_copy_only=False)
+        pos = b[b > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([len(pos)], pa.int64())})
+
+    pdf = cust.map_batches(bal_partial, batch_format="pyarrow").to_pandas()  # bounded: 2 scalars per block
+    s_pos, n_pos = int(pdf["s"].sum()), int(pdf["n"].sum())
+
+    def rich(t: pa.Table) -> pa.Table:
+        bal = _cents(t["c_acctbal"])
+        mask = pc.greater(pc.multiply(bal, pa.scalar(n_pos, pa.int64())),
+                          pa.scalar(s_pos, pa.int64()))
+        t = t.append_column("bal_cents", bal).filter(mask)
+        return t.select(["c_custkey", "bal_cents"])
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow")
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    cutoff = pa.scalar(np.datetime64("1999-01-01", "us"))
+
+    def buyer_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["o_orderdate"], cutoff))
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    buyers = orders.map_batches(buyer_keys, batch_format="pyarrow")
+    idle = rich_ds.join(
+        buyers, join_type="left_anti",
+        num_partitions=_join_parts(sf_dir, "customer", "orders"),
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def code_partial(t: pa.Table) -> pa.Table:
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        g = pa.table({"code": pa.array(ck % 7, pa.int64()),
+                      "bal_cents": t["bal_cents"]}).group_by("code").aggregate(
+            [("bal_cents", "count"), ("bal_cents", "sum")])
+        return g.rename_columns(["code", "numcust", "totacctbal_cents"])
+
+    out = (idle.map_batches(code_partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(7) codes per block
+    out = out.groupby("code", as_index=False).sum().sort_values("code")
+    t = pa.table({"code": pa.array(out["code"], pa.int64()),
+                  "numcust": pa.array(out["numcust"], pa.int64()),
+                  "totacctbal_cents": pa.array(out["totacctbal_cents"], pa.int64())})
+    return rd.from_arrow(t)
+
+
+# ---- TPC-H Q8 shape: national market share per year, exact permille ----
+def q_market_share(sf_dir: str) -> rd.Dataset:
+    """NATION_1-supplied share of AMERICA-region customers' lineitem
+    revenue per order year (TPC-H Q8's national-market-share ratio).
+    Plan: supplier->is-target-nation broadcasts as ONE bit per suppkey
+    and nation->is-AMERICA as one bit per nationkey (both dimensions);
+    lineitem folds per batch to (orderkey, vol, target_vol) partials and
+    pre-aggregates BY ORDERKEY before the orders join (the only fact x
+    fact exchange); orders carries (custkey, year) through a partitioned
+    customer join; the region gate applies batch-side via the nation LUT;
+    the per-year matrix (O(years) rows) folds on the driver and the share
+    is the exact integer permille num*1000 // den."""
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])  # bounded: dimension table
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    s_target = np.zeros(int(sk.max()) + 2 if len(sk) else 1, dtype=bool)
+    s_target[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False) == 1
+    s_ref = ray.put(s_target)
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_regionkey"])  # bounded: dimension table
+    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    n_america = np.zeros(int(nk.max()) + 2 if len(nk) else 1, dtype=bool)
+    n_america[nk] = nat["n_regionkey"].to_numpy(zero_copy_only=False) == 1
+    n_ref = ray.put(n_america)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(s_ref)
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        ).to_numpy(zero_copy_only=False)
+        keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        tgt = lut[np.minimum(keys, len(lut) - 1)]
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "vol": pa.array(r, pa.int64()),
+                      "tvol": pa.array(np.where(tgt, r, 0), pa.int64())}
+                     ).group_by("l_orderkey").aggregate(
+            [("vol", "sum"), ("tvol", "sum")])
+        return g.rename_columns(["l_orderkey", "vol", "tvol"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    j1 = li.map_batches(li_partial, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j2 = j1.select_columns(["o_custkey", "o_orderdate", "vol", "tvol"]).join(
+        cust, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "customer"),
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+
+    def year_partial(t: pa.Table) -> pa.Table:
+        lut = ray.get(n_ref)
+        nkeys = pc.cast(t["c_nationkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        mask = lut[np.minimum(nkeys, len(lut) - 1)]
+        t = t.filter(pa.array(mask))
+        yr = pc.year(t["o_orderdate"])
+        g = pa.table({"o_year": pc.cast(yr, pa.int64()),
+                      "vol": t["vol"], "tvol": t["tvol"]}).group_by(
+            "o_year").aggregate([("tvol", "sum"), ("vol", "sum")])
+        return g.rename_columns(["o_year", "target_cpc", "total_cpc"])
+
+    pdf = (j2.map_batches(year_partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(blocks x years) partials
+    pdf = pdf.groupby("o_year", as_index=False).sum().sort_values("o_year")
+    pdf["mkt_share_pm"] = (pdf["target_cpc"] * 1000
+                           // pdf["total_cpc"].clip(lower=1)).astype(np.int64)
+    out = pa.table({"o_year": pa.array(pdf["o_year"], pa.int64()),
+                    "target_cpc": pa.array(pdf["target_cpc"], pa.int64()),
+                    "total_cpc": pa.array(pdf["total_cpc"], pa.int64()),
+                    "mkt_share_pm": pa.array(pdf["mkt_share_pm"], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q17 shape: correlated per-group mean gate, one shuffle ----
+def q_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue from Brand#3 lineitems whose quantity is below 20% of that
+    PART's average quantity (TPC-H Q17's correlated scalar subquery).
+    The per-part mean and the row gate share ONE hash partition: inside
+    each partkey partition a grouped sum/count computes the mean while a
+    searchsorted maps it back onto the rows — no self-join, no second
+    shuffle.  The 0.2x-mean gate is exact integer cross-multiplication
+    (qty*5*n < sum_qty); quantities are integral in this schema."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])  # bounded: dimension table
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    lut = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
+    lut[pk] = np.asarray(pc.equal(part["p_brand"], pa.scalar("Brand#3")))
+    lut_ref = ray.put(lut)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def brand_filter(t: pa.Table) -> pa.Table:
+        lu = ray.get(lut_ref)
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(lu[np.minimum(keys, len(lu) - 1)]))
+        return pa.table({
+            "l_partkey": t["l_partkey"],
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            "cents": _cents(t["l_extendedprice"]),
+        })
+
+    filtered = li.map_batches(brand_filter, batch_format="pyarrow")
+
+    _OUT = pa.schema([("total_cents", pa.int64()), ("n_small", pa.int64())])
+
+    def gate_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        keys = t["l_partkey"].to_numpy(zero_copy_only=False)
+        qty = t["qty"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="mergesort")
+        keys, qty, cents = keys[order], qty[order], cents[order]
+        starts, ends = run_boundaries(keys)
+        grp = np.repeat(np.arange(len(starts)), ends - starts)
+        sq = np.bincount(grp, weights=qty).astype(np.int64)
+        n = (ends - starts).astype(np.int64)
+        small = qty * 5 * n[grp] < sq[grp]
+        return pa.table({"total_cents": pa.array([int(cents[small].sum())], pa.int64()),
+                         "n_small": pa.array([int(small.sum())], pa.int64())})
+
+    pdf = hash_partitioned(
+        filtered, lambda t: _key_arrays(t, ["l_partkey"]), gate_part, num_parts=32,
+    ).to_pandas()  # bounded: 2 scalars per partition
+    out = pa.table({"total_cents": pa.array([int(pdf["total_cents"].sum())], pa.int64()),
+                    "n_small": pa.array([int(pdf["n_small"].sum())], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q19 shape: disjunctive multi-attribute predicate revenue ----
+def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
+    """Revenue matching an OR of three (brand, size-range, qty-range)
+    predicate triples (TPC-H Q19's disjunctive pushdown shape).  The part
+    attributes broadcast ONCE as two parallel arrays (brand ordinal +
+    size, 5 bytes/part); each lineitem batch evaluates all three clauses
+    as vectorized masks and folds to two scalars — the OR never becomes
+    three scans or a join."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])  # bounded: dimension table
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    hi_key = int(pk.max()) + 2 if len(pk) else 1
+    brand_ord = np.zeros(hi_key, dtype=np.int16)
+    for i, b in enumerate(("Brand#1", "Brand#2", "Brand#3"), start=1):
+        brand_ord[pk[np.asarray(pc.equal(part["p_brand"], pa.scalar(b)))]] = i
+    size_arr = np.zeros(hi_key, dtype=np.int32)
+    size_arr[pk] = part["p_size"].to_numpy(zero_copy_only=False)
+    refs = ray.put((brand_ord, size_arr))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bo, sz = ray.get(refs)
+        keys = np.minimum(t["l_partkey"].to_numpy(zero_copy_only=False), hi_key - 1)
+        b, s = bo[keys], sz[keys]
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy(zero_copy_only=False)
+        m = (((b == 1) & (s >= 1) & (s <= 10) & (q >= 1) & (q <= 15))
+             | ((b == 2) & (s >= 11) & (s <= 25) & (q >= 10) & (q <= 25))
+             | ((b == 3) & (s >= 26) & (s <= 50) & (q >= 20) & (q <= 35)))
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table({"revenue_cpc": pa.array([int(r[m].sum())], pa.int64()),
+                         "n_items": pa.array([int(m.sum())], pa.int64())})
+
+    pdf = li.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: 2 scalars per block
+    out = pa.table({"revenue_cpc": pa.array([int(pdf["revenue_cpc"].sum())], pa.int64()),
+                    "n_items": pa.array([int(pdf["n_items"].sum())], pa.int64())})
+    return rd.from_arrow(out)
