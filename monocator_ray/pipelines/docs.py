@@ -4394,3 +4394,65 @@ def q_weighted_sample(sf_dir: str, k: int = 20) -> pa.Table:
         .reset_index(drop=True)
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---- Heaps-law vocabulary growth: first-occurrence prefix counts ----
+def q_vocab_growth(sf_dir: str, bucket_docs: int = 25) -> pa.Table:
+    """Cumulative distinct-BIGRAM vocabulary after each ``bucket_docs``-doc
+    prefix of the corpus (the Heaps-law curve a corpus report plots;
+    bigrams, because the driver tables' unigram vocabulary is ~31 tokens
+    and saturates inside the first bucket — the curve needs a combinatorial
+    unit to grow).  The naive plan — COUNT(DISTINCT bigram) per prefix —
+    re-scans the corpus once per point; the distributed shape instead
+    assigns every bigram its FIRST bucket (a min-aggregate by bigram:
+    per-batch partial mins -> one bigram-hash partition -> exact min),
+    histograms first buckets per partition (O(buckets) rows each), and the
+    driver folds a prefix sum over O(buckets) cells.  One shuffle total,
+    corpus-size-invariant driver state.  Tokenization: plain ' ' split,
+    adjacent positions joined with ' ' — positional parity with the
+    oracle's generate_subscripts self-join."""
+    from monocator_ray.stages.grouped import partitioned_aggregate
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def first_bucket_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_arr = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        # adjacent-position bigrams WITHIN each doc: pair k with k+1, then
+        # mask out the cross-doc seam (each list's last element)
+        if len(flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "b": pa.array([], pa.int64())})
+        ends = np.cumsum(counts)
+        valid = np.ones(len(flat), dtype=bool)
+        valid[ends - 1] = False
+        a = flat[:-1][valid[:-1]]
+        b2 = flat[1:][valid[:-1]]
+        bigrams = (a.astype(object) + " " + b2.astype(object)) \
+            if len(a) else np.empty(0, object)
+        bucket = np.repeat(ids // bucket_docs, counts)[:-1][valid[:-1]] if len(flat) > 1 \
+            else np.empty(0, np.int64)
+        tb = pa.table({"tok": pa.array(bigrams, pa.string()),
+                       "b": pa.array(bucket, pa.int64())})
+        g = tb.group_by("tok").aggregate([("b", "min")])
+        return g.rename_columns(["tok", "b"])
+
+    firsts = partitioned_aggregate(
+        ds.map_batches(first_bucket_partial, batch_format="pyarrow"),
+        ["tok"], [("b", "min")], ["tok", "b"], num_parts=32,
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        g = t.group_by("b").aggregate([("b", "count")])
+        return g.rename_columns(["bucket", "n_new"])
+
+    pdf = (firsts.map_batches(hist, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(partitions x buckets)
+    pdf = pdf.groupby("bucket", as_index=False)["n_new"].sum().sort_values("bucket")
+    pdf["vocab_size"] = pdf["n_new"].cumsum().astype(np.int64)
+    return pa.table({"bucket": pa.array(pdf["bucket"], pa.int64()),
+                     "vocab_size": pa.array(pdf["vocab_size"], pa.int64())})

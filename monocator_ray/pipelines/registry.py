@@ -2760,4 +2760,57 @@ REGISTRY: dict = {
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 26 AND 50 AND q BETWEEN 20 AND 35)
         """,
     ),
+    # ordered-sequence funnel: each stage requires a STRICTLY later event
+    "event_funnel": (
+        R.q_event_funnel,
+        """
+        WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'view' GROUP BY user_id),
+        c AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        SELECT stage, n_users FROM (
+          SELECT '1_view' AS stage, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+          UNION ALL
+          SELECT '2_click', CAST(COUNT(*) AS BIGINT) FROM c
+          UNION ALL
+          SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
+        ORDER BY stage
+        """,
+    ),
+    # retention triangle: first-event-week cohorts x week offset
+    "retention_cohorts": (
+        R.q_retention_cohorts,
+        """
+        WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+                   FROM events GROUP BY user_id),
+        x AS (SELECT DISTINCT e.user_id, cohort,
+                 (CAST(date_trunc('week', ts) AS DATE) - CAST(cohort AS DATE)) // 7
+                   AS offset_w
+              FROM events e JOIN f USING (user_id))
+        SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
+               CAST(offset_w AS BIGINT) AS offset_w,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM x GROUP BY cohort, offset_w ORDER BY cohort, offset_w
+        """,
+    ),
+    # Heaps-law curve: cumulative bigram vocabulary per 25-doc prefix
+    "vocab_growth": (
+        D.q_vocab_growth,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+          FROM documents),
+        bg AS (
+          SELECT a.doc_id, a.tok || ' ' || b.tok AS bigram
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+        firsts AS (
+          SELECT bigram, MIN(doc_id // 25) AS b FROM bg GROUP BY bigram)
+        SELECT CAST(b AS BIGINT) AS bucket,
+               CAST(SUM(COUNT(*)) OVER (ORDER BY b) AS BIGINT) AS vocab_size
+        FROM firsts GROUP BY b ORDER BY bucket
+        """,
+    ),
 }
