@@ -2813,4 +2813,49 @@ REGISTRY: dict = {
         FROM firsts GROUP BY b ORDER BY bucket
         """,
     ),
+    # hopping windows: 10-min span, 5-min hop — each event in two windows
+    "hopping_window_counts": (
+        R.q_hopping_window_counts,
+        """
+        WITH hops AS (SELECT unnest([0, 1]) AS k),
+        x AS (
+          SELECT event_type,
+                 to_timestamp((epoch_us(ts) // 300000000 - k) * 300000000
+                              // 1000000)::TIMESTAMP AS window_start
+          FROM events, hops
+          WHERE epoch_us(ts) - (epoch_us(ts) // 300000000 - k) * 300000000
+                < 600000000)
+        SELECT event_type, window_start, CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY event_type, window_start
+        ORDER BY event_type, window_start
+        """,
+    ),
+    # TPC-H Q9: part-class revenue cube by supplier nation x order year
+    "product_type_profit": (
+        R.q_product_type_profit,
+        """
+        SELECT n_name,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+                 AS revenue_cpc
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_type = 'PROMO'
+        GROUP BY n_name, o_year ORDER BY n_name, o_year
+        """,
+    ),
+    # grouped DISTINCT list agg: sorted type signature per user
+    "user_type_signature": (
+        R.q_user_type_signature,
+        """
+        SELECT user_id,
+               string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                 AS signature
+        FROM events GROUP BY user_id ORDER BY user_id
+        """,
+    ),
 }

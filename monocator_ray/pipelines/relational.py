@@ -4936,3 +4936,146 @@ def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
                     "offset_w": pa.array(pdf["offset_w"], pa.int64()),
                     "n_users": pa.array(pdf["n_users"], pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- hopping (sliding) windows: 10-min windows every 5 min ----
+def q_hopping_window_counts(sf_dir: str) -> rd.Dataset:
+    """Event counts per 10-minute window hopping every 5 minutes — the
+    sliding-window aggregate where each event belongs to TWO windows (the
+    streaming shape tumbling windows can't express).  Plan: each batch
+    EXPANDS every event into its window-start keys vectorized (two
+    repeats + two subtractions — expansion factor = window/hop, a
+    constant) and pre-aggregates (type, window) partials; the driver
+    folds O(types x windows) cells.  At 100 TB the partial combine keeps
+    the shuffle at cell cardinality, and the expansion happens inside the
+    map stage — the input is never duplicated at rest."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+    HOP = 5 * 60 * 1_000_000      # 5 min in us
+    WIN = 10 * 60 * 1_000_000     # 10 min in us
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        # window starts covering ts: the hop-aligned start at or before ts,
+        # and the previous one if ts still falls inside its 10-min span
+        s0 = (ts // HOP) * HOP
+        s1 = s0 - HOP
+        starts = np.concatenate([s0, s1])
+        types = np.concatenate([et, et])
+        keep = np.concatenate([np.ones(len(ts), bool), ts - s1 < WIN])
+        starts, types = starts[keep], types[keep]
+        g = pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "window_start": pa.array(starts.astype("datetime64[us]"),
+                                      pa.timestamp("us")),
+        }).group_by(["event_type", "window_start"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "window_start", "n"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(types x windows) cells per block
+    pdf = (pdf.groupby(["event_type", "window_start"], as_index=False)["n"].sum()
+           .sort_values(["event_type", "window_start"]).reset_index(drop=True))
+    out = pa.table({"event_type": pa.array(pdf["event_type"], pa.string()),
+                    "window_start": pa.array(pdf["window_start"], pa.timestamp("us")),
+                    "n": pa.array(pdf["n"], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- TPC-H Q9 shape: supplier-nation x year revenue for one part class ----
+def q_product_type_profit(sf_dir: str) -> rd.Dataset:
+    """PROMO-part revenue by supplier nation and order year (TPC-H Q9's
+    profit cube, minus partsupp cost — this schema has no partsupp).
+    Differs from Q8/Q7 in that BOTH gates are broadcast dimension LUTs
+    (part type + supplier nation) folded into one lineitem combiner, so
+    the only exchange is the orders join for the year; the (nation, year)
+    cube folds on the driver at O(nations x years)."""
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_type"])  # bounded: dimension table
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    promo = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
+    promo[pk] = np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO")))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])  # bounded: dimension table
+    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+    snat = np.full(int(sk.max()) + 2 if len(sk) else 1, -1, np.int64)
+    snat[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    refs = ray.put((promo, snat))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pr, sn = ray.get(refs)
+        keys = np.minimum(t["l_partkey"].to_numpy(zero_copy_only=False), len(pr) - 1)
+        t = t.filter(pa.array(pr[keys]))
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        )
+        nat = sn[np.minimum(t["l_suppkey"].to_numpy(zero_copy_only=False), len(sn) - 1)]
+        g = pa.table({"l_orderkey": t["l_orderkey"],
+                      "nat": pa.array(nat, pa.int64()),
+                      "r": r}).group_by(["l_orderkey", "nat"]).aggregate(
+            [("r", "sum")])
+        return g.rename_columns(["l_orderkey", "nat", "r"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    j = li.map_batches(li_partial, batch_format="pyarrow").join(
+        orders, join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table
+    names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+
+    def cube_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"nat": t["nat"],
+                      "o_year": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                      "r": t["r"]}).group_by(["nat", "o_year"]).aggregate(
+            [("r", "sum")])
+        return g.rename_columns(["nat", "o_year", "revenue_cpc"])
+
+    pdf = (j.map_batches(cube_partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(nations x years) cells per block
+    pdf = pdf.groupby(["nat", "o_year"], as_index=False)["revenue_cpc"].sum()
+    pdf["n_name"] = pdf["nat"].map(names)
+    pdf = (pdf[["n_name", "o_year", "revenue_cpc"]]
+           .sort_values(["n_name", "o_year"], kind="mergesort").reset_index(drop=True))
+    out = pa.table({"n_name": pa.array(pdf["n_name"], pa.string()),
+                    "o_year": pa.array(pdf["o_year"], pa.int64()),
+                    "revenue_cpc": pa.array(pdf["revenue_cpc"], pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- grouped DISTINCT list agg: per-user sorted type signature ----
+def q_user_type_signature(sf_dir: str) -> rd.Dataset:
+    """Each user's SORTED DISTINCT event types joined with ',' — the
+    string_agg(DISTINCT ... ORDER BY ...) shape (grouped distinct list
+    aggregation).  Plan: per-batch (user, type) dedup shrinks the shuffle
+    to at most |users| x |types| rows; one user-hash partition then
+    dedups exactly, lexsorts (user, type), and joins each run with a
+    vectorized reduceat-style concat (pandas str agg over runs — no
+    per-user Python loop at the engine layer)."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def dedup_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([])
+        return g
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("signature", pa.string())])
+
+    def sig_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        df = t.to_pandas().drop_duplicates()
+        df = df.sort_values(["user_id", "event_type"], kind="mergesort")
+        sig = df.groupby("user_id", sort=True)["event_type"].agg(",".join)
+        return pa.table({"user_id": pa.array(sig.index.to_numpy(np.int64), pa.int64()),
+                         "signature": pa.array(sig.to_numpy(object), pa.string())})
+
+    return hash_partitioned(
+        ds.map_batches(dedup_partial, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["user_id"]), sig_part, num_parts=32,
+    ).sort("user_id")
