@@ -246,8 +246,10 @@ def run_crawl(num_cpus: int) -> dict:
         # runs a worker (the old 0.75x rule oversubscribed the 8-cpu level
         # while leaving a quarter of the 32-cpu level idle)
         num_workers=0,
-        fetch_concurrency=max(2, num_cpus // 4),
-        extract_concurrency=max(2, num_cpus // 2),
+        # overridable for split experiments (BENCH_FETCH_C/BENCH_EXTRACT_C);
+        # defaults measured best on the 240k tier (see BASELINE.md)
+        fetch_concurrency=int(os.environ.get("BENCH_FETCH_C", 0)) or max(2, num_cpus // 4),
+        extract_concurrency=int(os.environ.get("BENCH_EXTRACT_C", 0)) or max(2, num_cpus // 2),
         fetch_batch_size=2048,
         extract_batch_size=512,
         checkpoint_every=4,

@@ -530,6 +530,75 @@ def _copurchase_edges(sf_dir: str) -> rd.Dataset:
     return _dedup_pairs(grouped)
 
 
+def _edge_degrees(edges) -> "pd.DataFrame":
+    """(node, deg) over a distinct symmetric-canonical edge Dataset —
+    per-batch partials, O(nodes) driver combine (the Pregel vertex-state
+    bound shared by pagerank/triangles)."""
+
+    def emit_deg(t: pa.Table) -> pa.Table:
+        n = np.concatenate(
+            [t["src"].to_numpy(zero_copy_only=False), t["dst"].to_numpy(zero_copy_only=False)]
+        )
+        return pa.table({"node": pa.array(n, pa.int64()),
+                         "one": pa.array(np.ones(len(n), np.int64), pa.int64())})
+
+    return driver_grouped_agg(
+        edges.map_batches(emit_deg, batch_format="pyarrow"),
+        ["node"], [("one", "sum")], ["node", "deg"],
+    )
+
+
+class _OrientByDegree:
+    """(src,dst) -> (pivot, other) with pivot = lower (degree, id) — the
+    Suri & Vassilvitskii wedge orientation that bounds per-pivot forward
+    degree at O(sqrt(E))."""
+
+    def __init__(self, nref, dref):
+        self.nodes = ray.get(nref)
+        self.degs = ray.get(dref)
+
+    def _deg(self, x: np.ndarray) -> np.ndarray:
+        return self.degs[np.searchsorted(self.nodes, x)]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        da, db = self._deg(a), self._deg(b)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table(
+            {"pivot": pa.array(np.where(a_first, a, b), pa.int64()),
+             "other": pa.array(np.where(a_first, b, a), pa.int64())}
+        )
+
+
+def _wedge_pairs(t: pa.Table, with_pivot: bool = False):
+    """All canonical (lo, hi) wedge pairs of a pivot partition; with
+    ``with_pivot`` also returns each pair's pivot node (needed when the
+    caller attributes closures back to triangle corners)."""
+    pv = t["pivot"].to_numpy(zero_copy_only=False)
+    ot = t["other"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ot, pv))
+    pv, ot = pv[order], ot[order]
+    starts, ends = run_boundaries(pv)
+    out_p, out_a, out_b = [], [], []
+    for s, e in zip(starts.tolist(), ends.tolist()):
+        nb = ot[s:e]
+        if len(nb) >= 2:
+            ia, ib = np.triu_indices(len(nb), k=1)
+            u, w = nb[ia], nb[ib]
+            lo, hi = np.minimum(u, w), np.maximum(u, w)
+            out_a.append(lo)
+            out_b.append(hi)
+            if with_pivot:
+                out_p.append(np.full(len(lo), pv[s], np.int64))
+    a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+    b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+    if not with_pivot:
+        return a, b
+    p = np.concatenate(out_p) if out_p else np.empty(0, np.int64)
+    return p, a, b
+
+
 def q_triangle_count(sf_dir: str) -> pa.Table:
     """Triangle count over the co-purchase graph — the MapReduce wedge
     algorithm (Suri & Vassilvitskii, WWW'11, public): (1) orient every
@@ -550,65 +619,17 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     edges = _copurchase_edges(sf_dir).materialize()
     n_edges = edges.count()
 
-    def emit_deg(t: pa.Table) -> pa.Table:
-        n = np.concatenate(
-            [t["src"].to_numpy(zero_copy_only=False), t["dst"].to_numpy(zero_copy_only=False)]
-        )
-        return pa.table({"node": pa.array(n, pa.int64()),
-                         "one": pa.array(np.ones(len(n), np.int64), pa.int64())})
-
-    deg_pdf = driver_grouped_agg(
-        edges.map_batches(emit_deg, batch_format="pyarrow"),
-        ["node"], [("one", "sum")], ["node", "deg"],
-    )
+    deg_pdf = _edge_degrees(edges)
     nodes = deg_pdf["node"].to_numpy(np.int64)
     degs = deg_pdf["deg"].to_numpy(np.int64)
     order = np.argsort(nodes, kind="mergesort")
     nodes_ref = ray.put(nodes[order])
     degs_ref = ray.put(degs[order])
 
-    class Orient:
-        """(src,dst) -> (pivot, other) with pivot = lower (degree, id)."""
-
-        def __init__(self, nref, dref):
-            self.nodes = ray.get(nref)
-            self.degs = ray.get(dref)
-
-        def _deg(self, x: np.ndarray) -> np.ndarray:
-            return self.degs[np.searchsorted(self.nodes, x)]
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            a = t["src"].to_numpy(zero_copy_only=False)
-            b = t["dst"].to_numpy(zero_copy_only=False)
-            da, db = self._deg(a), self._deg(b)
-            a_first = (da < db) | ((da == db) & (a < b))
-            return pa.table(
-                {"pivot": pa.array(np.where(a_first, a, b), pa.int64()),
-                 "other": pa.array(np.where(a_first, b, a), pa.int64())}
-            )
-
-    def _gen_wedges(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """All canonical (lo, hi) wedge pairs of a pivot partition."""
-        pv = t["pivot"].to_numpy(zero_copy_only=False)
-        ot = t["other"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((ot, pv))
-        pv, ot = pv[order], ot[order]
-        starts, ends = run_boundaries(pv)
-        out_a, out_b = [], []
-        for s, e in zip(starts.tolist(), ends.tolist()):
-            nb = ot[s:e]
-            if len(nb) >= 2:
-                ia, ib = np.triu_indices(len(nb), k=1)
-                u, w = nb[ia], nb[ib]
-                lo, hi = np.minimum(u, w), np.maximum(u, w)
-                out_a.append(lo)
-                out_b.append(hi)
-        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
-        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
-        return a, b
+    _gen_wedges = _wedge_pairs
 
     oriented = edges.map_batches(
-        cached_stage(Orient, nref=nodes_ref, dref=degs_ref), batch_format="pyarrow"
+        cached_stage(_OrientByDegree, nref=nodes_ref, dref=degs_ref), batch_format="pyarrow"
     )
 
     # Broadcast-closure fast path: when the DISTINCT edge set packs small
@@ -963,3 +984,136 @@ def q_shortest_paths(sf_dir: str, max_partkey: int = 3, rounds: int = 4) -> pa.T
         nodes, dist = merged, nd
     return pa.table({"node": pa.array(nodes, pa.int64()),
                      "dist": pa.array(dist, pa.int64())})
+
+
+def q_local_clustering(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient per node over the co-purchase graph:
+    lcc(n) = closed wedges at n / possible wedges deg(n)*(deg(n)-1)/2,
+    reported as exact integer permille (2000*tri // (deg*(deg-1)); no
+    float).  Same Suri-Vassilvitskii wedge plan as q_triangle_count, but
+    every CLOSED wedge is attributed to all THREE triangle corners, so
+    the closure stage emits per-node counts instead of one scalar:
+
+    * broadcast path (edge set under _TRI_BCAST_EDGES): wedge closure is
+      an in-partition searchsorted against the packed sorted edge array;
+      each partition pre-aggregates its corner counts to O(nodes-seen)
+      rows before leaving the worker;
+    * co-partition path (huge/wide graphs): wedges carry their pivot
+      through the tagged-union (lo, hi)-hash shuffle; runs holding an
+      edge row emit their wedge pivots + both endpoints.
+
+    Either way the final combine is the O(nodes) driver fold shared with
+    pagerank (documented vertex-state bound); degrees are already
+    driver-side from the orientation step."""
+    ensure_shipped()
+    edges = _copurchase_edges(sf_dir).materialize()
+    n_edges = edges.count()
+
+    deg_pdf = _edge_degrees(edges)
+    nodes = deg_pdf["node"].to_numpy(np.int64)
+    degs = deg_pdf["deg"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    nodes_s, degs_s = nodes[order], degs[order]
+    nodes_ref = ray.put(nodes_s)
+    degs_ref = ray.put(degs_s)
+
+    oriented = edges.map_batches(
+        cached_stage(_OrientByDegree, nref=nodes_ref, dref=degs_ref),
+        batch_format="pyarrow",
+    )
+
+    def _corner_counts(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> pa.Table:
+        corners = np.concatenate([p, a, b])
+        vals, counts = np.unique(corners, return_counts=True)
+        return pa.table({"node": pa.array(vals, pa.int64()),
+                         "tri": pa.array(counts.astype(np.int64), pa.int64())})
+
+    et = collect_arrow(edges) if (  # bounded: gate n_edges <= _TRI_BCAST_EDGES (q_triangle_count comment)
+        n_edges <= _TRI_BCAST_EDGES
+    ) else None
+    use_bcast = False
+    if et is not None:
+        ea = et["src"].to_numpy(zero_copy_only=False)
+        eb = et["dst"].to_numpy(zero_copy_only=False)
+        use_bcast = len(ea) == 0 or (ea.max() < 2**31 and eb.max() < 2**31 and ea.min() >= 0)
+    if use_bcast:
+        packed_ref = ray.put(np.sort((ea << 32) | eb))
+
+        class CornersClosed:
+            def __init__(self, pref):
+                self.packed = ray.get(pref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                p, a, b = _wedge_pairs(t, with_pivot=True)
+                if len(a) == 0 or len(self.packed) == 0:
+                    return pa.table({"node": pa.array([], pa.int64()),
+                                     "tri": pa.array([], pa.int64())})
+                keys = (a << 32) | b
+                idx = np.searchsorted(self.packed, keys)
+                idx[idx == len(self.packed)] = 0
+                hit = self.packed[idx] == keys
+                return _corner_counts(p[hit], a[hit], b[hit])
+
+        tri_pdf = driver_grouped_agg(
+            hash_partitioned(
+                oriented,
+                lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+                cached_stage(CornersClosed, pref=packed_ref),
+                num_parts=64,
+            ),
+            ["node"], [("tri", "sum")], ["node", "tri"],
+        )  # bounded: O(nodes) — vertex-state bound
+    else:
+        def wedges_part(t: pa.Table) -> pa.Table:
+            p, a, b = _wedge_pairs(t, with_pivot=True)
+            return pa.table({"src": pa.array(a, pa.int64()),
+                             "dst": pa.array(b, pa.int64()),
+                             "pivot": pa.array(p, pa.int64()),
+                             "tag": pa.array(np.ones(len(a), np.int8), pa.int8())})
+
+        wedges = hash_partitioned(
+            oriented,
+            lambda t: [t["pivot"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+            wedges_part,
+            num_parts=64,
+        )
+        tagged_edges = edges.map_batches(
+            lambda t: pa.table({
+                "src": t["src"], "dst": t["dst"],
+                "pivot": pa.array(np.full(t.num_rows, -1, np.int64), pa.int64()),
+                "tag": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }),
+            batch_format="pyarrow",
+        )
+
+        def close_part(t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy(zero_copy_only=False)
+            b = t["dst"].to_numpy(zero_copy_only=False)
+            pv = t["pivot"].to_numpy(zero_copy_only=False)
+            tag = t["tag"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((tag, b, a))
+            a, b, pv, tag = a[order], b[order], pv[order], tag[order]
+            starts, ends = run_boundaries(a, b)
+            has_edge = tag[starts] == 0
+            keep = np.repeat(has_edge, ends - starts) & (tag == 1)
+            return _corner_counts(pv[keep], a[keep], b[keep])
+
+        tri_pdf = driver_grouped_agg(
+            hash_partitioned(
+                wedges.union(tagged_edges),
+                lambda t: [t["src"].to_numpy(zero_copy_only=False).astype(np.uint64),
+                           t["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+                close_part,
+                num_parts=64,
+            ),
+            ["node"], [("tri", "sum")], ["node", "tri"],
+        )  # bounded: O(nodes) — vertex-state bound
+
+    tri_map = dict(zip(tri_pdf["node"], tri_pdf["tri"])) if len(tri_pdf) else {}
+    tri = np.array([tri_map.get(n, 0) for n in nodes_s], np.int64)
+    poss = degs_s * (degs_s - 1)  # 2x wedge count — 2000*tri/poss below
+    lcc_pm = np.where(poss > 0, 2000 * tri // np.maximum(poss, 1), 0)
+    return pa.table({"node": pa.array(nodes_s, pa.int64()),
+                     "deg": pa.array(degs_s, pa.int64()),
+                     "triangles": pa.array(tri, pa.int64()),
+                     "lcc_pm": pa.array(lcc_pm.astype(np.int64), pa.int64())})

@@ -2858,4 +2858,46 @@ REGISTRY: dict = {
         FROM events GROUP BY user_id ORDER BY user_id
         """,
     ),
+    # time-weighted average: step-function integral, exact floor division
+    "time_weighted_value": (
+        R.q_time_weighted_value,
+        """
+        WITH o AS (
+          SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+                 epoch_us(ts) AS t,
+                 LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+          FROM events)
+        SELECT user_id,
+               CAST(SUM(CASE WHEN nxt IS NULL THEN 0 ELSE v * (nxt - t) END)
+                    AS BIGINT) AS weighted_sum,
+               CAST(MAX(t) - MIN(t) AS BIGINT) AS span_us,
+               CAST(SUM(CASE WHEN nxt IS NULL THEN 0 ELSE v * (nxt - t) END)
+                    // GREATEST(MAX(t) - MIN(t), 1) AS BIGINT) AS twa_cents
+        FROM o GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    # local clustering coefficient per node (wedge closure, permille)
+    "local_clustering": (
+        G.q_local_clustering,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                          GREATEST(a.l_partkey, b.l_partkey) AS b
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        deg AS (SELECT x AS node, COUNT(*) AS deg FROM sym GROUP BY x),
+        tri AS (SELECT s1.x AS node, COUNT(*) AS triangles
+                FROM sym s1 JOIN sym s2 ON s1.x = s2.x AND s1.y < s2.y
+                JOIN pairs e ON e.a = s1.y AND e.b = s2.y
+                GROUP BY s1.x)
+        SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+               CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+               CAST(CASE WHEN d.deg >= 2
+                    THEN 2000 * COALESCE(t.triangles, 0) // (d.deg * (d.deg - 1))
+                    ELSE 0 END AS BIGINT) AS lcc_pm
+        FROM deg d LEFT JOIN tri t ON d.node = t.node ORDER BY node
+        """,
+    ),
 }

@@ -5079,3 +5079,50 @@ def q_user_type_signature(sf_dir: str) -> rd.Dataset:
         ds.map_batches(dedup_partial, batch_format="pyarrow"),
         lambda t: _key_arrays(t, ["user_id"]), sig_part, num_parts=32,
     ).sort("user_id")
+
+
+# ---- time-weighted average: value holds until the next event ----
+def q_time_weighted_value(sf_dir: str) -> rd.Dataset:
+    """Per-user TIME-weighted average value — each event's value holds
+    from its timestamp until the user's next event (the step-function
+    integral shape used for balance/price TWAPs; a plain AVG would weight
+    a 1-second reading equal to a week-long one).  Plan: one user-hash
+    partition, one lexsort (user, ts, event_id); durations are a single
+    shifted diff masked at run boundaries; the weighted sum and span fold
+    per user via np.add.at.  Exact integers end-to-end: weighted_sum =
+    sum(value_cents x duration_us), twa_cents = weighted_sum // span_us
+    — same floor division in the oracle, so no float ever exists."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("weighted_sum", pa.int64()),
+                      ("span_us", pa.int64()), ("twa_cents", pa.int64())])
+
+    def twa_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, v = uid[order], ts[order], v[order]
+        n = len(uid)
+        starts, ends = run_boundaries(uid)
+        dur = np.zeros(n, np.int64)
+        dur[:-1] = ts[1:] - ts[:-1]
+        dur[ends - 1] = 0  # last event of each user holds no duration
+        ngroups = len(starts)
+        grp = np.repeat(np.arange(ngroups), ends - starts)
+        wsum = np.zeros(ngroups, np.int64)
+        np.add.at(wsum, grp, v * dur)
+        span = ts[ends - 1] - ts[starts]
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "weighted_sum": pa.array(wsum, pa.int64()),
+            "span_us": pa.array(span, pa.int64()),
+            "twa_cents": pa.array(wsum // np.maximum(span, 1), pa.int64()),
+        })
+
+    return hash_partitioned(
+        ds, lambda t: _key_arrays(t, ["user_id"]), twa_part, num_parts=32,
+    ).sort("user_id")

@@ -157,3 +157,43 @@ def test_triangle_shuffle_path_matches_broadcast(monkeypatch):
     monkeypatch.setattr(G, "_TRI_BCAST_EDGES", 0)
     slow = G.q_triangle_count(sf)["n_triangles"][0].as_py()
     assert fast == slow
+
+
+def test_local_clustering_shuffle_path_matches_broadcast(monkeypatch):
+    """Force q_local_clustering's co-partition closure path and pin it
+    equal to the broadcast fast path (whose full output the registry's
+    DuckDB oracle pins)."""
+    import monocator_ray.pipelines.graph as G
+
+    sf = "/root/testdata/sf0.001"
+    fast = G.q_local_clustering(sf)
+    monkeypatch.setattr(G, "_TRI_BCAST_EDGES", 0)
+    slow = G.q_local_clustering(sf)
+    assert fast.equals(slow)
+
+
+def test_local_clustering_known_graph(ray_session):
+    """A 4-clique plus a pendant vertex has known coefficients: clique
+    nodes that also touch the pendant lose density.  Pin the permille
+    arithmetic on a hand-checkable graph via the same corner-attribution
+    the pipeline uses (brute force over all triangles)."""
+    import itertools
+
+    import numpy as np
+
+    # graph: K4 on {0,1,2,3}; node 4 attached to 0 only
+    edges = {(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (0, 4)}
+    deg = {n: sum(1 for e in edges if n in e) for n in range(5)}
+    tri = {n: 0 for n in range(5)}
+    for a, b, c in itertools.combinations(range(5), 3):
+        if {(min(a, b), max(a, b)), (min(a, c), max(a, c)),
+            (min(b, c), max(b, c))} <= edges:
+            for n in (a, b, c):
+                tri[n] += 1
+    # K4: each clique-only node has deg 3, 3 triangles -> lcc 1000
+    assert tri[1] == tri[2] == tri[3] == 3
+    assert 2000 * tri[1] // (deg[1] * (deg[1] - 1)) == 1000
+    # node 0: deg 4, still 3 triangles -> 6/12 = 500 permille
+    assert 2000 * tri[0] // (deg[0] * (deg[0] - 1)) == 500
+    # pendant: deg 1 -> coefficient defined as 0
+    assert deg[4] == 1 and tri[4] == 0
