@@ -1117,3 +1117,63 @@ def q_local_clustering(sf_dir: str) -> pa.Table:
                      "deg": pa.array(degs_s, pa.int64()),
                      "triangles": pa.array(tri, pa.int64()),
                      "lcc_pm": pa.array(lcc_pm.astype(np.int64), pa.int64())})
+
+
+def q_k_core(sf_dir: str, k: int = 80, rounds: int = 4) -> pa.Table:
+    """Bounded-round k-core peeling over the co-purchase graph: ``rounds``
+    synchronous rounds of "drop every node with induced degree < k", then
+    the surviving subgraph's (node, deg) table.  The bounded-round
+    semantics (not the fixpoint) is the spec — the same hop-bound
+    discipline as q_shortest_paths — so the DuckDB oracle is ``rounds``
+    unrolled filter-and-recount CTEs, exactly.
+
+    Scale shape (Pregel aggregator, shared with pagerank/bfs): the edge
+    list is partition-deduped and materialized ONCE; each round is one
+    shuffle-free ``map_batches`` pass over the static edge blocks with
+    the O(nodes) survivor set broadcast via ray.put, emitting per-batch
+    degree partials (grouped by node before leaving the worker); the
+    driver folds O(nodes) rows and re-thresholds.  Per-round traffic is
+    O(nodes) both ways, never O(edges)."""
+    ensure_shipped()
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    class _SurvivorDegrees:
+        """Per-batch degree partials over edges whose BOTH endpoints
+        survive (survivors broadcast as a sorted array)."""
+
+        def __init__(self, sref):
+            self.surv = ray.get(sref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            a = t["src"].to_numpy(zero_copy_only=False)
+            b = t["dst"].to_numpy(zero_copy_only=False)
+            s = self.surv
+            if len(s) == 0:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "one": pa.array([], pa.int64())})
+            pa_ = np.searchsorted(s, a)
+            pb_ = np.searchsorted(s, b)
+            pa_[pa_ == len(s)] = 0
+            pb_[pb_ == len(s)] = 0
+            keep = (s[pa_] == a) & (s[pb_] == b)
+            n = np.concatenate([a[keep], b[keep]])
+            vals, counts = np.unique(n, return_counts=True)
+            return pa.table({"node": pa.array(vals, pa.int64()),
+                             "one": pa.array(counts.astype(np.int64), pa.int64())})
+
+    # round 0 survivors: every node (computed from full degrees)
+    deg_pdf = _edge_degrees(edges)
+    surv = np.sort(deg_pdf["node"].to_numpy(np.int64))
+    deg = None
+    for _ in range(rounds):
+        surv = np.sort(
+            deg_pdf[deg_pdf["deg"] >= k]["node"].to_numpy(np.int64))
+        sref = ray.put(surv)
+        deg_pdf = driver_grouped_agg(
+            edges.map_batches(cached_stage(_SurvivorDegrees, sref=sref),
+                              batch_format="pyarrow"),
+            ["node"], [("one", "sum")], ["node", "deg"],
+        )  # bounded: O(nodes) — vertex-state bound
+    deg_pdf = deg_pdf.sort_values("node", kind="mergesort").reset_index(drop=True)
+    return pa.table({"node": pa.array(deg_pdf["node"].to_numpy(np.int64), pa.int64()),
+                     "deg": pa.array(deg_pdf["deg"].to_numpy(np.int64), pa.int64())})

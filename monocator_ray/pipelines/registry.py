@@ -2900,4 +2900,68 @@ REGISTRY: dict = {
         FROM deg d LEFT JOIN tri t ON d.node = t.node ORDER BY node
         """,
     ),
+    # LAG over an aggregated series: week-over-week revenue delta
+    "weekly_revenue_delta": (
+        R.q_weekly_revenue_delta,
+        """
+        WITH w AS (
+          SELECT date_trunc('week', o_orderdate) AS week_start,
+                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM orders GROUP BY week_start)
+        SELECT CAST(week_start AS TIMESTAMP) AS week_start, revenue_cents,
+               CAST(COALESCE(revenue_cents - LAG(revenue_cents)
+                    OVER (ORDER BY week_start), 0) AS BIGINT) AS delta_cents
+        FROM w ORDER BY week_start
+        """,
+    ),
+    # contingency table with exact integer chi-square building blocks
+    "type_dow_contingency": (
+        R.q_type_dow_contingency,
+        """
+        WITH cells AS (
+          SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS obs
+          FROM events GROUP BY event_type, dow),
+        tot AS (SELECT SUM(obs) AS n FROM cells),
+        r AS (SELECT event_type, SUM(obs) AS row_t FROM cells GROUP BY event_type),
+        c AS (SELECT dow, SUM(obs) AS col_t FROM cells GROUP BY dow)
+        SELECT cells.event_type, cells.dow, obs,
+               CAST(row_t * col_t AS BIGINT) AS row_x_col,
+               CAST(n * obs - row_t * col_t AS BIGINT) AS dev_xn
+        FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN tot
+        ORDER BY event_type, dow
+        """,
+    ),
+    # bounded-round k-core peeling (4 unrolled filter-and-recount rounds)
+    "k_core": (
+        G.q_k_core,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                          GREATEST(a.l_partkey, b.l_partkey) AS b
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        sym AS (SELECT a AS x, b AS y FROM pairs UNION ALL SELECT b, a FROM pairs),
+        d0 AS (SELECT x AS node, COUNT(*) AS deg FROM sym GROUP BY x),
+        s1 AS (SELECT node FROM d0 WHERE deg >= 80),
+        d1 AS (SELECT x AS node, COUNT(*) AS deg FROM sym
+               WHERE x IN (SELECT node FROM s1) AND y IN (SELECT node FROM s1)
+               GROUP BY x),
+        s2 AS (SELECT node FROM d1 WHERE deg >= 80),
+        d2 AS (SELECT x AS node, COUNT(*) AS deg FROM sym
+               WHERE x IN (SELECT node FROM s2) AND y IN (SELECT node FROM s2)
+               GROUP BY x),
+        s3 AS (SELECT node FROM d2 WHERE deg >= 80),
+        d3 AS (SELECT x AS node, COUNT(*) AS deg FROM sym
+               WHERE x IN (SELECT node FROM s3) AND y IN (SELECT node FROM s3)
+               GROUP BY x),
+        s4 AS (SELECT node FROM d3 WHERE deg >= 80),
+        d4 AS (SELECT x AS node, COUNT(*) AS deg FROM sym
+               WHERE x IN (SELECT node FROM s4) AND y IN (SELECT node FROM s4)
+               GROUP BY x)
+        SELECT CAST(node AS BIGINT) AS node, CAST(deg AS BIGINT) AS deg
+        FROM d4 ORDER BY node
+        """,
+    ),
 }

@@ -5126,3 +5126,74 @@ def q_time_weighted_value(sf_dir: str) -> rd.Dataset:
     return hash_partitioned(
         ds, lambda t: _key_arrays(t, ["user_id"]), twa_part, num_parts=32,
     ).sort("user_id")
+
+
+# ---- LAG over an aggregated series: week-over-week revenue delta ----
+def q_weekly_revenue_delta(sf_dir: str) -> rd.Dataset:
+    """Weekly order revenue with the week-over-week delta — the
+    LAG-over-an-AGGREGATE composition (the window input is itself a
+    grouped result).  Plan: orders fold per batch to (week, cents)
+    partials (Monday-aligned weeks, the retention_cohorts arithmetic);
+    the driver combines O(weeks) cells and takes the shifted difference
+    there — the window input is aggregate-small by construction, so no
+    shuffle exists beyond the one partial pass.  First week's delta is 0
+    (COALESCE convention, mirrored in the oracle)."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        week = (days + 3) // 7
+        g = pa.table({"w": pa.array(week, pa.int64()),
+                      "cents": _cents(t["o_totalprice"])}).group_by("w").aggregate(
+            [("cents", "sum")])
+        return g.rename_columns(["w", "revenue_cents"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(weeks) cells per block
+    pdf = pdf.groupby("w", as_index=False)["revenue_cents"].sum().sort_values("w")
+    wk = ((pdf["w"].to_numpy(np.int64)) * 7 - 3).astype("datetime64[D]").astype("datetime64[us]")
+    rev = pdf["revenue_cents"].to_numpy(np.int64)
+    delta = np.zeros(len(rev), np.int64)
+    delta[1:] = rev[1:] - rev[:-1]
+    out = pa.table({"week_start": pa.array(wk, pa.timestamp("us")),
+                    "revenue_cents": pa.array(rev, pa.int64()),
+                    "delta_cents": pa.array(delta, pa.int64())})
+    return rd.from_arrow(out)
+
+
+# ---- contingency table: event type x weekday, integer chi-square parts ----
+def q_type_dow_contingency(sf_dir: str) -> rd.Dataset:
+    """Event-type x ISO-weekday contingency table with the exact integer
+    chi-square building blocks: observed count, row total x column total
+    (= expected x N), and the scaled deviation N*obs - row*col per cell —
+    the independence-test shape kept float-free (the analyst divides by
+    N*row*col once, outside the engine).  Plan: per-batch O(cells)
+    partials, driver combine, marginals from the same combine — one scan,
+    no shuffle."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        days = t["ts"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        dow = (days + 3) % 7 + 1  # ISO: 1=Monday (epoch day 0 = Thursday)
+        g = pa.table({"event_type": t["event_type"],
+                      "dow": pa.array(dow, pa.int64())}).group_by(
+            ["event_type", "dow"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "dow", "obs"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(types x 7) cells per block
+    pdf = pdf.groupby(["event_type", "dow"], as_index=False)["obs"].sum()
+    n = int(pdf["obs"].sum())
+    row = pdf.groupby("event_type")["obs"].sum()
+    col = pdf.groupby("dow")["obs"].sum()
+    pdf["row_x_col"] = (pdf["event_type"].map(row) * pdf["dow"].map(col)).astype(np.int64)
+    pdf["dev_xn"] = (n * pdf["obs"] - pdf["row_x_col"]).astype(np.int64)
+    pdf = pdf.sort_values(["event_type", "dow"]).reset_index(drop=True)
+    out = pa.table({"event_type": pa.array(pdf["event_type"], pa.string()),
+                    "dow": pa.array(pdf["dow"], pa.int64()),
+                    "obs": pa.array(pdf["obs"], pa.int64()),
+                    "row_x_col": pa.array(pdf["row_x_col"], pa.int64()),
+                    "dev_xn": pa.array(pdf["dev_xn"], pa.int64())})
+    return rd.from_arrow(out)
