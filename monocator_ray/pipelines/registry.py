@@ -2964,4 +2964,34 @@ REGISTRY: dict = {
         FROM d4 ORDER BY node
         """,
     ),
+    # grouped top-k into a LIST column (value-determined, tie-safe)
+    "user_top3_values": (
+        R.q_user_top3_values,
+        """
+        WITH r AS (
+          SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS v,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY CAST(ROUND(value*100) AS BIGINT) DESC) AS rn
+          FROM events)
+        SELECT user_id, string_agg(v, ',' ORDER BY v DESC) AS top3_csv
+        FROM r WHERE rn <= 3 GROUP BY user_id ORDER BY user_id
+        """,
+    ),
+    # closed-form 4-ary hierarchy rollup: 3 ancestor levels, no recursion
+    "part_hierarchy_rollup": (
+        R.q_part_hierarchy_rollup,
+        """
+        WITH anc AS (
+          SELECT p_partkey // 4 AS ancestor,
+                 CAST(ROUND(p_retailprice*100) AS BIGINT) AS cents FROM part
+          UNION ALL
+          SELECT p_partkey // 16, CAST(ROUND(p_retailprice*100) AS BIGINT) FROM part
+          UNION ALL
+          SELECT p_partkey // 64, CAST(ROUND(p_retailprice*100) AS BIGINT) FROM part)
+        SELECT CAST(ancestor AS BIGINT) AS ancestor,
+               CAST(SUM(cents) AS BIGINT) AS subtree_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_desc
+        FROM anc WHERE ancestor >= 1 GROUP BY ancestor ORDER BY ancestor
+        """,
+    ),
 }

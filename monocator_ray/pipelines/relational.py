@@ -5197,3 +5197,82 @@ def q_type_dow_contingency(sf_dir: str) -> rd.Dataset:
                     "row_x_col": pa.array(pdf["row_x_col"], pa.int64()),
                     "dev_xn": pa.array(pdf["dev_xn"], pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- grouped top-k as a LIST column ----
+def q_user_top3_values(sf_dir: str) -> rd.Dataset:
+    """Each user's top-3 event values (cents, descending) as a CSV string
+    — the grouped-top-k-into-array shape (feature vectors for a
+    recommender, "recent best" rollups; CSV because the driver compare
+    hashes scalars — the customer_order_list convention).  Plan:
+    per-batch top-3 per user shrinks the shuffle to <= 3 rows/user/block;
+    one user-hash partition then merges and re-takes the top 3; ties
+    broken by value only, so the string is fully value-determined."""
+    ds = _read(sf_dir, "events", ["user_id", "value"])
+
+    def local_top(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, uid))
+        uid, v = uid[order], v[order]
+        starts, ends = run_boundaries(uid)
+        offs = np.arange(len(uid), dtype=np.int64) - np.repeat(starts, ends - starts)
+        keep = offs < 3
+        return pa.table({"user_id": pa.array(uid[keep], pa.int64()),
+                         "v": pa.array(v[keep], pa.int64())})
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("top3_csv", pa.string())])
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((-v, uid))
+        uid, v = uid[order], v[order]
+        starts, ends = run_boundaries(uid)
+        offs = np.arange(len(uid), dtype=np.int64) - np.repeat(starts, ends - starts)
+        keep = offs < 3
+        uid, v = uid[keep], v[keep]
+        s2, e2 = run_boundaries(uid)
+        v_str = v.astype(str)
+        csv = [",".join(v_str[s:e]) for s, e in zip(s2.tolist(), e2.tolist())]
+        return pa.table({"user_id": pa.array(uid[s2], pa.int64()),
+                         "top3_csv": pa.array(csv, pa.string())})
+
+    return hash_partitioned(
+        ds.map_batches(local_top, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["user_id"]), merge_part, num_parts=32,
+    ).sort("user_id")
+
+
+# ---- closed-form hierarchy rollup: ancestors via integer division ----
+def q_part_hierarchy_rollup(sf_dir: str) -> rd.Dataset:
+    """Retail-price rollup over a derived 4-ary part hierarchy (parent =
+    partkey // 4): every ancestor within 3 levels accumulates its
+    descendants' prices — the BOM/org-chart hierarchical aggregate.  The
+    hierarchy is closed-form, so the recursive join disappears: each part
+    emits its level-1/2/3 ancestors by THREE integer divisions inside the
+    map stage (partials pre-grouped per batch), then one
+    ancestor-partitioned exact sum.  The same closed form unrolls to a
+    3-way UNION in the oracle.  Ancestor 0 is the synthetic root (partkey
+    0's self-parent) and is excluded on both sides."""
+    ds = _read(sf_dir, "part", ["p_partkey", "p_retailprice"])
+
+    def emit(t: pa.Table) -> pa.Table:
+        k = t["p_partkey"].to_numpy(zero_copy_only=False)
+        cents = _cents(t["p_retailprice"]).to_numpy(zero_copy_only=False)
+        anc = np.concatenate([k // 4, k // 16, k // 64])
+        c3 = np.concatenate([cents, cents, cents])
+        keep = anc >= 1  # drop the synthetic root (docstring)
+        g = pa.table({"ancestor": pa.array(anc[keep], pa.int64()),
+                      "cents": pa.array(c3[keep], pa.int64())}).group_by(
+            "ancestor").aggregate([("cents", "sum"), ([], "count_all")])
+        return g.rename_columns(["ancestor", "subtree_cents", "n_desc"])
+
+    return partitioned_aggregate(
+        ds.map_batches(emit, batch_format="pyarrow"),
+        ["ancestor"], [("subtree_cents", "sum"), ("n_desc", "sum")],
+        ["ancestor", "subtree_cents", "n_desc"],
+        num_parts=32,
+    ).sort("ancestor")
