@@ -4456,3 +4456,49 @@ def q_vocab_growth(sf_dir: str, bucket_docs: int = 25) -> pa.Table:
     pdf["vocab_size"] = pdf["n_new"].cumsum().astype(np.int64)
     return pa.table({"bucket": pa.array(pdf["bucket"], pa.int64()),
                      "vocab_size": pa.array(pdf["vocab_size"], pa.int64())})
+
+
+# ---- RAG chunking: overlapping token windows with rebuilt text ----
+def q_rag_chunking(sf_dir: str, size: int = 32, stride: int = 24) -> rd.Dataset:
+    """Split every document into overlapping ``size``-token chunks every
+    ``stride`` tokens (the RAG-ingest dual of pack_sequences: documents ->
+    retrieval units with overlap so no answer span straddles a boundary
+    unseen).  Chunk c of a doc covers token positions [c*stride,
+    c*stride+size); the LAST chunk may be short; chunk text is rebuilt
+    BYTE-EXACTLY (' '-join, the stopword_rewrite discipline) so the
+    oracle's string_agg comparison is exact.  Plan: chunking is
+    doc-local, so there is NO shuffle at all — one vectorized map pass
+    (token offsets from split lengths, chunk expansion = at most
+    ceil(size/stride) repeats per token analog, done per-doc via
+    prefix arithmetic), emitting one row per chunk."""
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunk_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = t["text"].to_pylist()
+        out_id, out_c, out_start, out_n, out_text = [], [], [], [], []
+        for did, s in zip(ids.tolist(), texts):
+            toks = (s or "").split(" ")
+            nt = len(toks)
+            n_chunks = max(1, -(-(max(nt - size, 0)) // stride) + 1)
+            for c in range(n_chunks):
+                lo = c * stride
+                hi = min(lo + size, nt)
+                if lo >= nt:
+                    break
+                out_id.append(did)
+                out_c.append(c)
+                out_start.append(lo)
+                out_n.append(hi - lo)
+                out_text.append(" ".join(toks[lo:hi]))
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "chunk_idx": pa.array(out_c, pa.int64()),
+            "start_tok": pa.array(out_start, pa.int64()),
+            "n_toks": pa.array(out_n, pa.int64()),
+            "chunk_text": pa.array(out_text, pa.string()),
+        })
+
+    return ds.map_batches(chunk_batch, batch_format="pyarrow").sort(
+        ["doc_id", "chunk_idx"])

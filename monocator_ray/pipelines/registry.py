@@ -2994,4 +2994,52 @@ REGISTRY: dict = {
         FROM anc WHERE ancestor >= 1 GROUP BY ancestor ORDER BY ancestor
         """,
     ),
+    # RAG chunking: overlapping token windows, byte-exact rebuilt text
+    "rag_chunking": (
+        D.q_rag_chunking,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) - 1
+                   AS i
+          FROM documents),
+        nt AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+        cand AS (
+          SELECT doc_id, tok, i, (i // 24) - k AS c
+          FROM tok, (SELECT unnest([0, 1]) AS k)
+          WHERE (i // 24) - k >= 0 AND i - ((i // 24) - k) * 24 < 32),
+        chunks AS (
+          SELECT doc_id, c AS chunk_idx, MIN(i) AS start_tok,
+                 CAST(COUNT(*) AS BIGINT) AS n_toks,
+                 string_agg(tok, ' ' ORDER BY i) AS chunk_text
+          FROM cand GROUP BY doc_id, c)
+        SELECT chunks.doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(start_tok AS BIGINT) AS start_tok, n_toks, chunk_text
+        FROM chunks JOIN nt ON chunks.doc_id = nt.doc_id
+        WHERE chunk_idx <= CASE WHEN n <= 32 THEN 0 ELSE (n - 9) // 24 END
+        ORDER BY chunks.doc_id, chunk_idx
+        """,
+    ),
+    # rolling z-score anomalies: exact integer cross-multiplied inequality
+    "rolling_anomalies": (
+        R.q_rolling_anomalies,
+        """
+        WITH w AS (
+          SELECT event_id, user_id, CAST(ROUND(value*100) AS BIGINT) AS v_cents,
+                 SUM(CAST(ROUND(value*100) AS BIGINT)) OVER win AS sum5,
+                 SUM(CAST(ROUND(value*100) AS BIGINT)
+                     * CAST(ROUND(value*100) AS BIGINT)) OVER win AS ssq5,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, v_cents,
+               CAST(sum5 AS BIGINT) AS sum5, CAST(ssq5 AS BIGINT) AS ssq5
+        FROM w
+        WHERE rn >= 5
+          AND (5*v_cents - sum5)*(5*v_cents - sum5) > 3*(5*ssq5 - sum5*sum5)
+        ORDER BY event_id
+        """,
+    ),
 }

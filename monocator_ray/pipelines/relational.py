@@ -5276,3 +5276,57 @@ def q_part_hierarchy_rollup(sf_dir: str) -> rd.Dataset:
         ["ancestor", "subtree_cents", "n_desc"],
         num_parts=32,
     ).sort("ancestor")
+
+
+# ---- windowed anomaly flags: exact integer rolling z-score ----
+def q_rolling_anomalies(sf_dir: str) -> rd.Dataset:
+    """Events whose value sits more than 3 sigma from their user's
+    trailing-5-event mean — the rolling z-score anomaly detector, kept
+    exact: z^2 = (5v - sum)^2 / (5*ssq - sum^2), so flag iff
+    (5v - sum)^2 > 3*(5*ssq - sum^2) (z^2 > 3; note a sample of n=5 bounds
+    z^2 at n-1=4, so any classic 3-sigma threshold would be vacuously
+    empty — the in-window z test needs T < n-1).  Both engines compare
+    the same integers; no sqrt or float ever exists.  Only full windows are
+    scored (the first 4 events of a user are never flagged).  Plan: one
+    user-hash partition, one lexsort; window sum and sum-of-squares are
+    shifted-cumsum differences guarded at run boundaries — no per-row
+    loop, no window state."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("v_cents", pa.int64()), ("sum5", pa.int64()),
+                      ("ssq5", pa.int64())])
+
+    def anom_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, v = uid[order], eid[order], v[order]
+        n = len(uid)
+        starts, ends = run_boundaries(uid)
+        offs = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts)
+        cs = np.concatenate([[0], np.cumsum(v)])
+        cq = np.concatenate([[0], np.cumsum(v * v)])
+        idx = np.arange(n)
+        lo = idx - 4
+        full = offs >= 4
+        sum5 = np.where(full, cs[idx + 1] - cs[np.maximum(lo, 0)], 0)
+        ssq5 = np.where(full, cq[idx + 1] - cq[np.maximum(lo, 0)], 0)
+        lhs = (5 * v - sum5) ** 2
+        rhs = 3 * (5 * ssq5 - sum5 * sum5)
+        flag = full & (lhs > rhs)
+        return pa.table({
+            "event_id": pa.array(eid[flag], pa.int64()),
+            "user_id": pa.array(uid[flag], pa.int64()),
+            "v_cents": pa.array(v[flag], pa.int64()),
+            "sum5": pa.array(sum5[flag], pa.int64()),
+            "ssq5": pa.array(ssq5[flag], pa.int64()),
+        })
+
+    return hash_partitioned(
+        ds, lambda t: _key_arrays(t, ["user_id"]), anom_part, num_parts=32,
+    ).sort("event_id")
