@@ -3042,4 +3042,42 @@ REGISTRY: dict = {
         ORDER BY event_id
         """,
     ),
+    # OHLC candlesticks: order-dependent open/close + extrema per bucket
+    "hourly_ohlc": (
+        R.q_hourly_ohlc,
+        """
+        WITH v AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(ROUND(value*100) AS BIGINT) AS v, ts, event_id
+          FROM events),
+        w AS (
+          SELECT event_type, hour, v,
+                 FIRST_VALUE(v) OVER win AS o, LAST_VALUE(v) OVER win AS c
+          FROM v
+          WINDOW win AS (PARTITION BY event_type, hour ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND UNBOUNDED FOLLOWING))
+        SELECT event_type, hour,
+               CAST(MIN(o) AS BIGINT) AS open, CAST(MAX(v) AS BIGINT) AS high,
+               CAST(MIN(v) AS BIGINT) AS low, CAST(MIN(c) AS BIGINT) AS close,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w GROUP BY event_type, hour
+        ORDER BY event_type, hour
+        """,
+    ),
+    # funnel latency histogram: signup -> first later purchase, in hours
+    "purchase_latency": (
+        R.q_purchase_latency,
+        """
+        WITH s AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+        p AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN s USING (user_id)
+              WHERE event_type = 'purchase' AND ts > t1 GROUP BY e.user_id)
+        SELECT CAST((epoch_us(t2) - epoch_us(t1)) // 3600000000 AS BIGINT)
+                 AS latency_h,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p JOIN s USING (user_id)
+        GROUP BY latency_h ORDER BY latency_h
+        """,
+    ),
 }

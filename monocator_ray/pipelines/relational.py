@@ -5330,3 +5330,85 @@ def q_rolling_anomalies(sf_dir: str) -> rd.Dataset:
     return hash_partitioned(
         ds, lambda t: _key_arrays(t, ["user_id"]), anom_part, num_parts=32,
     ).sort("event_id")
+
+
+# ---- OHLC bars: first/last/min/max per (type, hour) bucket ----
+def q_hourly_ohlc(sf_dir: str) -> rd.Dataset:
+    """Open-high-low-close value bars per (event_type, hour) — the
+    financial candlestick aggregate, whose open/close are ORDER-dependent
+    (first/last by (ts, event_id)) while high/low are plain extrema; a
+    groupby can't express the mix without argmin/argmax support.  Plan:
+    one type-hash partition (hours of a type stay together for the
+    in-partition run scan); one lexsort (type, hour, ts, eid); open/close
+    index the run boundaries, high/low are reduceat extrema — four
+    vectorized gathers, no per-bucket loop.  Cents throughout."""
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    _OUT = pa.schema([("event_type", pa.string()), ("hour", pa.timestamp("us")),
+                      ("open", pa.int64()), ("high", pa.int64()),
+                      ("low", pa.int64()), ("close", pa.int64()),
+                      ("n", pa.int64())])
+
+    def ohlc_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        v = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        HOUR = 3_600_000_000
+        hour = (ts // HOUR) * HOUR
+        tcode, tuniq = pd.factorize(pd.Series(et), sort=True)
+        order = np.lexsort((eid, ts, hour, tcode))
+        tcode, hour, v = tcode[order], hour[order], v[order]
+        starts, ends = run_boundaries(tcode, hour)
+        return pa.table({
+            "event_type": pa.array(tuniq[tcode[starts]], pa.string()),
+            "hour": pa.array(hour[starts].astype("datetime64[us]"), pa.timestamp("us")),
+            "open": pa.array(v[starts], pa.int64()),
+            "high": pa.array(np.maximum.reduceat(v, starts), pa.int64()),
+            "low": pa.array(np.minimum.reduceat(v, starts), pa.int64()),
+            "close": pa.array(v[ends - 1], pa.int64()),
+            "n": pa.array(ends - starts, pa.int64()),
+        })
+
+    return hash_partitioned(
+        ds, lambda t: _key_arrays(t, ["event_type"]), ohlc_part, num_parts=8,
+    ).sort(["event_type", "hour"])
+
+
+# ---- funnel latency histogram: signup -> first purchase, hour buckets ----
+def q_purchase_latency(sf_dir: str) -> rd.Dataset:
+    """Distribution of the signup-to-first-purchase delay in whole hours
+    (users whose first purchase FOLLOWS their first signup) — the funnel
+    latency histogram.  Plan: the event_funnel masked-segmented-min pass
+    computes both firsts in one user-hash partition; each partition emits
+    its O(buckets) histogram cells; the driver folds them."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    SENT = np.iinfo(np.int64).max
+
+    def lat_part(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uniq, idx = np.unique(uid, return_inverse=True)
+        n = len(uniq)
+        t_sign = np.full(n, SENT, np.int64)
+        m = et == "signup"
+        np.minimum.at(t_sign, idx[m], ts[m])
+        t_pur = np.full(n, SENT, np.int64)
+        m = (et == "purchase") & (ts > t_sign[idx])
+        np.minimum.at(t_pur, idx[m], ts[m])
+        ok = t_pur < SENT
+        hrs = (t_pur[ok] - t_sign[ok]) // 3_600_000_000
+        vals, counts = np.unique(hrs, return_counts=True)
+        return pa.table({"latency_h": pa.array(vals, pa.int64()),
+                         "n_users": pa.array(counts.astype(np.int64), pa.int64())})
+
+    pdf = hash_partitioned(
+        ds, lambda t: _key_arrays(t, ["user_id"]), lat_part, num_parts=32,
+    ).to_pandas()  # bounded: O(buckets) cells per partition
+    pdf = pdf.groupby("latency_h", as_index=False)["n_users"].sum().sort_values("latency_h")
+    out = pa.table({"latency_h": pa.array(pdf["latency_h"], pa.int64()),
+                    "n_users": pa.array(pdf["n_users"], pa.int64())})
+    return rd.from_arrow(out)
