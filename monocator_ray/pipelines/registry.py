@@ -3080,4 +3080,28 @@ REGISTRY: dict = {
         GROUP BY latency_h ORDER BY latency_h
         """,
     ),
+    # decile lift table: NTILE over a per-customer aggregate, exact shares
+    "customer_decile_lift": (
+        R.q_customer_decile_lift,
+        """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM orders GROUP BY o_custkey),
+        cut AS (
+          SELECT o_custkey, cents,
+                 NTILE(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+          FROM spend),
+        d AS (
+          SELECT CAST(decile AS BIGINT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_cust,
+                 CAST(SUM(cents) AS BIGINT) AS decile_cents
+          FROM cut GROUP BY decile),
+        tot AS (SELECT SUM(decile_cents) AS t FROM d)
+        SELECT decile, n_cust, decile_cents,
+               CAST(decile_cents * 1000 // GREATEST(t, 1) AS BIGINT) AS share_pm
+        FROM d CROSS JOIN tot ORDER BY decile
+        """,
+    ),
 }

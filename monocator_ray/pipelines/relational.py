@@ -5412,3 +5412,48 @@ def q_purchase_latency(sf_dir: str) -> rd.Dataset:
     out = pa.table({"latency_h": pa.array(pdf["latency_h"], pa.int64()),
                     "n_users": pa.array(pdf["n_users"], pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- decile lift table: NTILE over aggregated spend, exact shares ----
+def q_customer_decile_lift(sf_dir: str) -> rd.Dataset:
+    """Customers ranked by total spend and cut into 10 deciles; each
+    decile's customer count, revenue and exact permille revenue share —
+    the marketing lift table (NTILE over an AGGREGATE, not raw rows, so
+    the window input is the per-customer rollup).  Plan: per-customer
+    totals via one partitioned aggregate; the decile cut runs driver-side
+    over the O(customers) rollup (bounded: customer is dimension-sized at
+    every tier; at true fact scale the cut becomes sampled quantile
+    boundaries — stated bound, same discipline as skyline_customers).
+    NTILE tie/remainder semantics replicated exactly: order (spend DESC,
+    custkey), first n%10 deciles one element larger."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])}).group_by(
+            "o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    per_cust = partitioned_aggregate(
+        orders.map_batches(pre, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum")], ["o_custkey", "cents"],
+        num_parts=32,
+    )
+    pdf = collect_arrow(per_cust).to_pandas()  # bounded: O(customers) rollup (docstring)
+    pdf = pdf.sort_values(["cents", "o_custkey"], ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    base, rem = divmod(n, 10)
+    sizes = np.full(10, base, np.int64)
+    sizes[:rem] += 1
+    decile = np.repeat(np.arange(1, 11, dtype=np.int64), sizes)
+    pdf["decile"] = decile[:n]
+    out = pdf.groupby("decile", as_index=False).agg(
+        n_cust=("o_custkey", "size"), decile_cents=("cents", "sum"))
+    total = int(out["decile_cents"].sum())
+    out["share_pm"] = (out["decile_cents"] * 1000 // max(total, 1)).astype(np.int64)
+    t = pa.table({"decile": pa.array(out["decile"], pa.int64()),
+                  "n_cust": pa.array(out["n_cust"], pa.int64()),
+                  "decile_cents": pa.array(out["decile_cents"], pa.int64()),
+                  "share_pm": pa.array(out["share_pm"], pa.int64())})
+    return rd.from_arrow(t)
