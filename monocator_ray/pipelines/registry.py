@@ -3104,4 +3104,64 @@ REGISTRY: dict = {
         FROM d CROSS JOIN tot ORDER BY decile
         """,
     ),
+    # reset-at-zero running balance: the cummin closed form, two windows
+    "part_stock_floor": (
+        R.q_part_stock_floor,
+        """
+        WITH d AS (
+          SELECT l_partkey, l_orderkey,
+                 CAST(l_linenumber AS BIGINT) AS l_linenumber, l_shipdate,
+                 CASE WHEN l_returnflag = 'R'
+                      THEN -CAST(ROUND(l_quantity) AS BIGINT)
+                      ELSE CAST(ROUND(l_quantity) AS BIGINT) END AS delta
+          FROM lineitem),
+        c1 AS (SELECT *, SUM(delta) OVER (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cum FROM d),
+        c2 AS (SELECT *, MIN(cum) OVER (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS cmin FROM c1)
+        SELECT l_partkey, l_orderkey, l_linenumber,
+               CAST(cum - LEAST(cmin, 0) AS BIGINT) AS balance
+        FROM c2 ORDER BY l_partkey, l_orderkey, l_linenumber
+        """,
+    ),
+    # per-group argmax with deterministic ties: modal event type
+    "user_modal_type": (
+        R.q_user_modal_type,
+        """
+        WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM events GROUP BY user_id, event_type),
+        r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY n DESC, event_type) AS rn FROM c)
+        SELECT user_id, event_type AS modal_type, n
+        FROM r WHERE rn = 1 ORDER BY user_id
+        """,
+    ),
+    # cross-series Pearson building blocks, zero-filled hour grid
+    "type_correlation_matrix": (
+        R.q_type_correlation_matrix,
+        """
+        WITH cells AS (
+          SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY h, event_type),
+        hours AS (SELECT DISTINCT h AS hh FROM cells),
+        types AS (SELECT DISTINCT event_type AS t FROM cells),
+        grid AS (
+          SELECT hh, t, COALESCE(n, 0) AS n
+          FROM hours CROSS JOIN types
+          LEFT JOIN cells ON cells.h = hours.hh AND cells.event_type = types.t),
+        pairs AS (SELECT a.t AS type_a, b.t AS type_b
+                  FROM types a JOIN types b ON a.t < b.t),
+        j AS (SELECT p.type_a, p.type_b, ga.n AS x, gb.n AS y
+              FROM pairs p
+              JOIN grid ga ON ga.t = p.type_a
+              JOIN grid gb ON gb.t = p.type_b AND gb.hh = ga.hh)
+        SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+               CAST(SUM(x*y) AS BIGINT) AS sum_xy,
+               CAST(SUM(x*x) AS BIGINT) AS sum_xx,
+               CAST(SUM(y*y) AS BIGINT) AS sum_yy
+        FROM j GROUP BY type_a, type_b ORDER BY type_a, type_b
+        """,
+    ),
 }

@@ -5457,3 +5457,144 @@ def q_customer_decile_lift(sf_dir: str) -> rd.Dataset:
                   "decile_cents": pa.array(out["decile_cents"], pa.int64()),
                   "share_pm": pa.array(out["share_pm"], pa.int64())})
     return rd.from_arrow(t)
+
+
+# ---- reset-at-zero running balance: the cummin closed form ----
+def q_part_stock_floor(sf_dir: str) -> rd.Dataset:
+    """Per-part running stock where returns subtract and the balance
+    floors at zero: b_t = max(0, b_{t-1} + delta_t).  The recurrence
+    looks inherently sequential, but has the classic closed form
+    b_t = cum_t - min(0, min_{s<=t} cum_s) — one segmented cumsum plus
+    one segmented cummin, both loop-free (the per-run interference is
+    killed by adding run_index * 2^40 before a GLOBAL minimum.accumulate
+    — deltas are bounded far below 2^40 per run).  The oracle states the
+    same closed form as two stacked window CTEs.  One part-hash
+    partition, one lexsort."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_orderkey", "l_linenumber", "l_shipdate",
+                "l_quantity", "l_returnflag"])
+
+    _OUT = pa.schema([("l_partkey", pa.int64()), ("l_orderkey", pa.int64()),
+                      ("l_linenumber", pa.int64()), ("balance", pa.int64())])
+
+    def ledger_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = pc.cast(t["l_linenumber"], pa.int64()).to_numpy(zero_copy_only=False)
+        sd = t["l_shipdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64()).to_numpy(zero_copy_only=False)
+        ret = t["l_returnflag"].to_numpy(zero_copy_only=False) == "R"
+        delta = np.where(ret, -qty, qty)
+        order = np.lexsort((ln, ok, sd, pk))
+        pk, ok, ln, delta = pk[order], ok[order], ln[order], delta[order]
+        starts, ends = run_boundaries(pk)
+        run_idx = np.repeat(np.arange(len(starts), dtype=np.int64), ends - starts)
+        cs = np.cumsum(delta)
+        base = np.concatenate([[0], cs[ends[:-1] - 1]]) if len(starts) else cs[:0]
+        cum = cs - base[run_idx]  # segmented cumsum
+        # segmented cummin via per-run offset + global accumulate: offsets
+        # must DECREASE with run index so a minimum can never leak forward
+        # from an earlier run (earlier runs sit strictly higher)
+        OFF = np.int64(1) << 40
+        off = (np.int64(len(starts)) - run_idx) * OFF
+        shifted = cum + off
+        cmin = np.minimum.accumulate(shifted) - off
+        balance = cum - np.minimum(cmin, 0)
+        return pa.table({"l_partkey": pa.array(pk, pa.int64()),
+                         "l_orderkey": pa.array(ok, pa.int64()),
+                         "l_linenumber": pa.array(ln, pa.int64()),
+                         "balance": pa.array(balance, pa.int64())})
+
+    return hash_partitioned(
+        ds, lambda t: _key_arrays(t, ["l_partkey"]), ledger_part, num_parts=32,
+    ).sort(["l_partkey", "l_orderkey", "l_linenumber"])
+
+
+# ---- per-group argmax with deterministic ties: modal event type ----
+def q_user_modal_type(sf_dir: str) -> rd.Dataset:
+    """Each user's most frequent event type, ties broken by the
+    lexicographically smallest type — the per-group MODE/argmax shape
+    (priority_mode is the GLOBAL mode; this is the grouped variant whose
+    result is one row per key).  Plan: per-batch (user, type) partial
+    counts shrink the shuffle to <= |users| x |types| rows; one user-hash
+    partition folds exact counts and takes the argmax by a (count DESC,
+    type ASC) lexsort + run head."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("modal_type", pa.string()),
+                      ("n", pa.int64())])
+
+    def modal_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OUT.empty_table()
+        g = t.group_by(["user_id", "event_type"]).aggregate([("n", "sum")])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        n = g["n_sum"].to_numpy(zero_copy_only=False)
+        tcode, tuniq = pd.factorize(pd.Series(et), sort=True)
+        order = np.lexsort((tcode, -n, uid))
+        uid, tcode, n = uid[order], tcode[order], n[order]
+        starts, _ends = run_boundaries(uid)
+        return pa.table({"user_id": pa.array(uid[starts], pa.int64()),
+                         "modal_type": pa.array(tuniq[tcode[starts]], pa.string()),
+                         "n": pa.array(n[starts], pa.int64())})
+
+    return hash_partitioned(
+        ds.map_batches(pre, batch_format="pyarrow"),
+        lambda t: _key_arrays(t, ["user_id"]), modal_part, num_parts=32,
+    ).sort("user_id")
+
+
+# ---- correlation matrix over aggregated series, exact numerators ----
+def q_type_correlation_matrix(sf_dir: str) -> rd.Dataset:
+    """Pairwise Pearson building blocks between event types' HOURLY count
+    series — the cross-series correlation matrix, float-free: for every
+    unordered type pair output n (common hour count over the full hour
+    span), sum_x, sum_y, sum_xy, sum_xx, sum_yy; corr = (n*sxy - sx*sy) /
+    sqrt((n*sxx - sx^2)(n*syy - sy^2)) is one float the ANALYST takes —
+    the engine and oracle compare only integers.  Plan: one partial pass
+    folds events to (hour, type) counts; the driver pivots the O(hours x
+    types) cells (bounded: the series is itself an aggregate) and forms
+    the 15 pair rows.  Missing (hour, type) cells count 0 — the hour
+    domain is the union of observed hours."""
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        HOUR = 3_600_000_000
+        g = pa.table({"hour": pa.array((ts // HOUR), pa.int64()),
+                      "event_type": t["event_type"]}).group_by(
+            ["hour", "event_type"]).aggregate([([], "count_all")])
+        return g.rename_columns(["hour", "event_type", "n"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(hours x types) cells per block
+    pdf = pdf.groupby(["hour", "event_type"], as_index=False)["n"].sum()
+    piv = pdf.pivot(index="hour", columns="event_type", values="n").fillna(0).astype(np.int64)
+    types = sorted(piv.columns)
+    rows = []
+    nh = len(piv)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            x = piv[a].to_numpy(np.int64)
+            y = piv[b].to_numpy(np.int64)
+            rows.append((a, b, nh, int(x.sum()), int(y.sum()),
+                         int((x * y).sum()), int((x * x).sum()), int((y * y).sum())))
+    cols = list(zip(*rows)) if rows else [[]] * 8
+    out = pa.table({
+        "type_a": pa.array(cols[0], pa.string()),
+        "type_b": pa.array(cols[1], pa.string()),
+        "n": pa.array(cols[2], pa.int64()),
+        "sum_x": pa.array(cols[3], pa.int64()),
+        "sum_y": pa.array(cols[4], pa.int64()),
+        "sum_xy": pa.array(cols[5], pa.int64()),
+        "sum_xx": pa.array(cols[6], pa.int64()),
+        "sum_yy": pa.array(cols[7], pa.int64()),
+    })
+    return rd.from_arrow(out)
