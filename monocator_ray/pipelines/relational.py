@@ -5496,7 +5496,10 @@ def q_part_stock_floor(sf_dir: str) -> rd.Dataset:
         cum = cs - base[run_idx]  # segmented cumsum
         # segmented cummin via per-run offset + global accumulate: offsets
         # must DECREASE with run index so a minimum can never leak forward
-        # from an earlier run (earlier runs sit strictly higher)
+        # from an earlier run (earlier runs sit strictly higher).  Bound:
+        # n_runs * 2^40 must stay under 2^63 -> < 2^23 (~8M) parts per
+        # partition; size num_parts up before that binds (|cum| < 2^40
+        # holds for any real ledger: quantities are < 2^10 per row)
         OFF = np.int64(1) << 40
         off = (np.int64(len(starts)) - run_idx) * OFF
         shifted = cum + off
