@@ -52,3 +52,61 @@ def sized_read_parquet(paths, columns: list[str] | None = None, **kwargs) -> rd.
     if nb is not None and "override_num_blocks" not in kwargs:
         kwargs["override_num_blocks"] = nb
     return rd.read_parquet(paths, columns=columns, **kwargs)
+
+
+def read_parquet_union(paths, columns: list[str] | None = None) -> "rd.Dataset":
+    """Read parquet files whose schemas EVOLVED across snapshots (columns
+    added/dropped over time) as one Dataset over the UNION schema —
+    missing columns null-filled, matching names cast to a common type
+    (the wider of the observed types via Arrow's unify).  Plain
+    ``read_parquet`` over such a mix misaligns or errors; incremental
+    pipelines (fpstore/aggstore-era snapshots, crawl epochs with added
+    feature columns) hit this the moment a schema gains a field.
+
+    Plan: schemas come from footer METADATA only (no data read); files
+    group by schema fingerprint; each group reads via
+    :func:`sized_read_parquet` (block policy intact, column pruning
+    pushed down per group to the columns that group HAS); one
+    ``map_batches`` per group aligns to the union schema; groups union.
+    The align step is zero-copy for present columns (selection +
+    null-array appends only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    plist = sorted([paths] if isinstance(paths, (str, os.PathLike)) else list(paths))
+    if not plist:
+        raise ValueError("read_parquet_union: no paths")
+    groups: dict[tuple, list[str]] = {}
+    schemas: dict[tuple, "pa.Schema"] = {}
+    for p in plist:
+        sch = pq.read_schema(p)
+        key = tuple((n, str(sch.field(n).type)) for n in sch.names)
+        groups.setdefault(key, []).append(str(p))
+        schemas[key] = sch
+    # union schema: field order = first appearance across sorted paths;
+    # conflicting types unify via Arrow (raises on irreconcilable ones —
+    # surfacing the conflict beats silently casting)
+    union = pa.unify_schemas(list(schemas.values()))
+    if columns is not None:
+        union = pa.schema([union.field(c) for c in columns])
+    union_names = list(union.names)
+
+    out = None
+    for key, files in groups.items():
+        have = {n for n, _t in key}
+        cols = [c for c in union_names if c in have]
+        ds = sized_read_parquet(files, columns=cols or None)
+        target = union  # closure-captured; ships by value with the fn
+
+        def align(t: "pa.Table", _target=target) -> "pa.Table":
+            arrays = []
+            for f in _target:
+                if f.name in t.column_names:
+                    arrays.append(t[f.name].cast(f.type))
+                else:
+                    arrays.append(pa.nulls(t.num_rows, f.type))
+            return pa.Table.from_arrays(arrays, schema=_target)
+
+        ds = ds.map_batches(align, batch_format="pyarrow")
+        out = ds if out is None else out.union(ds)
+    return out

@@ -166,3 +166,38 @@ def test_ivf_store_incremental_ingest(tmp_path, ray_session):
     assert added2 == 3
     gens = {f for f in os.listdir(store) if "-g100-" in f}
     assert gens, "next gen should be 100 (max present 99 + 1)"
+
+
+def test_read_parquet_union_schema_evolution(ray_session, tmp_path):
+    """Snapshots whose schema gained a column read as ONE dataset over the
+    union schema: missing columns null-filled, present ones value-exact,
+    column pruning still honored."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from monocator_ray.sources.tables import read_parquet_union
+
+    old = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "v": pa.array([10.0, 20.0], pa.float64())})
+    new = pa.table({"id": pa.array([3, 4], pa.int64()),
+                    "v": pa.array([30.0, 40.0], pa.float64()),
+                    "lang": pa.array(["en", "nl"], pa.string())})
+    pq.write_table(old, tmp_path / "a_old.parquet")
+    pq.write_table(new, tmp_path / "b_new.parquet")
+
+    ds = read_parquet_union([str(tmp_path / "a_old.parquet"),
+                             str(tmp_path / "b_new.parquet")])
+    df = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "v", "lang"]
+    assert df["id"].tolist() == [1, 2, 3, 4]
+    assert df["lang"].tolist()[:2] == [None, None]
+    assert df["lang"].tolist()[2:] == ["en", "nl"]
+
+    # column pruning over the union schema
+    ds2 = read_parquet_union([str(tmp_path / "a_old.parquet"),
+                              str(tmp_path / "b_new.parquet")],
+                             columns=["id", "lang"])
+    df2 = ds2.to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df2.columns) == ["id", "lang"]
+    assert df2["lang"].tolist() == [None, None, "en", "nl"]
