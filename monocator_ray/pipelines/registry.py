@@ -3164,4 +3164,14 @@ REGISTRY: dict = {
         FROM j GROUP BY type_a, type_b ORDER BY type_a, type_b
         """,
     ),
+    # schema-evolution hop: split-write + union-read pinned to the base table
+    "schema_evolution_counts": (
+        R.q_schema_evolution_counts,
+        """
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(props) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+                 AS n_props
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
 }

@@ -5601,3 +5601,72 @@ def q_type_correlation_matrix(sf_dir: str) -> rd.Dataset:
         "sum_yy": pa.array(cols[7], pa.int64()),
     })
     return rd.from_arrow(out)
+
+
+# ---- schema-evolution hop: split-write, union-read, same oracle ----
+def q_schema_evolution_counts(sf_dir: str) -> rd.Dataset:
+    """Per-type event counts through a SCHEMA-EVOLUTION hop: the events
+    table splits into two parquet snapshots — the "old" half (odd
+    event_id) written WITHOUT the props column, the "new" half (even)
+    with it — then ``sources.tables.read_parquet_union`` reads both as
+    one Dataset over the union schema (props null-filled for the old
+    half) and aggregates (n, n_props).  The oracle computes the same
+    numbers straight off the base table (props counted only where
+    event_id is even), so the whole write -> union-read -> aggregate hop
+    is value-pinned — the token_stats_csv same-oracle-through-a-hop
+    pattern applied to schema evolution.  Staging is PID-keyed under
+    /tmp (single-node sandbox; multi-node needs a shared path, the
+    csvio NODE-LOCALITY caveat)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as _pq
+
+    from monocator_ray.sources.tables import read_parquet_union
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    base = os.path.join(
+        "/tmp",
+        f"monocator_schemaev_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+
+    def write_split(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        even = t.filter(pa.array(eid % 2 == 0)).select(["event_type", "props"])
+        odd = t.filter(pa.array(eid % 2 == 1)).select(["event_type"])
+        import uuid
+
+        tag = uuid.uuid4().hex[:12]
+        if even.num_rows:
+            tmp = os.path.join(base, f".tmp_new_{tag}")
+            _pq.write_table(even, tmp)
+            os.replace(tmp, os.path.join(base, f"new_{tag}.parquet"))
+        if odd.num_rows:
+            tmp = os.path.join(base, f".tmp_old_{tag}")
+            _pq.write_table(odd, tmp)
+            os.replace(tmp, os.path.join(base, f"old_{tag}.parquet"))
+        return pa.table({"n": pa.array([t.num_rows], pa.int64())})
+
+    # drain the write pass (bounded: one scalar per block)
+    ds.map_batches(write_split, batch_format="pyarrow").to_pandas()
+    files = [os.path.join(base, f) for f in sorted(os.listdir(base))
+             if f.endswith(".parquet")]
+    uni = read_parquet_union(files)
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = pa.table({"event_type": t["event_type"],
+                      "has_props": pc.cast(pc.is_valid(t["props"]), pa.int64())}
+                     ).group_by("event_type").aggregate(
+            [([], "count_all"), ("has_props", "sum")])
+        return g.rename_columns(["event_type", "n", "n_props"])
+
+    pdf = (uni.map_batches(agg, batch_format="pyarrow")
+           .to_pandas())  # bounded: O(types) cells per block
+    pdf = (pdf.groupby("event_type", as_index=False).sum()
+           .sort_values("event_type").reset_index(drop=True))
+    out = pa.table({"event_type": pa.array(pdf["event_type"], pa.string()),
+                    "n": pa.array(pdf["n"], pa.int64()),
+                    "n_props": pa.array(pdf["n_props"], pa.int64())})
+    return rd.from_arrow(out)
