@@ -5625,6 +5625,27 @@ def q_schema_evolution_counts(sf_dir: str) -> rd.Dataset:
     from monocator_ray.sources.tables import read_parquet_union
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "props"])
+    # reap other processes' stale staging (the q_crawl_flagship hygiene:
+    # only dead owners, only idle > 2h)
+    import time as _time
+
+    for d in os.listdir("/tmp"):
+        if not d.startswith("monocator_schemaev_"):
+            continue
+        p = os.path.join("/tmp", d)
+        try:
+            pid = int(d.split("_")[2])
+            try:
+                os.kill(pid, 0)
+                continue  # owner alive
+            except ProcessLookupError:
+                pass
+            except PermissionError:
+                continue
+            if _time.time() - os.path.getmtime(p) > 7200:
+                shutil.rmtree(p, ignore_errors=True)
+        except (OSError, ValueError, IndexError):
+            pass
     base = os.path.join(
         "/tmp",
         f"monocator_schemaev_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}",
