@@ -5670,8 +5670,7 @@ def q_schema_evolution_counts(sf_dir: str) -> rd.Dataset:
             os.replace(tmp, os.path.join(base, f"old_{tag}.parquet"))
         return pa.table({"n": pa.array([t.num_rows], pa.int64())})
 
-    # drain the write pass (bounded: one scalar per block)
-    ds.map_batches(write_split, batch_format="pyarrow").to_pandas()
+    ds.map_batches(write_split, batch_format="pyarrow").to_pandas()  # bounded: 1 scalar per block (write-pass drain)
     files = [os.path.join(base, f) for f in sorted(os.listdir(base))
              if f.endswith(".parquet")]
     uni = read_parquet_union(files)
