@@ -3174,4 +3174,25 @@ REGISTRY: dict = {
         FROM events GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # TPC-H Q10: returned-item revenue ranking with customer details
+    "returned_item_ranking": (
+        R.q_returned_item_ranking,
+        """
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT)
+                   AS revenue_cpc
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_returnflag = 'R'
+            AND o_orderdate >= TIMESTAMP '1995-10-01'
+            AND o_orderdate <  TIMESTAMP '1996-01-01'
+          GROUP BY o_custkey)
+        SELECT c_custkey, c_name, revenue_cpc,
+               CAST(ROUND(c_acctbal*100) AS BIGINT) AS acctbal_cents, n_name
+        FROM rev JOIN customer ON o_custkey = c_custkey
+                 JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY revenue_cpc DESC, c_custkey LIMIT 20
+        """,
+    ),
 }

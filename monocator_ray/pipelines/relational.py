@@ -5690,3 +5690,81 @@ def q_schema_evolution_counts(sf_dir: str) -> rd.Dataset:
                     "n": pa.array(pdf["n"], pa.int64()),
                     "n_props": pa.array(pdf["n_props"], pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- TPC-H Q10 shape: returned-item customer ranking ----
+def q_returned_item_ranking(sf_dir: str, k: int = 20) -> rd.Dataset:
+    """Top-20 customers by revenue lost to returns for orders placed in
+    1995Q4 (TPC-H Q10).  Plan: lineitem filters to returnflag='R' and
+    pre-aggregates BY ORDERKEY before the only fact exchange (the orders
+    join, itself pre-filtered to the quarter so the join's right side is
+    ~1/24th of orders); per-customer exact sums via one hash partition
+    with LOCAL top-k inside each (driver merges O(parts x k) candidate
+    rows, the q_top_terms discipline); the 20 winners' attributes come
+    from a key-filtered parquet read of the customer dim + the nation
+    broadcast — at true fact scale that lookup becomes a 20-key
+    semi-join, the stated swap."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
+        r = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()),
+                        pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                                     pa.scalar(100.0))), pa.int64())),
+        )
+        g = pa.table({"l_orderkey": t["l_orderkey"], "r": r}).group_by(
+            "l_orderkey").aggregate([("r", "sum")])
+        return g.rename_columns(["l_orderkey", "r"])
+
+    lo = pa.scalar(np.datetime64("1995-10-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-01-01", "us"))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                             pc.less(t["o_orderdate"], hi)))
+        return t.select(["o_orderkey", "o_custkey"])
+
+    j = li.map_batches(li_partial, batch_format="pyarrow").join(
+        orders.map_batches(o_filter, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        g = t.select(["o_custkey", "r"]).group_by("o_custkey").aggregate(
+            [("r", "sum")]).rename_columns(["o_custkey", "revenue_cpc"])
+        df = g.to_pandas().sort_values(["revenue_cpc", "o_custkey"],
+                                       ascending=[False, True],
+                                       kind="mergesort").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    cand = hash_partitioned(
+        j, lambda t: _key_arrays(t, ["o_custkey"]), topk_part, num_parts=32,
+    ).to_pandas()  # bounded: O(parts x k) local-topk candidates
+    cand = cand.sort_values(["revenue_cpc", "o_custkey"],
+                            ascending=[False, True], kind="mergesort").head(k)
+    import pyarrow.dataset as pads
+
+    winners = cand["o_custkey"].to_numpy(np.int64)
+    ctab = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filter=pads.field("c_custkey").isin(winners.tolist()),
+    ).to_pandas()  # bounded: k winner rows (key-filtered dim read)
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()  # bounded: dimension table
+    out = cand.merge(ctab, left_on="o_custkey", right_on="c_custkey")
+    out = out.merge(nation[["n_nationkey", "n_name"]],
+                    left_on="c_nationkey", right_on="n_nationkey")
+    out["acctbal_cents"] = (out["c_acctbal"] * 100).round().astype(np.int64)
+    out = out.sort_values(["revenue_cpc", "o_custkey"],
+                          ascending=[False, True], kind="mergesort")
+    t = pa.table({"c_custkey": pa.array(out["o_custkey"], pa.int64()),
+                  "c_name": pa.array(out["c_name"], pa.string()),
+                  "revenue_cpc": pa.array(out["revenue_cpc"], pa.int64()),
+                  "acctbal_cents": pa.array(out["acctbal_cents"], pa.int64()),
+                  "n_name": pa.array(out["n_name"], pa.string())})
+    return rd.from_arrow(t)
