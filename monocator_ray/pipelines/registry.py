@@ -3195,4 +3195,8 @@ REGISTRY: dict = {
         ORDER BY revenue_cpc DESC, c_custkey LIMIT 20
         """,
     ),
+    # sketch-valued incremental view: HLL blobs folded by register max
+    # (rows-only: the estimate has no SQL form; register-identity and
+    # accuracy pinned in tests/test_stores-family tests)
+    "incremental_hll_users": (R.q_incremental_hll_users, None),
 }

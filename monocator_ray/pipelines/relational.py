@@ -5768,3 +5768,50 @@ def q_returned_item_ranking(sf_dir: str, k: int = 20) -> rd.Dataset:
                   "acctbal_cents": pa.array(out["acctbal_cents"], pa.int64()),
                   "n_name": pa.array(out["n_name"], pa.string())})
     return rd.from_arrow(t)
+
+
+# ---- sketch-valued incremental view: HLL distinct users per type ----
+def q_incremental_hll_users(sf_dir: str) -> rd.Dataset:
+    """Incrementally-maintained approximate distinct-user view: the events
+    table ingests as TWO increments (event_id parity split) of per-type
+    HLL sketches into a persistent aggstore, and the view read folds the
+    generations by register max — O(increment) refresh work where the
+    exact view would re-scan the corpus (rows-only: the estimate has no
+    SQL form; tests/test_stores pins two-increment == one-shot as
+    REGISTER-IDENTICAL bytes and the estimate within 5% of exact).
+    Output: (event_type, est_users) with the estimate floored to int64 —
+    deterministic, so the driver's stability check holds."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.aggstore import ingest_hll_partials, read_merged
+    from monocator_ray.state.hll import HLL
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "user_id"])
+
+    def hashed(t: pa.Table) -> pa.Table:
+        # NOTE: hash_str64 comes from the module-level import — a nested
+        # `from monocator_ray...` here would EXECUTE on workers and die
+        # under the real driver (ROUND_NOTES hard-won fact #4)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        h = hash_str64([str(u) for u in uid.tolist()])
+        return pa.table({"event_id": t["event_id"], "event_type": t["event_type"],
+                         "uh": pa.array(h.view(np.int64), pa.int64())})
+
+    hd = ds.map_batches(hashed, batch_format="pyarrow")
+    store = f"/tmp/monocator_hllview_{os.getpid()}_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(store, ignore_errors=True)
+    def _parity(par):
+        def fn(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(eid % 2 == par))
+        return fn
+
+    for parity in (0, 1):
+        inc = hd.map_batches(_parity(parity), batch_format="pyarrow")
+        ingest_hll_partials(inc, store, ["event_type"], "uh", "hll_users")
+    view = read_merged(store, ["event_type"])
+    est = [int(HLL.loads(b).estimate()) for b in view["hll_users"]]
+    out = pa.table({"event_type": pa.array(view["event_type"], pa.string()),
+                    "est_users": pa.array(est, pa.int64())})
+    return rd.from_arrow(out)

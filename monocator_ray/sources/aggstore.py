@@ -32,7 +32,8 @@ from monocator_ray.stages.grouped import driver_grouped_agg
 from monocator_ray.sources.storelock import locked_writer
 
 # fold rule per non-key column, by name prefix convention
-_FOLDS = {"n_": "sum", "total_": "sum", "sum_": "sum", "max_": "max", "min_": "min"}
+_FOLDS = {"n_": "sum", "total_": "sum", "sum_": "sum", "max_": "max", "min_": "min",
+          "hll_": "hll"}
 
 
 def _fold_of(col: str) -> str:
@@ -91,7 +92,8 @@ def _live_files(store_dir: str) -> list[str]:
 def _fold_files(files: list[str], key_cols: list[str]) -> pd.DataFrame:
     frames = [pq.read_table(f).to_pandas() for f in files]
     allp = pd.concat(frames, ignore_index=True)
-    how = {c: _fold_of(c) for c in allp.columns if c not in key_cols}
+    how = {c: (_merge_hll_blobs if _fold_of(c) == "hll" else _fold_of(c))
+           for c in allp.columns if c not in key_cols}
     out = allp.groupby(key_cols, as_index=False).agg(how)
     return out.sort_values(key_cols).reset_index(drop=True)
 
@@ -141,3 +143,76 @@ def compact(store_dir: str, key_cols: list[str]) -> int:
             except OSError:
                 pass
     return len(merged)
+
+
+# ---- sketch-valued view columns: HLL blobs folded by register max ----
+# ``hll_``-prefixed columns hold serialized HLL sketches (state/hll.py
+# dumps(): 1 p-byte + 2^p registers).  Their fold is the HLL merge —
+# elementwise register max — which is associative/commutative/idempotent,
+# so (ingest A; ingest B; read) is REGISTER-IDENTICAL to one-shot over
+# A ∪ B (stronger than the estimate agreeing: the bytes are equal).
+
+def _merge_hll_blobs(blobs) -> bytes:
+    import numpy as np
+
+    it = [b for b in blobs if b is not None]
+    if not it:
+        return b""
+    p = it[0][0]
+    regs = np.zeros(1 << p, dtype=np.uint8)
+    for b in it:
+        assert b[0] == p, "mixed HLL precisions in one view column"
+        np.maximum(regs, np.frombuffer(b[1:], dtype=np.uint8), out=regs)
+    return bytes([p]) + regs.tobytes()
+
+
+@locked_writer
+def ingest_hll_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
+                        hash_col: str, out_col: str, p: int = 12) -> pd.DataFrame:
+    """Aggregate one increment into per-group HLL sketch blobs and append
+    it as a committed generation (the sketch analog of
+    :func:`ingest_partials` — distinct-count views whose exact form would
+    need the full key set per group).  ``hash_col`` must be uint64/int64
+    pre-hashed values (hash once at the source, the q_hll_user_counts
+    discipline); ``out_col`` must carry the ``hll_`` prefix so
+    ``read_merged`` folds it by register max.  Per-batch partial rows are
+    O(groups) x (2^p + 1) bytes — the broadcastable-vertex-state bound
+    (4 KB/group at p=12)."""
+    import numpy as np
+
+    from monocator_ray.state.hll import HLL
+
+    if not out_col.startswith("hll_"):
+        raise ValueError("sketch view columns must be 'hll_'-prefixed")
+    ensure_shipped()
+    os.makedirs(store_dir, exist_ok=True)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        keys = t.select(key_cols).to_pandas()
+        h = t[hash_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        out_keys, out_blobs = [], []
+        grouped = _pd.DataFrame({**{k: keys[k] for k in key_cols},
+                                 "_h": h}).groupby(key_cols, sort=False)
+        for gk, sub in grouped:
+            sk = HLL(p)
+            sk.add_hashes(sub["_h"].to_numpy(np.uint64))
+            out_keys.append(gk if isinstance(gk, tuple) else (gk,))
+            out_blobs.append(sk.dumps())
+        cols = {k: pa.array([ok[i] for ok in out_keys])
+                for i, k in enumerate(key_cols)}
+        cols[out_col] = pa.array(out_blobs, pa.binary())
+        return pa.table(cols)
+
+    pdf = ds.map_batches(partial, batch_format="pyarrow").to_pandas()  # bounded: O(blocks x groups) sketch partials (4KB each)
+    part = (pdf.groupby(key_cols, as_index=False)
+            .agg({out_col: _merge_hll_blobs}))
+    gens = [_gen_of(f) for f in os.listdir(store_dir)
+            if f.endswith(".parquet") and (f.startswith("run=") or f.startswith("base="))]
+    gen = max(gens) + 1 if gens else 0
+    fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
+    os.close(fd)
+    pq.write_table(pa.Table.from_pandas(part, preserve_index=False), tmp)
+    os.replace(tmp, os.path.join(store_dir, f"run={gen}.parquet"))  # commit
+    return part

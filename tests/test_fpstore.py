@@ -342,3 +342,64 @@ def test_prober_survives_concurrent_compaction_sweep(tmp_path):
     bare = _ShardProber(fences_json=json.dumps(stale))
     with pytest.raises(FileNotFoundError):
         bare(batch)
+
+
+def test_hll_view_two_increments_register_identical(ray_session, tmp_path):
+    """Sketch-valued aggstore columns: (ingest A; ingest B; read) must be
+    REGISTER-IDENTICAL to one-shot over A∪B (HLL merge is associative,
+    commutative, idempotent), the estimate within 5% of exact, and
+    compact() must preserve the bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data as rd
+    from monocator_ray.sources.aggstore import (
+        compact, ingest_hll_partials, read_merged,
+    )
+    from monocator_ray.state.hll import HLL
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    keys = rng.choice(["a", "b"], n)
+    users = rng.integers(0, 3000, n)
+    from monocator_ray.hashing import hash_str64
+
+    h = hash_str64([str(u) for u in users.tolist()]).view(np.int64)
+    tbl = pa.table({"k": pa.array(keys), "uh": pa.array(h, pa.int64()),
+                    "i": pa.array(np.arange(n), pa.int64())})
+
+    inc_store = str(tmp_path / "inc")
+    one_store = str(tmp_path / "one")
+    ds = rd.from_arrow(tbl)
+    def _par(par):
+        def fn(t):
+            import numpy as _np
+            i = t["i"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(i % 2 == par))
+        return fn
+
+    ingest_hll_partials(ds.map_batches(_par(0), batch_format="pyarrow"),
+                        inc_store, ["k"], "uh", "hll_u")
+    ingest_hll_partials(ds.map_batches(_par(1), batch_format="pyarrow"),
+                        inc_store, ["k"], "uh", "hll_u")
+    ingest_hll_partials(ds, one_store, ["k"], "uh", "hll_u")
+
+    v_inc = read_merged(inc_store, ["k"])
+    v_one = read_merged(one_store, ["k"])
+    assert list(v_inc["k"]) == list(v_one["k"])
+    for a, b in zip(v_inc["hll_u"], v_one["hll_u"]):
+        assert a == b  # bytes equal, not just estimates
+
+    # accuracy: within 5% of the exact distinct count per key
+    import pandas as pd
+
+    exact = pd.DataFrame({"k": keys, "u": users}).groupby("k")["u"].nunique()
+    for krow, blob in zip(v_inc["k"], v_inc["hll_u"]):
+        est = HLL.loads(blob).estimate()
+        assert abs(est - exact[krow]) / exact[krow] < 0.05
+
+    # compaction preserves the registers
+    compact(inc_store, ["k"])
+    v_c = read_merged(inc_store, ["k"])
+    for a, b in zip(v_c["hll_u"], v_one["hll_u"]):
+        assert a == b

@@ -36,8 +36,12 @@ def test_queries_run_from_foreign_driver_script(tmp_path):
         # binary stage (media), a cached-task stage + semi-join over crawl
         # artifacts (screenshot), a hash_partitioned key closure
         # (watermark_windows), and a groupby/aggregate relational query
+        # incremental_hll_users: a sketch-ingest stage whose batch fn once
+        # carried a nested `from monocator_ray...` (the third instance of
+        # this bug class, caught by foreign rehearsal in round-4 session 4)
         for name in ("media_metadata", "screenshot_digests",
-                     "watermark_windows", "event_stats"):
+                     "watermark_windows", "event_stats",
+                     "incremental_hll_users"):
             r = q[name]("/root/testdata/sf0.001")
             t = r.to_pandas() if hasattr(r, "to_pandas") else r
             assert len(t) > 0, name
