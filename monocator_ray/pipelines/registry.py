@@ -2761,8 +2761,8 @@ REGISTRY: dict = {
         """,
     ),
     # ordered-sequence funnel: each stage requires a STRICTLY later event
-    "event_funnel": (
-        R.q_event_funnel,
+    "ordered_funnel": (
+        R.q_ordered_funnel,
         """
         WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
                    WHERE event_type = 'view' GROUP BY user_id),
@@ -2777,22 +2777,6 @@ REGISTRY: dict = {
           UNION ALL
           SELECT '3_purchase', CAST(COUNT(*) AS BIGINT) FROM p)
         ORDER BY stage
-        """,
-    ),
-    # retention triangle: first-event-week cohorts x week offset
-    "retention_cohorts": (
-        R.q_retention_cohorts,
-        """
-        WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
-                   FROM events GROUP BY user_id),
-        x AS (SELECT DISTINCT e.user_id, cohort,
-                 (CAST(date_trunc('week', ts) AS DATE) - CAST(cohort AS DATE)) // 7
-                   AS offset_w
-              FROM events e JOIN f USING (user_id))
-        SELECT CAST(cohort AS TIMESTAMP) AS cohort_week,
-               CAST(offset_w AS BIGINT) AS offset_w,
-               CAST(COUNT(*) AS BIGINT) AS n_users
-        FROM x GROUP BY cohort, offset_w ORDER BY cohort, offset_w
         """,
     ),
     # Heaps-law curve: cumulative bigram vocabulary per 25-doc prefix

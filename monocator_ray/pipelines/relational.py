@@ -4837,7 +4837,7 @@ def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
 
 
 # ---- ordered-sequence funnel: view -> click -> purchase ----
-def q_event_funnel(sf_dir: str) -> rd.Dataset:
+def q_ordered_funnel(sf_dir: str) -> rd.Dataset:
     """Strictly-ordered three-stage funnel (view -> later click -> later
     purchase): how many users reach each stage.  The sequence constraint
     is what separates this from a per-type distinct count — a click
@@ -4885,57 +4885,6 @@ def q_event_funnel(sf_dir: str) -> rd.Dataset:
                     "n_users": pa.array(pdf["n_users"], pa.int64())})
     return rd.from_arrow(out)
 
-
-# ---- retention cohorts: signup month x month offset ----
-def q_retention_cohorts(sf_dir: str) -> rd.Dataset:
-    """Classic retention triangle: users grouped by FIRST-event week
-    (their cohort), counted distinct in every later week offset they
-    were active (weeks, not months — the events table spans ~one month,
-    so a monthly triangle would be a single cell at every sf).  Plan:
-    one user-hash partition holds each user's whole history, so the
-    cohort week is partition-local (no global pass); events fold to
-    distinct (user, cohort, offset) via np.unique on a packed int
-    (user_idx << 24 | cohort_week << 12 | offset), then each partition
-    emits O(weeks^2) cell counts and the driver folds them.  Week
-    arithmetic is Monday-aligned ((days + 3) // 7 — epoch day 0 is a
-    Thursday), identical to DuckDB's date_trunc('week')."""
-    ds = _read(sf_dir, "events", ["user_id", "ts"])
-
-    _OUT = pa.schema([("cohort_week", pa.timestamp("us")), ("offset_w", pa.int64()),
-                      ("n_users", pa.int64())])
-
-    def cohort_part(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return _OUT.empty_table()
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        ts = t["ts"].to_numpy(zero_copy_only=False)
-        days = ts.astype("datetime64[D]").astype(np.int64)
-        week = (days + 3) // 7  # Monday-aligned weeks since 1969-12-29
-        uniq, idx = np.unique(uid, return_inverse=True)
-        first = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
-        np.minimum.at(first, idx, week)
-        offset = week - first[idx]
-        # distinct (user, cohort, offset) -> count per (cohort, offset)
-        packed = (idx.astype(np.int64) << 24) | (first[idx] << 12) | offset
-        packed = np.unique(packed)
-        cell = packed & ((1 << 24) - 1)  # (cohort << 12) | offset
-        cells, counts = np.unique(cell, return_counts=True)
-        cohort_w = ((cells >> 12) * 7 - 3).astype("datetime64[D]").astype("datetime64[us]")
-        return pa.table({
-            "cohort_week": pa.array(cohort_w, pa.timestamp("us")),
-            "offset_w": pa.array((cells & 0xFFF).astype(np.int64), pa.int64()),
-            "n_users": pa.array(counts.astype(np.int64), pa.int64()),
-        })
-
-    pdf = hash_partitioned(
-        ds, lambda t: _key_arrays(t, ["user_id"]), cohort_part, num_parts=32,
-    ).to_pandas()  # bounded: O(weeks^2) cells per partition
-    pdf = (pdf.groupby(["cohort_week", "offset_w"], as_index=False)["n_users"].sum()
-           .sort_values(["cohort_week", "offset_w"]).reset_index(drop=True))
-    out = pa.table({"cohort_week": pa.array(pdf["cohort_week"], pa.timestamp("us")),
-                    "offset_w": pa.array(pdf["offset_w"], pa.int64()),
-                    "n_users": pa.array(pdf["n_users"], pa.int64())})
-    return rd.from_arrow(out)
 
 
 # ---- hopping (sliding) windows: 10-min windows every 5 min ----
