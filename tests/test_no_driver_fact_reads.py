@@ -96,3 +96,38 @@ def test_driver_collects_carry_written_bounds():
         "contract (state the O(.) bound or distribute the step):\n"
         + "\n".join(hits)
     )
+
+
+def test_registry_has_no_duplicate_keys_or_shadowed_defs():
+    """A duplicate key in the REGISTRY dict literal silently REPLACES the
+    older query, and a same-named ``def q_*`` later in a pipelines module
+    shadows the earlier function for every registry entry referencing it
+    (both happened in round-4 session 4: event_funnel).  Python can't see
+    either at runtime — the dict/module already collapsed — so check the
+    SOURCE with ast."""
+    import ast
+    import collections
+
+    reg_src = open(os.path.join(PIPE_DIR, "registry.py"), encoding="utf-8").read()
+    tree = ast.parse(reg_src)
+    dict_keys: list[str] = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "REGISTRY" for t in node.targets
+        ):
+            assert isinstance(node.value, ast.Dict)
+            for k in node.value.keys:
+                assert isinstance(k, ast.Constant)
+                dict_keys.append(k.value)
+    dupes = [k for k, c in collections.Counter(dict_keys).items() if c > 1]
+    assert not dupes, f"duplicate REGISTRY keys (later silently wins): {dupes}"
+
+    for fname in sorted(os.listdir(PIPE_DIR)):
+        if not fname.endswith(".py"):
+            continue
+        src = open(os.path.join(PIPE_DIR, fname), encoding="utf-8").read()
+        mod = ast.parse(src)
+        names = [n.name for n in mod.body
+                 if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]
+        dupes = [k for k, c in collections.Counter(names).items() if c > 1]
+        assert not dupes, f"{fname}: shadowed module-level defs: {dupes}"
