@@ -212,6 +212,38 @@ BENCH_QUERIES = [
     "mg_top_terms",
     "value_bag_ops",
     "rolling_distinct_types",
+    # round-4 session-4: TPC-H completion, event analytics, docs/graph,
+    # schema evolution, sketch views
+    "market_share",
+    "order_count_distribution",
+    "promo_revenue_share",
+    "top_supplier",
+    "small_quantity_revenue",
+    "disjunctive_revenue",
+    "global_sales_opportunity",
+    "product_type_profit",
+    "returned_item_ranking",
+    "ordered_funnel",
+    "purchase_latency",
+    "hopping_window_counts",
+    "hourly_ohlc",
+    "time_weighted_value",
+    "rolling_anomalies",
+    "user_type_signature",
+    "user_modal_type",
+    "user_top3_values",
+    "type_dow_contingency",
+    "weekly_revenue_delta",
+    "customer_decile_lift",
+    "part_stock_floor",
+    "type_correlation_matrix",
+    "part_hierarchy_rollup",
+    "vocab_growth",
+    "rag_chunking",
+    "local_clustering",
+    "k_core",
+    "schema_evolution_counts",
+    "incremental_hll_users",
 ]
 
 
