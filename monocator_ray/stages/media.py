@@ -1344,6 +1344,10 @@ class PureCodec:
             return "image/gif"
         if payload[:2] == b"BM":
             return "image/bmp"
+        if (payload[:2] == b"\x00\x00" and payload[2:4] in (b"\x01\x00", b"\x02\x00")
+                and len(payload) >= 6
+                and 1 <= int.from_bytes(payload[4:6], "little") <= 64):
+            return "image/x-icon"
         if payload[:4] in (b"II*\x00", b"MM\x00*"):
             return "image/tiff"
         if payload[:2] == b"P6":
@@ -1372,6 +1376,8 @@ class PureCodec:
             return decode_ppm(payload)
         if mime == "image/tiff":
             return decode_tiff(payload)
+        if mime == "image/x-icon":
+            return decode_ico(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: PIL)")
 
     def decode_audio(self, payload: bytes) -> tuple[np.ndarray, int]:
@@ -1856,3 +1862,77 @@ def synth_image_dup_table(n: int = 48, seed: int = 7) -> pa.Table:
             "payload": pa.array(payloads, pa.binary()),
         }
     )
+
+
+# ---- ICO/CUR (favicon) container: DIB and PNG entries ----
+def encode_ico(images: "list[np.ndarray]", png: bool = False) -> bytes:
+    """(H, W, 3) uint8 RGB frames -> ICO container.  Entries are 32-bpp
+    BI_RGB DIBs (BGRA, alpha 255, doubled-height header, all-zero AND
+    mask) or PNG streams with ``png=True`` (both allowed by the format;
+    Vista+ favicons commonly mix them)."""
+    dir_entries, payloads = [], []
+    off = 6 + 16 * len(images)
+    for img in images:
+        h, w, _ = img.shape
+        if not (1 <= w <= 256 and 1 <= h <= 256):
+            raise ValueError("ICO entries are 1..256 px per side")
+        if png:
+            body = encode_png(img)
+        else:
+            bgra = np.empty((h, w, 4), np.uint8)
+            bgra[:, :, :3] = img[:, :, ::-1]
+            bgra[:, :, 3] = 255
+            xor = bgra[::-1].tobytes()  # bottom-up, rows are 4-byte aligned
+            and_stride = ((w + 31) // 32) * 4
+            mask = b"\x00" * (and_stride * h)
+            info = struct.pack("<IiiHHIIiiII", 40, w, h * 2, 1, 32, 0,
+                               len(xor) + len(mask), 0, 0, 0, 0)
+            body = info + xor + mask
+        dir_entries.append(struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32 if not png else 0,
+            len(body), off))
+        payloads.append(body)
+        off += len(body)
+    return (struct.pack("<HHH", 0, 1, len(images))
+            + b"".join(dir_entries) + b"".join(payloads))
+
+
+def decode_ico_frames(data: bytes) -> "list[np.ndarray]":
+    """Every entry of an ICO/CUR container -> (H, W, 3) uint8 RGB frames
+    (alpha and the AND mask dropped — the decode_png convention; the
+    pipeline's features/dHash consume RGB).  Entries are PNG streams or
+    BITMAPINFOHEADER DIBs with the doubled height; 32-bpp BGRA and 24-bpp
+    BGR DIBs decode, paletted DIBs stay gated."""
+    if len(data) < 6 or data[:2] != b"\x00\x00" or data[2:4] not in (b"\x01\x00", b"\x02\x00"):
+        raise ValueError("not an ICO/CUR")
+    count = struct.unpack_from("<H", data, 4)[0]
+    out = []
+    for i in range(count):
+        _w8, _h8, _pal, _res, _p1, _p2, size, off = struct.unpack_from(
+            "<BBBBHHII", data, 6 + 16 * i)
+        body = data[off:off + size]
+        if body[:8] == _PNG_SIG:
+            out.append(decode_png(body))
+            continue
+        (hdr, w, h2, _planes, bpp, comp, _sz, _xp, _yp, _cu, _ci
+         ) = struct.unpack_from("<IiiHHIIiiII", body, 0)
+        if hdr < 40 or comp != 0:
+            raise NotImplementedError("ICO DIB: only BI_RGB BITMAPINFOHEADER")
+        if bpp not in (24, 32):
+            raise NotImplementedError(f"ICO DIB: paletted/{bpp}-bpp entries gated")
+        h = h2 // 2  # doubled height covers XOR + AND mask
+        ch = bpp // 8
+        stride = (w * ch + 3) & ~3
+        rows = np.frombuffer(body, np.uint8, count=stride * h, offset=hdr).reshape(h, stride)
+        img = rows[:, : w * ch].reshape(h, w, ch)[::-1]  # bottom-up
+        out.append(np.ascontiguousarray(img[:, :, 2::-1]))  # BGR(A) -> RGB
+    return out
+
+
+def decode_ico(data: bytes) -> np.ndarray:
+    """ICO/CUR -> the LARGEST entry as (H, W, 3) RGB (the favicon-consumer
+    convention: pick the best-resolution frame)."""
+    frames = decode_ico_frames(data)
+    if not frames:
+        raise ValueError("empty ICO")
+    return max(frames, key=lambda f: f.shape[0] * f.shape[1])

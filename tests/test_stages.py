@@ -1265,3 +1265,48 @@ def test_tiff_decode_family():
         bytes([3, 1, 3, 0, 1, 0, 0, 0, 1, 0]), bytes([3, 1, 3, 0, 1, 0, 0, 0, 2, 0]), 1)
     with _pytest.raises((NotImplementedError, ValueError)):
         decode_tiff(bytes(blob2))
+
+
+def test_ico_roundtrip_dib_and_png_entries():
+    """ICO/CUR favicon container: 32-bpp DIB and PNG entries roundtrip
+    bit-exactly, the largest frame wins decode_ico, odd widths exercise
+    the 4-byte row stride, and the 0-means-256 directory byte works."""
+    import numpy as np
+
+    from monocator_ray.stages.media import (
+        PureCodec, decode_ico, decode_ico_frames, encode_ico,
+    )
+
+    rng = np.random.default_rng(3)
+    small = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (32, 31, 3), dtype=np.uint8)  # odd width
+    ico = encode_ico([small, big])
+    assert PureCodec().sniff(ico) == "image/x-icon"
+    frames = decode_ico_frames(ico)
+    assert np.array_equal(frames[0], small) and np.array_equal(frames[1], big)
+    assert np.array_equal(decode_ico(ico), big)
+    assert np.array_equal(PureCodec().decode_image(ico), big)
+    # PNG entries (Vista+ mixed containers)
+    f2 = decode_ico_frames(encode_ico([small, big], png=True))
+    assert np.array_equal(f2[0], small) and np.array_equal(f2[1], big)
+    # 256-px edge: the directory width/height byte stores 0
+    full = rng.integers(0, 256, (256, 256, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ico(encode_ico([full])), full)
+
+
+def test_ico_paletted_dib_gated():
+    """Paletted DIB entries are a documented gate, not silent garbage."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from monocator_ray.stages.media import decode_ico_frames, encode_ico
+
+    rng = np.random.default_rng(4)
+    ico = bytearray(encode_ico([rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)]))
+    # flip the DIB's bpp field (offset: 6 dir + 16 entry + 14 into header)
+    off = 6 + 16
+    struct.pack_into("<H", ico, off + 14, 8)
+    with pytest.raises(NotImplementedError):
+        decode_ico_frames(bytes(ico))
