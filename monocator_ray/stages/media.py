@@ -1673,10 +1673,10 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         if kind == "image":
             w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
             img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
-            # rotate the five real image codecs so every decode path is
+            # rotate the six real image codecs so every decode path is
             # exercised by every consumer (PNG, GIF and JPEG real since r3,
-            # TIFF since r4)
-            variant = (i // 3) % 5
+            # TIFF and ICO since r4)
+            variant = (i // 3) % 6
             if variant == 1:
                 payloads.append(encode_png(img, filter_cycle=True))
                 mimes.append("image/png")
@@ -1696,6 +1696,12 @@ def synth_media_table(n: int = 64, seed: int = 42) -> pa.Table:
                 # TIFF goes through the LZW + horizontal-predictor path
                 payloads.append(encode_tiff(img, compression=5, predictor=2))
                 mimes.append("image/tiff")
+            elif variant == 5:
+                # favicon container: one DIB entry + one PNG entry; the
+                # largest (this img) is what decode_image returns
+                thumb = img[: max(1, img.shape[0] // 2), : max(1, img.shape[1] // 2)]
+                payloads.append(encode_ico([thumb, img], png=bool(i % 2)))
+                mimes.append("image/x-icon")
             else:
                 payloads.append(encode_bmp(img))
                 mimes.append("image/bmp")
