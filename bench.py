@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "k_core",
     "schema_evolution_counts",
     "incremental_hll_users",
+    "late_shipments",
+    "bigram_pmi",
 ]
 
 

@@ -4502,3 +4502,72 @@ def q_rag_chunking(sf_dir: str, size: int = 32, stride: int = 24) -> rd.Dataset:
 
     return ds.map_batches(chunk_batch, batch_format="pyarrow").sort(
         ["doc_id", "chunk_idx"])
+
+
+# ---- bigram PMI ranking: exact integer association score ----
+def q_bigram_pmi(sf_dir: str, k: int = 20, scale: int = 1_000_000) -> pa.Table:
+    """Top-``k`` adjacent-token bigrams by pointwise-mutual-information
+    rank — the collocation detector, made exact: PMI's log is monotone in
+    its argument P(ab)/(P(a)P(b)) = pair_n * N / (cnt_a * cnt_b), so the
+    ranking uses the integer surrogate score
+    ``(pair_n * N * scale) // (cnt_a * cnt_b)`` (the bm25 rational-idf
+    discipline; DuckDB evaluates the same floor division in HUGEINT,
+    Python's int is arbitrary-precision — no overflow at any sf).  Plan:
+    bigram counts via per-batch partials -> one bigram-hash partition ->
+    exact counts; unigram counts via the same pass's token partials; both
+    driver folds are vocabulary-bounded (O(vocab) and O(distinct
+    bigrams) <= vocab^2 — this corpus' vocabulary is fixed and tiny;
+    for an open vocabulary the top-k would ride a count floor, the
+    q_top_terms local-topk discipline)."""
+    from monocator_ray.stages.grouped import partitioned_aggregate
+
+    ensure_shipped()
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts_partial(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks = pc.split_pattern(t["text"], " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat_arr = toks.combine_chunks().flatten() if isinstance(toks, pa.ChunkedArray) else toks.flatten()
+        flat = flat_arr.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "is_bigram": pa.array([], pa.int8()),
+                             "n": pa.array([], pa.int64())})
+        ends = np.cumsum(counts)
+        valid = np.ones(len(flat), dtype=bool)
+        valid[ends - 1] = False
+        a = flat[:-1][valid[:-1]]
+        b = flat[1:][valid[:-1]]
+        bigrams = (a.astype(object) + " " + b.astype(object)) if len(a) else np.empty(0, object)
+        gu, gc = np.unique(flat, return_counts=True)
+        bu, bc = np.unique(bigrams.astype(str) if len(bigrams) else bigrams, return_counts=True)
+        return pa.table({
+            "gram": pa.array(np.concatenate([gu, bu]), pa.string()),
+            "is_bigram": pa.array(np.concatenate([np.zeros(len(gu), np.int8),
+                                                  np.ones(len(bu), np.int8)]), pa.int8()),
+            "n": pa.array(np.concatenate([gc, bc]).astype(np.int64), pa.int64()),
+        })
+
+    agg = partitioned_aggregate(
+        ds.map_batches(counts_partial, batch_format="pyarrow"),
+        ["gram", "is_bigram"], [("n", "sum")], ["gram", "is_bigram", "n"],
+        num_parts=32,
+    )
+    from monocator_ray.stages.grouped import collect_arrow
+
+    tbl = collect_arrow(agg).to_pandas()  # bounded: O(vocab + vocab^2) rows (docstring)
+    uni = dict(zip(tbl[tbl["is_bigram"] == 0]["gram"], tbl[tbl["is_bigram"] == 0]["n"]))
+    N = int(sum(uni.values()))
+    rows = []
+    for g, pn in zip(tbl[tbl["is_bigram"] == 1]["gram"], tbl[tbl["is_bigram"] == 1]["n"]):
+        t1, t2 = g.split(" ", 1)
+        score = int(pn) * N * scale // (int(uni[t1]) * int(uni[t2]))
+        rows.append((t1, t2, int(pn), score))
+    rows.sort(key=lambda r: (-r[3], r[0], r[1]))
+    rows = rows[:k]
+    cols = list(zip(*rows)) if rows else [[]] * 4
+    return pa.table({"t1": pa.array(cols[0], pa.string()),
+                     "t2": pa.array(cols[1], pa.string()),
+                     "pair_n": pa.array(cols[2], pa.int64()),
+                     "pmi_score": pa.array(cols[3], pa.int64())})

@@ -3183,4 +3183,40 @@ REGISTRY: dict = {
     # (rows-only: the estimate has no SQL form; register-identity and
     # accuracy pinned in tests/test_stores-family tests)
     "incremental_hll_users": (R.q_incremental_hll_users, None),
+    # TPC-H Q12: lateness CASE-aggregation per priority class
+    "late_shipments": (
+        R.q_late_shipments,
+        """
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'other' END AS priority_class,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(COUNT(*) FILTER (
+                 WHERE CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) > 90)
+                 AS BIGINT) AS n_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY priority_class ORDER BY priority_class
+        """,
+    ),
+    # collocations: exact-integer PMI surrogate ranking (monotone in the
+    # log argument; HUGEINT floor division both sides)
+    "bigram_pmi": (
+        D.q_bigram_pmi,
+        """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS i
+          FROM documents),
+        uni AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+        n AS (SELECT COUNT(*) AS total FROM tok),
+        bg AS (SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS pn
+               FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               GROUP BY t1, t2)
+        SELECT t1, t2, CAST(pn AS BIGINT) AS pair_n,
+               CAST((pn::HUGEINT * total * 1000000)
+                    // (ua.c::HUGEINT * ub.c) AS BIGINT) AS pmi_score
+        FROM bg JOIN uni ua ON ua.tok = t1 JOIN uni ub ON ub.tok = t2
+        CROSS JOIN n
+        ORDER BY pmi_score DESC, t1, t2 LIMIT 20
+        """,
+    ),
 }

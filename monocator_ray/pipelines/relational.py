@@ -5764,3 +5764,60 @@ def q_incremental_hll_users(sf_dir: str) -> rd.Dataset:
     out = pa.table({"event_type": pa.array(view["event_type"], pa.string()),
                     "est_users": pa.array(est, pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- TPC-H Q12 shape: lateness CASE-aggregation per priority class ----
+def q_late_shipments(sf_dir: str, late_days: int = 90) -> rd.Dataset:
+    """Per order-priority: how many lineitems shipped more than
+    ``late_days`` days after the order date, split high-priority
+    (1-URGENT/2-HIGH) vs other (TPC-H Q12's CASE-inside-aggregate over a
+    join, with the ship-mode axis mapped to this schema's lateness axis).
+    Plan: orders ships (orderkey -> (orderdate, is_high)) through the
+    partitioned join — packed as int64 days*2+flag so the join payload is
+    ONE column; each joined batch folds to O(2) partial rows; driver
+    combine."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_pack(t: pa.Table) -> pa.Table:
+        days = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+        high = np.isin(pr, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "packed": pa.array(days * 2 + high, pa.int64())})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_days(t: pa.Table) -> pa.Table:
+        days = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ship_days": pa.array(days, pa.int64())})
+
+    j = li.map_batches(li_days, batch_format="pyarrow").join(
+        orders.map_batches(o_pack, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        ship = t["ship_days"].to_numpy(zero_copy_only=False)
+        high = (packed & 1).astype(bool)
+        late = ship - (packed >> 1) > late_days
+        return pa.table({
+            "priority_class": pa.array(["high", "other"], pa.string()),
+            "n_items": pa.array([int(high.sum()), int((~high).sum())], pa.int64()),
+            "n_late": pa.array([int((late & high).sum()),
+                                int((late & ~high).sum())], pa.int64()),
+        })
+
+    pdf = (j.map_batches(fold, batch_format="pyarrow")
+           .to_pandas())  # bounded: 2 rows per block
+    pdf = (pdf.groupby("priority_class", as_index=False).sum()
+           .sort_values("priority_class").reset_index(drop=True))
+    out = pa.table({"priority_class": pa.array(pdf["priority_class"], pa.string()),
+                    "n_items": pa.array(pdf["n_items"], pa.int64()),
+                    "n_late": pa.array(pdf["n_late"], pa.int64())})
+    return rd.from_arrow(out)
