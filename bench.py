@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "concurrent_sessions",
     "region_year_matrix",
     "event_windows_orc",
+    "events_avro",
     "keyword_search_store",
     "incremental_keyword_search",
     "event_groups_frame",

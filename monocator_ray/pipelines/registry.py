@@ -1318,6 +1318,19 @@ REGISTRY: dict = {
         ORDER BY event_type, window_start
         """,
     ),
+    # Avro-hop parity: per-(user, event_type) rollup through worker-sharded
+    # self-indexed Avro OCF files (sources/avro.py) — pins timestamp-micros,
+    # double wire format and nullable unions through a real pipeline
+    "events_avro": (
+        R.q_events_avro,
+        """
+        SELECT user_id, event_type, COUNT(*) AS n,
+               SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_cents,
+               MAX(ts) AS last_ts
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+        """,
+    ),
     # GROUPS-mode window frame (1 peer group preceding + current); DuckDB
     # lacks GROUPS, so the oracle is the day-group LAG rewrite
     "event_groups_frame": (

@@ -3034,6 +3034,78 @@ def q_event_windows_orc(sf_dir: str) -> rd.Dataset:
     )
 
 
+_AVRO_EXPORTED: set[str] = set()
+
+
+def q_events_avro(sf_dir: str) -> rd.Dataset:
+    """The events-table user/value rollup through an AVRO hop — the fourth
+    source-format parity demonstration (CSV, IPC and ORC have one each):
+    (event_id, user_id, ts, event_type, value) exports to worker-sharded
+    self-indexed Avro OCF files (sources/avro.py — zigzag varints, deflate
+    codec, the vectorized lockstep decoder) and the SAME per-(user,
+    event_type) aggregation runs over the re-read, matching the
+    parquet-path oracle bit-for-bit.  The fidelity edges this pins through
+    a real pipeline: timestamp-micros logical-type round trip, double wire
+    format, nullable-union handling, and exact-integer cents derived from
+    doubles that crossed the hop.  Same PID-keyed once-per-process staging
+    as the CSV/ORC hops (MONOCATOR_CSV_DIR on multi-node)."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.avro import export_avro, read_avro_dir
+
+    ensure_shipped()
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_avro_events_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if out not in _AVRO_EXPORTED:
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        cleanup_stale_staging(base, "monocator_avro_events_", out)
+        shutil.rmtree(out, ignore_errors=True)
+        export_avro(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"]),
+            out,
+        ).materialize()
+        _AVRO_EXPORTED.add(out)
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+        ]
+    )
+    ds = read_avro_dir(out, schema=schema)
+
+    def agg_prep(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64()
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "cents": cents,
+                "ts": batch["ts"],
+            }
+        )
+
+    return (
+        ds.map_batches(agg_prep, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("cents", alias_name="sum_cents"),
+            Max("ts", alias_name="last_ts"),
+        )
+        .sort(["user_id", "event_type"])
+    )
+
+
 # ---- GROUPS-mode window frame (1 peer-group preceding + current) ----
 def q_event_groups_frame(sf_dir: str) -> rd.Dataset:
     """Per event: the summed cents of its own DAY group plus the user's

@@ -1,0 +1,655 @@
+"""Avro Object Container File sink/source (S1/S3 companion, fourth
+interchange format beside CSV / Arrow-IPC / ORC): the row-oriented
+schema'd format the Kafka / Hadoop ingestion world hands off in.  Pure
+stdlib + numpy — the container has no ``avro``/``fastavro`` package, and
+the binary encoding (Avro 1.11 spec) is small enough to do properly:
+zigzag-varint longs, length-prefixed UTF-8 / bytes, IEEE little-endian
+floats, ``["null", T]`` unions, ``timestamp-micros`` / ``timestamp-millis``
+/ ``date`` logical types, ``null`` and ``deflate`` (raw RFC 1951) codecs.
+
+Same sink discipline as ``sources/csvio.py``: each input block serializes
+ON ITS WORKER into one ``part-<hash>-<rows>.avro`` member (content-hashed
+name -> distributed, idempotent, resumable); the driver only ever sees the
+O(blocks) manifest.
+
+The interesting engineering problem is that Avro is ROW-oriented with
+data-dependent field widths (varints, length-prefixed strings), so a naive
+reader is a per-record Python loop — exactly the anti-pattern this engine
+bans in hot stages.  Two answers, both in this module:
+
+* **Self-indexing files (vectorized decode).**  Avro headers carry an
+  open metadata map and readers MUST ignore unknown keys (spec: "a file's
+  metadata ... applications may add their own"), so our exporter embeds
+  ``monocator.recindex`` — the zlib-packed ``<u8`` record-start offsets of
+  the (single) data block's uncompressed body.  The files stay 100%
+  standard Avro (any foreign reader consumes them, ignoring the key), but
+  OUR reader, given record starts, decodes columns in numpy LOCKSTEP: one
+  cursor array ``cur[n_rows]`` advances field by field; varints decode in
+  <=10 vectorized rounds (gather byte k at ``cur+k`` for still-continuing
+  rows); string/bytes bodies gather through the repeat+arange
+  variable-slice trick into Arrow offsets+values buffers; doubles gather
+  as an (n, 8)-byte matrix viewed as ``<f8``.  No Python-per-row anything.
+  The offsets come FREE on the encode side (the encoder is itself
+  vectorized and materializes per-record starts to interleave fields).
+* **Foreign files (sequential fallback).**  Files without the index (or
+  with multiple data blocks per file) decode with a plain recursive-
+  descent loop — correct for any supported schema, parallel per FILE
+  across workers (the same parallelism unit as the CSV reader), and the
+  cross-check oracle for the vectorized path in the tests.
+
+Fidelity contract (stated, not silent):
+* Supported Avro types: ``null boolean int long float double bytes
+  string``, 2-branch unions with ``null`` (either order), and the
+  ``timestamp-micros`` / ``timestamp-millis`` / ``date`` logical types.
+  Nested records / arrays / maps / enums / fixed are rejected with a clear
+  error naming the field — project or encode them first (same contract as
+  the CSV exporter's binary/nested rejection).
+* A column becomes ``["null", T]`` iff its block actually contains nulls
+  (per-block schemas may differ; the reader concatenates with promotion).
+* Timestamps round-trip exactly at us precision; ``timestamp-millis``
+  reads back as ``timestamp[ms]`` (pass ``schema=`` to cast).
+
+Scale path: one Avro data block per input Arrow block, encode and decode
+both run on workers, the driver holds only the manifest.  At 100 TB the
+read parallelism is per-file (ray.data.read_binary_files splits the
+directory across the cluster), and the vectorized decode keeps per-file
+cost a few numpy passes over the byte buffer.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from monocator_ray.shipping import ensure_shipped
+from monocator_ray.sources.csvio import _manifest, _payload_key
+
+_MAGIC = b"Obj\x01"
+_INDEX_META_KEY = "monocator.recindex"
+
+# ------------------------------------------------------------------ schema --
+
+# Arrow type -> Avro schema fragment (JSON-able).  Logical types per the
+# Avro 1.11 spec §Logical Types.
+_ARROW_TO_AVRO = {
+    pa.bool_(): "boolean",
+    pa.int32(): "int",
+    pa.int64(): "long",
+    pa.float32(): "float",
+    pa.float64(): "double",
+    pa.string(): "string",
+    pa.large_string(): "string",
+    pa.binary(): "bytes",
+    pa.large_binary(): "bytes",
+    pa.timestamp("us"): {"type": "long", "logicalType": "timestamp-micros"},
+    pa.timestamp("ms"): {"type": "long", "logicalType": "timestamp-millis"},
+    pa.date32(): {"type": "int", "logicalType": "date"},
+}
+
+
+def _avro_schema_for(table: pa.Table) -> dict:
+    fields = []
+    for i, f in enumerate(table.schema):
+        frag = _ARROW_TO_AVRO.get(f.type)
+        if frag is None:
+            raise TypeError(
+                f"column {f.name!r} has Avro-unsupported type {f.type}; "
+                "project/encode it before export_avro (or use export_ipc)"
+            )
+        if table.column(i).null_count > 0:
+            frag = ["null", frag]
+        fields.append({"name": f.name, "type": frag})
+    return {"type": "record", "name": "Row", "fields": fields}
+
+
+def _avro_to_arrow_type(frag) -> pa.DataType:
+    """Avro schema fragment -> Arrow type (sans union nullability)."""
+    if isinstance(frag, dict):
+        lt = frag.get("logicalType")
+        if lt == "timestamp-micros":
+            return pa.timestamp("us")
+        if lt == "timestamp-millis":
+            return pa.timestamp("ms")
+        if lt == "date":
+            return pa.date32()
+        frag = frag["type"]
+    prim = {
+        "boolean": pa.bool_(),
+        "int": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "bytes": pa.binary(),
+        "string": pa.string(),
+        "null": pa.null(),
+    }.get(frag)
+    if prim is None:
+        raise TypeError(f"Avro type {frag!r} not supported by this reader")
+    return prim
+
+
+def _unwrap_union(frag):
+    """-> (value_fragment, nullable, null_branch_index | None)."""
+    if isinstance(frag, list):
+        if len(frag) != 2 or "null" not in frag:
+            raise TypeError(f"only 2-branch null unions supported, got {frag!r}")
+        nb = frag.index("null")
+        return frag[1 - nb], True, nb
+    return frag, False, None
+
+
+# --------------------------------------------------------- numpy primitives --
+
+
+def _zigzag_encode(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64, copy=False)
+    return (np.left_shift(v, 1) ^ np.right_shift(v, 63)).view(np.uint64)
+
+
+def _zigzag_decode(zz: np.ndarray) -> np.ndarray:
+    one = np.uint64(1)
+    mask = (zz & one) * np.uint64(0xFFFFFFFFFFFFFFFF)
+    return ((zz >> one) ^ mask).view(np.int64)
+
+
+def _varint_lens(zz: np.ndarray) -> np.ndarray:
+    """Per-value encoded byte length of an unsigned varint (1..10)."""
+    lens = np.ones(len(zz), np.int64)
+    for k in range(1, 10):
+        lens += (zz >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return lens
+
+
+def _varint_scatter(out: np.ndarray, starts: np.ndarray, zz: np.ndarray,
+                    lens: np.ndarray) -> None:
+    """Write each zz[i] as a varint at out[starts[i]...] — vectorized over
+    rows, <=10 rounds over the byte index."""
+    seven = np.uint64(7)
+    for k in range(10):
+        m = lens > k
+        if not m.any():
+            break
+        byte = ((zz[m] >> (np.uint64(k) * seven)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (k < lens[m] - 1)
+        out[starts[m] + k] = byte | (cont.astype(np.uint8) << 7)
+
+
+def _range_index(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Flattened index for gathering/scattering n variable-length runs:
+    idx[j] enumerates starts[i] ... starts[i]+lens[i]-1 in order."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.zeros(0, np.int64)
+    ends = np.cumsum(lens)
+    chunk0 = np.concatenate(([np.int64(0)], ends[:-1]))
+    return np.repeat(starts, lens) + (np.arange(total, dtype=np.int64)
+                                      - np.repeat(chunk0, lens))
+
+
+def _varint_gather(data: np.ndarray, cur: np.ndarray):
+    """Decode one unsigned varint per row at positions ``cur`` -> (values
+    uint64, byte lengths).  <=10 vectorized rounds; rows drop out of the
+    active set as their continuation bit clears."""
+    n = len(cur)
+    out = np.zeros(n, np.uint64)
+    lens = np.zeros(n, np.int64)
+    active = np.ones(n, bool)
+    seven = np.uint64(7)
+    for k in range(10):
+        if not active.any():
+            break
+        b = data[cur[active] + k].astype(np.uint64)
+        out[active] |= (b & np.uint64(0x7F)) << (np.uint64(k) * seven)
+        done = b < np.uint64(0x80)
+        idx = np.flatnonzero(active)
+        lens[idx[done]] = k + 1
+        active[idx[done]] = False
+    if active.any():
+        raise ValueError("varint longer than 10 bytes (corrupt block)")
+    return out, lens
+
+
+# ------------------------------------------------------------------ encoder --
+
+
+def _encode_column(col: pa.ChunkedArray, frag):
+    """-> (per-row byte lengths int64[n], writer(out, starts) closure).
+
+    The writer scatters this column's per-row encoded bytes at the given
+    absolute start offsets — the block assembler interleaves fields by
+    advancing starts between columns.  All numpy, no per-row Python."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    value_frag, nullable, _ = _unwrap_union(frag)
+    n = len(arr)
+    valid = np.ones(n, bool) if arr.null_count == 0 else \
+        ~np.asarray(arr.is_null())
+    branch_lens = np.ones(n, np.int64) if nullable else np.zeros(n, np.int64)
+
+    t = arr.type
+    if pa.types.is_boolean(t):
+        body = np.asarray(arr.cast(pa.int8())).astype(np.uint8, copy=False) \
+            if arr.null_count == 0 else \
+            np.asarray(arr.fill_null(False).cast(pa.int8())).astype(np.uint8)
+        lens = np.where(valid, 1, 0) + branch_lens
+
+        def write(out, starts):
+            s = starts + branch_lens
+            out[s[valid]] = body[valid]
+
+    elif pa.types.is_integer(t) or pa.types.is_timestamp(t) or pa.types.is_date(t):
+        ints = np.asarray(arr.cast(pa.int64()).fill_null(0)).astype(np.int64)
+        zz = _zigzag_encode(ints)
+        vlens = _varint_lens(zz)
+        lens = np.where(valid, vlens, 0) + branch_lens
+
+        def write(out, starts):
+            s = (starts + branch_lens)[valid]
+            _varint_scatter(out, s, zz[valid], vlens[valid])
+
+    elif pa.types.is_floating(t):
+        width = 4 if pa.types.is_float32(t) else 8
+        floats = np.asarray(arr.fill_null(0.0))
+        body = floats.astype("<f4" if width == 4 else "<f8").view(np.uint8) \
+            .reshape(n, width)
+        lens = np.where(valid, width, 0) + branch_lens
+
+        def write(out, starts):
+            s = (starts + branch_lens)[valid]
+            out[(s[:, None] + np.arange(width)).ravel()] = body[valid].ravel()
+
+    elif pa.types.is_string(t) or pa.types.is_large_string(t) \
+            or pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        is_str = pa.types.is_string(t) or pa.types.is_large_string(t)
+        big = pa.large_string() if is_str else pa.large_binary()
+        flat = arr.fill_null("" if is_str else b"").cast(big)
+        offs = np.frombuffer(flat.buffers()[1], np.int64,
+                             count=n + 1, offset=flat.offset * 8)
+        vals_buf = flat.buffers()[2]
+        vals = np.frombuffer(vals_buf, np.uint8, count=len(vals_buf)) \
+            if vals_buf is not None else np.zeros(0, np.uint8)
+        blens = (offs[1:] - offs[:-1]).astype(np.int64)
+        blens[~valid] = 0
+        zz = blens.astype(np.uint64) << np.uint64(1)  # zigzag of non-negative
+        plens = _varint_lens(zz)
+        lens = np.where(valid, plens + blens, 0) + branch_lens
+
+        def write(out, starts):
+            s = (starts + branch_lens)[valid]
+            _varint_scatter(out, s, zz[valid], plens[valid])
+            body_starts = s + plens[valid]
+            dest = _range_index(body_starts, blens[valid])
+            src = _range_index(offs[:-1][valid].astype(np.int64), blens[valid])
+            out[dest] = vals[src]
+
+    else:  # unreachable: _avro_schema_for gates types
+        raise TypeError(f"unsupported type {t}")
+
+    if nullable:
+        base_write = write
+        # union branch longs: null branch 0 -> byte 0x00, value branch 1 ->
+        # zigzag(1) = 0x02 (we always write ["null", T])
+        branch_bytes = np.where(valid, np.uint8(0x02), np.uint8(0x00))
+
+        def write(out, starts):  # noqa: F811 — deliberate wrap
+            out[starts] = branch_bytes
+            base_write(out, starts)
+
+    return lens, write
+
+
+def _encode_block(table: pa.Table) -> tuple[bytes, np.ndarray, dict]:
+    """Arrow block -> (uncompressed Avro record stream, record start
+    offsets, avro schema dict)."""
+    schema = _avro_schema_for(table)
+    n = table.num_rows
+    col_lens, writers = [], []
+    for i, fld in enumerate(schema["fields"]):
+        lens, write = _encode_column(table.column(i), fld["type"])
+        col_lens.append(lens)
+        writers.append(write)
+    rec_lens = np.sum(col_lens, axis=0) if col_lens else np.zeros(n, np.int64)
+    rec_starts = np.concatenate(([np.int64(0)], np.cumsum(rec_lens)[:-1])) \
+        if n else np.zeros(0, np.int64)
+    out = np.zeros(int(rec_lens.sum()), np.uint8)
+    cur = rec_starts.copy()
+    for lens, write in zip(col_lens, writers):
+        write(out, cur)
+        cur = cur + lens
+    return out.tobytes(), rec_starts, schema
+
+
+def _wvarint(buf: bytearray, v: int) -> None:
+    zz = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    while True:
+        b = zz & 0x7F
+        zz >>= 7
+        if zz:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _write_ocf(body: bytes, n_rows: int, schema: dict, codec: str,
+               index: np.ndarray | None) -> bytes:
+    """Assemble a complete single-data-block OCF file."""
+    meta: list[tuple[bytes, bytes]] = [
+        (b"avro.schema", json.dumps(schema).encode()),
+        (b"avro.codec", codec.encode()),
+    ]
+    if index is not None:
+        meta.append((_INDEX_META_KEY.encode(),
+                     zlib.compress(index.astype("<u8").tobytes(), 6)))
+    hdr = bytearray(_MAGIC)
+    _wvarint(hdr, len(meta))
+    for k, v in meta:
+        _wvarint(hdr, len(k)); hdr += k
+        _wvarint(hdr, len(v)); hdr += v
+    hdr.append(0)  # end of metadata map
+    if codec == "deflate":  # Avro deflate = raw RFC 1951, no zlib wrapper
+        co = zlib.compressobj(6, zlib.DEFLATED, -15)
+        payload = co.compress(body) + co.flush()
+    else:
+        payload = body
+    import hashlib
+
+    sync = hashlib.blake2b(body, digest_size=16).digest()
+    out = bytearray(hdr)
+    out += sync
+    _wvarint(out, n_rows)
+    _wvarint(out, len(payload))
+    out += payload
+    out += sync
+    return bytes(out)
+
+
+def export_avro(ds: rd.Dataset, out_dir: str, codec: str = "deflate",
+                self_index: bool = True) -> rd.Dataset:
+    """Dataset -> sharded ``part-<hash>-<rows>.avro`` OCF files under
+    ``out_dir`` (one single-data-block file per input Arrow block, encoded
+    ON ITS WORKER with the vectorized encoder); returns the (path,
+    n_records) manifest Dataset.  ``self_index=True`` embeds the
+    ``monocator.recindex`` metadata enabling the vectorized reader; the
+    files remain standard Avro either way."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"codec {codec!r} not supported (null | deflate)")
+    ensure_shipped()
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _manifest(None, 0)
+        body, starts, schema = _encode_block(t)
+        data = _write_ocf(body, t.num_rows, schema, codec,
+                          starts if self_index else None)
+        name = f"part-{_payload_key(data):016x}-{t.num_rows}.avro"
+        tmp = os.path.join(out_dir, f".{name}.tmp-{os.getpid()}")
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return _manifest(name, t.num_rows)
+
+    return ds.map_batches(write_block, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------ decoder --
+
+
+def _read_header(buf: memoryview):
+    """-> (meta dict bytes->bytes, sync, offset past header)."""
+    if bytes(buf[:4]) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+
+    def rvarint():
+        nonlocal pos
+        shift = 0
+        acc = 0
+        while True:
+            b = buf[pos]; pos += 1
+            acc |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    meta = {}
+    while True:
+        cnt = rvarint()
+        if cnt == 0:
+            break
+        if cnt < 0:  # negative count: abs count + byte-size long follows
+            cnt = -cnt
+            rvarint()
+        for _ in range(cnt):
+            klen = rvarint(); key = bytes(buf[pos:pos + klen]); pos += klen
+            vlen = rvarint(); val = bytes(buf[pos:pos + vlen]); pos += vlen
+            meta[key] = val
+    sync = bytes(buf[pos:pos + 16]); pos += 16
+    return meta, sync, pos
+
+
+def _iter_blocks(buf: memoryview, pos: int, sync: bytes, codec: str):
+    """Yield (n_records, uncompressed body bytes) per data block."""
+    n = len(buf)
+    while pos < n:
+        def rvarint():
+            nonlocal pos
+            shift = 0; acc = 0
+            while True:
+                b = buf[pos]; pos += 1
+                acc |= (b & 0x7F) << shift
+                if b < 0x80:
+                    break
+                shift += 7
+            return (acc >> 1) ^ -(acc & 1)
+        cnt = rvarint()
+        size = rvarint()
+        raw = bytes(buf[pos:pos + size]); pos += size
+        if bytes(buf[pos:pos + 16]) != sync:
+            raise ValueError("sync marker mismatch (corrupt Avro file)")
+        pos += 16
+        if codec == "deflate":
+            raw = zlib.decompress(raw, -15)
+        yield cnt, raw
+
+
+def _decode_block_vectorized(body: np.ndarray, starts: np.ndarray,
+                             schema: dict) -> pa.Table:
+    """Lockstep numpy decode of one block given per-record start offsets
+    (see module docstring).  Returns an Arrow table."""
+    cur = starts.astype(np.int64).copy()
+    cols, names = [], []
+    for fld in schema["fields"]:
+        value_frag, nullable, null_branch = _unwrap_union(fld["type"])
+        atype = _avro_to_arrow_type(value_frag)
+        n = len(cur)
+        if nullable:
+            branch, blens = _varint_gather(body, cur)
+            branch = _zigzag_decode(branch)
+            cur = cur + blens
+            valid = branch != null_branch
+        else:
+            valid = np.ones(n, bool)
+        vcur = cur[valid]
+
+        if pa.types.is_boolean(atype):
+            vals = np.zeros(n, np.uint8)
+            vals[valid] = body[vcur]
+            cur = cur + valid.astype(np.int64)
+            arr = pa.array(vals.astype(bool), pa.bool_(),
+                           mask=~valid if nullable else None)
+        elif atype in (pa.int32(), pa.int64()) or pa.types.is_timestamp(atype) \
+                or pa.types.is_date(atype):
+            zz, vlens = _varint_gather(body, vcur)
+            ints = np.zeros(n, np.int64)
+            ints[valid] = _zigzag_decode(zz)
+            adv = np.zeros(n, np.int64)
+            adv[valid] = vlens
+            cur = cur + adv
+            arr = pa.array(ints, pa.int64(),
+                           mask=~valid if nullable else None).cast(atype)
+        elif pa.types.is_float32(atype) or pa.types.is_float64(atype):
+            width = 4 if pa.types.is_float32(atype) else 8
+            vals = np.zeros(n, np.float32 if width == 4 else np.float64)
+            if len(vcur):
+                mat = body[(vcur[:, None] + np.arange(width)).ravel()]
+                vals[valid] = mat.reshape(-1, width).copy() \
+                    .view("<f4" if width == 4 else "<f8").ravel()
+            cur = cur + np.where(valid, width, 0)
+            arr = pa.array(vals, atype, mask=~valid if nullable else None)
+        elif atype in (pa.string(), pa.binary()):
+            zz, plens = _varint_gather(body, vcur)
+            blens_v = _zigzag_decode(zz)
+            if len(blens_v) and blens_v.min() < 0:
+                raise ValueError("negative length in Avro block")
+            vals = body[_range_index(vcur + plens, blens_v)]
+            full_lens = np.zeros(n, np.int64)
+            full_lens[valid] = blens_v
+            adv = full_lens.copy()
+            adv[valid] += plens  # prefix + body advance the cursor
+            cur = cur + adv
+            offs = np.concatenate(([np.int64(0)], np.cumsum(full_lens)))
+            if offs[-1] > np.iinfo(np.int32).max:
+                raise ValueError("Avro block string data exceeds 2 GiB")
+            validity = None
+            if nullable:
+                bits = np.packbits(valid, bitorder="little")
+                validity = pa.py_buffer(bits.tobytes())
+            arr = pa.Array.from_buffers(
+                atype, n,
+                [validity, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                 pa.py_buffer(vals.tobytes())],
+                null_count=int((~valid).sum()) if nullable else 0)
+        elif pa.types.is_null(atype):
+            arr = pa.nulls(n)
+        else:
+            raise TypeError(f"unsupported Avro value type {value_frag!r}")
+        cols.append(arr)
+        names.append(fld["name"])
+    return pa.table(dict(zip(names, cols)))
+
+
+def _decode_block_sequential(body: bytes, n_records: int,
+                             schema: dict) -> pa.Table:
+    """Plain recursive-descent decode (foreign files / multi-block files);
+    the correctness oracle for the vectorized path."""
+    pos = 0
+
+    def rvarint():
+        nonlocal pos
+        shift = 0; acc = 0
+        while True:
+            b = body[pos]; pos += 1
+            acc |= (b & 0x7F) << shift
+            if b < 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    def make_reader(frag):
+        value_frag, nullable, null_branch = _unwrap_union(frag)
+        base = value_frag["type"] if isinstance(value_frag, dict) else value_frag
+        if base == "boolean":
+            def rd_():
+                nonlocal pos
+                v = body[pos] != 0; pos += 1
+                return v
+        elif base in ("int", "long"):
+            rd_ = rvarint
+        elif base in ("float", "double"):
+            fmt, w = ("<f", 4) if base == "float" else ("<d", 8)
+
+            def rd_():
+                nonlocal pos
+                v = struct.unpack_from(fmt, body, pos)[0]; pos += w
+                return v
+        elif base in ("bytes", "string"):
+            is_str = base == "string"
+
+            def rd_():
+                nonlocal pos
+                ln = rvarint()
+                v = body[pos:pos + ln]; pos += ln
+                return v.decode() if is_str else v
+        elif base == "null":
+            def rd_():
+                return None
+        else:
+            raise TypeError(f"unsupported Avro type {base!r}")
+        if not nullable:
+            return rd_
+
+        def rd_union():
+            return None if rvarint() == null_branch else rd_()
+        return rd_union
+
+    readers = [make_reader(f["type"]) for f in schema["fields"]]
+    cols: list[list] = [[] for _ in readers]
+    for _ in range(n_records):
+        for c, rd_ in zip(cols, readers):
+            c.append(rd_())
+    out = {}
+    for fld, vals in zip(schema["fields"], cols):
+        value_frag, nullable, _ = _unwrap_union(fld["type"])
+        atype = _avro_to_arrow_type(value_frag)
+        if pa.types.is_timestamp(atype) or pa.types.is_date(atype):
+            out[fld["name"]] = pa.array(vals, pa.int64()).cast(atype)
+        else:
+            out[fld["name"]] = pa.array(vals, atype)
+    return pa.table(out)
+
+
+def parse_avro_file(raw: bytes) -> pa.Table:
+    """One OCF file -> Arrow table.  Vectorized when the file is
+    self-indexed single-block; sequential otherwise."""
+    buf = memoryview(raw)
+    meta, sync, pos = _read_header(buf)
+    schema = json.loads(meta[b"avro.schema"].decode())
+    if schema.get("type") != "record":
+        raise TypeError("only record-schema Avro files supported")
+    codec = meta.get(b"avro.codec", b"null").decode()
+    if codec not in ("null", "deflate"):
+        raise TypeError(f"Avro codec {codec!r} not supported (null | deflate)")
+    blocks = list(_iter_blocks(buf, pos, sync, codec))
+    index = meta.get(_INDEX_META_KEY.encode())
+    if index is not None and len(blocks) == 1:
+        cnt, body = blocks[0]
+        starts = np.frombuffer(zlib.decompress(index), "<u8").astype(np.int64)
+        if len(starts) == cnt:
+            return _decode_block_vectorized(
+                np.frombuffer(body, np.uint8), starts, schema)
+        # index/count mismatch -> fall through to the sequential path
+    tables = [_decode_block_sequential(body, cnt, schema)
+              for cnt, body in blocks]
+    if not tables:
+        names = [f["name"] for f in schema["fields"]]
+        types = [_avro_to_arrow_type(_unwrap_union(f["type"])[0])
+                 for f in schema["fields"]]
+        return pa.schema(list(zip(names, types))).empty_table()
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def read_avro_dir(path: str, schema: pa.Schema | None = None) -> rd.Dataset:
+    """Avro OCF file(s)/dir -> Dataset: each file parses on a worker
+    (vectorized for self-indexed files).  ``schema`` pins/casts column
+    types (e.g. timestamp-millis back to us)."""
+    ensure_shipped()
+
+    def parse_file(batch: dict) -> pa.Table:
+        tables = [parse_avro_file(bytes(raw)) for raw in batch["bytes"]]
+        t = pa.concat_tables(tables, promote_options="default")
+        if schema is not None:
+            t = t.select(schema.names).cast(schema)
+        return t
+
+    files = rd.read_binary_files(path)
+    return files.map_batches(parse_file, batch_format="numpy", batch_size=1)
