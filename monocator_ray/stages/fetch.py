@@ -353,3 +353,114 @@ class HttpFetcher:
             .append_column("lang", pa.array([""] * n, pa.string()))
             .append_column("fetch_status", pa.array(status, pa.int32()))
         )
+
+
+class ConditionalFetcher(HttpFetcher):
+    """HttpFetcher + RFC 9110 §13 conditional revisits — the recrawl stage
+    every production crawler has (Heritrix's FetchHistoryProcessor, Nutch's
+    protocol-httpclient If-Modified-Since): rows whose batch carries
+    ``etag`` / ``last_modified`` validator columns refetch conditionally
+    (``If-None-Match`` preferred, ``If-Modified-Since`` as fallback per
+    §13.1.3's evaluation order), and a ``304 Not Modified`` comes back as
+    status 304 with NO body — the revisit pipeline keeps the prior content
+    and only changed pages pay transfer + parse + dedup cost.
+
+    Scale design: validators travel IN THE BATCH (read straight from the
+    previous crawl's validator artifact), never as a driver-broadcast
+    url->etag map — a 10^10-URL recrawl cannot hold its validator set in
+    any single process.  Output adds nullable ``etag`` / ``last_modified``
+    response-validator columns (the NEXT recrawl's input), overwriting the
+    input validator columns if present.
+    """
+
+    def _fetch_one_conditional(
+        self, u: str, etag: str | None, last_mod: str | None
+    ) -> tuple[bytes | None, int, str | None, str | None]:
+        import urllib.error
+        import urllib.request
+
+        headers = {"Accept-Encoding": "gzip, deflate"}
+        # §13.1.3: a recipient MUST ignore If-Modified-Since when
+        # If-None-Match is present — send only the stronger validator
+        if etag:
+            headers["If-None-Match"] = etag
+        elif last_mod:
+            headers["If-Modified-Since"] = last_mod
+        try:
+            req = urllib.request.Request(u, headers=headers)
+            with self._opener.open(req, timeout=self.timeout_s) as resp:  # noqa: S310
+                body, _ = truncate_body(
+                    iter(lambda: resp.read(65536), b""), self.max_body)
+                enc = (resp.headers.get("Content-Encoding") or "").lower().strip()
+                codings = [c.strip() for c in enc.split(",")
+                           if c.strip() and c.strip() != "identity"]
+                if body and codings:
+                    if codings in (["gzip"], ["x-gzip"]):
+                        body = self._decompress_capped(body, "gzip", self.max_body)
+                    elif codings == ["deflate"]:
+                        body = self._decompress_capped(body, "deflate", self.max_body)
+                    else:
+                        body = None
+                return (body, int(resp.status), resp.headers.get("ETag"),
+                        resp.headers.get("Last-Modified"))
+        except urllib.error.HTTPError as e:
+            if e.code == 304:
+                # not modified: the PRIOR validators remain current (§13.1);
+                # carry them forward so the next recrawl revalidates too
+                return None, 304, e.headers.get("ETag") or etag, \
+                    e.headers.get("Last-Modified") or last_mod
+            return None, int(e.code), None, None
+        except Exception:
+            return None, -1, None, None
+
+    def _fetch_host_conditional(self, idxs, urls, etags, lms, out) -> None:
+        for i in idxs:  # sequential within a host (politeness, as base)
+            out[i] = self._fetch_one_conditional(urls[i], etags[i], lms[i])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from concurrent.futures import ThreadPoolExecutor
+        from urllib.parse import urlsplit
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(max_workers=self.max_concurrency)
+        urls = batch["url"].to_pylist()
+        n = len(urls)
+        etags = batch["etag"].to_pylist() if "etag" in batch.column_names \
+            else [None] * n
+        lms = batch["last_modified"].to_pylist() \
+            if "last_modified" in batch.column_names else [None] * n
+        by_host: dict[str, list[int]] = {}
+        for i, u in enumerate(urls):
+            by_host.setdefault(urlsplit(u).netloc, []).append(i)
+        results: list = [None] * n
+        futs = [
+            self._pool.submit(self._fetch_host_conditional,
+                              idxs, urls, etags, lms, results)
+            for idxs in by_host.values()
+        ]
+        for f in futs:
+            f.result()
+        htmls: list = [None] * n
+        new_etag: list = [None] * n
+        new_lm: list = [None] * n
+        ts = np.zeros(n, dtype="datetime64[us]")
+        status = np.full(n, 0, dtype=np.int32)
+        now = np.datetime64("now", "us")
+        for i, (body, code, et, lm) in enumerate(results):
+            htmls[i] = body
+            status[i] = code
+            new_etag[i] = et
+            new_lm[i] = lm
+            if body is not None:
+                ts[i] = now
+        base = batch.drop_columns(
+            [c for c in ("etag", "last_modified") if c in batch.column_names])
+        return (
+            base.append_column("html", pa.array(htmls, pa.binary()))
+            .append_column("warc_ts",
+                           pa.Array.from_pandas(ts, type=pa.timestamp("us")))
+            .append_column("lang", pa.array([""] * n, pa.string()))
+            .append_column("fetch_status", pa.array(status, pa.int32()))
+            .append_column("etag", pa.array(new_etag, pa.string()))
+            .append_column("last_modified", pa.array(new_lm, pa.string()))
+        )
