@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "user_event_bitmask",
     "top_orders_with_ties",
     "last_purchase_gap",
+    "running_error_count",
+    "scd2_intervals",
+    "rfm_segments",
+    "pareto_customers",
     "stopword_rewrite",
     "nation_revenue_share",
     "nation_rank_in_region",

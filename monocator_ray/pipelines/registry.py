@@ -3232,4 +3232,94 @@ REGISTRY: dict = {
         ORDER BY pmi_score DESC, t1, t2 LIMIT 20
         """,
     ),
+    # COUNT(*) FILTER (...) inside a window frame — the conditional-count
+    # window shape (segmented masked cumsum per user-hash partition)
+    "running_error_count": (
+        R.q_running_error_count,
+        """
+        SELECT event_id, user_id,
+               COUNT(*) FILTER (WHERE event_type = 'error') OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_errors
+        FROM events ORDER BY event_id
+        """,
+    ),
+    # SCD2 validity-interval construction (collapse consecutive equal
+    # states; valid_to = next interval's valid_from, NULL while current)
+    "scd2_intervals": (
+        R.q_scd2_intervals,
+        """
+        WITH o AS (
+          SELECT user_id, event_type, ts,
+                 CASE WHEN LAG(event_type) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+          FROM events
+        ), g AS (
+          SELECT user_id, event_type, ts,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS grp
+          FROM o
+        ), r AS (
+          SELECT user_id, event_type, grp, MIN(ts) AS valid_from,
+                 COUNT(*) AS n_rows
+          FROM g GROUP BY user_id, event_type, grp
+        )
+        SELECT user_id, event_type, valid_from,
+               LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY grp)
+                 AS valid_to,
+               n_rows
+        FROM r ORDER BY user_id, valid_from, event_type
+        """,
+    ),
+    # RFM segmentation: global quartile scores (quantile_disc thresholds,
+    # bucket = 1 + #{thresholds strictly below}) over per-customer R/F/M
+    "rfm_segments": (
+        R.q_rfm_segments,
+        """
+        WITH pc AS (
+          SELECT o_custkey, MAX(o_orderdate) AS r, COUNT(*) AS f,
+                 SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS m
+          FROM orders GROUP BY o_custkey
+        ), q AS (
+          SELECT quantile_disc(r, [0.25, 0.5, 0.75]) AS qr,
+                 quantile_disc(f, [0.25, 0.5, 0.75]) AS qf,
+                 quantile_disc(m, [0.25, 0.5, 0.75]) AS qm
+          FROM pc
+        )
+        SELECT
+          CAST(1 + CAST(r > qr[1] AS INT) + CAST(r > qr[2] AS INT)
+                 + CAST(r > qr[3] AS INT) AS BIGINT) AS r_score,
+          CAST(1 + CAST(f > qf[1] AS INT) + CAST(f > qf[2] AS INT)
+                 + CAST(f > qf[3] AS INT) AS BIGINT) AS f_score,
+          CAST(1 + CAST(m > qm[1] AS INT) + CAST(m > qm[2] AS INT)
+                 + CAST(m > qm[3] AS INT) AS BIGINT) AS m_score,
+          COUNT(*) AS n_customers
+        FROM pc, q
+        GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
+        """,
+    ),
+    # Pareto 80/20 coverage: smallest top-revenue customer prefix crossing
+    # 80% of total (weighted-quantile histogram selection, no global sort)
+    "pareto_customers": (
+        R.q_pareto_customers,
+        """
+        WITH pc AS (
+          SELECT o_custkey,
+                 SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS cents
+          FROM orders GROUP BY o_custkey
+        ), s AS (
+          SELECT cents,
+                 SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+                 ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rn
+          FROM pc
+        ), t AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM pc)
+        SELECT MIN(rn) AS n_customers, MIN(cum) AS covered_cents,
+               (SELECT total FROM t) AS total_cents,
+               (SELECT n FROM t) AS total_customers
+        FROM s WHERE 5 * cum >= 4 * (SELECT total FROM t)
+        """,
+    ),
 }

@@ -5893,3 +5893,310 @@ def q_late_shipments(sf_dir: str, late_days: int = 90) -> rd.Dataset:
                     "n_items": pa.array(pdf["n_items"], pa.int64()),
                     "n_late": pa.array(pdf["n_late"], pa.int64())})
     return rd.from_arrow(out)
+
+
+# ---- windowed conditional count: COUNT(*) FILTER inside a window frame ----
+def q_running_error_count(sf_dir: str) -> rd.Dataset:
+    """Per event: how many 'error' events the same user has produced up to
+    and including this one (``COUNT(*) FILTER (WHERE ...) OVER (PARTITION
+    BY user ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``) — the
+    FILTER-clause-inside-a-window shape, which none of the other window
+    queries exercise.  One user-hash partition, one lexsort, one masked
+    segmented cumsum — no per-user dispatch, no second shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _OUT = pa.schema([("event_id", pa.int64()), ("user_id", pa.int64()),
+                      ("n_errors", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        mask = (g["event_type"].to_numpy(zero_copy_only=False) == "error") \
+            .astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, mask = uid[order], eid[order], mask[order]
+        starts, ends = run_boundaries(uid)
+        cum = np.cumsum(mask)
+        # subtract the cumulative count just before each user's run start
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        n_err = cum - np.repeat(base, ends - starts)
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "n_errors": pa.array(n_err, pa.int64())})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        part,
+        num_parts=32,
+    ).sort("event_id")
+
+
+# ---- SCD2 interval build: collapse consecutive equal states ----
+def q_scd2_intervals(sf_dir: str) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 construction from a change log:
+    per user, consecutive events with the SAME event_type (ordered by ts,
+    event_id) collapse into one validity interval [valid_from, valid_to)
+    where valid_to is the next interval's valid_from (NULL while current)
+    — the ETL shape warehouses build dimension history with.  Per-user
+    hash partitions; run detection over the (user, type) pair via
+    run_boundaries; valid_to is the next run's start within the same user
+    — all one vectorized pass, no join back, no LEAD shuffle."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("event_type", pa.string()),
+                      ("valid_from", pa.timestamp("us")),
+                      ("valid_to", pa.timestamp("us")),
+                      ("n_rows", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        # consecutive-run boundaries over the (user, type) PAIR: a run ends
+        # when either the user or the type changes
+        starts, ends = run_boundaries(uid, et)
+        valid_from = ts[starts]
+        run_uid = uid[starts]
+        # next run's start within the same user, else NULL (current state)
+        nxt = np.empty(len(starts), np.int64)
+        nxt[:-1] = valid_from[1:]
+        nxt[-1] = 0
+        same_user = np.empty(len(starts), bool)
+        same_user[:-1] = run_uid[1:] == run_uid[:-1]
+        same_user[-1] = False
+        return pa.table(
+            {"user_id": pa.array(run_uid, pa.int64()),
+             "event_type": pa.array(et[starts], pa.string()),
+             "valid_from": pa.array(valid_from.view("datetime64[us]")),
+             "valid_to": pa.array(nxt.view("datetime64[us]"),
+                                  mask=~same_user),
+             "n_rows": pa.array(ends - starts, pa.int64())})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        part,
+        num_parts=32,
+    ).sort(["user_id", "valid_from", "event_type"])
+
+
+def _exact_quantiles_disc(pc_ds, col: str, qs=(0.25, 0.5, 0.75),
+                          bins: int = 4096) -> list[int]:
+    """Exact order statistics (quantile_disc convention: 0-based rank
+    ``ceil(q*n) - 1``) of an int64 column WITHOUT a global sort — the
+    q_global_median_price two-pass selection generalized to several
+    quantiles sharing one histogram: (A) one scan folds min/max/count;
+    (B) one scan folds a fixed-width histogram over [min, max]; (C) one
+    scan collects ONLY the bins containing the target ranks (n/bins rows
+    each in expectation) and selects within them.  Driver state is O(bins)
+    throughout."""
+    import math
+
+    parts = collect_arrow(pc_ds.map_batches(
+        lambda t: pa.table(
+            {"lo": pa.array([int(t[col].to_numpy(zero_copy_only=False).min())
+                             if t.num_rows else 2**62], pa.int64()),
+             "hi": pa.array([int(t[col].to_numpy(zero_copy_only=False).max())
+                             if t.num_rows else -(2**62)], pa.int64()),
+             "n": pa.array([t.num_rows], pa.int64())}),
+        batch_format="pyarrow"))  # bounded: O(blocks) 3-int partials
+    lo = int(pc.min(parts["lo"]).as_py())
+    hi = int(pc.max(parts["hi"]).as_py())
+    total = int(pc.sum(parts["n"]).as_py())
+    if total == 0:
+        return [0 for _ in qs]
+    step = max(1, (hi - lo) // bins + 1)
+    targets = [max(0, math.ceil(q * total) - 1) for q in qs]
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        b = (v - lo) // step
+        u, inv = np.unique(b, return_inverse=True)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "n": pa.array(np.bincount(inv).astype(np.int64),
+                                       pa.int64())})
+
+    pdf = driver_grouped_agg(
+        pc_ds.map_batches(hist_part, batch_format="pyarrow"),
+        ["bin"], [("n", "sum")], ["bin", "n"],
+    ).sort_values("bin").reset_index(drop=True)  # bounded: O(bins)
+    cum = pdf["n"].cumsum().to_numpy()
+    bin_ids = pdf["bin"].to_numpy()
+    need_bins = sorted({int(bin_ids[int(np.searchsorted(cum, tgt + 1))])
+                        for tgt in targets})
+    rank_base = {b: int(cum[np.searchsorted(bin_ids, b)] - pdf["n"].iloc[
+        int(np.searchsorted(bin_ids, b))]) for b in need_bins}
+    need = set(need_bins)
+
+    def bin_filter(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False)
+        b = (v - lo) // step
+        keep = np.isin(b, list(need))
+        return pa.table({"v": pa.array(v[keep], pa.int64())})
+
+    vals = collect_arrow(pc_ds.map_batches(
+        bin_filter, batch_format="pyarrow"))["v"].to_numpy()  # bounded: target bins only (n/bins each in expectation)
+    vals = np.sort(vals)
+    vbins = (vals - lo) // step
+    out = []
+    for tgt in targets:
+        b = int(bin_ids[int(np.searchsorted(cum, tgt + 1))])
+        within = vals[vbins == b]
+        out.append(int(within[tgt - rank_base[b]]))
+    return out
+
+
+# ---- RFM segmentation: global quartile scores over per-customer aggregates --
+def q_rfm_segments(sf_dir: str) -> rd.Dataset:
+    """Classic recency/frequency/monetary segmentation: per customer
+    compute R = last order date, F = order count, M = revenue cents; score
+    each 1-4 by the GLOBAL quartile thresholds (quantile_disc convention,
+    bucket = 1 + #{thresholds strictly below}); return customer counts per
+    (r, f, m) segment (<= 64 rows).  The thresholds come from the two-pass
+    histogram selection (_exact_quantiles_disc) — three streaming scans of
+    the per-customer aggregate per metric, NO global sort, driver state
+    O(bins).  The per-customer aggregate itself is one partitioned
+    shuffle."""
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["o_custkey"],
+             "r": pa.array(t["o_orderdate"].to_numpy(zero_copy_only=False)
+                           .view(np.int64), pa.int64()),
+             "cents": _cents(t["o_totalprice"])})
+
+    def pre_agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("o_custkey").aggregate(
+            [("r", "max"), ("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["o_custkey", "r", "m", "f"])
+
+    pc_ds = partitioned_aggregate(
+        orders.map_batches(shape, batch_format="pyarrow")
+        .map_batches(pre_agg, batch_format="pyarrow"),
+        ["o_custkey"],
+        [("r", "max"), ("m", "sum"), ("f", "sum")],
+        ["o_custkey", "r", "m", "f"],
+        num_parts=32,
+    ).materialize()
+
+    qr = _exact_quantiles_disc(pc_ds, "r")
+    qf = _exact_quantiles_disc(pc_ds, "f")
+    qm = _exact_quantiles_disc(pc_ds, "m")
+
+    def score(t: pa.Table) -> pa.Table:
+        def bucket(v, ts_):
+            v = v.to_numpy(zero_copy_only=False)
+            b = np.ones(len(v), np.int64)
+            for th in ts_:
+                b += (v > th)
+            return b
+
+        return pa.table(
+            {"r_score": pa.array(bucket(t["r"], qr), pa.int64()),
+             "f_score": pa.array(bucket(t["f"], qf), pa.int64()),
+             "m_score": pa.array(bucket(t["m"], qm), pa.int64()),
+             "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64())})
+
+    pdf = driver_grouped_agg(
+        pc_ds.map_batches(score, batch_format="pyarrow"),
+        ["r_score", "f_score", "m_score"], [("n", "sum")],
+        ["r_score", "f_score", "m_score", "n_customers"],
+    )  # bounded: <= 64 segment rows
+    pdf = pdf.sort_values(["r_score", "f_score", "m_score"],
+                          kind="mergesort").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- Pareto 80/20: smallest top-revenue customer set covering 80% ----
+def q_pareto_customers(sf_dir: str) -> rd.Dataset:
+    """How many top customers cover >= 80% of total revenue (and exactly
+    how much they cover) — the cumulative-threshold-after-ordering shape,
+    computed WITHOUT any global sort: the crossing value v* is a WEIGHTED
+    quantile, found by the histogram-selection pattern with per-bin
+    weight sums (one scan), then the crossing bin's values collect
+    (bounded) and a local descending cumsum finds how many v*-valued
+    customers are needed.  n = #{cents > v*} + k; covered = sum(cents >
+    v*) + k*v* — identical to the ROW_NUMBER/SUM OVER (ORDER BY cents
+    DESC) oracle regardless of how ties are ordered."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    BINS = 4096
+
+    def ocents(t: pa.Table) -> pa.Table:
+        g = pa.table({"o_custkey": t["o_custkey"],
+                      "cents": _cents(t["o_totalprice"])}).group_by(
+            "o_custkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["o_custkey", "cents"])
+
+    pc_ds = partitioned_aggregate(
+        orders.map_batches(ocents, batch_format="pyarrow"),
+        ["o_custkey"], [("cents", "sum")], ["o_custkey", "cents"],
+        num_parts=32,
+    ).materialize()
+
+    # one scan: min/max/count/total + per-bin (count, weight) histogram
+    def hist_part(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        step = max(1, 10**10 // BINS)  # per-customer cents bound: 10^10
+        b = v // step
+        u, inv = np.unique(b, return_inverse=True)
+        # exact integer per-bin weight sums (bincount's weights= path is
+        # float64 — inexact past 2^53): scatter-add into int64
+        w = np.zeros(len(u), np.int64)
+        np.add.at(w, inv, v)
+        return pa.table(
+            {"bin": pa.array(u, pa.int64()),
+             "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+             "w": pa.array(w, pa.int64()),
+             "lo": pa.array(np.full(len(u), v.min(), np.int64), pa.int64()),
+             "hi": pa.array(np.full(len(u), v.max(), np.int64), pa.int64())})
+
+    pdf = driver_grouped_agg(
+        pc_ds.map_batches(hist_part, batch_format="pyarrow"),
+        ["bin"], [("n", "sum"), ("w", "sum"), ("lo", "min"), ("hi", "max")],
+        ["bin", "n", "w", "lo", "hi"],
+    ).sort_values("bin", ascending=False).reset_index(drop=True)  # bounded: O(BINS)
+    step = max(1, 10**10 // BINS)
+    total_cents = int(pdf["w"].sum())
+    total_customers = int(pdf["n"].sum())
+    # descending cumulative weight; first bin where 5*cum >= 4*total
+    cumw = pdf["w"].cumsum().to_numpy()
+    cumn = pdf["n"].cumsum().to_numpy()
+    bi = int(np.searchsorted(5 * cumw, 4 * total_cents))
+    the_bin = int(pdf["bin"].iloc[bi])
+    n_above = int(cumn[bi - 1]) if bi else 0
+    w_above = int(cumw[bi - 1]) if bi else 0
+
+    def bin_filter(t: pa.Table) -> pa.Table:
+        v = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"v": pa.array(v[v // step == the_bin], pa.int64())})
+
+    vals = np.sort(collect_arrow(pc_ds.map_batches(
+        bin_filter, batch_format="pyarrow"))["v"].to_numpy())[::-1]  # bounded: one histogram bin
+    cum_in = w_above + np.cumsum(vals)
+    k = int(np.searchsorted(5 * cum_in, 4 * total_cents)) + 1
+    out = pa.table(
+        {"n_customers": pa.array([n_above + k], pa.int64()),
+         "covered_cents": pa.array([int(cum_in[k - 1])], pa.int64()),
+         "total_cents": pa.array([total_cents], pa.int64()),
+         "total_customers": pa.array([total_customers], pa.int64())})
+    return rd.from_arrow(out)
