@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "region_year_matrix",
     "event_windows_orc",
     "events_avro",
+    "events_delta",
     "keyword_search_store",
     "incremental_keyword_search",
     "event_groups_frame",

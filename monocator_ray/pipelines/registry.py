@@ -3232,6 +3232,18 @@ REGISTRY: dict = {
         ORDER BY pmi_score DESC, t1, t2 LIMIT 20
         """,
     ),
+    # Delta-hop parity WITH partition pruning: daily click/purchase counts
+    # through a hive-partitioned Delta table; the re-read plans only the
+    # two filtered partitions' files (sources/delta.py)
+    "events_delta": (
+        R.q_events_delta,
+        """
+        SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+        FROM events WHERE event_type IN ('click', 'purchase')
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+        """,
+    ),
     # COUNT(*) FILTER (...) inside a window frame — the conditional-count
     # window shape (segmented masked cumsum per user-hash partition)
     "running_error_count": (

@@ -6200,3 +6200,57 @@ def q_pareto_customers(sf_dir: str) -> rd.Dataset:
          "total_cents": pa.array([total_cents], pa.int64()),
          "total_customers": pa.array([total_customers], pa.int64())})
     return rd.from_arrow(out)
+
+
+_DELTA_EXPORTED: set[str] = set()
+
+
+def q_events_delta(sf_dir: str) -> rd.Dataset:
+    """Daily click/purchase counts through a DELTA-TABLE hop — the fifth
+    source-format parity demonstration (CSV/IPC/ORC/Avro each have one),
+    and the only one whose re-read PRUNES: events export to a Delta table
+    hive-partitioned by event_type (sources/delta.py — worker-sharded
+    data files, one O_EXCL log commit), and the re-read passes
+    ``filters={'event_type': ['click', 'purchase']}`` so only those two
+    partitions' files are ever planned or opened.  The aggregation over
+    the pruned read matches the WHERE-IN parquet oracle bit-for-bit.
+    Same PID-keyed once-per-process staging as the other hops."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.delta import read_delta, write_delta
+
+    ensure_shipped()
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_delta_events_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if out not in _DELTA_EXPORTED:
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        cleanup_stale_staging(base, "monocator_delta_events_", out)
+        shutil.rmtree(out, ignore_errors=True)
+        write_delta(
+            _read(sf_dir, "events", ["event_id", "ts", "event_type"]),
+            out,
+            partition_by=["event_type"],
+        )
+        _DELTA_EXPORTED.add(out)
+    ds = read_delta(out, filters={"event_type": ["click", "purchase"]})
+
+    def wnd(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "day": pc.floor_temporal(batch["ts"], unit="day"),
+            }
+        )
+
+    return (
+        ds.map_batches(wnd, batch_format="pyarrow")
+        .groupby(["event_type", "day"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["event_type", "day"])
+    )

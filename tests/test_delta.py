@@ -1,0 +1,184 @@
+"""Delta Lake source/sink (sources/delta.py): log replay, append /
+overwrite semantics, time travel, hive partition pruning, checkpoint
+equivalence, and the O_EXCL optimistic-commit race."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from monocator_ray.sources.delta import (
+    DeltaConcurrentCommit,
+    _commit,
+    checkpoint_delta_table,
+    delta_history,
+    read_delta,
+    write_delta,
+)
+from monocator_ray.stages.grouped import collect_arrow
+
+
+def _t(ids, labels, vals):
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "label": pa.array(labels, pa.string()),
+        "val": pa.array(vals, pa.float64()),
+    })
+
+
+def _sorted_pd(ds_or_table):
+    t = collect_arrow(ds_or_table) if isinstance(ds_or_table, rd.Dataset) \
+        else ds_or_table
+    return t.to_pandas().sort_values("id").reset_index(drop=True)
+
+
+def test_roundtrip_append_and_time_travel(tmp_path, ray_session):
+    import pandas as pd
+
+    tbl = str(tmp_path / "t")
+    t0 = _t([1, 2, 3], ["a", "b", "a"], [1.0, 2.0, 3.0])
+    v0 = write_delta(rd.from_arrow(t0).repartition(2), tbl)
+    assert v0 == 0
+    t1 = _t([4, 5], ["b", "c"], [4.0, 5.0])
+    v1 = write_delta(rd.from_arrow(t1), tbl)
+    assert v1 == 1
+
+    got = _sorted_pd(read_delta(tbl))
+    want = _sorted_pd(pa.concat_tables([t0, t1]))
+    pd.testing.assert_frame_equal(got, want)
+
+    # time travel: version 0 sees only the first commit
+    got0 = _sorted_pd(read_delta(tbl, version=0))
+    pd.testing.assert_frame_equal(got0, _sorted_pd(t0))
+
+    hist = delta_history(tbl)
+    assert [h["version"] for h in hist] == [0, 1]
+    assert hist[0]["operation"] == "WRITE"
+
+
+def test_overwrite_removes_prior_files(tmp_path, ray_session):
+    import pandas as pd
+
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([1, 2], ["a", "b"], [1.0, 2.0])), tbl)
+    t2 = _t([9], ["z"], [9.0])
+    v = write_delta(rd.from_arrow(t2), tbl, mode="overwrite")
+    assert v == 1
+    pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl)), _sorted_pd(t2))
+    # the old data is still reachable by time travel
+    assert len(_sorted_pd(read_delta(tbl, version=0))) == 2
+    # log carries explicit remove actions
+    log = open(os.path.join(tbl, "_delta_log",
+                            f"{1:020d}.json")).read()
+    assert '"remove"' in log
+
+
+def test_partitioned_write_layout_and_pruning(tmp_path, ray_session):
+    tbl = str(tmp_path / "t")
+    t = _t([1, 2, 3, 4], ["a", "b", "a", "c"], [1.0, 2.0, 3.0, 4.0])
+    write_delta(rd.from_arrow(t), tbl, partition_by=["label"])
+    # hive layout on disk; partition column NOT inside the data files
+    files = []
+    for root, _, names in os.walk(tbl):
+        files += [os.path.join(root, n) for n in names
+                  if n.endswith(".parquet") and "_delta_log" not in root]
+    assert all("label=" in f for f in files)
+    import pyarrow.parquet as pq
+
+    assert "label" not in pq.read_schema(files[0]).names
+
+    got = _sorted_pd(read_delta(tbl))
+    assert got["label"].tolist() == ["a", "b", "a", "c"]
+
+    # pruning: filters={'label': 'a'} must plan ONLY the a-partition files
+    pruned = read_delta(tbl, filters={"label": "a"})
+    out = _sorted_pd(pruned)
+    assert out["id"].tolist() == [1, 3]
+    assert collect_arrow(read_delta(tbl, filters={"label": ["b", "c"]})) \
+        .num_rows == 2
+
+
+def test_column_projection(tmp_path, ray_session):
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([1, 2], ["a", "b"], [1.0, 2.0])), tbl,
+                partition_by=["label"])
+    got = collect_arrow(read_delta(tbl, columns=["id", "label"]))
+    assert got.column_names == ["id", "label"]
+    got2 = collect_arrow(read_delta(tbl, columns=["id", "val"]))
+    assert got2.column_names == ["id", "val"]
+
+
+def test_checkpoint_equivalence(tmp_path, ray_session):
+    import pandas as pd
+
+    tbl = str(tmp_path / "t")
+    for i in range(4):
+        write_delta(rd.from_arrow(_t([i], [f"l{i % 2}"], [float(i)])), tbl)
+    before = _sorted_pd(read_delta(tbl))
+    v = checkpoint_delta_table(tbl)
+    assert v == 3
+    assert os.path.exists(os.path.join(tbl, "_delta_log",
+                                       f"{3:020d}.checkpoint.parquet"))
+    # same snapshot through the checkpoint path
+    pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl)), before)
+    # a post-checkpoint commit replays as checkpoint + tail
+    write_delta(rd.from_arrow(_t([99], ["z"], [99.0])), tbl)
+    after = _sorted_pd(read_delta(tbl))
+    assert len(after) == len(before) + 1
+    # time travel BELOW the checkpoint still works (pure JSON replay)
+    assert len(_sorted_pd(read_delta(tbl, version=1))) == 2
+
+
+def test_concurrent_commit_race(tmp_path, ray_session):
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([1], ["a"], [1.0])), tbl)
+    # another writer claims version 1 out from under us
+    _commit(tbl, 1, [{"commitInfo": {"operation": "WRITE"}}])
+    with pytest.raises(DeltaConcurrentCommit):
+        _commit(tbl, 1, [{"commitInfo": {"operation": "WRITE"}}])
+    # write_delta sees version 1 taken and commits 2
+    v = write_delta(rd.from_arrow(_t([2], ["b"], [2.0])), tbl)
+    assert v == 2
+
+
+def test_unsupported_types_rejected(tmp_path, ray_session):
+    bad = pa.table({"l": pa.array([[1]], pa.list_(pa.int64()))})
+    with pytest.raises(TypeError, match="Delta-unsupported"):
+        write_delta(rd.from_arrow(bad), str(tmp_path / "t"))
+    ok = _t([1], ["a"], [1.0])
+    with pytest.raises(TypeError, match="partition column"):
+        write_delta(rd.from_arrow(ok), str(tmp_path / "t2"),
+                    partition_by=["val"])
+
+
+def test_idempotent_data_files(tmp_path, ray_session):
+    """Content-hashed names: re-writing identical data adds no new data
+    files (the second commit's adds point at the same paths)."""
+    tbl = str(tmp_path / "t")
+    t = _t([1, 2], ["a", "b"], [1.0, 2.0])
+    write_delta(rd.from_arrow(t), tbl)
+    log0 = open(os.path.join(tbl, "_delta_log", f"{0:020d}.json")).read()
+    write_delta(rd.from_arrow(t), tbl)
+    log1 = open(os.path.join(tbl, "_delta_log", f"{1:020d}.json")).read()
+    p0 = {json.loads(x)["add"]["path"] for x in log0.splitlines()
+          if '"add"' in x}
+    p1 = {json.loads(x)["add"]["path"] for x in log1.splitlines()
+          if '"add"' in x}
+    assert p0 == p1  # same content -> same shard names -> no duplicates
+
+
+def test_partitioned_checkpoint_and_pruning(tmp_path, ray_session):
+    tbl = str(tmp_path / "t")
+    for i in range(3):
+        write_delta(rd.from_arrow(_t([i], [f"l{i % 2}"], [float(i)])), tbl,
+                    partition_by=["label"])
+    checkpoint_delta_table(tbl)
+    write_delta(rd.from_arrow(_t([7], ["l1"], [7.0])), tbl,
+                partition_by=["label"])
+    got = _sorted_pd(read_delta(tbl, filters={"label": "l1"}))
+    assert got["id"].tolist() == [1, 7]
