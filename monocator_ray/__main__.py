@@ -150,6 +150,16 @@ def main(argv: list[str] | None = None) -> int:
                         "executing (driver-fold queries execute anyway and "
                         "report their shape)")
 
+    fs = sub.add_parser(
+        "serve-flight",
+        help="serve registry query results over Arrow Flight (localhost)")
+    fs.add_argument("--sf-dir", default="/root/testdata/sf0.01",
+                    help="table dir with the driver parquet tables")
+    fs.add_argument("--port", type=int, default=8815,
+                    help="TCP port on 127.0.0.1 (0 = ephemeral)")
+    fs.add_argument("--names", default=None,
+                    help="comma-separated subset of queries to expose")
+
     args = p.parse_args(argv)
     import ray
 
@@ -312,6 +322,20 @@ def main(argv: list[str] | None = None) -> int:
         bad = [n for n, r in results.items() if r["status"] in ("FAIL", "ERROR")]
         ray.shutdown()
         return 1 if bad else 0
+    elif args.cmd == "serve-flight":
+        _init_ray(getattr(args, "num_cpus", None))
+        from monocator_ray.sources.flightserve import serve_flight
+
+        names = args.names.split(",") if args.names else None
+        server = serve_flight(args.sf_dir, port=args.port, names=names)
+        print(f"serving {len(names) if names else 'all'} registry queries "
+              f"at {server.endpoint} (ctrl-c to stop)")
+        try:
+            server.serve()  # blocks until shutdown
+        except KeyboardInterrupt:
+            server.shutdown()
+        return 0
+
     elif args.cmd == "query":
         from monocator_ray.pipelines.registry import REGISTRY
 
