@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "top_orders_with_ties",
     "last_purchase_gap",
     "running_error_count",
+    "decayed_revenue",
+    "median_order_gap",
     "scd2_intervals",
     "rfm_segments",
     "pareto_customers",

@@ -3244,6 +3244,40 @@ REGISTRY: dict = {
         ORDER BY event_type, day
         """,
     ),
+    # integer exponential time-decay aggregate (half-life 30 days as a
+    # right shift — exact on both engines, unlike float exp decay)
+    "decayed_revenue": (
+        R.q_decayed_revenue,
+        """
+        WITH ref AS (SELECT MAX(o_orderdate) AS r FROM orders)
+        SELECT o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                   >> LEAST(date_diff('day', o_orderdate, r) // 30, 62))
+                 AS decayed_cents
+        FROM orders, ref
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    # grouped lower median of a LAG-derived series (consecutive-order gaps)
+    "median_order_gap": (
+        R.q_median_order_gap,
+        """
+        WITH o AS (
+          SELECT o_custkey, o_orderdate,
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+                   AS prev
+          FROM orders
+        ), g AS (
+          SELECT o_custkey,
+                 CAST(date_diff('day', prev, o_orderdate) AS BIGINT) AS gap
+          FROM o WHERE prev IS NOT NULL
+        )
+        SELECT o_custkey,
+               CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days
+        FROM g GROUP BY o_custkey ORDER BY o_custkey
+        """,
+    ),
     # COUNT(*) FILTER (...) inside a window frame — the conditional-count
     # window shape (segmented masked cumsum per user-hash partition)
     "running_error_count": (

@@ -6254,3 +6254,89 @@ def q_events_delta(sf_dir: str) -> rd.Dataset:
         .aggregate(Count(alias_name="n"))
         .sort(["event_type", "day"])
     )
+
+
+# ---- exponential time-decay aggregate, exact in integers ----
+def q_decayed_revenue(sf_dir: str) -> rd.Dataset:
+    """Per order priority: revenue with an exponential time decay
+    (half-life 30 days against the corpus's newest order date) computed
+    EXACTLY in integers — each order contributes ``cents >> min(age_days
+    // 30, 62)``, a right shift both engines evaluate identically, so the
+    recency-weighted aggregate the float ``exp(-age/tau)`` version cannot
+    hash-match IS oracle-checkable.  Plan: one O(1) max-date fold, then
+    one vectorized shift + 5-group aggregate pass — no shuffle beyond the
+    O(priorities) driver fold."""
+    ds = _read(sf_dir, "orders",
+               ["o_orderpriority", "o_orderdate", "o_totalprice"])
+    DAY_US = np.int64(86_400_000_000)
+
+    ref = collect_arrow(ds.map_batches(
+        lambda t: pa.table({"m": pa.array(
+            [int(t["o_orderdate"].to_numpy(zero_copy_only=False)
+                 .view(np.int64).max())] if t.num_rows else [],
+            pa.int64())}),
+        batch_format="pyarrow"))  # bounded: one int per block
+    ref_us = int(pc.max(ref["m"]).as_py())
+
+    def fold(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        shift = np.minimum((ref_us - d) // DAY_US // 30, 62)
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        dec = cents >> shift
+        g = pa.table({"o_orderpriority": t["o_orderpriority"],
+                      "decayed_cents": pa.array(dec, pa.int64())}).group_by(
+            "o_orderpriority").aggregate([("decayed_cents", "sum")])
+        return g.rename_columns(["o_orderpriority", "decayed_cents"])
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        ["o_orderpriority"], [("decayed_cents", "sum")],
+        ["o_orderpriority", "decayed_cents"],
+    )  # bounded: O(priorities)
+    pdf = pdf.sort_values("o_orderpriority").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- grouped median over a LAG-derived series ----
+def q_median_order_gap(sf_dir: str) -> rd.Dataset:
+    """Per customer with >= 2 orders: the median whole-day gap between
+    consecutive orders (ordered by date, orderkey) — a grouped order
+    statistic over a WINDOW-DERIVED series, composing the LAG diff and
+    the lower-median convention (_grouped_lower_median_sort, the shared
+    quantile_disc(.5) implementation) inside ONE customer-hash partition
+    pass: sort once for the gaps, once for the medians, no join, no
+    second shuffle."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    DAY_US = np.int64(86_400_000_000)
+
+    _OUT = pa.schema([("o_custkey", pa.int64()),
+                      ("median_gap_days", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        cust = g["o_custkey"].to_numpy(zero_copy_only=False)
+        date = g["o_orderdate"].to_numpy(zero_copy_only=False).view(np.int64)
+        okey = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, date, cust))
+        cust, date = cust[order], date[order]
+        n = len(cust)
+        is_gap = np.ones(n, bool)
+        starts, _ends = run_boundaries(cust)
+        is_gap[starts] = False  # first order of each customer has no gap
+        gaps = np.empty(n, np.int64)
+        gaps[1:] = (date[1:] - date[:-1]) // DAY_US
+        gcust, gvals = cust[is_gap], gaps[is_gap]
+        if not len(gcust):
+            return _OUT.empty_table()
+        key, vals, gstarts, gends, mid = _grouped_lower_median_sort(
+            gcust, gvals)
+        return pa.table({"o_custkey": pa.array(key[gstarts], pa.int64()),
+                         "median_gap_days": pa.array(vals[mid], pa.int64())})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["o_custkey"]),
+        part,
+        num_parts=32,
+    ).sort("o_custkey")
