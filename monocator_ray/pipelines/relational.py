@@ -6001,6 +6001,7 @@ def _exact_quantiles_disc(pc_ds, col: str, qs=(0.25, 0.5, 0.75),
     throughout."""
     import math
 
+    # bounded: O(blocks) 3-int partials
     parts = collect_arrow(pc_ds.map_batches(
         lambda t: pa.table(
             {"lo": pa.array([int(t[col].to_numpy(zero_copy_only=False).min())
@@ -6046,6 +6047,7 @@ def _exact_quantiles_disc(pc_ds, col: str, qs=(0.25, 0.5, 0.75),
         keep = np.isin(b, list(need))
         return pa.table({"v": pa.array(v[keep], pa.int64())})
 
+    # bounded: target bins only (n/bins rows each in expectation)
     vals = collect_arrow(pc_ds.map_batches(
         bin_filter, batch_format="pyarrow"))["v"].to_numpy()  # bounded: target bins only (n/bins each in expectation)
     vals = np.sort(vals)
@@ -6190,6 +6192,7 @@ def q_pareto_customers(sf_dir: str) -> rd.Dataset:
         v = t["cents"].to_numpy(zero_copy_only=False)
         return pa.table({"v": pa.array(v[v // step == the_bin], pa.int64())})
 
+    # bounded: one histogram bin (n/BINS rows in expectation)
     vals = np.sort(collect_arrow(pc_ds.map_batches(
         bin_filter, batch_format="pyarrow"))["v"].to_numpy())[::-1]  # bounded: one histogram bin
     cum_in = w_above + np.cumsum(vals)
@@ -6270,6 +6273,7 @@ def q_decayed_revenue(sf_dir: str) -> rd.Dataset:
                ["o_orderpriority", "o_orderdate", "o_totalprice"])
     DAY_US = np.int64(86_400_000_000)
 
+    # bounded: one int per block
     ref = collect_arrow(ds.map_batches(
         lambda t: pa.table({"m": pa.array(
             [int(t["o_orderdate"].to_numpy(zero_copy_only=False)
