@@ -427,8 +427,68 @@ def checkpoint_delta_table(table: str) -> int:
     so replay cost resets to O(commits since checkpoint).  Returns the
     checkpointed version."""
     version, schema, pcols, adds = _replay(table)
-    # the real checkpoint schema uses map<string,string> for the open
-    # key-value fields (an empty plain struct cannot be written to parquet)
+    _write_checkpoint_at(table, version, schema, pcols, adds)
+    return version
+
+
+def vacuum_delta_table(table: str, keep_versions: int | None = None) -> list[str]:
+    """Delete data files referenced by NO retained version and log files
+    below the retention horizon; returns the deleted paths.
+
+    ``keep_versions=None`` retains every version (vacuum then only sweeps
+    stray tmp files and data files no commit ever referenced — crashed
+    writers' orphans).  ``keep_versions=k`` retains the newest k versions:
+    older JSON commits are dropped AFTER a checkpoint is written at the
+    horizon so the retained tail still replays, and any data file whose
+    ONLY references were in dropped history is deleted — time travel
+    below the horizon is gone, exactly Delta's VACUUM contract."""
+    versions = _list_versions(table)
+    if not versions:
+        return []
+    horizon = versions[0] if keep_versions is None else \
+        (versions[-keep_versions] if keep_versions <= len(versions)
+         else versions[0])
+
+    # every data path referenced by any RETAINED version's live set
+    retained: set[str] = set()
+    for v in versions:
+        if v >= horizon:
+            _, _, _, adds = _replay(table, v)
+            retained.update(a["path"] for a in adds)
+
+    deleted: list[str] = []
+    if keep_versions is not None and horizon > versions[0]:
+        # checkpoint the horizon so the retained tail replays standalone
+        cp = _read_last_checkpoint(table)
+        if cp is None or cp["version"] < horizon:
+            _, schema, pcols, adds = _replay(table, horizon)
+            _write_checkpoint_at(table, horizon, schema, pcols, adds)
+        for v in versions:
+            if v < horizon:
+                p = os.path.join(_log_dir(table), f"{v:020d}.json")
+                os.remove(p)
+                deleted.append(p)
+
+    # sweep data files nothing retained references (+ writer tmp leftovers)
+    for root, _dirs, names in os.walk(table):
+        if _LOG in root:
+            continue
+        for n in names:
+            full = os.path.join(root, n)
+            rel = os.path.relpath(full, table)
+            if n.startswith("."):
+                os.remove(full)
+                deleted.append(full)
+            elif n.endswith(".parquet") and rel not in retained:
+                os.remove(full)
+                deleted.append(full)
+    return deleted
+
+
+def _write_checkpoint_at(table: str, version: int, schema: pa.Schema,
+                         pcols: list[str], adds: list[dict]) -> None:
+    """checkpoint_delta_table's writer for an explicit snapshot (vacuum's
+    horizon checkpoint)."""
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema([
         ("metaData", pa.struct([
@@ -448,8 +508,7 @@ def checkpoint_delta_table(table: str) -> int:
         ])),
     ])
     meta = {"id": "", "format": {"provider": "parquet", "options": {}},
-            "schemaString": _schema_to_spark_json(
-                pa.schema([schema.field(n) for n in schema.names])),
+            "schemaString": _schema_to_spark_json(schema),
             "partitionColumns": pcols, "configuration": {}}
     rows = [{"metaData": meta, "add": None}]
     rows += [{"metaData": None,
@@ -466,4 +525,22 @@ def checkpoint_delta_table(table: str) -> int:
     with open(tmp, "w") as f:
         json.dump({"version": version, "size": len(rows)}, f)
     os.replace(tmp, lc)
-    return version
+
+
+def write_delta_retrying(ds, table: str, mode: str = "append",
+                         partition_by: list[str] | None = None,
+                         max_retries: int = 8) -> int:
+    """write_delta with the protocol's standard conflict loop: on
+    DeltaConcurrentCommit re-read the log and try the next version.
+    Append commits are always safe to retry (their adds conflict with
+    nothing); overwrite retries recompute the remove set against the
+    fresh state, which is last-overwrite-wins — the semantics Delta
+    itself gives blind overwrites."""
+    last: DeltaConcurrentCommit | None = None
+    for _ in range(max_retries):
+        try:
+            return write_delta(ds, table, mode=mode,
+                               partition_by=partition_by)
+        except DeltaConcurrentCommit as e:
+            last = e
+    raise last  # noqa: B904 — the loop's final conflict IS the error

@@ -182,3 +182,67 @@ def test_partitioned_checkpoint_and_pruning(tmp_path, ray_session):
                 partition_by=["label"])
     got = _sorted_pd(read_delta(tbl, filters={"label": "l1"}))
     assert got["id"].tolist() == [1, 7]
+
+
+def test_vacuum_orphans_and_retention(tmp_path, ray_session):
+    import pandas as pd
+
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([1], ["a"], [1.0])), tbl)
+    write_delta(rd.from_arrow(_t([2], ["b"], [2.0])), tbl, mode="overwrite")
+    write_delta(rd.from_arrow(_t([3], ["c"], [3.0])), tbl)
+    # plant a crashed writer's orphan data file + a tmp leftover
+    open(os.path.join(tbl, "orphan-deadbeef-1.parquet"), "wb").write(b"x")
+    open(os.path.join(tbl, ".part-x.tmp-123"), "wb").write(b"x")
+
+    from monocator_ray.sources.delta import vacuum_delta_table
+
+    before = _sorted_pd(read_delta(tbl))
+    v0_data = _sorted_pd(read_delta(tbl, version=0))
+    deleted = vacuum_delta_table(tbl)  # keep all versions
+    # orphan + tmp gone; every version still readable
+    assert any("orphan-" in d for d in deleted)
+    assert any(".tmp-" in d for d in deleted)
+    pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl)), before)
+    pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl, version=0)),
+                                  v0_data)
+
+    # retention: keep newest 2 versions -> version-0's overwritten file dies
+    deleted = vacuum_delta_table(tbl, keep_versions=2)
+    assert any(d.endswith(".json") for d in deleted)  # old commit dropped
+    assert any(d.endswith(".parquet") and "_delta_log" not in d
+               for d in deleted)  # id=1's file only lived in dropped history
+    pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl)), before)
+    with pytest.raises(ValueError):
+        read_delta(tbl, version=0)  # below the horizon: gone
+    # the retained tail still replays through the horizon checkpoint
+    assert _sorted_pd(read_delta(tbl, version=1))["id"].tolist() == [2]
+
+
+def test_concurrent_writers_threaded(tmp_path, ray_session):
+    """Eight threads race append commits through write_delta_retrying:
+    every append must land (distinct versions, no lost rows)."""
+    import threading
+
+    from monocator_ray.sources.delta import write_delta_retrying
+
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([0], ["seed"], [0.0])), tbl)
+    versions, errs = [], []
+
+    def writer(i):
+        try:
+            t = _t([100 + i], [f"w{i}"], [float(i)])
+            versions.append(write_delta_retrying(rd.from_arrow(t), tbl))
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    assert sorted(versions) == list(range(1, 9))  # distinct, dense
+    got = _sorted_pd(read_delta(tbl))
+    assert got["id"].tolist() == [0] + [100 + i for i in range(8)]
