@@ -82,3 +82,104 @@ def first_wins_dedup(table: pa.Table) -> pa.Table:
     # re-sort winners into global priority order for deterministic offers
     w_order = np.lexsort((uh[winners], dt[winners], hh[winners], depth[winners]))
     return table.take(pa.array(winners[w_order]))
+
+
+class TrapFilter:
+    """Spider-trap defense for frontier links (the crawl-ops layer every
+    production crawler carries — Heritrix's PathologicalPathDecideRule /
+    TooManyPathSegmentsDecideRule and Nutch's urlfilter-regex defaults are
+    the public models): drops URLs whose SHAPE predicts an infinite or
+    worthless subtree before they cost a fetch.
+
+    Checks (each individually toggleable via the thresholds):
+
+    * ``max_url_len`` — oversized URLs (calendar/query explosions).
+    * ``max_path_depth`` — path-segment count cap.
+    * ``max_query_params`` — ``&``-separated parameter cap.
+    * session-id shapes — ``[?&;](jsessionid|phpsessid|sessionid|sid|
+      cfid|cftoken)=`` and 32+-char hex runs (tracking tokens fork the
+      URL space per visitor: classic dedup-defeating trap).
+    * calendar traps — more than ``max_date_segments`` date-like path
+      segments (``/2024/01/05/...`` recursions).
+    * pathological repetition — the same path segment ``max_repeat+``
+      times CONSECUTIVELY (``/a/a/a/``). RE2 (Arrow's regex engine) has
+      no backreferences, so this is the one check that runs per-row
+      Python — but only on the rows a vectorized depth screen already
+      flagged as suspicious (deep paths), so the loop touches a sliver.
+
+    Everything else is pyarrow-compute (RE2) kernels over the whole
+    batch: zero per-row Python on the happy path.  Emits either a
+    filtered table (default) or, with ``annotate=True``, the input plus a
+    ``trap`` bool column (for diagnostics / oracle tests)."""
+
+    _SESSION_RE = (r"(?i)[?&;](jsessionid|phpsessid|sessionid|sid|"
+                   r"cfid|cftoken)=")
+    _HEX_RE = r"[0-9a-fA-F]{32}"
+    # digit-leading path segments (date/calendar shapes).  RE2 has no
+    # lookahead, and a trailing (/|$) would CONSUME the separator and
+    # undercount adjacent segments (/01/02/ -> 1 match), so match just
+    # the /digits prefix — /123abc also counts, an acceptable widening
+    _DATE_SEG_RE = r"/\d{1,4}"
+
+    def __init__(self, max_url_len: int = 2048, max_path_depth: int = 12,
+                 max_query_params: int = 8, max_date_segments: int = 4,
+                 max_repeat: int = 2, annotate: bool = False):
+        self.max_url_len = max_url_len
+        self.max_path_depth = max_path_depth
+        self.max_query_params = max_query_params
+        self.max_date_segments = max_date_segments
+        self.max_repeat = max_repeat
+        self.annotate = annotate
+
+    def _trap_mask(self, urls: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        # strip scheme+host so path heuristics don't count '//' of http://
+        paths = pc.replace_substring_regex(
+            urls, pattern=r"^[a-z][a-z0-9+.-]*://[^/]*", replacement="")
+        trap = pc.greater(pc.binary_length(urls),
+                          self.max_url_len).to_numpy(zero_copy_only=False)
+        trap |= pc.greater(
+            pc.count_substring(paths, "/"),
+            self.max_path_depth).to_numpy(zero_copy_only=False)
+        # query params: count '=' after the first '?'
+        qpos = pc.find_substring(paths, "?")
+        has_q = pc.greater_equal(qpos, 0)
+        nparams = pc.count_substring(paths, "=")
+        trap |= pc.and_(has_q, pc.greater(
+            nparams, self.max_query_params)).to_numpy(zero_copy_only=False)
+        trap |= pc.match_substring_regex(
+            paths, self._SESSION_RE).to_numpy(zero_copy_only=False)
+        trap |= pc.match_substring_regex(
+            paths, self._HEX_RE).to_numpy(zero_copy_only=False)
+        trap |= pc.greater(
+            pc.count_substring_regex(paths, self._DATE_SEG_RE),
+            self.max_date_segments).to_numpy(zero_copy_only=False)
+
+        # consecutive-repeat check: only rows deep enough to repeat
+        deep = pc.greater(pc.count_substring(paths, "/"),
+                          self.max_repeat).to_numpy(zero_copy_only=False)
+        suspects = np.flatnonzero(deep & ~trap)
+        if len(suspects):
+            plist = paths.take(pa.array(suspects)).to_pylist()
+            cap = self.max_repeat
+            for j, p in zip(suspects, plist):
+                segs = p.split("?", 1)[0].split("/")
+                run = 1
+                for a, b in zip(segs, segs[1:]):
+                    run = run + 1 if (a == b and a) else 1
+                    if run > cap:
+                        trap[j] = True
+                        break
+        return trap
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            if self.annotate and "trap" not in batch.column_names:
+                return batch.append_column(
+                    "trap", pa.array([], pa.bool_()))
+            return batch
+        trap = self._trap_mask(batch["url"].combine_chunks())
+        if self.annotate:
+            return batch.append_column("trap", pa.array(trap, pa.bool_()))
+        return batch.filter(pa.array(~trap))

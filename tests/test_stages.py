@@ -1310,3 +1310,65 @@ def test_ico_paletted_dib_gated():
     struct.pack_into("<H", ico, off + 14, 8)
     with pytest.raises(NotImplementedError):
         decode_ico_frames(bytes(ico))
+
+
+# ---------------------------------------------------------- TrapFilter ----
+
+
+def _trap_urls(urls):
+    import pyarrow as pa
+
+    from monocator_ray.stages.filters import TrapFilter
+
+    t = pa.table({"url": pa.array(urls, pa.string())})
+    out = TrapFilter(annotate=True)(t)
+    return dict(zip(urls, out["trap"].to_pylist()))
+
+
+def test_trap_filter_shapes():
+    flags = _trap_urls([
+        "http://ok.example/a/b/c",                          # clean
+        "http://ok.example/" + "x/" * 20,                   # too deep
+        "http://ok.example/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9",  # params
+        "http://ok.example/p;jsessionid=ABC123",            # session id
+        "http://ok.example/p?phpsessid=deadbeef",           # session id
+        "http://ok.example/h/" + "g" * 16 + "h" * 16,       # long but not hex
+        "http://ok.example/h/" + "0123456789abcdef" * 2,    # 32-char hex run
+        "http://ok.example/2024/01/02/2024/01/03/x",        # calendar
+        "http://ok.example/a/a/a/x",                        # /a/a/a repeat
+        "http://ok.example/a/b/a/b/x",                      # alternating: ok
+        "http://ok.example/?" + "q" * 3000,                 # oversized
+    ])
+    assert flags["http://ok.example/a/b/c"] is False
+    assert flags["http://ok.example/" + "x/" * 20] is True
+    assert flags["http://ok.example/p?a=1&b=2&c=3&d=4&e=5&f=6&g=7&h=8&i=9"] is True
+    assert flags["http://ok.example/p;jsessionid=ABC123"] is True
+    assert flags["http://ok.example/p?phpsessid=deadbeef"] is True
+    assert flags["http://ok.example/h/" + "g" * 16 + "h" * 16] is False
+    assert flags["http://ok.example/h/" + "0123456789abcdef" * 2] is True
+    assert flags["http://ok.example/2024/01/02/2024/01/03/x"] is True
+    assert flags["http://ok.example/a/a/a/x"] is True
+    assert flags["http://ok.example/a/b/a/b/x"] is False
+    assert flags["http://ok.example/?" + "q" * 3000] is True
+
+
+def test_trap_filter_drops_rows_and_host_not_counted():
+    import pyarrow as pa
+
+    from monocator_ray.stages.filters import TrapFilter
+
+    # a host full of dots/digits must not trip PATH heuristics
+    t = pa.table({"url": pa.array(
+        ["http://123.45.67.89:8080/ok", "http://deep.example/a/a/a/a/x"])})
+    out = TrapFilter()(t)
+    assert out["url"].to_pylist() == ["http://123.45.67.89:8080/ok"]
+
+
+def test_trap_filter_empty_batch():
+    import pyarrow as pa
+
+    from monocator_ray.stages.filters import TrapFilter
+
+    t = pa.table({"url": pa.array([], pa.string())})
+    assert TrapFilter()(t).num_rows == 0
+    assert "trap" in TrapFilter(annotate=True)(t).column_names
