@@ -18,6 +18,7 @@ integer-count partials.
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 
@@ -45,21 +46,55 @@ def _fold_of(col: str) -> str:
 
 @locked_writer
 def ingest_partials(ds: rd.Dataset, store_dir: str, key_cols: list[str],
-                    aggs: list[tuple], names: list[str]) -> pd.DataFrame:
+                    aggs: list[tuple], names: list[str],
+                    txn: str | None = None) -> pd.DataFrame:
     """Aggregate one increment (driver_grouped_agg semantics: the RESULT is
     O(groups)) and append it as a new committed generation.  Returns the
-    increment's partial table."""
+    increment's partial table.
+
+    ``txn`` is an optional CLIENT transaction token carried in the
+    committed file's parquet footer metadata — atomic with the data by
+    construction, so ``committed_txns`` can answer "did this increment
+    land?" after any crash.  Counts are NOT idempotent, so exactly-once
+    re-drivers (sources/watch.py) MUST check the token before
+    re-ingesting; a duplicate token raises."""
     ensure_shipped()
     os.makedirs(store_dir, exist_ok=True)
+    if txn is not None and txn in committed_txns(store_dir):
+        raise ValueError(f"txn {txn!r} already committed to {store_dir!r}")
     part = driver_grouped_agg(ds, key_cols, aggs, names)
     gens = [_gen_of(f) for f in os.listdir(store_dir)
             if f.endswith(".parquet") and (f.startswith("run=") or f.startswith("base="))]
     gen = max(gens) + 1 if gens else 0
     fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
     os.close(fd)
-    pq.write_table(pa.Table.from_pandas(part, preserve_index=False), tmp)
+    t = pa.Table.from_pandas(part, preserve_index=False)
+    if txn is not None:
+        t = t.replace_schema_metadata({_TXN_META_KEY: json.dumps([txn])})
+    pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(store_dir, f"run={gen}.parquet"))  # commit
     return part
+
+
+_TXN_META_KEY = b"monocator.txns"
+
+
+def _txns_of_file(path: str) -> set[str]:
+    meta = pq.read_schema(path).metadata or {}
+    raw = meta.get(_TXN_META_KEY)
+    return set(json.loads(raw)) if raw else set()
+
+
+def committed_txns(store_dir: str) -> set[str]:
+    """Union of the txn tokens carried by every LIVE generation (footer
+    metadata reads only — no data pages touched).  Compaction unions the
+    folded generations' tokens into the base, so the answer survives it."""
+    if not os.path.isdir(store_dir):
+        return set()
+    out: set[str] = set()
+    for f in _live_files(store_dir):
+        out |= _txns_of_file(f)
+    return out
 
 
 def _gen_of(fname: str) -> int:
@@ -127,9 +162,17 @@ def compact(store_dir: str, key_cols: list[str]) -> int:
     # r3-closing-2 finding #4)
     merged = _fold_files(live, key_cols)
     g = max(_gen_of(os.path.basename(f)) for f in live)
+    # carry the folded generations' txn tokens into the base: the
+    # exactly-once recovery check (committed_txns) must survive compaction
+    txns = set()
+    for f in live:
+        txns |= _txns_of_file(f)
     fd, tmp = tempfile.mkstemp(dir=store_dir, suffix=".tmp")
     os.close(fd)
-    pq.write_table(pa.Table.from_pandas(merged, preserve_index=False), tmp)
+    t = pa.Table.from_pandas(merged, preserve_index=False)
+    if txns:
+        t = t.replace_schema_metadata({_TXN_META_KEY: json.dumps(sorted(txns))})
+    pq.write_table(t, tmp)
     os.replace(tmp, os.path.join(store_dir, f"base={g}.parquet"))  # commit
     # best-effort cleanup: EVERYTHING superseded by the new base — runs and
     # bases with gen <= g, including garbage a crashed earlier cleanup left
