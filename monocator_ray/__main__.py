@@ -150,6 +150,18 @@ def main(argv: list[str] | None = None) -> int:
                         "executing (driver-fold queries execute anyway and "
                         "report their shape)")
 
+    iw = sub.add_parser(
+        "ingest-watch",
+        help="exactly-once ingest of new parquet drops into an aggstore view")
+    iw.add_argument("--data-dir", required=True,
+                    help="landing directory of parquet drops")
+    iw.add_argument("--store", required=True, help="aggstore directory")
+    iw.add_argument("--keys", required=True, help="comma-separated key cols")
+    iw.add_argument("--sum", dest="sums", default="",
+                    help="comma-separated columns to SUM (output sum_<col>)")
+    iw.add_argument("--count", action="store_true",
+                    help="add a row count column n_rows")
+
     fs = sub.add_parser(
         "serve-flight",
         help="serve registry query results over Arrow Flight (localhost)")
@@ -322,6 +334,22 @@ def main(argv: list[str] | None = None) -> int:
         bad = [n for n, r in results.items() if r["status"] in ("FAIL", "ERROR")]
         ray.shutdown()
         return 1 if bad else 0
+    elif args.cmd == "ingest-watch":
+        _init_ray(args.num_cpus)
+        from monocator_ray.sources.watch import watch_ingest_aggstore
+
+        keys = args.keys.split(",")
+        sums = [c for c in args.sums.split(",") if c]
+        aggs: list[tuple] = [(c, "sum") for c in sums]
+        names = keys + [f"sum_{c}" for c in sums]
+        if args.count:
+            probe = sums[0] if sums else keys[0]
+            aggs.append((probe, "count"))
+            names.append("n_rows")
+        r = watch_ingest_aggstore(args.data_dir, args.store, keys, aggs, names)
+        print(json.dumps(r))
+        return 0
+
     elif args.cmd == "serve-flight":
         _init_ray(getattr(args, "num_cpus", None))
         from monocator_ray.sources.flightserve import serve_flight
