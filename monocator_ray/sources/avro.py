@@ -111,7 +111,11 @@ def _avro_schema_for(table: pa.Table) -> dict:
 
 
 def _avro_to_arrow_type(frag) -> pa.DataType:
-    """Avro schema fragment -> Arrow type (sans union nullability)."""
+    """Avro schema fragment -> Arrow type (sans union nullability).
+    Nested records/arrays/maps map to struct/list/map — supported by the
+    SEQUENTIAL reader path (real-world Kafka payloads nest); the
+    vectorized lockstep decoder covers flat schemas only and
+    parse_avro_file falls back automatically."""
     if isinstance(frag, dict):
         lt = frag.get("logicalType")
         if lt == "timestamp-micros":
@@ -120,7 +124,19 @@ def _avro_to_arrow_type(frag) -> pa.DataType:
             return pa.timestamp("ms")
         if lt == "date":
             return pa.date32()
-        frag = frag["type"]
+        t = frag.get("type")
+        if t == "record":
+            return pa.struct([
+                (f["name"], _avro_to_arrow_type(_unwrap_union(f["type"])[0]))
+                for f in frag["fields"]
+            ])
+        if t == "array":
+            return pa.list_(_avro_to_arrow_type(
+                _unwrap_union(frag["items"])[0]))
+        if t == "map":
+            return pa.map_(pa.string(), _avro_to_arrow_type(
+                _unwrap_union(frag["values"])[0]))
+        frag = t
     prim = {
         "boolean": pa.bool_(),
         "int": pa.int32(),
@@ -583,6 +599,43 @@ def _decode_block_sequential(body: bytes, n_records: int,
         elif base == "null":
             def rd_():
                 return None
+        elif base == "record":
+            subs = [(f["name"], make_reader(f["type"]))
+                    for f in value_frag["fields"]]
+
+            def rd_():
+                return {name: r() for name, r in subs}
+        elif base == "array":
+            item = make_reader(value_frag["items"])
+
+            def rd_():
+                out = []
+                while True:
+                    cnt = rvarint()
+                    if cnt == 0:
+                        return out
+                    if cnt < 0:  # negative count: abs count + byte size
+                        cnt = -cnt
+                        rvarint()
+                    for _ in range(cnt):
+                        out.append(item())
+        elif base == "map":
+            val = make_reader(value_frag["values"])
+
+            def rd_():
+                nonlocal pos
+                out = []
+                while True:
+                    cnt = rvarint()
+                    if cnt == 0:
+                        return out
+                    if cnt < 0:
+                        cnt = -cnt
+                        rvarint()
+                    for _ in range(cnt):
+                        kl = rvarint()
+                        k = body[pos:pos + kl].decode(); pos += kl
+                        out.append((k, val()))
         else:
             raise TypeError(f"unsupported Avro type {base!r}")
         if not nullable:
@@ -621,7 +674,14 @@ def parse_avro_file(raw: bytes) -> pa.Table:
         raise TypeError(f"Avro codec {codec!r} not supported (null | deflate)")
     blocks = list(_iter_blocks(buf, pos, sync, codec))
     index = meta.get(_INDEX_META_KEY.encode())
-    if index is not None and len(blocks) == 1:
+
+    def _flat(frag) -> bool:
+        vf, _, _ = _unwrap_union(frag)
+        return not (isinstance(vf, dict)
+                    and vf.get("type") in ("record", "array", "map"))
+
+    if index is not None and len(blocks) == 1 \
+            and all(_flat(f["type"]) for f in schema["fields"]):
         cnt, body = blocks[0]
         starts = np.frombuffer(zlib.decompress(index), "<u8").astype(np.int64)
         if len(starts) == cnt:

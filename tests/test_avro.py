@@ -214,3 +214,45 @@ def test_export_read_avro_ray(tmp_path, ray_session):
     a = got.to_pandas().sort_values("a", na_position="last").reset_index(drop=True)
     b = t.to_pandas().sort_values("a", na_position="last").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_foreign_nested_record_array_map():
+    """Nested types decode on the sequential path: a record field, an
+    array of longs with a multi-block run, and a string->long map."""
+    sch = (b'{"type":"record","name":"R","fields":['
+           b'{"name":"who","type":{"type":"record","name":"W","fields":['
+           b'{"name":"name","type":"string"},'
+           b'{"name":"age","type":["null","long"]}]}},'
+           b'{"name":"xs","type":{"type":"array","items":"long"}},'
+           b'{"name":"kv","type":{"type":"map","values":"long"}}]}')
+    b1 = bytearray()
+    _wv(b1, 3); b1 += b"bob"          # who.name
+    _wv(b1, 1); _wv(b1, 42)           # who.age = union branch 1 (long), 42
+    _wv(b1, 2); _wv(b1, 7); _wv(b1, 8)  # xs block of 2
+    _wv(b1, 1); _wv(b1, 9)            # xs second block of 1
+    _wv(b1, 0)                        # xs end
+    _wv(b1, 1)                        # kv block of 1
+    _wv(b1, 1); b1 += b"k"            # key "k"
+    _wv(b1, 5)                        # value 5
+    _wv(b1, 0)                        # kv end
+    data = _foreign_file(sch, [(1, bytes(b1))])
+    t = parse_avro_file(data)
+    row = t.to_pylist()[0]
+    assert row["who"] == {"name": "bob", "age": 42}
+    assert row["xs"] == [7, 8, 9]
+    assert dict(row["kv"]) == {"k": 5}
+
+
+def test_nested_self_indexed_falls_back_to_sequential():
+    """A self-indexed file whose schema nests must NOT take the lockstep
+    path (which is flat-only) — parse_avro_file detects and falls back."""
+    sch_doc = {"type": "record", "name": "R", "fields": [
+        {"name": "who", "type": {"type": "record", "name": "W", "fields": [
+            {"name": "name", "type": "string"}]}}]}
+    b1 = bytearray()
+    _wv(b1, 2); b1 += b"zz"
+    body = bytes(b1)
+    starts = np.array([0], np.int64)
+    data = _write_ocf(body, 1, sch_doc, "null", starts)
+    t = parse_avro_file(data)
+    assert t.to_pylist() == [{"who": {"name": "zz"}}]
