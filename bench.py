@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "running_error_count",
     "decayed_revenue",
     "median_order_gap",
+    "user_diversity",
+    "benford_digits",
     "scd2_intervals",
     "rfm_segments",
     "pareto_customers",

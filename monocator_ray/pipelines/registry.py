@@ -3278,6 +3278,39 @@ REGISTRY: dict = {
         FROM g GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
+    # exact Gini-Simpson diversity (rational, unlike Shannon entropy)
+    "user_diversity": (
+        R.q_user_diversity,
+        """
+        WITH c AS (
+          SELECT user_id, event_type, COUNT(*) AS cnt
+          FROM events GROUP BY user_id, event_type
+        ), u AS (
+          SELECT user_id, SUM(cnt) AS n, SUM(cnt*cnt) AS sumsq
+          FROM c GROUP BY user_id
+        )
+        SELECT user_id, CAST(n AS BIGINT) AS n_events,
+               CAST(1000 - (1000 * sumsq) // (n * n) AS BIGINT)
+                 AS diversity_pm
+        FROM u WHERE n >= 2 ORDER BY user_id
+        """,
+    ),
+    # Benford leading-digit audit over order cents (digit via the decimal
+    # string on both engines -- no float log10 edge cases)
+    "benford_digits": (
+        R.q_benford_digits,
+        """
+        WITH d AS (
+          SELECT CAST(LEFT(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+                                AS VARCHAR), 1) AS BIGINT) AS digit
+          FROM orders
+        ), c AS (
+          SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+        ), t AS (SELECT SUM(n) AS total FROM c)
+        SELECT digit, n, n * 1000 // (SELECT total FROM t) AS share_pm
+        FROM c ORDER BY digit
+        """,
+    ),
     # COUNT(*) FILTER (...) inside a window frame — the conditional-count
     # window shape (segmented masked cumsum per user-hash partition)
     "running_error_count": (

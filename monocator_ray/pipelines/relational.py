@@ -6344,3 +6344,75 @@ def q_median_order_gap(sf_dir: str) -> rd.Dataset:
         part,
         num_parts=32,
     ).sort("o_custkey")
+
+
+# ---- diversity index: exact Gini-Simpson in integer permille ----
+def q_user_diversity(sf_dir: str) -> rd.Dataset:
+    """Per user (with >= 2 events): the Gini-Simpson diversity of their
+    event-type mix, exact in integer permille — diversity = 1 -
+    sum(c_i^2)/n^2 becomes ``1000 - (1000 * sum(c_i^2)) // n^2``, a
+    RATIONAL index (unlike Shannon entropy, whose logs can never
+    hash-match across engines).  One user-hash partition: per-(user,
+    type) counts and the per-user fold both inside the partition —
+    no second shuffle."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    _OUT = pa.schema([("user_id", pa.int64()), ("n_events", pa.int64()),
+                      ("diversity_pm", pa.int64())])
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _OUT.empty_table()
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((et, uid))
+        uid, et = uid[order], et[order]
+        # (user, type) run counts, then per-user sum of squares
+        starts, ends = run_boundaries(uid, et)
+        c = (ends - starts).astype(np.int64)
+        run_uid = uid[starts]
+        ustarts, uends = run_boundaries(run_uid)
+        sumsq = np.add.reduceat(c * c, ustarts)
+        n = np.add.reduceat(c, ustarts)
+        keep = n >= 2
+        div = 1000 - (1000 * sumsq[keep]) // (n[keep] * n[keep])
+        return pa.table({"user_id": pa.array(run_uid[ustarts][keep],
+                                             pa.int64()),
+                         "n_events": pa.array(n[keep], pa.int64()),
+                         "diversity_pm": pa.array(div, pa.int64())})
+
+    return hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        part,
+        num_parts=32,
+    ).sort("user_id")
+
+
+# ---- Benford leading-digit audit histogram ----
+def q_benford_digits(sf_dir: str) -> rd.Dataset:
+    """Leading-digit distribution of order totals (in cents) — the
+    Benford's-law audit scan: counts per first digit 1-9 plus each
+    digit's observed share in exact permille.  Leading-digit extraction
+    goes through the DECIMAL STRING on both engines (LEFT(CAST(...)) in
+    the oracle, numpy unicode slice here) so no float log10 edge case at
+    powers of ten can diverge.  Per-batch 9-bucket partials, O(9) driver
+    fold."""
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        cents = _cents(t["o_totalprice"]).to_numpy(zero_copy_only=False)
+        # astype("U1") keeps only the first character of the decimal string
+        digits = cents.astype("U1").view(np.uint32).astype(np.int64) - ord("0")
+        counts = np.bincount(digits, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10), pa.int64()),
+                         "n": pa.array(counts, pa.int64())})
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        ["digit"], [("n", "sum")], ["digit", "n"],
+    )  # bounded: 9 rows
+    pdf = pdf.sort_values("digit").reset_index(drop=True)
+    total = int(pdf["n"].sum())
+    pdf["share_pm"] = pdf["n"] * 1000 // max(total, 1)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
