@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "event_windows_orc",
     "events_avro",
     "events_delta",
+    "events_iceberg",
     "keyword_search_store",
     "incremental_keyword_search",
     "event_groups_frame",

@@ -3278,6 +3278,18 @@ REGISTRY: dict = {
         FROM g GROUP BY o_custkey ORDER BY o_custkey
         """,
     ),
+    # Iceberg-hop parity with partition pruning: per-type rollup through
+    # an identity-partitioned Iceberg v1 table (Avro manifests)
+    "events_iceberg": (
+        R.q_events_iceberg,
+        """
+        SELECT event_type, COUNT(*) AS n,
+               MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+               SUM(CAST(FLOOR(value*100) AS BIGINT)) AS sum_cents
+        FROM events WHERE event_type IN ('view', 'error')
+        GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # exact Gini-Simpson diversity (rational, unlike Shannon entropy)
     "user_diversity": (
         R.q_user_diversity,

@@ -6416,3 +6416,65 @@ def q_benford_digits(sf_dir: str) -> rd.Dataset:
     total = int(pdf["n"].sum())
     pdf["share_pm"] = pdf["n"] * 1000 // max(total, 1)
     return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+_ICEBERG_EXPORTED: set[str] = set()
+
+
+def q_events_iceberg(sf_dir: str) -> rd.Dataset:
+    """Per-type event-id span and count through an ICEBERG hop — the
+    sixth source-format parity demonstration and the second whose
+    re-read PRUNES: events export to an Iceberg v1 table identity-
+    partitioned by event_type (sources/iceberg.py — Avro manifests via
+    the nested-record writer, versioned metadata JSON), and the re-read
+    passes ``filters={'event_type': ['view', 'error']}`` so only those
+    partitions' files are planned.  Matches the WHERE-IN parquet oracle
+    bit-for-bit.  Same PID-keyed once-per-process staging as the other
+    hops."""
+    import os
+    import shutil
+
+    from monocator_ray.sources.iceberg import read_iceberg, write_iceberg
+
+    ensure_shipped()
+    base = os.environ.get("MONOCATOR_CSV_DIR", "/tmp")
+    out = os.path.join(
+        base,
+        f"monocator_iceberg_events_{os.getpid()}_"
+        f"{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    if out not in _ICEBERG_EXPORTED:
+        from monocator_ray.sources.csvio import cleanup_stale_staging
+
+        cleanup_stale_staging(base, "monocator_iceberg_events_", out)
+        shutil.rmtree(out, ignore_errors=True)
+        write_iceberg(
+            _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+            out,
+            partition_by=["event_type"],
+        )
+        _ICEBERG_EXPORTED.add(out)
+    ds = read_iceberg(out, filters={"event_type": ["view", "error"]})
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "event_id": batch["event_id"],
+                "cents": pc.cast(
+                    pc.floor(pc.multiply(batch["value"],
+                                         pa.scalar(100.0))), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Min("event_id", alias_name="min_id"),
+            Max("event_id", alias_name="max_id"),
+            Sum("cents", alias_name="sum_cents"),
+        )
+        .sort("event_type")
+    )

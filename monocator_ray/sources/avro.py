@@ -39,11 +39,13 @@ bans in hot stages.  Two answers, both in this module:
 
 Fidelity contract (stated, not silent):
 * Supported Avro types: ``null boolean int long float double bytes
-  string``, 2-branch unions with ``null`` (either order), and the
-  ``timestamp-micros`` / ``timestamp-millis`` / ``date`` logical types.
-  Nested records / arrays / maps / enums / fixed are rejected with a clear
-  error naming the field — project or encode them first (same contract as
-  the CSV exporter's binary/nested rejection).
+  string``, 2-branch unions with ``null`` (either order), the
+  ``timestamp-micros`` / ``timestamp-millis`` / ``date`` logical types,
+  and (on the SEQUENTIAL paths) nested records / arrays / maps —
+  ``write_avro_records`` encodes nested metadata files (Iceberg
+  manifests), the reader auto-detects nesting and skips the lockstep
+  path.  The columnar ``export_avro`` data sink stays flat-only (enums /
+  fixed are rejected everywhere with a clear error naming the field).
 * A column becomes ``["null", T]`` iff its block actually contains nulls
   (per-block schemas may differ; the reader concatenates with promotion).
 * Timestamps round-trip exactly at us precision; ``timestamp-millis``
@@ -713,3 +715,70 @@ def read_avro_dir(path: str, schema: pa.Schema | None = None) -> rd.Dataset:
 
     files = rd.read_binary_files(path)
     return files.map_batches(parse_file, batch_format="numpy", batch_size=1)
+
+
+# ------------------------------------------------- sequential encoder ----
+# Nested records/arrays/maps ENCODE through a plain recursive writer: the
+# callers are metadata-sized tables (Iceberg manifests are O(files) rows),
+# so per-row Python is the right tool — the vectorized encoder stays the
+# data path for flat tables.
+
+
+def _encode_value(buf: bytearray, frag, v) -> None:
+    value_frag, nullable, null_branch = _unwrap_union(frag)
+    if nullable:
+        if v is None:
+            _wvarint(buf, null_branch)
+            return
+        _wvarint(buf, 1 - null_branch)
+    base = value_frag["type"] if isinstance(value_frag, dict) else value_frag
+    if base == "boolean":
+        buf.append(1 if v else 0)
+    elif base in ("int", "long"):
+        _wvarint(buf, int(v))
+    elif base in ("float", "double"):
+        buf += struct.pack("<f" if base == "float" else "<d", float(v))
+    elif base in ("bytes", "string"):
+        raw = v.encode() if isinstance(v, str) else bytes(v)
+        _wvarint(buf, len(raw))
+        buf += raw
+    elif base == "null":
+        pass
+    elif base == "record":
+        for f in value_frag["fields"]:
+            _encode_value(buf, f["type"], v[f["name"]])
+    elif base == "array":
+        items = list(v)
+        if items:
+            _wvarint(buf, len(items))
+            for it in items:
+                _encode_value(buf, value_frag["items"], it)
+        _wvarint(buf, 0)
+    elif base == "map":
+        pairs = list(v.items()) if isinstance(v, dict) else list(v)
+        if pairs:
+            _wvarint(buf, len(pairs))
+            for k, val in pairs:
+                raw = k.encode()
+                _wvarint(buf, len(raw))
+                buf += raw
+                _encode_value(buf, value_frag["values"], val)
+        _wvarint(buf, 0)
+    else:
+        raise TypeError(f"unsupported Avro type {base!r}")
+
+
+def write_avro_records(path: str, schema: dict, rows: list[dict],
+                       codec: str = "deflate") -> None:
+    """Write arbitrary (possibly NESTED) python records as one
+    single-block OCF file — the metadata-file writer (Iceberg manifests);
+    use ``export_avro`` for columnar data."""
+    body = bytearray()
+    for r in rows:
+        for f in schema["fields"]:
+            _encode_value(body, f["type"], r[f["name"]])
+    data = _write_ocf(bytes(body), len(rows), schema, codec, None)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
