@@ -250,6 +250,16 @@ def read_delta(table: str, version: int | None = None,
     if not adds:
         return rd.from_arrow(out_schema.empty_table())
 
+    if not pcols:
+        # unpartitioned fast path: hand the live-file list to Ray's native
+        # parquet reader, which splits large files by row group (the
+        # per-file map path below cannot) and pushes the projection down
+        ds = rd.read_parquet([os.path.join(table, a["path"]) for a in adds],
+                             columns=list(want_data) or None)
+        return ds.map_batches(
+            lambda t: t.select(out_schema.names).cast(out_schema),
+            batch_format="pyarrow")
+
     # one task list entry per live file: path + its partition values
     items = [
         {"path": os.path.join(table, a["path"]),

@@ -207,6 +207,16 @@ def read_iceberg(table: str, snapshot_id: int | None = None,
         return rd.from_arrow(out_schema.empty_table())
     want_data = [c for c in (columns or schema.names) if c not in pcols]
 
+    if not pcols:
+        # unpartitioned fast path: Ray's native parquet reader splits
+        # large files by row group (same rationale as read_delta)
+        ds = rd.read_parquet(
+            [os.path.join(table, f["path"]) for f in files],
+            columns=list(want_data) or None)
+        return ds.map_batches(
+            lambda t: t.select(out_schema.names).cast(out_schema),
+            batch_format="pyarrow")
+
     def load(batch: dict) -> pa.Table:
         tables = []
         for path, pv_json in zip(batch["path"], batch["pvals"]):
