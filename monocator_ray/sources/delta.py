@@ -250,12 +250,20 @@ def read_delta(table: str, version: int | None = None,
     if not adds:
         return rd.from_arrow(out_schema.empty_table())
 
+    data_schema = pa.schema([schema.field(c) for c in data_cols])
     if not pcols:
         # unpartitioned fast path: hand the live-file list to Ray's native
         # parquet reader, which splits large files by row group (the
-        # per-file map path below cannot) and pushes the projection down
+        # per-file map path below cannot).  The DECLARED reduced schema
+        # does double duty: it both PROJECTS (columns absent from it are
+        # pruned at the scan) and null-fills columns a pre-evolution file
+        # lacks.  (schema= and columns= together break on heterogeneous
+        # files — the datasource builds per-fragment batches that must
+        # already match the declared schema.)
+        read_schema = pa.schema([data_schema.field(c) for c in want_data]) \
+            if want_data else data_schema
         ds = rd.read_parquet([os.path.join(table, a["path"]) for a in adds],
-                             columns=list(want_data) or None)
+                             schema=read_schema)
         return ds.map_batches(
             lambda t: t.select(out_schema.names).cast(out_schema),
             batch_format="pyarrow")
@@ -271,7 +279,14 @@ def read_delta(table: str, version: int | None = None,
     def load(batch: dict) -> pa.Table:
         tables = []
         for path, pv_json in zip(batch["path"], batch["pvals"]):
-            t = pq.read_table(path, columns=want_data or None)
+            t = pq.read_table(path)
+            # null-fill columns this file predates (schema evolution),
+            # then project to the wanted data columns
+            for c in want_data:
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, data_schema.field(c).type))
+            t = t.select(want_data) if want_data else t.select([])
             pv = json.loads(pv_json)
             for c in pcols:
                 if columns is not None and c not in columns:
@@ -398,6 +413,29 @@ def write_delta(ds: rd.Dataset, table: str, mode: str = "append",
 
     versions = _list_versions(table)
     version = (versions[-1] + 1) if versions else 0
+    # additive schema evolution on append: new columns extend the table
+    # schema (a metaData action in the same commit); columns the increment
+    # LACKS are fine (its files just omit them — reads null-fill against
+    # the declared table schema); a type conflict on a shared name errors.
+    commit_schema = schema
+    evolved = False
+    if version > 0 and mode == "append":
+        _, cur_schema, cur_pcols, _ = _replay(table)
+        if cur_pcols != pcols:
+            raise ValueError(
+                f"append partition_by {pcols} != table's {cur_pcols}")
+        merged = list(cur_schema)
+        for f in schema:
+            if f.name in cur_schema.names:
+                have = cur_schema.field(f.name).type
+                if have != f.type:
+                    raise TypeError(
+                        f"append column {f.name!r}: type {f.type} conflicts "
+                        f"with table type {have}")
+            else:
+                merged.append(f)
+                evolved = True
+        commit_schema = pa.schema(merged)
     actions: list[dict] = [
         {"commitInfo": {"operation": "WRITE" if mode == "append"
                         else "OVERWRITE", "engine": "monocator_ray"}}
@@ -405,11 +443,11 @@ def write_delta(ds: rd.Dataset, table: str, mode: str = "append",
     if version == 0:
         actions.append({"protocol": {"minReaderVersion": 1,
                                      "minWriterVersion": 2}})
-    if version == 0 or mode == "overwrite":
+    if version == 0 or mode == "overwrite" or evolved:
         actions.append({"metaData": {
             "id": f"{_payload_key(table.encode()):032x}",
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": _schema_to_spark_json(schema),
+            "schemaString": _schema_to_spark_json(commit_schema),
             "partitionColumns": pcols,
             "configuration": {},
         }})

@@ -207,12 +207,18 @@ def read_iceberg(table: str, snapshot_id: int | None = None,
         return rd.from_arrow(out_schema.empty_table())
     want_data = [c for c in (columns or schema.names) if c not in pcols]
 
+    data_schema = pa.schema(
+        [schema.field(c) for c in schema.names if c not in pcols])
     if not pcols:
         # unpartitioned fast path: Ray's native parquet reader splits
-        # large files by row group (same rationale as read_delta)
+        # large files by row group; the declared REDUCED schema both
+        # projects and null-fills pre-evolution files (read_delta
+        # rationale — schema= and columns= together break)
+        read_schema = pa.schema([data_schema.field(c) for c in want_data]) \
+            if want_data else data_schema
         ds = rd.read_parquet(
             [os.path.join(table, f["path"]) for f in files],
-            columns=list(want_data) or None)
+            schema=read_schema)
         return ds.map_batches(
             lambda t: t.select(out_schema.names).cast(out_schema),
             batch_format="pyarrow")
@@ -220,8 +226,12 @@ def read_iceberg(table: str, snapshot_id: int | None = None,
     def load(batch: dict) -> pa.Table:
         tables = []
         for path, pv_json in zip(batch["path"], batch["pvals"]):
-            t = pq.read_table(os.path.join(table, path),
-                              columns=want_data or None)
+            t = pq.read_table(os.path.join(table, path))
+            for c in want_data:  # null-fill pre-evolution files
+                if c not in t.column_names:
+                    t = t.append_column(
+                        c, pa.nulls(t.num_rows, data_schema.field(c).type))
+            t = t.select(want_data) if want_data else t.select([])
             pv = json.loads(pv_json)
             for c in pcols:
                 if columns is not None and c not in columns:
@@ -334,6 +344,27 @@ def write_iceberg(ds: rd.Dataset, table: str, mode: str = "append",
     except FileNotFoundError:
         version = 0
         meta = None
+    if meta is not None and mode == "append":
+        # additive schema evolution (same contract as write_delta): new
+        # columns extend the table schema; missing columns are fine (the
+        # increment's files omit them, reads null-fill); type conflicts
+        # error; partition spec must match
+        cur_schema = _arrow_schema_of(meta)
+        if _partition_cols_of(meta) != pcols:
+            raise ValueError(
+                f"append partition_by {pcols} != table's "
+                f"{_partition_cols_of(meta)}")
+        merged = list(cur_schema)
+        for f in schema:
+            if f.name in cur_schema.names:
+                have = cur_schema.field(f.name).type
+                if have != f.type:
+                    raise TypeError(
+                        f"append column {f.name!r}: type {f.type} "
+                        f"conflicts with table type {have}")
+            else:
+                merged.append(f)
+        schema = pa.schema(merged)
     ptypes = {c: schema.field(c).type for c in pcols}
     mf_schema = _manifest_schema(pcols, ptypes)
     entries = [{"status": 1, "data_file": {

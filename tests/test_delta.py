@@ -246,3 +246,35 @@ def test_concurrent_writers_threaded(tmp_path, ray_session):
     assert sorted(versions) == list(range(1, 9))  # distinct, dense
     got = _sorted_pd(read_delta(tbl))
     assert got["id"].tolist() == [0] + [100 + i for i in range(8)]
+
+
+def test_schema_evolution_append(tmp_path, ray_session):
+    """Appending new columns evolves the table schema (metaData action in
+    the commit); older files read back null-filled.  An increment MISSING
+    a column is also fine (its files just omit it).  Type conflicts and
+    partition-spec changes error."""
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(pa.table({"id": pa.array([1], pa.int64())})),
+                tbl)
+    # evolve: add a column
+    write_delta(rd.from_arrow(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "extra": pa.array(["x"], pa.string())})), tbl)
+    got = _sorted_pd(read_delta(tbl))
+    assert got["id"].tolist() == [1, 2]
+    assert got["extra"].tolist()[0] is None and got["extra"].tolist()[1] == "x"
+    # increment missing a column: nulls for its rows
+    write_delta(rd.from_arrow(pa.table({"id": pa.array([3], pa.int64())})),
+                tbl)
+    got = _sorted_pd(read_delta(tbl))
+    assert got["extra"].tolist() == [None, "x", None]
+    # type conflict errors
+    with pytest.raises(TypeError, match="conflicts"):
+        write_delta(rd.from_arrow(pa.table(
+            {"id": pa.array(["s"], pa.string())})), tbl)
+    # projection of only the evolved column still null-fills
+    from monocator_ray.stages.grouped import collect_arrow
+
+    only = collect_arrow(read_delta(tbl, columns=["extra"]))
+    assert sorted(x is None for x in only["extra"].to_pylist()) == \
+        [False, True, True]

@@ -149,3 +149,21 @@ def test_unsupported_rejected(tmp_path, ray_session):
     with pytest.raises(TypeError, match="identity-partition"):
         write_iceberg(rd.from_arrow(ok), str(tmp_path / "t2"),
                       partition_by=["val"])
+
+
+def test_schema_evolution_append(tmp_path, ray_session):
+    tbl = str(tmp_path / "t")
+    write_iceberg(rd.from_arrow(pa.table({"id": pa.array([1], pa.int64())})),
+                  tbl)
+    write_iceberg(rd.from_arrow(pa.table({
+        "id": pa.array([2], pa.int64()),
+        "extra": pa.array(["x"], pa.string())})), tbl)
+    got = _sorted_pd(read_iceberg(tbl))
+    assert got["id"].tolist() == [1, 2]
+    assert got["extra"].tolist() == [None, "x"]
+    # the evolved schema is in the NEW metadata, old columns preserved
+    meta = json.load(open(os.path.join(tbl, "metadata/v2.metadata.json")))
+    assert {f["name"] for f in meta["schema"]["fields"]} == {"id", "extra"}
+    with pytest.raises(TypeError, match="conflicts"):
+        write_iceberg(rd.from_arrow(pa.table(
+            {"id": pa.array([1.0], pa.float64())})), tbl)
