@@ -214,6 +214,7 @@ BENCH_QUERIES = [
     "median_order_gap",
     "user_diversity",
     "benford_digits",
+    "session_bounce_rate",
     "scd2_intervals",
     "rfm_segments",
     "pareto_customers",

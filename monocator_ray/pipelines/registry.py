@@ -3290,6 +3290,38 @@ REGISTRY: dict = {
         GROUP BY event_type ORDER BY event_type
         """,
     ),
+    # sessionize -> first-touch attribution -> exact-permille bounce rate
+    "session_bounce_rate": (
+        R.q_session_bounce_rate,
+        """
+        WITH o AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, event_type, ts, event_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        ), per AS (
+          SELECT user_id, sid,
+                 FIRST_VALUE(event_type) OVER (
+                   PARTITION BY user_id, sid ORDER BY ts, event_id) AS entry,
+                 COUNT(*) OVER (PARTITION BY user_id, sid) AS n_ev
+          FROM s
+        ), one AS (
+          SELECT DISTINCT user_id, sid, entry, n_ev FROM per
+        )
+        SELECT entry AS entry_type, COUNT(*) AS n_sessions,
+               COUNT(*) FILTER (WHERE n_ev = 1) AS n_bounce,
+               COUNT(*) FILTER (WHERE n_ev = 1) * 1000 // COUNT(*)
+                 AS bounce_pm
+        FROM one GROUP BY entry ORDER BY entry
+        """,
+    ),
     # exact Gini-Simpson diversity (rational, unlike Shannon entropy)
     "user_diversity": (
         R.q_user_diversity,

@@ -6478,3 +6478,62 @@ def q_events_iceberg(sf_dir: str) -> rd.Dataset:
         )
         .sort("event_type")
     )
+
+
+# ---- sessionized bounce rate with entry-type attribution ----
+def q_session_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Per session ENTRY event type: session count, single-event
+    ("bounce") count, and the bounce rate in exact permille — the
+    sessionize -> attribute-to-first-touch -> rate composition every web
+    analytics stack ships.  A session breaks when the gap to the user's
+    previous event exceeds 30 minutes (strict >, order (ts, event_id)).
+    One user-hash partition pass finds every break, session length and
+    entry type vectorized (sessions are CONTIGUOUS runs after the sort,
+    so lengths are just diffs of break indices); the driver folds
+    O(event types) partials."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    gap_us = np.int64(gap_minutes * 60) * np.int64(1_000_000)
+
+    def part(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"entry_type": pa.array([], pa.string()),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_bounce": pa.array([], pa.int64())})
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False).view(np.int64)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        n = len(uid)
+        new_s = np.ones(n, bool)
+        new_s[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+        s_starts = np.flatnonzero(new_s)
+        s_len = np.diff(np.append(s_starts, n))
+        entry = et[s_starts]
+        bounce = (s_len == 1).astype(np.int64)
+        # per-partition partials by entry type
+        u, inv = np.unique(entry, return_inverse=True)
+        nb = np.zeros(len(u), np.int64)
+        np.add.at(nb, inv, bounce)  # exact int scatter-add (not bincount's float64 weights path)
+        return pa.table({
+            "entry_type": pa.array(u, pa.string()),
+            "n_sessions": pa.array(np.bincount(inv).astype(np.int64),
+                                   pa.int64()),
+            "n_bounce": pa.array(nb, pa.int64()),
+        })
+
+    partials = hash_partitioned(
+        ds,
+        lambda t: _key_arrays(t, ["user_id"]),
+        part,
+        num_parts=32,
+    )
+    pdf = driver_grouped_agg(
+        partials, ["entry_type"],
+        [("n_sessions", "sum"), ("n_bounce", "sum")],
+        ["entry_type", "n_sessions", "n_bounce"],
+    )  # bounded: O(event types)
+    pdf = pdf.sort_values("entry_type").reset_index(drop=True)
+    pdf["bounce_pm"] = pdf["n_bounce"] * 1000 // pdf["n_sessions"]
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
