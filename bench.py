@@ -215,6 +215,8 @@ BENCH_QUERIES = [
     "user_diversity",
     "benford_digits",
     "session_bounce_rate",
+    "price_deciles",
+    "weighted_median_price",
     "scd2_intervals",
     "rfm_segments",
     "pareto_customers",

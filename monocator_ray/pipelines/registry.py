@@ -3322,6 +3322,37 @@ REGISTRY: dict = {
         FROM one GROUP BY entry ORDER BY entry
         """,
     ),
+    # nine exact deciles from ONE shared histogram selection
+    "price_deciles": (
+        R.q_price_deciles,
+        """
+        WITH pc AS (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS cents
+                    FROM orders),
+        q AS (SELECT quantile_disc(cents,
+                [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS dv FROM pc)
+        SELECT CAST(generate_subscripts(dv, 1) AS BIGINT) AS decile,
+               UNNEST(dv) AS cents
+        FROM q ORDER BY decile
+        """,
+    ),
+    # quantity-weighted median of lineitem price: smallest v where the
+    # cumulative weight of prices <= v reaches half the total
+    "weighted_median_price": (
+        R.q_weighted_median_price,
+        """
+        WITH x AS (
+          SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c,
+                 CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem
+        ), s AS (
+          SELECT c, SUM(q) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+          FROM x
+        ), t AS (SELECT SUM(q) AS total FROM x)
+        SELECT MIN(c) AS weighted_median_cents,
+               (SELECT total FROM t) AS total_qty
+        FROM s WHERE 2 * cum >= (SELECT total FROM t)
+        """,
+    ),
     # exact Gini-Simpson diversity (rational, unlike Shannon entropy)
     "user_diversity": (
         R.q_user_diversity,

@@ -6537,3 +6537,84 @@ def q_session_bounce_rate(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     pdf = pdf.sort_values("entry_type").reset_index(drop=True)
     pdf["bounce_pm"] = pdf["n_bounce"] * 1000 // pdf["n_sessions"]
     return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- global exact deciles from ONE histogram (multi-quantile selection) ----
+def q_price_deciles(sf_dir: str) -> rd.Dataset:
+    """The nine exact deciles of order totals (cents) — the equi-depth
+    histogram boundary computation, done with the _exact_quantiles_disc
+    two-pass selection: ONE shared min/max scan, ONE shared histogram
+    scan, ONE collect of just the bins containing the nine target ranks.
+    No global sort; driver state O(bins)."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"cents": _cents(t["o_totalprice"])})
+
+    ds = orders.map_batches(shape, batch_format="pyarrow").materialize()
+    qs = [i / 10 for i in range(1, 10)]
+    vals = _exact_quantiles_disc(ds, "cents", qs=qs)
+    return rd.from_arrow(pa.table({
+        "decile": pa.array(list(range(1, 10)), pa.int64()),
+        "cents": pa.array(vals, pa.int64()),
+    }))
+
+
+# ---- weighted median: order statistic under a weight measure ----
+def q_weighted_median_price(sf_dir: str) -> rd.Dataset:
+    """The quantity-WEIGHTED median of lineitem extended price (cents):
+    the smallest price v where the cumulative quantity of items priced
+    <= v reaches half the total quantity — a weighted order statistic,
+    which no partial-aggregate tree computes and a global sort would
+    shuffle everything for.  Same weighted-histogram selection as
+    q_pareto_customers, ascending: pass 1 folds per-bin (count, weight);
+    the crossing bin's values collect (bounded) and a local cumsum over
+    the sorted (price, qty) pairs finds the exact crossing value."""
+    li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    BINS = 4096
+    step = max(1, 10**8 // BINS)  # price cents bound (global_median rationale)
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(c):
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        b = c // step
+        u, inv = np.unique(b, return_inverse=True)
+        w = np.zeros(len(u), np.int64)
+        np.add.at(w, inv, q)
+        return pa.table({"bin": pa.array(u, pa.int64()),
+                         "w": pa.array(w, pa.int64())})
+
+    pdf = driver_grouped_agg(
+        li.map_batches(hist_part, batch_format="pyarrow"),
+        ["bin"], [("w", "sum")], ["bin", "w"],
+    ).sort_values("bin").reset_index(drop=True)  # bounded: O(BINS)
+    total_w = int(pdf["w"].sum())
+    cumw = pdf["w"].cumsum().to_numpy()
+    bi = int(np.searchsorted(2 * cumw, total_w))  # first bin where 2*cum >= total
+    the_bin = int(pdf["bin"].iloc[bi])
+    w_before = int(cumw[bi - 1]) if bi else 0
+
+    def bin_filter(t: pa.Table) -> pa.Table:
+        c = _cents(t["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        q = t["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = c // step == the_bin
+        return pa.table({"c": pa.array(c[m], pa.int64()),
+                         "q": pa.array(q[m], pa.int64())})
+
+    # bounded: one histogram bin (rows/BINS in expectation)
+    bin_rows = collect_arrow(li.map_batches(bin_filter,
+                                            batch_format="pyarrow"))
+    c = bin_rows["c"].to_numpy()
+    q = bin_rows["q"].to_numpy()
+    order = np.argsort(c, kind="stable")
+    c, q = c[order], q[order]
+    cum_in = w_before + np.cumsum(q)
+    k = int(np.searchsorted(2 * cum_in, total_w))
+    out = pa.table({
+        "weighted_median_cents": pa.array([int(c[k])], pa.int64()),
+        "total_qty": pa.array([total_w], pa.int64()),
+    })
+    return rd.from_arrow(out)
