@@ -150,6 +150,15 @@ def main(argv: list[str] | None = None) -> int:
                         "executing (driver-fold queries execute anyway and "
                         "report their shape)")
 
+    lk = sub.add_parser(
+        "lake",
+        help="Delta/Iceberg table operations: history | vacuum | checkpoint")
+    lk.add_argument("op", choices=["history", "vacuum", "checkpoint"])
+    lk.add_argument("--table", required=True, help="table directory")
+    lk.add_argument("--keep-versions", type=int, default=None,
+                    help="vacuum: retain only the newest N versions "
+                         "(Delta only; default keeps all)")
+
     iw = sub.add_parser(
         "ingest-watch",
         help="exactly-once ingest of new parquet drops into an aggstore view")
@@ -334,6 +343,42 @@ def main(argv: list[str] | None = None) -> int:
         bad = [n for n, r in results.items() if r["status"] in ("FAIL", "ERROR")]
         ray.shutdown()
         return 1 if bad else 0
+    elif args.cmd == "lake":
+        import os
+
+        is_iceberg = os.path.isdir(os.path.join(args.table, "metadata"))
+        if args.op == "history":
+            if is_iceberg:
+                from monocator_ray.sources.iceberg import iceberg_history
+
+                rows = iceberg_history(args.table)
+            else:
+                from monocator_ray.sources.delta import delta_history
+
+                rows = delta_history(args.table)
+            for r in rows:
+                print(json.dumps(r, default=str))
+        elif args.op == "vacuum":
+            if is_iceberg:
+                print("iceberg vacuum not supported (snapshots are kept; "
+                      "use a catalog's expire-snapshots)", file=sys.stderr)
+                return 2
+            from monocator_ray.sources.delta import vacuum_delta_table
+
+            deleted = vacuum_delta_table(args.table,
+                                         keep_versions=args.keep_versions)
+            print(json.dumps({"deleted": len(deleted)}))
+        elif args.op == "checkpoint":
+            if is_iceberg:
+                print("iceberg tables have no checkpoint file",
+                      file=sys.stderr)
+                return 2
+            from monocator_ray.sources.delta import checkpoint_delta_table
+
+            print(json.dumps({"checkpointed_version":
+                              checkpoint_delta_table(args.table)}))
+        return 0
+
     elif args.cmd == "ingest-watch":
         _init_ray(args.num_cpus)
         from monocator_ray.sources.watch import watch_ingest_aggstore
