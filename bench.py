@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "session_bounce_rate",
     "price_deciles",
     "weighted_median_price",
+    "props_regex",
     "scd2_intervals",
     "rfm_segments",
     "pareto_customers",

@@ -3353,6 +3353,18 @@ REGISTRY: dict = {
         FROM s WHERE 2 * cum >= (SELECT total FROM t)
         """,
     ),
+    # regex-extraction parity: first embedded integer via RE2 on BOTH
+    # engines (Arrow extract_regex vs DuckDB regexp_extract)
+    "props_regex": (
+        R.q_props_regex,
+        """
+        SELECT event_type,
+               COUNT(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS n,
+               SUM(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS sum_v,
+               MAX(CAST(regexp_extract(props, '\\d+') AS BIGINT)) AS max_v
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+    ),
     # exact Gini-Simpson diversity (rational, unlike Shannon entropy)
     "user_diversity": (
         R.q_user_diversity,

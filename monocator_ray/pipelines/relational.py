@@ -6618,3 +6618,30 @@ def q_weighted_median_price(sf_dir: str) -> rd.Dataset:
         "total_qty": pa.array([total_w], pa.int64()),
     })
     return rd.from_arrow(out)
+
+
+# ---- regex extraction parity (RE2 on both engines) ----
+def q_props_regex(sf_dir: str) -> rd.Dataset:
+    """Per event type: count and exact sum/max of the FIRST integer
+    embedded in the raw props string, extracted by REGEX on both engines
+    (Arrow's RE2 `extract_regex` here, DuckDB's RE2 `regexp_extract` in
+    the oracle) — the query that pins the regex-function family end to
+    end, complementing props_json's structured JSON path.  One vectorized
+    pass, per-batch 5-group partials, O(types) driver fold."""
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t["props"], pattern=r"(?P<v>\d+)")
+        v = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+        g = pa.table({"event_type": t["event_type"],
+                      "v": v}).group_by("event_type").aggregate(
+            [("v", "count"), ("v", "sum"), ("v", "max")])
+        return g.rename_columns(["event_type", "n", "sum_v", "max_v"])
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        ["event_type"], [("n", "sum"), ("sum_v", "sum"), ("max_v", "max")],
+        ["event_type", "n", "sum_v", "max_v"],
+    )  # bounded: O(event types)
+    pdf = pdf.sort_values("event_type").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
