@@ -72,3 +72,26 @@ def test_avro_vectorized_equals_sequential_property(t):
         np.frombuffer(body, np.uint8), starts, schema)
     seq = _decode_block_sequential(body, t.num_rows, schema)
     assert vec.cast(seq.schema).equals(seq)
+
+
+@settings(max_examples=80, deadline=None)
+@given(avro_tables(), st.data())
+def test_avro_truncation_never_silently_wrong(t, data):
+    """Truncating a file strictly inside its data region either raises or
+    (never) returns a full parse — a truncated stream must not yield a
+    silently-short or corrupt table with the original row count."""
+    if t.num_rows == 0:
+        return
+    body, starts, schema = _encode_block(t)
+    full = _write_ocf(body, t.num_rows, schema, "null", None)
+    header_len = len(full) - len(body) - 16  # header+sync before the block
+    cut = data.draw(st.integers(min_value=header_len + 1,
+                                max_value=len(full) - 1))
+    try:
+        out = parse_avro_file(full[:cut])
+    except Exception:
+        return  # rejection is the correct outcome
+    # if it parsed, the sync marker must have validated a COMPLETE block —
+    # impossible for a cut strictly inside the file
+    raise AssertionError(
+        f"truncated file parsed to {out.num_rows} rows without error")
