@@ -195,6 +195,7 @@ def export_warc_revisits(
                              "n_records": pa.array([], pa.int64())})
         import gzip as _gzip
         import io
+        import uuid
 
         urls = t["url"].to_pylist()
         ts = t["warc_ts"].to_numpy(zero_copy_only=False)
@@ -202,8 +203,13 @@ def export_warc_revisits(
         for u, x in zip(urls, ts):
             date = str(np.datetime_as_string(x, unit="us")) + "Z"
             digest = digest_map.get(u)
+            # WARC 1.1 §5.2: WARC-Record-ID is mandatory on every record.
+            # UUID5 over url+date keeps the export deterministic (matching
+            # the content-hashed shard-name idempotency).
+            rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{u}\n{date}")
             head = (
                 "WARC/1.1\r\nWARC-Type: revisit\r\n"
+                f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
                 f"WARC-Target-URI: {u}\r\nWARC-Date: {date}\r\n"
                 "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/"
                 "server-not-modified\r\n"

@@ -42,6 +42,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -58,6 +59,7 @@ class DeltaConcurrentCommit(RuntimeError):
 
 
 _LOG = "_delta_log"
+_TMP_GRACE_S = 600.0  # vacuum leaves tmp files younger than this alone
 
 # Spark schemaString type <-> Arrow (scalar core; nested types rejected)
 _SPARK_TO_ARROW = {
@@ -108,6 +110,10 @@ def _partition_value_str(v) -> str | None:
         return None
     if isinstance(v, (bytes, float)):
         raise TypeError("partition columns must be string/int/bool/date")
+    if isinstance(v, bool):
+        # Delta PROTOCOL serializes booleans lowercase; str(True) would
+        # round-trip as False through _typed_partition_scalar.
+        return "true" if v else "false"
     return str(v)
 
 
@@ -117,7 +123,8 @@ def _typed_partition_scalar(s: str | None, t: pa.DataType):
     if pa.types.is_integer(t):
         return int(s)
     if pa.types.is_boolean(t):
-        return s == "true"
+        # accept "True" too for tables written before the lowercase fix
+        return s in ("true", "True")
     if pa.types.is_date(t):
         import datetime
 
@@ -517,16 +524,25 @@ def vacuum_delta_table(table: str, keep_versions: int | None = None) -> list[str
                 os.remove(p)
                 deleted.append(p)
 
-    # sweep data files nothing retained references (+ writer tmp leftovers)
+    # sweep data files nothing retained references (+ writer tmp leftovers).
+    # Tmp files get a grace period: a CONCURRENT writer's in-flight
+    # .part-*.tmp-<pid> must survive until its os.replace lands.
+    now = time.time()
     for root, _dirs, names in os.walk(table):
-        if _LOG in root:
+        rel_root = os.path.relpath(root, table)
+        if rel_root.split(os.sep)[0] == _LOG:
             continue
         for n in names:
             full = os.path.join(root, n)
             rel = os.path.relpath(full, table)
             if n.startswith("."):
-                os.remove(full)
-                deleted.append(full)
+                try:
+                    if now - os.path.getmtime(full) < _TMP_GRACE_S:
+                        continue
+                    os.remove(full)
+                    deleted.append(full)
+                except FileNotFoundError:
+                    continue  # the writer just renamed it away
             elif n.endswith(".parquet") and rel not in retained:
                 os.remove(full)
                 deleted.append(full)
@@ -539,6 +555,10 @@ def _write_checkpoint_at(table: str, version: int, schema: pa.Schema,
     horizon checkpoint)."""
     str_map = pa.map_(pa.string(), pa.string())
     cp_schema = pa.schema([
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+        ])),
         ("metaData", pa.struct([
             ("id", pa.string()),
             ("format", pa.struct([("provider", pa.string()),
@@ -558,8 +578,12 @@ def _write_checkpoint_at(table: str, version: int, schema: pa.Schema,
     meta = {"id": "", "format": {"provider": "parquet", "options": {}},
             "schemaString": _schema_to_spark_json(schema),
             "partitionColumns": pcols, "configuration": {}}
-    rows = [{"metaData": meta, "add": None}]
-    rows += [{"metaData": None,
+    # the PROTOCOL requires checkpoints to carry the table's protocol so
+    # foreign readers (Spark/delta-rs) replaying from _last_checkpoint see it
+    proto = {"minReaderVersion": 1, "minWriterVersion": 2}
+    rows = [{"protocol": proto, "metaData": None, "add": None},
+            {"protocol": None, "metaData": meta, "add": None}]
+    rows += [{"protocol": None, "metaData": None,
               "add": {k: a.get(k) for k in
                       ("path", "partitionValues", "size",
                        "modificationTime", "dataChange")}} for a in adds]

@@ -69,6 +69,11 @@ class DeadLetter:
         os.replace(tmp, os.path.join(self.quarantine_dir, name))
 
     def _run(self, batch: pa.Table, out: list, dead: list, derr: list) -> None:
+        if batch.num_rows == 0:
+            # a fn that raises on an EMPTY batch has no poison row to
+            # quarantine — and appending one error string for zero rows
+            # would crash _quarantine with an Arrow length mismatch
+            return
         try:
             out.append(self.fn(batch))
         except Exception as e:  # noqa: BLE001 — the whole point

@@ -79,3 +79,19 @@ def test_ray_pipeline_keeps_streaming(tmp_path, ray_session):
     assert out.num_rows == 198
     q = read_quarantine(qdir)
     assert sorted(q["v"].to_pylist()) == sorted(POISON)
+
+
+def test_zero_row_batch_with_raising_fn(tmp_path):
+    """A fn that raises on an EMPTY batch must not crash the wrapper
+    (regression: 0-row dead table paired with 1 error string made
+    _quarantine's append_column raise an Arrow length mismatch)."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            raise ValueError("cannot handle empty")
+        return pa.table({"v2": pa.array(
+            t["v"].to_numpy(zero_copy_only=False) * 2, pa.int64())})
+
+    stage = DeadLetter(fn, str(tmp_path / "q"))
+    out = stage(pa.table({"v": pa.array([], pa.int64())}))
+    assert out.num_rows == 0
+    assert read_quarantine(str(tmp_path / "q")).num_rows == 0

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 import pyarrow as pa
 import pytest
@@ -191,18 +192,25 @@ def test_vacuum_orphans_and_retention(tmp_path, ray_session):
     write_delta(rd.from_arrow(_t([1], ["a"], [1.0])), tbl)
     write_delta(rd.from_arrow(_t([2], ["b"], [2.0])), tbl, mode="overwrite")
     write_delta(rd.from_arrow(_t([3], ["c"], [3.0])), tbl)
-    # plant a crashed writer's orphan data file + a tmp leftover
+    # plant a crashed writer's OLD orphan tmp (backdated past the grace
+    # period) and a FRESH tmp simulating a concurrent writer's in-flight file
     open(os.path.join(tbl, "orphan-deadbeef-1.parquet"), "wb").write(b"x")
-    open(os.path.join(tbl, ".part-x.tmp-123"), "wb").write(b"x")
+    old_tmp = os.path.join(tbl, ".part-x.tmp-123")
+    open(old_tmp, "wb").write(b"x")
+    os.utime(old_tmp, (time.time() - 3600, time.time() - 3600))
+    fresh_tmp = os.path.join(tbl, ".part-y.tmp-456")
+    open(fresh_tmp, "wb").write(b"x")
 
     from monocator_ray.sources.delta import vacuum_delta_table
 
     before = _sorted_pd(read_delta(tbl))
     v0_data = _sorted_pd(read_delta(tbl, version=0))
     deleted = vacuum_delta_table(tbl)  # keep all versions
-    # orphan + tmp gone; every version still readable
+    # orphan + stale tmp gone; in-flight tmp survives; every version readable
     assert any("orphan-" in d for d in deleted)
-    assert any(".tmp-" in d for d in deleted)
+    assert old_tmp in deleted
+    assert os.path.exists(fresh_tmp)  # grace period protects live writers
+    os.remove(fresh_tmp)
     pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl)), before)
     pd.testing.assert_frame_equal(_sorted_pd(read_delta(tbl, version=0)),
                                   v0_data)
@@ -278,3 +286,52 @@ def test_schema_evolution_append(tmp_path, ray_session):
     only = collect_arrow(read_delta(tbl, columns=["extra"]))
     assert sorted(x is None for x in only["extra"].to_pylist()) == \
         [False, True, True]
+
+
+def test_bool_partition_roundtrip_and_pruning(tmp_path, ray_session):
+    """Booleans serialize lowercase per the Delta PROTOCOL; reads must
+    round-trip the value and partition filters must prune correctly
+    (regression: str(True) -> "True" read every row back as False)."""
+    tbl = str(tmp_path / "t")
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "flag": pa.array([True, False, True, False], pa.bool_()),
+    })
+    write_delta(rd.from_arrow(t), tbl, partition_by=["flag"])
+
+    got = collect_arrow(read_delta(tbl)).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert got["flag"].tolist() == [True, False, True, False]
+
+    hot = collect_arrow(read_delta(tbl, filters={"flag": True})).to_pandas()
+    assert sorted(hot["id"].tolist()) == [1, 3]
+    # on-disk directory names are lowercase per spec
+    assert os.path.isdir(os.path.join(tbl, "flag=true"))
+    assert os.path.isdir(os.path.join(tbl, "flag=false"))
+
+    # legacy tables written with "True" directories still read as True
+    from monocator_ray.sources.delta import _typed_partition_scalar
+    assert _typed_partition_scalar("True", pa.bool_()) is True
+    assert _typed_partition_scalar("false", pa.bool_()) is False
+
+
+def test_checkpoint_carries_protocol_action(tmp_path, ray_session):
+    """The PROTOCOL requires checkpoints to contain the table's protocol
+    so foreign readers starting replay from _last_checkpoint see it."""
+    import pyarrow.parquet as pq
+
+    tbl = str(tmp_path / "t")
+    write_delta(rd.from_arrow(_t([1], ["a"], [1.0])), tbl)
+    write_delta(rd.from_arrow(_t([2], ["b"], [2.0])), tbl)
+    v = checkpoint_delta_table(tbl)
+
+    cpt = pq.read_table(os.path.join(
+        tbl, "_delta_log", f"{v:020d}.checkpoint.parquet"))
+    assert "protocol" in cpt.schema.names
+    protos = [r["protocol"] for r in cpt.to_pylist() if r.get("protocol")
+              and r["protocol"].get("minReaderVersion") is not None]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 2}]
+    # and the engine's own replay still works through this checkpoint
+    got = collect_arrow(read_delta(tbl)).to_pandas() \
+        .sort_values("id")["id"].tolist()
+    assert got == [1, 2]

@@ -161,6 +161,12 @@ def test_revisit_cycle(site_server, ray_session, tmp_path):
     text = b"".join(gzip.decompress(f.read_bytes()) for f in files).decode()
     assert text.count("WARC-Type: revisit") == 3
     assert "server-not-modified" in text
+    # WARC 1.1 §5.2: every record carries a mandatory WARC-Record-ID,
+    # deterministic (uuid5 over url+date) and unique per record
+    import re
+
+    rids = re.findall(r"WARC-Record-ID: <urn:uuid:([0-9a-f-]{36})>", text)
+    assert len(rids) == 3 and len(set(rids)) == 3
     # digest of the PRIOR capture rides along for replay resolution
     sha1_p1 = hashlib.sha256(b"<html>one</html>").hexdigest()
     assert f"WARC-Payload-Digest: sha256:{sha1_p1}" in text
