@@ -229,7 +229,15 @@ class CrawlDriver:
             del sizes
             if sum(ray.get([s.frontier_size.remote() for s in self.shards])) == 0:
                 return -1
-            self.epoch += 1  # politeness deferral: advance virtual time
+            # politeness deferral: jump virtual time straight to the first
+            # epoch at which ANY shard can stage a URL — identical state to
+            # stepping (the saturating token update composes), but the tail's
+            # empty epochs cost one RPC round total instead of one each
+            nexts = ray.get([s.next_ready_epoch.remote(self.epoch) for s in self.shards])
+            ready = [x for x in nexts if x is not None]
+            nxt = max(self.epoch + 1, min(ready)) if ready else self.epoch + 1
+            # clamp so CrawlResult.epochs matches the stepping engine's stop
+            self.epoch = min(nxt, self.cfg.max_epochs)
             return 0
         if keys.num_rows > budget:
             ks = _key_sort(keys)
@@ -287,6 +295,24 @@ class CrawlDriver:
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = ray.get([s.stats.remote() for s in self.shards])
+        # per-epoch phase decomposition (BASELINE.md scale-ladder evidence):
+        # driver-side phases are timed directly; worker-pool fetch/extract/
+        # write/link seconds are drained from the actors (sum over the pool,
+        # so e.g. fetch_s > wall means the phase ran on several actors)
+        phases = {
+            "peek_ms": int((t_pop - t_peek) * 1000),
+            "pop_ms": int((t_proc - t_pop) * 1000),
+            "process_ms": int((t_dedup - t_proc) * 1000),
+            "offer_ms": int((t_end - t_dedup) * 1000),
+            "fetch_ms": 0, "extract_ms": 0, "write_ms": 0, "link_ms": 0,
+        }
+        if self._workers is not None:
+            pool = (self._workers or []) + (self._fetchers or [])
+            for p in ray.get([w.take_phase_stats.remote() for w in pool]):
+                phases["fetch_ms"] += int(p["fetch_s"] * 1000)
+                phases["extract_ms"] += int(p["extract_s"] * 1000)
+                phases["write_ms"] += int(p["write_s"] * 1000)
+                phases["link_ms"] += int(p["link_s"] * 1000)
         for st in stats:
             prev = self._prev_stats[st["shard_id"]]
             self.lineage_rows.append(
@@ -303,6 +329,10 @@ class CrawlDriver:
                     "new_urls": st["new"] - prev["new"],
                     "dedup_dropped": st["dup_dropped"] - prev["dup_dropped"],
                     "wall_ms": wall_ms,
+                    # phase columns are epoch-level; recorded once on shard
+                    # 0's row (like errors) so sums over lineage are true
+                    **(phases if st["shard_id"] == 0 else
+                       {k: 0 for k in phases}),
                 }
             )
             self._prev_stats[st["shard_id"]] = {
@@ -567,7 +597,14 @@ class CrawlDriver:
         ckpt = os.path.join(edir, "checkpoint")
         os.makedirs(ckpt, exist_ok=True)
         full = (not self._ckpt_chain) or len(self._ckpt_chain) >= self.cfg.full_checkpoint_every
-        counters = ray.get([s.dump_checkpoint.remote(ckpt, full) for s in self.shards])
+        # artifact writes of epochs <= this one must be durable before the
+        # _SUCCESS marker commits (resume purges only epochs AFTER the
+        # manifest's); flushing runs concurrently with the shard dumps
+        flush_refs = [w.flush_writes.remote()
+                      for w in (self._workers or []) + (self._fetchers or [])]
+        dump_refs = [s.dump_checkpoint.remote(ckpt, full) for s in self.shards]
+        counters = ray.get(dump_refs)
+        ray.get(flush_refs)
         manifest = {
             "epoch": self.epoch,
             "seq": self.seq,
@@ -694,6 +731,10 @@ class CrawlDriver:
                 fetched += got
             if self.cfg.total_page_budget and self.seq >= self.cfg.total_page_budget:
                 break
+        # artifacts must be durable before the result is returned (callers
+        # read visit_log/pages right after run())
+        ray.get([w.flush_writes.remote()
+                 for w in (self._workers or []) + (self._fetchers or [])])
         stats = ray.get([s.stats.remote() for s in self.shards])
         return CrawlResult(
             out_dir=self.out_dir,

@@ -17,6 +17,9 @@ physical placement never affects the visit order (keys decide everything).
 from __future__ import annotations
 
 import os
+import queue
+import threading
+import time
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -27,7 +30,17 @@ from monocator_ray.stages.filters import LinkFilter, first_wins_dedup
 
 
 class EpochWorker:
-    """One long-lived worker: fused fetch+extract+write+links per chunk."""
+    """One long-lived worker: fused fetch+extract+write+links per chunk.
+
+    Artifact parquet writes run on a background thread (bounded queue, so a
+    slow disk backpressures extraction rather than buffering unboundedly):
+    the epoch barrier only needs the LINK path (offers to the frontier
+    shards), so writes overlap the next epoch's fetch/extract.  Durability
+    discipline: the driver awaits :meth:`flush_writes` on every worker
+    BEFORE committing a checkpoint ``_SUCCESS`` marker — a crash loses only
+    writes of epochs whose checkpoint never committed, which resume purges
+    anyway.  Phase wall-times accumulate per worker; the driver drains them
+    via :meth:`take_phase_stats` into the per-epoch lineage artifact."""
 
     def __init__(
         self,
@@ -40,36 +53,88 @@ class EpochWorker:
         robots_rules: dict | None,
         max_cached_buckets: int = 16,
         shards: list | None = None,
+        async_writes: bool = True,
     ):
         self.fetch = SyntheticFetcher(pages_dir, num_buckets, max_cached_buckets)
         self.extract = ExtractStage(link_cap, with_vat)
         self.link_filter = LinkFilter(max_depth, blacklist, robots_rules)
         self.shards = shards or []
+        self._phase = {"fetch_s": 0.0, "extract_s": 0.0, "write_s": 0.0,
+                       "link_s": 0.0}
+        self._wq: queue.Queue | None = None
+        self._werr: list[BaseException] = []
+        if async_writes:
+            self._wq = queue.Queue(maxsize=4)
+            t = threading.Thread(target=self._write_loop, daemon=True)
+            t.start()
+
+    # ---- background writer ----
+    def _write_loop(self) -> None:
+        while True:
+            item = self._wq.get()
+            try:
+                if item is not None:
+                    full, out_file = item
+                    t0 = time.monotonic()
+                    self._write_part(full, out_file)
+                    self._phase["write_s"] += time.monotonic() - t0
+            except BaseException as e:  # noqa: BLE001 — surfaced at flush
+                self._werr.append(e)
+            finally:
+                self._wq.task_done()
+
+    @staticmethod
+    def _write_part(full: pa.Table, out_file: str) -> None:
+        os.makedirs(os.path.dirname(out_file), exist_ok=True)
+        tmp = os.path.join(os.path.dirname(out_file),
+                           f".{os.path.basename(out_file)}.tmp-{os.getpid()}")
+        pq.write_table(full, tmp)
+        os.replace(tmp, out_file)
+
+    def flush_writes(self) -> None:
+        """Block until every enqueued artifact write is durable; re-raise
+        the first writer-thread error (the checkpoint must not commit over
+        a failed write)."""
+        if self._wq is not None:
+            self._wq.join()
+        if self._werr:
+            raise self._werr[0]
+
+    def take_phase_stats(self) -> dict:
+        """Accumulated per-phase wall seconds since the last call (drained)."""
+        out = dict(self._phase)
+        for k in self._phase:
+            self._phase[k] = 0.0
+        return out
 
     def fetch_chunk(self, chunk: pa.Table) -> pa.Table:
         """IO phase only — called on the chunk's bucket OWNER so each store
         row group is decoded once per crawl (cached).  The result rides the
         object store to whichever worker extracts it."""
         import os as _os
-        import time as _t
 
-        t0 = _t.monotonic()
+        t0 = time.monotonic()
         out = self.fetch(chunk)
+        self._phase["fetch_s"] += time.monotonic() - t0
         if _os.environ.get("MONOCATOR_TRACE_WORKER"):
-            print(f"[wf] n={chunk.num_rows} fetch={_t.monotonic() - t0:.2f}")
+            print(f"[wf] n={chunk.num_rows} fetch={time.monotonic() - t0:.2f}")
         return out
 
     def extract_write(self, fetched: pa.Table, out_file: str) -> tuple[pa.Table, int]:
         """CPU phase — round-robin across the pool (balanced regardless of
         which owner fetched)."""
         import os as _os
-        import time as _t
 
-        t0 = _t.monotonic()
+        t0 = time.monotonic()
         full = self.extract(fetched)
-        t1 = _t.monotonic()
-        os.makedirs(os.path.dirname(out_file), exist_ok=True)
-        pq.write_table(full, out_file)
+        t1 = time.monotonic()
+        self._phase["extract_s"] += t1 - t0
+        if self._wq is not None:
+            self._wq.put((full, out_file))  # bounded: blocks when disk lags
+        else:
+            self._write_part(full, out_file)
+            self._phase["write_s"] += time.monotonic() - t1
+        t2 = time.monotonic()
         import numpy as np
         import pyarrow.compute as pc
 
@@ -86,7 +151,8 @@ class EpochWorker:
             for s in np.unique(sid):
                 offer_refs.append(self.shards[int(s)].offer.remote(links.filter(pa.array(sid == s))))
             links = None
+        self._phase["link_s"] += time.monotonic() - t2
         if _os.environ.get("MONOCATOR_TRACE_WORKER"):
-            print(f"[we] n={fetched.num_rows} extract={t1 - t0:.2f} rest={_t.monotonic() - t1:.2f}")
+            print(f"[we] n={fetched.num_rows} extract={t1 - t0:.2f} rest={time.monotonic() - t1:.2f}")
         return (links, errors) if not offer_refs else (offer_refs, errors)
 

@@ -84,6 +84,17 @@ LINEAGE = pa.schema(
         ("new_urls", pa.int64()),
         ("dedup_dropped", pa.int64()),
         ("wall_ms", pa.int64()),
+        # epoch-level phase decomposition, recorded on shard 0's row (like
+        # errors): driver-side peek/pop/process/offer plus worker-pool
+        # fetch/extract/write/link wall-time sums
+        ("peek_ms", pa.int64()),
+        ("pop_ms", pa.int64()),
+        ("process_ms", pa.int64()),
+        ("offer_ms", pa.int64()),
+        ("fetch_ms", pa.int64()),
+        ("extract_ms", pa.int64()),
+        ("write_ms", pa.int64()),
+        ("link_ms", pa.int64()),
     ]
 )
 

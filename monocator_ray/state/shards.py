@@ -459,6 +459,40 @@ class FrontierShard:
     def frontier_size(self) -> int:
         return len(self._f["depth"]) + sum(t.num_rows for t in self._pending_tables)
 
+    def next_ready_epoch(self, epoch: int) -> int | None:
+        """Smallest virtual epoch > ``epoch`` at which some frontier URL can
+        become politeness-feasible (None = frontier empty / all capped).
+
+        The saturating token update ``min(burst, t + dt*rate)`` composes
+        across epochs, so the driver jumping straight to this epoch yields
+        bit-identical state to stepping one epoch at a time — it just skips
+        the per-epoch peek/pop RPC rounds of the politeness tail (the 16x
+        scale tier spends ~60 mostly-empty epochs there).  Token state is
+        NOT mutated here; peek at the target epoch advances it."""
+        self.flush_pending()
+        f = self._f
+        if len(f["depth"]) == 0:
+            return None
+        best: int | None = None
+        for hh in np.unique(f["host_hash"]).tolist():
+            st = self.hosts[int(hh)]
+            tokens, delay, fetched, last, cap = st[0], st[1], st[2], st[3], st[4]
+            if cap and fetched >= cap:
+                continue  # capped hosts never become ready
+            if delay <= 0:
+                return epoch + 1  # ready immediately (budget deferral)
+            # advance tokens to `epoch` the same way peek would, read-only
+            if epoch > last:
+                burst = float(max(self.epoch_ms, delay))
+                tokens = min(burst, tokens + (epoch - last) * self.epoch_ms)
+            if tokens >= delay:
+                return epoch + 1
+            k = int(-(-(delay - tokens) // self.epoch_ms))  # ceil
+            cand = epoch + max(1, k)
+            if best is None or cand < best:
+                best = cand
+        return best
+
     def stats(self) -> dict:
         # resolve pending offers first so the counters reflect every offer
         # made up to this call: lineage rows then attribute an epoch's link
