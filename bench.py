@@ -274,16 +274,18 @@ def ensure_web() -> None:
         open(marker, "w").close()
 
 
-def run_crawl(num_cpus: int) -> dict:
+def run_crawl(num_cpus: int, async_rounds: int = 0) -> dict:
     """Throughput bench: politeness *delays* off (a delay host is serial by
     design — it would measure the synthetic crawl-delay, not the engine;
     politeness correctness is pinned by tests/test_crawl.py).  Robots
-    disallow rules and caps still apply."""
+    disallow rules and caps still apply.  ``async_rounds`` > 0 measures the
+    bounded-staleness frontier mode (same fetched SET, relaxed order)."""
     from monocator_ray.crawl.driver import CrawlConfig, crawl
     from monocator_ray.sources.synth import SynthSpec
 
     spec = SynthSpec(WEB_PAGES, WEB_HOSTS)
     cfg = CrawlConfig(
+        async_rounds=async_rounds,
         num_shards=8,
         budget_per_epoch=65536,
         max_depth=8,
@@ -304,7 +306,8 @@ def run_crawl(num_cpus: int) -> dict:
         checkpoint_every=4,
         with_vat=True,
     )
-    out = f"/tmp/monocator_bench_out_{num_cpus}"
+    out = f"/tmp/monocator_bench_out_{num_cpus}" + (
+        f"_async{async_rounds}" if async_rounds else "")
     t0 = time.monotonic()
     # steady-state frontier (SPEC design point: frontier >> budget), not a
     # cold BFS ramp from a handful of roots
@@ -469,8 +472,12 @@ def crawl_only() -> None:
     for f in glob.glob(os.path.join(WEB_DIR, "**", "*.parquet"), recursive=True):
         with open(f, "rb") as fh:
             fh.read()
-    stats = run_crawl(NUM_CPUS)
-    print(json.dumps({"crawl": stats, "num_cpus": NUM_CPUS}))
+    async_rounds = int(os.environ.get("BENCH_ASYNC_ROUNDS", "0"))
+    stats = run_crawl(NUM_CPUS, async_rounds=async_rounds)
+    out = {"crawl": stats, "num_cpus": NUM_CPUS}
+    if async_rounds:
+        out["async_rounds"] = async_rounds
+    print(json.dumps(out))
     ray.shutdown()
 
 

@@ -95,6 +95,16 @@ class CrawlConfig:
     # pipeline (reference implementation of the same chain).
     epoch_engine: str = "workers"
     num_workers: int = 0  # 0 = auto (cluster CPUs - shards - driver)
+    # ASYNC FRONTIER MODE (bounded staleness): >0 allows that many rounds
+    # in flight — shards keep serving politeness-ready URLs while earlier
+    # rounds' extract/offer work finishes; the driver only barriers on the
+    # OLDEST round.  Relaxes the exact BSP visit ORDER (epoch/seq values
+    # differ) but preserves the fetched-page SET whenever reachability is
+    # order-independent (no per-host page caps and max_depth not binding —
+    # first-discovery depth can differ between modes).  Politeness rates
+    # and caps are still enforced at pop time by the shards, identically
+    # to BSP.  0 = exact-order BSP (the correctness artifact, default).
+    async_rounds: int = 0
 
 
 @dataclass
@@ -313,32 +323,7 @@ class CrawlDriver:
                 phases["extract_ms"] += int(p["extract_s"] * 1000)
                 phases["write_ms"] += int(p["write_s"] * 1000)
                 phases["link_ms"] += int(p["link_s"] * 1000)
-        for st in stats:
-            prev = self._prev_stats[st["shard_id"]]
-            self.lineage_rows.append(
-                {
-                    "epoch": self.epoch,
-                    "shard_id": st["shard_id"],
-                    "partition_id": st["shard_id"],
-                    "urls_in": st["offered"] - prev["offered"],
-                    "fetched": st["fetched"] - prev["fetched"],
-                    # error counts are epoch-level (the fetch path doesn't
-                    # attribute per-shard); record once on shard 0's row so
-                    # summing lineage errors equals the true total (ADVICE r1)
-                    "errors": errors if st["shard_id"] == 0 else 0,
-                    "new_urls": st["new"] - prev["new"],
-                    "dedup_dropped": st["dup_dropped"] - prev["dup_dropped"],
-                    "wall_ms": wall_ms,
-                    # phase columns are epoch-level; recorded once on shard
-                    # 0's row (like errors) so sums over lineage are true
-                    **(phases if st["shard_id"] == 0 else
-                       {k: 0 for k in phases}),
-                }
-            )
-            self._prev_stats[st["shard_id"]] = {
-                k: st[k] for k in ("offered", "fetched", "new", "dup_dropped")
-            }
-        self._write_lineage(edir)
+        self._record_lineage(edir, stats, wall_ms, errors, phases)
         if cfg.checkpoint_every and (self.epoch % cfg.checkpoint_every == 0):
             self._checkpoint(edir)
         self.epoch += 1
@@ -583,6 +568,193 @@ class CrawlDriver:
         errors = int(pc.sum(pc.not_equal(full["fetch_status"], 200)).as_py() or 0)
         return (links if links.num_rows else None), errors
 
+    def _fused_dispatch(self, taken: pa.Table, edir: str) -> list:
+        """Async-mode dispatch: the round's chunks as fused
+        ``process_chunk`` tasks (fetch+extract+write+offer in one task)
+        over the COMBINED pool — owner-affine for warm bucket caches, hot
+        buckets salted round-robin exactly like the BSP fetch path."""
+        self._worker_pool()
+        pool = (self._fetchers or []) + (self._workers or [])
+        npool = len(pool)
+        hh = taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = (hh % np.uint64(self.cfg.num_buckets)).astype(np.int64)
+        order = np.lexsort((hh, bucket))
+        taken = taken.take(pa.array(order))
+        bucket = bucket[order]
+        salt_chunk = min(1024, max(64, taken.num_rows // (6 * npool)))
+        fair = -(-taken.num_rows // npool)
+        refs = []
+        rr = 0
+        i = 0
+        for b in np.unique(bucket):
+            lo = int(np.searchsorted(bucket, b, side="left"))
+            hi = int(np.searchsorted(bucket, b, side="right"))
+            owner = pool[int(b) % npool]
+            hot_bucket = (hi - lo) > fair
+            for s in range(lo, hi, salt_chunk):
+                chunk = taken.slice(s, min(salt_chunk, hi - s))
+                w = owner
+                if hot_bucket:
+                    w = pool[rr % npool]
+                    rr += 1
+                out_file = os.path.join(edir, "crawl", f"part-{i}.parquet")
+                i += 1
+                refs.append(w.process_chunk.remote(chunk, out_file))
+        return refs
+
+    def _run_async(self) -> CrawlResult:
+        """Bounded-staleness frontier loop (cfg.async_rounds > 0): shards
+        keep serving politeness-ready URLs while up to ``async_rounds``
+        earlier rounds' fetch/extract/offer work is still in flight; the
+        driver barriers only on the OLDEST round.  Checkpoints quiesce
+        (drain all in-flight rounds) before committing.  See the
+        ``async_rounds`` config comment for the semantics contract."""
+        from collections import deque
+
+        cfg = self.cfg
+        t0 = time.monotonic()
+        fetched = 0
+        idle = 0
+        errors_total = 0
+        inflight: deque = deque()  # (epoch_no, [process_chunk refs])
+
+        def drain_oldest() -> None:
+            nonlocal errors_total
+            _e, refs = inflight.popleft()
+            offer_refs: list = []
+            link_tables: list[pa.Table] = []
+            for lt, err in ray.get(refs):
+                errors_total += err
+                if isinstance(lt, list):
+                    offer_refs.extend(lt)
+                elif lt is not None and lt.num_rows:
+                    link_tables.append(lt)
+            if link_tables:
+                self._offer_all(
+                    first_wins_dedup(pa.concat_tables(link_tables,
+                                                      promote_options="default")))
+            if offer_refs:
+                ray.get(offer_refs)
+
+        while self.epoch < cfg.max_epochs:
+            budget = cfg.budget_per_epoch
+            if cfg.total_page_budget:
+                budget = min(budget, cfg.total_page_budget - self.seq)
+                if budget <= 0:
+                    break
+            while len(inflight) >= cfg.async_rounds:
+                drain_oldest()
+            tr0 = time.monotonic()
+            peeks = ray.get([s.peek.remote(self.epoch, budget) for s in self.shards])
+            keys = pa.concat_tables(peeks)
+            if keys.num_rows == 0:
+                ray.get([s.pop_upto.remote(None) for s in self.shards])
+                if inflight:
+                    # offers of in-flight rounds may still land — quiesce
+                    # one round and retry at the SAME virtual epoch
+                    drain_oldest()
+                    continue
+                if sum(ray.get([s.frontier_size.remote() for s in self.shards])) == 0:
+                    break
+                nexts = ray.get([s.next_ready_epoch.remote(self.epoch)
+                                 for s in self.shards])
+                ready = [x for x in nexts if x is not None]
+                nxt = max(self.epoch + 1, min(ready)) if ready else self.epoch + 1
+                self.epoch = min(nxt, cfg.max_epochs)
+                idle += 1
+                if idle > 10_000:
+                    break
+                continue
+            idle = 0
+            if keys.num_rows > budget:
+                ks = _key_sort(keys)
+                cutoff = (
+                    int(ks["depth"][budget - 1].as_py()),
+                    int(ks["host_hash"][budget - 1].as_py()),
+                    int(ks["discovery_time"][budget - 1].as_py()),
+                    int(ks["url_hash"][budget - 1].as_py()),
+                )
+            else:
+                cutoff = None
+            pops = ray.get([s.pop_upto.remote(cutoff) for s in self.shards])
+            taken = _key_sort(pa.concat_tables(pops))
+            n = taken.num_rows
+            if n == 0:
+                self.epoch += 1
+                continue
+            seqs = np.arange(self.seq, self.seq + n, dtype=np.int64)
+            self.seq += n
+            hh = taken["host_hash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            taken = (
+                taken.append_column("seq", pa.array(seqs, pa.int64()))
+                .append_column("epoch", pa.array(
+                    np.full(n, self.epoch, dtype=np.int32), pa.int32()))
+                .append_column("shard_id", pa.array(
+                    (hh % np.uint64(cfg.num_shards)).astype(np.int32), pa.int32()))
+            )
+            edir = os.path.join(self.out_dir, f"epoch={self.epoch}")
+            os.makedirs(edir, exist_ok=True)
+            inflight.append((self.epoch, self._fused_dispatch(taken, edir)))
+            fetched += n
+            wall_ms = int((time.monotonic() - tr0) * 1000)
+            stats = ray.get([s.stats.remote() for s in self.shards])
+            # async lineage: offered/new deltas reflect offers landed so
+            # far (in-flight rounds attribute to a later row); errors are
+            # counted at drain time, reported in CrawlResult.errors
+            self._record_lineage(edir, stats, wall_ms, 0, {
+                "peek_ms": 0, "pop_ms": 0, "process_ms": 0, "offer_ms": 0,
+                "fetch_ms": 0, "extract_ms": 0, "write_ms": 0, "link_ms": 0})
+            if cfg.checkpoint_every and (self.epoch % cfg.checkpoint_every == 0):
+                while inflight:  # checkpoints are quiescent points
+                    drain_oldest()
+                self._checkpoint(edir)
+            self.epoch += 1
+            if cfg.total_page_budget and self.seq >= cfg.total_page_budget:
+                break
+        while inflight:
+            drain_oldest()
+        ray.get([w.flush_writes.remote()
+                 for w in (self._workers or []) + (self._fetchers or [])])
+        stats = ray.get([s.stats.remote() for s in self.shards])
+        return CrawlResult(
+            out_dir=self.out_dir,
+            epochs=self.epoch,
+            fetched=fetched,
+            errors=errors_total,
+            seen=sum(s["seen"] for s in stats),
+            wall_s=time.monotonic() - t0,
+            lineage=self.lineage_rows,
+        )
+
+    def _record_lineage(self, edir: str, stats: list[dict], wall_ms: int,
+                        errors: int, phases: dict) -> None:
+        for st in stats:
+            prev = self._prev_stats[st["shard_id"]]
+            self.lineage_rows.append(
+                {
+                    "epoch": self.epoch,
+                    "shard_id": st["shard_id"],
+                    "partition_id": st["shard_id"],
+                    "urls_in": st["offered"] - prev["offered"],
+                    "fetched": st["fetched"] - prev["fetched"],
+                    # error counts are epoch-level (the fetch path doesn't
+                    # attribute per-shard); record once on shard 0's row so
+                    # summing lineage errors equals the true total (ADVICE r1)
+                    "errors": errors if st["shard_id"] == 0 else 0,
+                    "new_urls": st["new"] - prev["new"],
+                    "dedup_dropped": st["dup_dropped"] - prev["dup_dropped"],
+                    "wall_ms": wall_ms,
+                    # phase columns are epoch-level; recorded once on shard
+                    # 0's row (like errors) so sums over lineage are true
+                    **(phases if st["shard_id"] == 0 else
+                       {k: 0 for k in phases}),
+                }
+            )
+            self._prev_stats[st["shard_id"]] = {
+                k: st[k] for k in ("offered", "fetched", "new", "dup_dropped")
+            }
+        self._write_lineage(edir)
+
     def _write_lineage(self, edir: str) -> None:
         rows = [r for r in self.lineage_rows if r["epoch"] == self.epoch]
         if rows:
@@ -714,6 +886,8 @@ class CrawlDriver:
         ]
 
     def run(self) -> CrawlResult:
+        if self.cfg.async_rounds > 0:
+            return self._run_async()
         t0 = time.monotonic()
         fetched = 0
         idle = 0

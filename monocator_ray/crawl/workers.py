@@ -120,6 +120,13 @@ class EpochWorker:
             print(f"[wf] n={chunk.num_rows} fetch={time.monotonic() - t0:.2f}")
         return out
 
+    def process_chunk(self, chunk: pa.Table, out_file: str) -> tuple[pa.Table, int]:
+        """Fused fetch+extract+write+offer in ONE task — the async-frontier
+        mode's unit of work (crawl/driver.py _run_async): no fetch->extract
+        handoff, so a round's chunks are independent tasks the driver can
+        leave in flight across rounds."""
+        return self.extract_write(self.fetch_chunk(chunk), out_file)
+
     def extract_write(self, fetched: pa.Table, out_file: str) -> tuple[pa.Table, int]:
         """CPU phase — round-robin across the pool (balanced regardless of
         which owner fetched)."""

@@ -568,3 +568,38 @@ def test_extractor_death_with_unflushed_writes_resumes_identically(web, tmp_path
     assert resumed_log.equals(full_log), "post-extractor-death artifacts differ"
     seqs = resumed_log["seq"].to_pylist()
     assert len(seqs) == len(set(seqs))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_async_frontier_same_fetched_set_as_bsp(web, tmp_path):
+    """VERDICT r4 #2: bounded-staleness frontier mode.  Visit ORDER is
+    relaxed (epoch/seq differ), but with no page caps and a non-binding
+    max_depth the fetched-page SET and the seen set must equal BSP's —
+    reachability is order-independent then.  Politeness delays stay on
+    (synth_robots) and are enforced at pop time in both modes."""
+    cfg_kw = dict(
+        num_shards=3, budget_per_epoch=64, max_depth=8, link_cap=16,
+        num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+        checkpoint_every=2, inline_threshold=0,
+    )
+    bsp_out = tmp_path / "bsp"
+    cfg = CrawlConfig(**cfg_kw)
+    res_bsp = crawl(web["spec"].seeds(6), web["dir"], str(bsp_out), cfg,
+                    robots=synth_robots(HOSTS))
+    bsp_log = read_visit_log(str(bsp_out))
+    bsp_seen = set(int(x) for x in read_seen_set(str(bsp_out)))
+
+    async_out = tmp_path / "async"
+    cfg_a = CrawlConfig(**cfg_kw, async_rounds=3)
+    res_a = crawl(web["spec"].seeds(6), web["dir"], str(async_out), cfg_a,
+                  robots=synth_robots(HOSTS))
+    a_log = read_visit_log(str(async_out))
+
+    assert res_a.fetched == res_bsp.fetched
+    assert set(a_log["url"].to_pylist()) == set(bsp_log["url"].to_pylist())
+    assert set(int(x) for x in read_seen_set(str(async_out))) == bsp_seen
+    # every URL fetched exactly once (seen-set discipline holds async too)
+    seqs = a_log["seq"].to_pylist()
+    assert len(seqs) == len(set(seqs)) == a_log.num_rows
+    urls = a_log["url"].to_pylist()
+    assert len(urls) == len(set(urls))
