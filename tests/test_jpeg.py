@@ -322,20 +322,30 @@ def test_16bit_dqt_transcode_is_identical_and_sof1_roundtrips():
     assert int(np.abs(d.astype(int) - ramp.astype(int)).max()) < 64
 
 
-def test_partially_interleaved_scan_stays_gated():
-    """1 < Ns < Nf sequential scans remain a documented gate."""
-    import struct
+def test_partially_interleaved_scans_decode_identically():
+    """VERDICT r4 #6 — the last sequential T.81 gate removed: 1 < Ns < Nf
+    scans (A.2.3: MCUs walk the FRAME grid carrying only the scan's
+    components) carry the SAME quantized coefficients as one interleaved
+    scan, so decode must be bit-identical across every scan grouping,
+    sampling layout, and with restart markers."""
+    rng = np.random.default_rng(11)
+    for shape, sub in [((24, 33, 3), "444"), ((24, 33, 3), "420"),
+                       ((17, 21, 3), "422")]:
+        x = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(x, quality=70, subsample=sub))
+        for groups in ([[0, 1], [2]], [[0], [1, 2]], [[1, 2], [0]]):
+            part = encode_jpeg(x, quality=70, subsample=sub,
+                               scan_groups=groups)
+            assert part.count(b"\xff\xda") == 2
+            assert np.array_equal(base, decode_jpeg(part)), (shape, sub, groups)
+        part_r = encode_jpeg(x, quality=70, subsample=sub,
+                             scan_groups=[[0, 1], [2]], restart_interval=3)
+        assert np.array_equal(base, decode_jpeg(part_r)), (shape, sub, "rst")
 
+
+def test_scan_groups_must_cover_components_exactly():
     x = _smooth(16, 16)
-    e = encode_jpeg(x, quality=85)
-    # rewrite the 3-component SOS header to claim only 2 components —
-    # the decoder must refuse, not mis-decode
-    i = e.find(b"\xff\xda")
-    (seglen,) = struct.unpack_from(">H", e, i + 2)
-    body = bytearray(e[i + 4:i + 2 + seglen])
-    body[0] = 2
-    body = body[:1 + 2 * 2] + body[1 + 2 * 3:]
-    seg = b"\xff\xda" + struct.pack(">H", 2 + len(body)) + bytes(body)
-    hacked = e[:i] + seg + e[i + 2 + seglen:]
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(hacked)
+    with pytest.raises(ValueError, match="scan_groups"):
+        encode_jpeg(x, quality=85, scan_groups=[[0, 1]])
+    with pytest.raises(ValueError, match="scan_groups"):
+        encode_jpeg(x, quality=85, scan_groups=[[0, 1], [2], [2]])
