@@ -54,6 +54,7 @@ from monocator_ray.stages.jpegcodec import (
 # for pickle-by-value BEFORE any worker needs it — a lazy in-method import
 # resolves on the worker, where the repo is not on sys.path
 from monocator_ray.stages.mp4 import (
+    decode_mp3,
     decode_mp4,
     encode_mp4_raw,
     encode_mp4_stub,
@@ -1384,6 +1385,11 @@ class PureCodec:
         mime = self.sniff(payload)
         if mime == "audio/wav":
             return decode_wav(payload)
+        if mime == "audio/mpeg":
+            # silent-payload subset decodes for real (side info parsed,
+            # part2_3_length == 0 everywhere -> exact zero PCM); coded
+            # spectral data gates inside decode_mp3 (stages/mp4.py)
+            return decode_mp3(payload)
         raise NotImplementedError(f"no decoder for {mime} in this container (real impl: ffmpeg)")
 
     def decode_video(self, payload: bytes) -> tuple[np.ndarray, tuple[int, int]]:

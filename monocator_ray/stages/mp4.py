@@ -533,6 +533,98 @@ def parse_mp3(data: bytes) -> Mp3Info:
     )
 
 
+class _SideBits:
+    """MSB-first bit reader over the side-info bytes."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
+    """MPEG-1 Layer III PCM decode, SILENT-payload subset -> (int16
+    samples [n, channels], sample_rate).
+
+    The side info (ISO 11172-3 2.4.1.7) is parsed for real: frames whose
+    every granule/channel has ``part2_3_length == 0`` carry no Huffman
+    data, so all 576 spectral values per granule are zero and the output
+    is exactly 1152 zero samples per frame THROUGH ANY spec-conformant
+    IMDCT + synthesis filterbank (linear stages map zero to zero) — no
+    table data needed, so this subset is verifiable in-sandbox.  Frames
+    with coded spectral data raise NotImplementedError: the full decode
+    needs the spec's Huffman tables and the 512-entry synthesis window,
+    which cannot be verified against any trusted reference in this
+    container (no codec libraries, no network) — a wrong table would
+    decode plausible-but-wrong PCM, worse than an honest gate."""
+    pos = _id3v2_size(data)
+    n = len(data)
+    frames = 0
+    sample_rate = 0
+    channels = 0
+    pcm_frames: list[int] = []  # samples per frame (all zeros)
+    while pos + 4 <= n:
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if frames:
+                break
+            raise ValueError(f"no frame sync at offset {pos}")
+        version_bits = (b1 >> 3) & 3
+        layer_bits = (b1 >> 1) & 3
+        if version_bits == 1 or layer_bits == 0:
+            raise ValueError("reserved version/layer bits")
+        if version_bits != 3 or layer_bits != 1:
+            raise NotImplementedError(
+                "PCM decode supports MPEG-1 Layer III only")
+        crc_present = (b1 & 1) == 0
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 3
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format or invalid bitrate/samplerate index")
+        bitrate = _BITRATES[(True, 3)][br_idx] * 1000
+        rate = _RATES_MPEG1[sr_idx]
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3
+        nch = 1 if mode == 3 else 2
+        flen = 1152 // 8 * bitrate // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break
+        if frames == 0:
+            sample_rate, channels = rate, nch
+        elif rate != sample_rate or nch != channels:
+            raise ValueError("sample rate / channel change mid-stream")
+        side_at = pos + 4 + (2 if crc_present else 0)
+        side_len = 17 if nch == 1 else 32
+        if side_at + side_len > n:
+            break
+        side = _SideBits(data[side_at:side_at + side_len])
+        side.read(9)                      # main_data_begin
+        side.read(5 if nch == 1 else 3)   # private_bits
+        side.read(4 * nch)                # scfsi
+        for _gr in range(2):
+            for _ch in range(nch):
+                p23 = side.read(12)       # part2_3_length
+                side.read(59 - 12)        # rest of the granule-channel block
+                if p23 != 0:
+                    raise NotImplementedError(
+                        "non-silent MP3 payload decode (Huffman/IMDCT "
+                        "table data unverifiable in-sandbox; real impl: "
+                        "ffmpeg/minimp3)")
+        pcm_frames.append(1152)
+        frames += 1
+        pos += flen
+    if not frames:
+        raise ValueError("no complete MPEG audio frame")
+    return np.zeros((sum(pcm_frames), channels), np.int16), sample_rate
+
+
 def synth_mp3(n_frames: int = 8, kbps_seq: list[int] | None = None,
               sample_rate: int = 44100, mono: bool = False,
               id3: bool = False) -> bytes:

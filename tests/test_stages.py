@@ -420,10 +420,23 @@ def test_compressed_formats_gated():
     assert c.sniff(b"\xff\xd8\xff\xe0rest") == "image/jpeg"
     with _pytest.raises(ValueError):
         c.decode_image(b"\xff\xd8\xff\xe0rest")
-    # MP3: the PCM decode (huffman/IMDCT/synthesis) is the gate — the
-    # frame-walk metadata layer is real (container_metadata below)
+    # MP3: the SILENT-payload subset decodes for real (r5 — side info
+    # parsed, zero part2_3_length -> exact zero PCM); coded spectral data
+    # stays gated (Huffman/synthesis tables unverifiable in-sandbox), and
+    # garbage after the ID3 tag is a parse error
+    with _pytest.raises(ValueError):
+        c.decode_audio(b"ID3\x04\x00\x00\x00\x00\x00\x00rest")
+    from monocator_ray.stages.mp4 import synth_mp3 as _smp3
+
+    pcm, rate = c.decode_audio(_smp3(4))
+    assert pcm.shape == (4 * 1152, 2) and rate == 44100
+    assert not pcm.any()
+    # a frame CLAIMING huffman data (nonzero part2_3_length) must gate,
+    # not silently emit silence
+    fr = bytearray(_smp3(1))
+    fr[6] |= 0x08  # first side-info byte after 9-bit main_data_begin run
     with _pytest.raises(NotImplementedError):
-        c.decode_audio(b"ID3\x04rest")
+        c.decode_audio(bytes(fr))
     # MP4: the container parses for real; a COMPRESSED codec is the gate
     from monocator_ray.stages.mp4 import encode_mp4_stub, synth_mp3
 
@@ -460,10 +473,9 @@ def test_media_pipeline_plumbing():
     for r in out:
         by_kind.setdefault(r["kind"], []).append(r)
     assert all(r["decoded"] == 1 for r in by_kind["image"])
-    # audio: WAV rows decode for real; the rotated MP3 rows are codec-gated
-    # (decoded=0) but real at the container layer
-    adec = sorted(r["decoded"] for r in by_kind["audio"])
-    assert adec[0] == 0 and adec[-1] == 1
+    # audio: WAV rows decode for real, and since r5 the synth MP3 rows do
+    # too (silent-payload Layer III subset — side info parsed, zero PCM)
+    assert all(r["decoded"] == 1 for r in by_kind["audio"])
     # video rows: Y4M/GIF/raw-MP4 payloads decode for real, compressed
     # avc1 containers fall back (with REAL container dims)
     vdec = sorted(r["decoded"] for r in by_kind["video"])
