@@ -48,6 +48,38 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
+def _disc_rev_cpc(t: pa.Table) -> pa.Array:
+    """Discounted lineitem revenue in exact integer cents-x-percent:
+    ``cents(l_extendedprice) * (100 - round(l_discount*100))`` — the
+    shared convention that keeps every revenue query hash-identical to
+    its DuckDB oracle (no float ratio ever exists)."""
+    pct = pc.subtract(
+        pa.scalar(100, pa.int64()),
+        pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))),
+                pa.int64()))
+    return pc.multiply(_cents(t["l_extendedprice"]), pct)
+
+
+def _dense_lut(keys: np.ndarray, values, fill) -> np.ndarray:
+    """Dense dimension lookup array for the broadcast-LUT-gate shape:
+    ``lut[key] = value``, every other slot (including the guaranteed
+    out-of-range slot at index len-1) holds ``fill``.  ``ray.put`` the
+    result once; per batch, index via :func:`_lut_get`."""
+    values = np.asarray(values)
+    size = int(keys.max()) + 2 if len(keys) else 1
+    lut = np.full(size, fill,
+                  dtype=object if values.dtype.kind in "OU" else values.dtype)
+    if len(keys):
+        lut[keys] = values
+    return lut
+
+
+def _lut_get(lut: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Batch lookup into a :func:`_dense_lut` array; out-of-range keys
+    clip to the fill slot, so no bounds mask is needed."""
+    return lut[np.minimum(keys, len(lut) - 1)]
+
+
 def _join_parts(sf_dir: str, *tables: str) -> int:
     """Adaptive join partition count from the input tables' file sizes
     (rationale + measurement: stages/grouped.py:join_partitions)."""
@@ -2114,13 +2146,7 @@ def q_nation_revenue(sf_dir: str) -> rd.Dataset:
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev_part(t: pa.Table) -> pa.Table:
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(
-                pa.scalar(100, pa.int64()),
-                pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
-            ),
-        )
+        r = _disc_rev_cpc(t)
         g = pa.table({"l_orderkey": t["l_orderkey"], "r": r}).group_by(
             "l_orderkey"
         ).aggregate([("r", "sum")])
@@ -3625,13 +3651,7 @@ def q_local_supplier_revenue(sf_dir: str) -> pa.Table:
             m = np.isin(snat, list(self.asia))
             t = t.filter(pa.array(m))
             snat = snat[m]
-            r = pc.multiply(
-                _cents(t["l_extendedprice"]),
-                pc.subtract(
-                    pa.scalar(100, pa.int64()),
-                    pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
-                ),
-            )
+            r = _disc_rev_cpc(t)
             g = pa.table({"l_orderkey": t["l_orderkey"],
                           "s_nat": pa.array(snat, pa.int64()),
                           "r": r}).group_by(["l_orderkey", "s_nat"]).aggregate([("r", "sum")])
@@ -3934,8 +3954,7 @@ def q_suppliers_per_type(sf_dir: str) -> rd.Dataset:
     keep = pc.invert(pc.equal(part["p_brand"], pa.scalar("Brand#1")))
     part = part.filter(keep)
     pk = part["p_partkey"].to_numpy(zero_copy_only=False)
-    lut = np.full(int(pk.max()) + 2, "", dtype=object) if len(pk) else np.full(1, "", dtype=object)
-    lut[pk] = part["p_type"].to_numpy(zero_copy_only=False)
+    lut = _dense_lut(pk, part["p_type"].to_numpy(zero_copy_only=False), "")
     lut_ref = ray.put(lut)
 
     li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
@@ -3943,7 +3962,7 @@ def q_suppliers_per_type(sf_dir: str) -> rd.Dataset:
     def pairs(t: pa.Table) -> pa.Table:
         lu = ray.get(lut_ref)
         keys = t["l_partkey"].to_numpy(zero_copy_only=False)
-        typ = np.where(keys < len(lu), lu[np.minimum(keys, len(lu) - 1)], "")
+        typ = _lut_get(lu, keys)
         m = typ != ""
         g = pa.table({"p_type": pa.array(typ[m], pa.string()),
                       "l_suppkey": pa.array(
@@ -4032,8 +4051,7 @@ def q_nation_trade_matrix(sf_dir: str) -> rd.Dataset:
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])  # bounded: dimension table
     sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
-    slut = np.full(int(sk.max()) + 2, -1, dtype=np.int64) if len(sk) else np.full(1, -1, dtype=np.int64)
-    slut[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    slut = _dense_lut(sk, supp["s_nationkey"].to_numpy(zero_copy_only=False), np.int64(-1))
     slut_ref = ray.put(slut)
 
     li = _read(sf_dir, "lineitem",
@@ -4042,14 +4060,8 @@ def q_nation_trade_matrix(sf_dir: str) -> rd.Dataset:
     def rev_part(t: pa.Table) -> pa.Table:
         lu = ray.get(slut_ref)
         keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        snat = lu[np.minimum(keys, len(lu) - 1)]
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(
-                pa.scalar(100, pa.int64()),
-                pc.cast(pc.round(pc.multiply(t["l_discount"], pa.scalar(100.0))), pa.int64()),
-            ),
-        )
+        snat = _lut_get(lu, keys)
+        r = _disc_rev_cpc(t)
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "supp_nat": pa.array(snat, pa.int64()),
                          "r": r}).group_by(["l_orderkey", "supp_nat"]).aggregate(
@@ -4544,8 +4556,7 @@ def q_promo_revenue_share(sf_dir: str) -> rd.Dataset:
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"])  # bounded: dimension table
     pk = part["p_partkey"].to_numpy(zero_copy_only=False)
-    lut = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
-    lut[pk] = np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO")))
+    lut = _dense_lut(pk, np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO"))), False)
     lut_ref = ray.put(lut)
 
     lo = pa.scalar(np.datetime64("1997-09-01", "us"))
@@ -4557,14 +4568,9 @@ def q_promo_revenue_share(sf_dir: str) -> rd.Dataset:
         lu = ray.get(lut_ref)
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
                              pc.less(t["l_shipdate"], hi)))
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        ).to_numpy(zero_copy_only=False)
+        r = _disc_rev_cpc(t).to_numpy(zero_copy_only=False)
         keys = t["l_partkey"].to_numpy(zero_copy_only=False)
-        promo = lu[np.minimum(keys, len(lu) - 1)]
+        promo = _lut_get(lu, keys)
         return pa.table({"promo_cpc": pa.array([int(r[promo].sum())], pa.int64()),
                          "total_cpc": pa.array([int(r.sum())], pa.int64())})
 
@@ -4635,12 +4641,7 @@ def q_top_supplier(sf_dir: str) -> rd.Dataset:
     def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
                              pc.less(t["l_shipdate"], hi)))
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        )
+        r = _disc_rev_cpc(t)
         g = pa.table({"l_suppkey": t["l_suppkey"], "r": r}).group_by(
             "l_suppkey").aggregate([("r", "sum")])
         return g.rename_columns(["l_suppkey", "total_rev_cpc"])
@@ -4756,14 +4757,9 @@ def q_market_share(sf_dir: str) -> rd.Dataset:
 
     def li_partial(t: pa.Table) -> pa.Table:
         lut = ray.get(s_ref)
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        ).to_numpy(zero_copy_only=False)
+        r = _disc_rev_cpc(t).to_numpy(zero_copy_only=False)
         keys = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        tgt = lut[np.minimum(keys, len(lut) - 1)]
+        tgt = _lut_get(lut, keys)
         g = pa.table({"l_orderkey": t["l_orderkey"],
                       "vol": pa.array(r, pa.int64()),
                       "tvol": pa.array(np.where(tgt, r, 0), pa.int64())}
@@ -4828,7 +4824,7 @@ def q_small_quantity_revenue(sf_dir: str) -> rd.Dataset:
     def brand_filter(t: pa.Table) -> pa.Table:
         lu = ray.get(lut_ref)
         keys = t["l_partkey"].to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(lu[np.minimum(keys, len(lu) - 1)]))
+        t = t.filter(pa.array(_lut_get(lu, keys)))
         return pa.table({
             "l_partkey": t["l_partkey"],
             "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
@@ -4893,12 +4889,7 @@ def q_disjunctive_revenue(sf_dir: str) -> rd.Dataset:
         m = (((b == 1) & (s >= 1) & (s <= 10) & (q >= 1) & (q <= 15))
              | ((b == 2) & (s >= 11) & (s <= 25) & (q >= 10) & (q <= 25))
              | ((b == 3) & (s >= 26) & (s <= 50) & (q >= 20) & (q <= 35)))
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        ).to_numpy(zero_copy_only=False)
+        r = _disc_rev_cpc(t).to_numpy(zero_copy_only=False)
         return pa.table({"revenue_cpc": pa.array([int(r[m].sum())], pa.int64()),
                          "n_items": pa.array([int(m.sum())], pa.int64())})
 
@@ -5013,13 +5004,11 @@ def q_product_type_profit(sf_dir: str) -> rd.Dataset:
     part = pq.read_table(f"{sf_dir}/part.parquet",
                          columns=["p_partkey", "p_type"])  # bounded: dimension table
     pk = part["p_partkey"].to_numpy(zero_copy_only=False)
-    promo = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
-    promo[pk] = np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO")))
+    promo = _dense_lut(pk, np.asarray(pc.equal(part["p_type"], pa.scalar("PROMO"))), False)
     supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                          columns=["s_suppkey", "s_nationkey"])  # bounded: dimension table
     sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
-    snat = np.full(int(sk.max()) + 2 if len(sk) else 1, -1, np.int64)
-    snat[sk] = supp["s_nationkey"].to_numpy(zero_copy_only=False)
+    snat = _dense_lut(sk, supp["s_nationkey"].to_numpy(zero_copy_only=False), np.int64(-1))
     refs = ray.put((promo, snat))
 
     li = _read(sf_dir, "lineitem",
@@ -5029,12 +5018,7 @@ def q_product_type_profit(sf_dir: str) -> rd.Dataset:
         pr, sn = ray.get(refs)
         keys = np.minimum(t["l_partkey"].to_numpy(zero_copy_only=False), len(pr) - 1)
         t = t.filter(pa.array(pr[keys]))
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        )
+        r = _disc_rev_cpc(t)
         nat = sn[np.minimum(t["l_suppkey"].to_numpy(zero_copy_only=False), len(sn) - 1)]
         g = pa.table({"l_orderkey": t["l_orderkey"],
                       "nat": pa.array(nat, pa.int64()),
@@ -5730,12 +5714,7 @@ def q_returned_item_ranking(sf_dir: str, k: int = 20) -> rd.Dataset:
 
     def li_partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(t["l_returnflag"], pa.scalar("R")))
-        r = pc.multiply(
-            _cents(t["l_extendedprice"]),
-            pc.subtract(pa.scalar(100, pa.int64()),
-                        pc.cast(pc.round(pc.multiply(t["l_discount"],
-                                                     pa.scalar(100.0))), pa.int64())),
-        )
+        r = _disc_rev_cpc(t)
         g = pa.table({"l_orderkey": t["l_orderkey"], "r": r}).group_by(
             "l_orderkey").aggregate([("r", "sum")])
         return g.rename_columns(["l_orderkey", "r"])
