@@ -603,3 +603,51 @@ def test_async_frontier_same_fetched_set_as_bsp(web, tmp_path):
     assert len(seqs) == len(set(seqs)) == a_log.num_rows
     urls = a_log["url"].to_pylist()
     assert len(urls) == len(set(urls))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_async_crawl_kill_resume_preserves_set(web, tmp_path):
+    """Async-mode crash consistency: checkpoints quiesce (drain all
+    in-flight rounds) before committing, so killing a shard mid-async-run
+    and resuming must still produce the full BSP fetched SET with no URL
+    fetched twice."""
+    import ray
+    from ray.exceptions import RayActorError
+
+    from monocator_ray.crawl.driver import CrawlDriver
+    from monocator_ray.state.robots import synth_robots as sr
+
+    cfg_kw = dict(
+        num_shards=4, budget_per_epoch=64, max_depth=8, link_cap=16,
+        num_buckets=BUCKETS, fetch_concurrency=2, extract_concurrency=2,
+        checkpoint_every=2, inline_threshold=0,
+    )
+    full = tmp_path / "bsp_ref"
+    crawl(web["spec"].seeds(6), web["dir"], str(full), CrawlConfig(**cfg_kw),
+          robots=sr(HOSTS))
+    want_urls = set(read_visit_log(str(full))["url"].to_pylist())
+
+    cfg_a = CrawlConfig(**cfg_kw, async_rounds=2)
+    part = tmp_path / "async_part"
+    drv = CrawlDriver(web["dir"], str(part), cfg_a, robots=sr(HOSTS))
+    drv.push_seeds(web["spec"].seeds(6))
+    # drive the async loop a few rounds via a budget-bounded run
+    drv.cfg.max_epochs = 4
+    try:
+        drv.run()
+    finally:
+        drv.cfg.max_epochs = 10_000
+    assert drv.seq < len(want_urls)
+    ray.kill(drv.shards[2], no_restart=True)
+    with pytest.raises(RayActorError):
+        drv.run()
+    drv.shutdown()
+
+    crawl(web["spec"].seeds(6), web["dir"], str(part), cfg_a,
+          robots=sr(HOSTS), resume=True)
+    log = read_visit_log(str(part))
+    urls = log["url"].to_pylist()
+    assert set(urls) == want_urls
+    assert len(urls) == len(set(urls)), "URL fetched twice across resume"
+    seqs = log["seq"].to_pylist()
+    assert len(seqs) == len(set(seqs))

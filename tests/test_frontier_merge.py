@@ -136,3 +136,45 @@ def test_peek_low_default_host_cap_matches_general_walk():
     _offer_rows(shard, 8, host_hashes=np.full(8, 7, dtype=np.uint64))
     staged = shard.peek(epoch=0, budget=6)
     assert staged.num_rows == 3
+
+
+def test_next_ready_epoch_matches_stepping():
+    """The politeness-tail jump (state/shards.py:next_ready_epoch) must
+    return EXACTLY the first epoch at which stepping peek() one epoch at
+    a time would stage a URL — the driver substitutes the jump for the
+    steps, so an off-by-one here silently changes visit-log epoch
+    values."""
+    from monocator_ray.state.shards import FrontierShard
+
+    s = FrontierShard(shard_id=0, num_shards=1, epoch_ms=1000,
+                      host_delays={"slow.example": 3000})
+    tbl = pa.table({
+        "url": pa.array(["http://slow.example/a", "http://slow.example/b"],
+                        pa.string()),
+        "url_hash": pa.array([11, 12], pa.uint64()),
+        "host": pa.array(["slow.example"] * 2, pa.string()),
+        "host_hash": pa.array([7, 7], pa.uint64()),
+        "depth": pa.array([0, 0], pa.int32()),
+        "discovery_time": pa.array([0, 1], pa.int64()),
+        "parent_url_hash": pa.array([0, 0], pa.uint64()),
+    })
+    s.offer(tbl)
+    # epoch 0: fresh host starts at burst tokens -> one URL stages
+    assert s.peek(0, 10).num_rows == 1
+    s.pop_upto(None)  # consumes delay worth of tokens
+    # epoch 1: tokens = 1000 < 3000 -> nothing stages
+    assert s.peek(1, 10).num_rows == 0
+    s.pop_upto(None)
+    jump = s.next_ready_epoch(1)
+    # stepping oracle: walk epochs until peek stages something
+    e = 1
+    while True:
+        e += 1
+        staged = s.peek(e, 10).num_rows
+        s.pop_upto(None) if staged == 0 else None
+        if staged:
+            break
+    assert jump == e, (jump, e)
+    # empty frontier -> None
+    s2 = FrontierShard(shard_id=0, num_shards=1)
+    assert s2.next_ready_epoch(0) is None
