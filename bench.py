@@ -368,6 +368,10 @@ def main() -> None:
     ensure_shipped()
     ensure_web()
     crawl_stats = run_crawl(NUM_CPUS)
+    # bounded-staleness frontier mode (same fetched SET, relaxed order):
+    # reported alongside BSP — it is the scale path for cohort-stalled
+    # webs (33% faster at the 16x tier, BASELINE.md round 5)
+    crawl_async = run_crawl(NUM_CPUS, async_rounds=3)
     q = run_queries()
     total = crawl_stats["wall_s"] + sum(q.values())
     print(
@@ -378,6 +382,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": q,
                 "crawl": crawl_stats,
+                "crawl_async3": crawl_async,
                 "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
                 "num_cpus": NUM_CPUS,
             }

@@ -47,6 +47,9 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--shards", type=int, default=8)
     c.add_argument("--buckets", type=int, default=16)
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--async-rounds", type=int, default=0,
+                   help="bounded-staleness frontier mode: rounds in flight "
+                        "(0 = exact-order BSP, the default)")
 
     v = sub.add_parser("visit", help="single-domain visit (entry point 2)")
     v.add_argument("--domain", required=True)
@@ -200,7 +203,8 @@ def main(argv: list[str] | None = None) -> int:
 
         seed_urls = seed_urls_from_file(args.seeds)
         cfg = CrawlConfig(num_shards=args.shards, budget_per_epoch=args.budget,
-                          max_depth=args.max_depth, num_buckets=args.buckets)
+                          max_depth=args.max_depth, num_buckets=args.buckets,
+                          async_rounds=args.async_rounds)
         res = crawl(seed_urls, args.pages, args.out, cfg, resume=args.resume)
         print(json.dumps({"fetched": res.fetched, "epochs": res.epochs,
                           "seen": res.seen, "wall_s": round(res.wall_s, 2)}))

@@ -54,6 +54,13 @@ def test_cli_synth_visit_report(tmp_path):
     rep = run("report", "--out", str(out))
     assert rep["fetched"] == v["fetched"]
     assert rep["seen_except_frontier"] == 0
+    # full-crawl subcommand, async frontier mode via the CLI flag
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("http://host0.example/\nhttp://host1.example/\n")
+    c = run("crawl", "--seeds", str(seeds), "--pages", str(web),
+            "--out", str(tmp_path / "out_async"), "--budget", "64",
+            "--shards", "2", "--buckets", "2", "--async-rounds", "2")
+    assert c["fetched"] > 0 and c["seen"] >= c["fetched"]
 
 def test_export_warc_roundtrip(tmp_path, ray_session):
     """pages Dataset -> distributed WARC export -> read_warc == identity
