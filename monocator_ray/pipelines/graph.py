@@ -617,6 +617,43 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
     canonical-edge self-join (a < b < c counted once)."""
     ensure_shipped()
     edges = _copurchase_edges(sf_dir).materialize()
+    return pa.table({"n_triangles": pa.array([_count_triangles(edges)],
+                                             pa.int64())})
+
+
+def q_triangle_count_sampled(sf_dir: str, d: int = 4) -> pa.Table:
+    """DOULION-style sampled triangle count (Tsourakakis, Kang, Miller &
+    Faloutsos, KDD'09 — public): keep each canonical edge with
+    probability p = 1/d, count triangles on the sampled subgraph, scale
+    by d^3 — the unbiased estimator whose wedge volume shrinks ~d^2,
+    i.e. the documented SCALE PATH for the wedge-superlinear exact
+    variants (BASELINE.md sf10 notes: triangle_count/local_clustering
+    are sum-of-deg^2-bound by construction).
+
+    The coin is a DETERMINISTIC arithmetic hash of the canonical pair —
+    ``(a*2654435761 + b*40503) % 1000000007 % d == 0`` — so the sampled
+    subgraph, the estimate, and the DuckDB oracle (same filter in SQL,
+    same self-join) agree exactly; no float, no RNG state."""
+    ensure_shipped()
+    edges = _copurchase_edges(sf_dir).materialize()
+
+    def keep(t: pa.Table) -> pa.Table:
+        a = t["src"].to_numpy(zero_copy_only=False)
+        b = t["dst"].to_numpy(zero_copy_only=False)
+        m = (a * 2654435761 + b * 40503) % 1000000007 % d == 0
+        return t.filter(pa.array(m))
+
+    sampled = edges.map_batches(keep, batch_format="pyarrow").materialize()
+    tri = _count_triangles(sampled)
+    return pa.table({
+        "sampled_triangles": pa.array([tri], pa.int64()),
+        "est_triangles": pa.array([tri * d ** 3], pa.int64()),
+    })
+
+
+def _count_triangles(edges: rd.Dataset) -> int:
+    """The oriented-wedge triangle counter over a materialized distinct
+    canonical edge Dataset (plan documented on q_triangle_count)."""
     n_edges = edges.count()
 
     deg_pdf = _edge_degrees(edges)
@@ -667,7 +704,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
                 cached_stage(CountClosed, pref=packed_ref),
                 num_parts=64,
             ).to_pandas()  # bounded: O(parts) one count per partition
-            return pa.table({"n_triangles": pa.array([int(counts["n"].sum())], pa.int64())})
+            return int(counts["n"].sum())
 
     def wedges_part(t: pa.Table) -> pa.Table:
         a, b = _gen_wedges(t)
@@ -704,7 +741,7 @@ def q_triangle_count(sf_dir: str) -> pa.Table:
         close_part,
         num_parts=64,
     ).to_pandas()  # bounded: O(parts) one count per partition
-    return pa.table({"n_triangles": pa.array([int(closed["n"].sum())], pa.int64())})
+    return int(closed["n"].sum())
 
 
 # ---- multi-source BFS depths (frontier broadcast per level) ----

@@ -1828,6 +1828,28 @@ REGISTRY: dict = {
         JOIN pairs e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
     ),
+    # DOULION sampled triangles (KDD'09): deterministic hash coin, p=1/4,
+    # estimate = sampled * 4^3 — the scale path for the wedge-superlinear
+    # exact variant; exactly reproducible so fully oracle-checkable
+    "triangle_count_sampled": (
+        G.q_triangle_count_sampled,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                          GREATEST(a.l_partkey, b.l_partkey) AS b
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        sampled AS (
+          SELECT a, b FROM pairs
+          WHERE (a * 2654435761 + b * 40503) % 1000000007 % 4 = 0)
+        SELECT tri AS sampled_triangles,
+               CAST(tri * 64 AS BIGINT) AS est_triangles
+        FROM (SELECT COUNT(*) AS tri
+              FROM sampled e1
+              JOIN sampled e2 ON e1.b = e2.a
+              JOIN sampled e3 ON e3.a = e1.a AND e3.b = e2.b) t
+        """,
+    ),
     # token-budget corpus mixing: per-source cumulative cutoff in
     # mix32 order (seedless shuffle); oracle = window cumsum
     "mix_corpus": (
