@@ -666,6 +666,17 @@ class CrawlDriver:
                     break
                 continue
             idle = 0
+            if keys.num_rows < budget // 2 and inflight:
+                # partial-round top-up: the ready set is small only because
+                # earlier rounds' offers haven't landed — quiesce ONE round
+                # and re-peek at the same virtual epoch.  Fewer, fuller
+                # rounds amortize dispatch + hot-bucket salting (measured:
+                # the 1x async penalty was exactly this); when the backlog
+                # is deep (the scale tiers) peek returns a full budget and
+                # this branch never fires, so the overlap win is untouched.
+                ray.get([s.pop_upto.remote((-1, 0, 0, 0)) for s in self.shards])
+                drain_oldest()
+                continue
             if keys.num_rows > budget:
                 ks = _key_sort(keys)
                 cutoff = (
