@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "semdedup",
     "compression_ratio",
     "triangle_count",
+    "triangle_count_sampled",
     "token_quantiles_approx",
     "region_cube",
     "event_funnel",
