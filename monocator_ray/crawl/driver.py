@@ -711,10 +711,20 @@ class CrawlDriver:
             stats = ray.get([s.stats.remote() for s in self.shards])
             # async lineage: offered/new deltas reflect offers landed so
             # far (in-flight rounds attribute to a later row); errors are
-            # counted at drain time, reported in CrawlResult.errors
-            self._record_lineage(edir, stats, wall_ms, 0, {
-                "peek_ms": 0, "pop_ms": 0, "process_ms": 0, "offer_ms": 0,
-                "fetch_ms": 0, "extract_ms": 0, "write_ms": 0, "link_ms": 0})
+            # counted at drain time, reported in CrawlResult.errors; the
+            # worker phase sums cover work COMPLETED since the last round
+            # (in-flight chunks attribute forward, like the offers)
+            phases = {"peek_ms": 0, "pop_ms": 0, "process_ms": wall_ms,
+                      "offer_ms": 0, "fetch_ms": 0, "extract_ms": 0,
+                      "write_ms": 0, "link_ms": 0}
+            pool = (self._workers or []) + (self._fetchers or [])
+            if pool:
+                for p in ray.get([w.take_phase_stats.remote() for w in pool]):
+                    phases["fetch_ms"] += int(p["fetch_s"] * 1000)
+                    phases["extract_ms"] += int(p["extract_s"] * 1000)
+                    phases["write_ms"] += int(p["write_s"] * 1000)
+                    phases["link_ms"] += int(p["link_s"] * 1000)
+            self._record_lineage(edir, stats, wall_ms, 0, phases)
             if cfg.checkpoint_every and (self.epoch % cfg.checkpoint_every == 0):
                 while inflight:  # checkpoints are quiescent points
                     drain_oldest()
