@@ -262,6 +262,8 @@ BENCH_QUERIES = [
     "incremental_hll_users",
     "late_shipments",
     "bigram_pmi",
+    "priority_order_check",
+    "kmv_user_overlap",
 ]
 
 

@@ -3510,4 +3510,65 @@ REGISTRY: dict = {
         FROM s WHERE 5 * cum >= 4 * (SELECT total FROM t)
         """,
     ),
+    # TPC-H Q4 shape: orders with AT LEAST ONE late lineitem, per
+    # priority (EXISTS-correlated subquery; order-level, not item-level)
+    "priority_order_check": (
+        R.q_priority_order_check,
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN EXISTS (
+                   SELECT 1 FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey
+                     AND CAST(l.l_shipdate AS DATE)
+                         - CAST(o.o_orderdate AS DATE) > 90)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_orders
+        FROM orders o
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    ),
+    # KMV (k-minimum-values / theta) sketch set algebra: distinct-user
+    # union + intersection estimates in EXACT integer arithmetic — the
+    # only sketch estimator deterministic enough for a full SQL oracle
+    "kmv_user_overlap": (
+        R.q_kmv_user_overlap,
+        """
+        WITH
+        ua AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'purchase' AND value >= 300.0),
+        ub AS (SELECT DISTINCT user_id FROM events
+               WHERE event_type = 'error' AND value >= 300.0),
+        ha0 AS (SELECT (user_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM ua),
+        ha1 AS (SELECT xor(_a, _a >> 16) AS _b FROM ha0),
+        ha2 AS (SELECT CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM ha1),
+        ha AS (SELECT DISTINCT xor(_c, _c >> 13) AS h32 FROM ha2),
+        hb0 AS (SELECT (user_id % 2147483648) * 2654435761 % 4294967296 AS _a FROM ub),
+        hb1 AS (SELECT xor(_a, _a >> 16) AS _b FROM hb0),
+        hb2 AS (SELECT CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM hb1),
+        hb AS (SELECT DISTINCT xor(_c, _c >> 13) AS h32 FROM hb2),
+        sa AS (SELECT h32 FROM ha ORDER BY h32 LIMIT 128),
+        sb AS (SELECT h32 FROM hb ORDER BY h32 LIMIT 128),
+        su AS (SELECT DISTINCT h32 FROM
+                 (SELECT h32 FROM sa UNION ALL SELECT h32 FROM sb)
+               ORDER BY h32 LIMIT 128),
+        stat AS (SELECT
+          (SELECT COUNT(*) FROM sa) AS na, (SELECT MAX(h32) FROM sa) AS ka,
+          (SELECT COUNT(*) FROM sb) AS nb, (SELECT MAX(h32) FROM sb) AS kb,
+          (SELECT COUNT(*) FROM su) AS nu, (SELECT MAX(h32) FROM su) AS ku,
+          (SELECT COUNT(*) FROM sa JOIN sb USING (h32)
+            WHERE h32 <= (SELECT MAX(h32) FROM su)) AS rho)
+        SELECT
+          CAST(CASE WHEN na < 128 THEN na
+                    ELSE 127 * 4294967296 // ka END AS BIGINT) AS approx_a,
+          CAST(CASE WHEN nb < 128 THEN nb
+                    ELSE 127 * 4294967296 // kb END AS BIGINT) AS approx_b,
+          CAST(CASE WHEN nu < 128 THEN nu
+                    ELSE 127 * 4294967296 // ku END AS BIGINT) AS approx_union,
+          CAST(CASE WHEN nu = 0 THEN 0
+                    ELSE rho * (CASE WHEN nu < 128 THEN nu
+                                     ELSE 127 * 4294967296 // ku END) // nu
+               END AS BIGINT) AS approx_intersection
+        FROM stat
+        """,
+    ),
 }

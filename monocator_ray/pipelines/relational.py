@@ -6624,3 +6624,140 @@ def q_props_regex(sf_dir: str) -> rd.Dataset:
     )  # bounded: O(event types)
     pdf = pdf.sort_values("event_type").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- TPC-H Q4 shape: EXISTS-correlated order lateness check ----
+def q_priority_order_check(sf_dir: str, late_days: int = 90) -> rd.Dataset:
+    """Per order priority: total orders and how many have AT LEAST ONE
+    lineitem shipped more than ``late_days`` days after the order date —
+    TPC-H Q4's EXISTS-correlated-subquery shape (COUNT of ORDERS with a
+    qualifying child, not of child rows — the axis late_shipments does
+    not exercise).  Plan: the orderkey join ships ONE packed int64
+    payload (orderdate-days*8 + priority-index); the late filter drops
+    the joined stream to the qualifying sliver, per-batch ``np.unique``
+    pre-dedups (orderkey*8+prio) pairs, one hash partition dedups
+    globally and folds to O(priorities) partial rows, the driver sums.
+    Order totals are a separate O(priorities) aggregate on orders —
+    the big lineitem table is never shuffled beyond the one join."""
+    pr = driver_grouped_agg(
+        _read(sf_dir, "orders", ["o_orderpriority"]),
+        ["o_orderpriority"], [("o_orderpriority", "count")],
+        ["o_orderpriority", "n_orders"],
+    )  # bounded: O(priorities)
+    pr = pr.sort_values("o_orderpriority").reset_index(drop=True)
+    prios = pr["o_orderpriority"].to_numpy()
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_pack(t: pa.Table) -> pa.Table:
+        days = t["o_orderdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        idx = np.searchsorted(prios,
+                              t["o_orderpriority"].to_numpy(zero_copy_only=False))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "packed": pa.array(days * 8 + idx, pa.int64())})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def li_days(t: pa.Table) -> pa.Table:
+        days = t["l_shipdate"].to_numpy(zero_copy_only=False).astype(
+            "datetime64[D]").astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "ship_days": pa.array(days, pa.int64())})
+
+    j = li.map_batches(li_days, batch_format="pyarrow").join(
+        orders.map_batches(o_pack, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=_join_parts(sf_dir, "lineitem", "orders"),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def late_pairs(t: pa.Table) -> pa.Table:
+        packed = t["packed"].to_numpy(zero_copy_only=False)
+        ship = t["ship_days"].to_numpy(zero_copy_only=False)
+        late = ship - (packed >> 3) > late_days
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)[late]
+        pair = np.unique(ok * 8 + (packed[late] & 7))
+        return pa.table({"pair": pa.array(pair, pa.int64())})
+
+    def fold_part(t: pa.Table) -> pa.Table:
+        pair = np.unique(t["pair"].to_numpy(zero_copy_only=False))
+        n = np.bincount(pair & 7, minlength=8)
+        return pa.table({"prio_idx": pa.array(np.arange(8), pa.int64()),
+                         "n_late": pa.array(n, pa.int64())})
+
+    parts = collect_arrow(hash_partitioned(
+        j.map_batches(late_pairs, batch_format="pyarrow"),
+        lambda t: [t["pair"].to_numpy(zero_copy_only=False).astype(np.uint64)],
+        fold_part, num_parts=32,
+    ))  # bounded: O(num_parts x priorities) partial count rows
+    n_late = np.zeros(8, np.int64)
+    np.add.at(n_late, parts["prio_idx"].to_numpy(), parts["n_late"].to_numpy())
+    out = pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "n_orders": pa.array(pr["n_orders"].to_numpy().astype(np.int64), pa.int64()),
+        "n_late_orders": pa.array(n_late[: len(prios)], pa.int64()),
+    })
+    return rd.from_arrow(out)
+
+
+# ---- KMV (k-minimum-values / theta) sketch set overlap, SQL-oracled ----
+def q_kmv_user_overlap(sf_dir: str, k: int = 128) -> rd.Dataset:
+    """Distinct-user overlap between two event cohorts estimated with KMV
+    (k-minimum-values / theta) sketches — the mergeable-sketch SET-OPERATION
+    family (union + intersection cardinality), complementing hll_user_counts'
+    single-set estimate.  Unlike HLL, the KMV estimator is EXACT integer
+    arithmetic over the k smallest mix32 hash values, so the full estimate
+    (not just the machinery) is pinned by a DuckDB oracle computing the
+    identical expression: est = (k-1) * 2^32 // kth_min at capacity, the
+    exact distinct-hash count below it; intersection via the theta rule
+    rho * est_union // |S_union|.
+
+    Scale shape: each batch contributes its k smallest distinct hashes per
+    cohort (O(k) rows regardless of batch size — k smallest of a union of
+    per-batch k-smallest sets IS the global k smallest), the driver merges
+    O(blocks x 2k) values once, and NOTHING shuffles — distinct-count set
+    algebra over 100 TB with two fixed-size sketches."""
+    from monocator_ray.pipelines.docs import _mix32
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+    cohorts = (("a", "purchase"), ("b", "error"))
+
+    def sketch(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        names, hs = [], []
+        for name, ty in cohorts:
+            h = np.unique(_mix32(uid[(et == ty) & (val >= 300.0)]))[:k]
+            names.extend([name] * len(h))
+            hs.append(h)
+        return pa.table({"cohort": pa.array(names, pa.string()),
+                         "h32": pa.array(np.concatenate(hs) if hs else
+                                         np.array([], np.int64), pa.int64())})
+
+    parts = collect_arrow(ds.map_batches(sketch, batch_format="pyarrow"))
+    # bounded: O(blocks x 2k) int64 hash values
+    coh = parts["cohort"].to_numpy(zero_copy_only=False)
+    h32 = parts["h32"].to_numpy(zero_copy_only=False)
+    s_a = np.unique(h32[coh == "a"])[:k]
+    s_b = np.unique(h32[coh == "b"])[:k]
+    s_u = np.unique(np.concatenate([s_a, s_b]))[:k]
+
+    def est(s: np.ndarray) -> int:
+        if len(s) < k:
+            return len(s)
+        return (k - 1) * 2**32 // int(s[k - 1])
+
+    theta = int(s_u[-1]) if len(s_u) else 0
+    common = np.intersect1d(s_a, s_b)
+    rho = int((common <= theta).sum())
+    inter = rho * est(s_u) // len(s_u) if len(s_u) else 0
+    out = pa.table({
+        "approx_a": pa.array([est(s_a)], pa.int64()),
+        "approx_b": pa.array([est(s_b)], pa.int64()),
+        "approx_union": pa.array([est(s_u)], pa.int64()),
+        "approx_intersection": pa.array([inter], pa.int64()),
+    })
+    return rd.from_arrow(out)
