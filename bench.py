@@ -264,6 +264,8 @@ BENCH_QUERIES = [
     "bigram_pmi",
     "priority_order_check",
     "kmv_user_overlap",
+    "unigram_train",
+    "unigram_tokenize",
 ]
 
 

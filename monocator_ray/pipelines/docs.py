@@ -4571,3 +4571,40 @@ def q_bigram_pmi(sf_dir: str, k: int = 20, scale: int = 1_000_000) -> pa.Table:
                      "t2": pa.array(cols[1], pa.string()),
                      "pair_n": pa.array(cols[2], pa.int64()),
                      "pmi_score": pa.array(cols[3], pa.int64())})
+
+
+# ---- unigram-LM (SentencePiece-style) tokenizer training + encoding ----
+def q_unigram_train(sf_dir: str, vocab_size: int = 96) -> pa.Table:
+    """Train a unigram-LM tokenizer (Kudo 2018; stages/unigram.py):
+    distributed word histogram -> driver Viterbi-EM over the
+    vocabulary-sized histogram with EXACT-RATIONAL path comparison (no
+    float anywhere, so the vocabulary is a pure function of the histogram
+    — parallelism- and platform-invariant, pinned by the rows-only
+    golden).  Output: (piece, count) sorted by count desc, piece asc."""
+    from monocator_ray.stages.unigram import unigram_train_from_histogram
+
+    ensure_shipped()
+    vocab = unigram_train_from_histogram(_word_histogram(sf_dir), vocab_size)
+    return pa.table(
+        {"piece": pa.array([p for p, _c in vocab], pa.string()),
+         "count": pa.array([c for _p, c in vocab], pa.int64())}
+    )
+
+
+def q_unigram_tokenize(sf_dir: str, vocab_size: int = 96) -> rd.Dataset:
+    """Train (as q_unigram_train) then ENCODE the corpus: the learned
+    vocabulary broadcasts once (ray.put), a map_batches stage Viterbi-
+    segments each word with a per-worker memo (Zipf hit rate — the
+    BpeEncoder discipline).  Output: (doc_id, n_unigram_tokens)."""
+    from monocator_ray.stages.unigram import (
+        UnigramEncoder,
+        unigram_train_from_histogram,
+    )
+
+    ensure_shipped()
+    vocab = unigram_train_from_histogram(_word_histogram(sf_dir), vocab_size)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return ds.map_batches(
+        cached_stage(UnigramEncoder, vocab_ref=ray.put(vocab)),
+        batch_format="pyarrow",
+    ).sort("doc_id")

@@ -3571,4 +3571,8 @@ REGISTRY: dict = {
         FROM stat
         """,
     ),
+    # unigram-LM tokenizer (Kudo 2018): exact-rational Viterbi-EM over the
+    # distributed word histogram (rows-only; golden-pinned — no SQL analog)
+    "unigram_train": (D.q_unigram_train, None),
+    "unigram_tokenize": (D.q_unigram_tokenize, None),
 }
