@@ -266,6 +266,9 @@ BENCH_QUERIES = [
     "kmv_user_overlap",
     "unigram_train",
     "unigram_tokenize",
+    "degree_histogram",
+    "brand_share_top_others",
+    "recrawl_intervals",
 ]
 
 

@@ -1214,3 +1214,23 @@ def q_k_core(sf_dir: str, k: int = 80, rounds: int = 4) -> pa.Table:
     deg_pdf = deg_pdf.sort_values("node", kind="mergesort").reset_index(drop=True)
     return pa.table({"node": pa.array(deg_pdf["node"].to_numpy(np.int64), pa.int64()),
                      "deg": pa.array(deg_pdf["deg"].to_numpy(np.int64), pa.int64())})
+
+
+# ---- degree distribution of the co-purchase graph (oracle-checked) ----
+def q_degree_histogram(sf_dir: str) -> pa.Table:
+    """Log2-binned degree distribution of the co-purchase part graph —
+    the structural-profile aggregate (power-law check) run before any
+    expensive graph algorithm is scheduled.  Plan: the shared distinct
+    canonical edge derivation (_copurchase_edges), the O(nodes) degree
+    fold (_edge_degrees), then an O(nodes) driver binning via integer
+    bit_length (EXACT floor(log2) — no float log, so the DuckDB oracle's
+    LENGTH(bin(deg))-1 matches bit-for-bit).  Nothing beyond the edge
+    dedup shuffles; the histogram itself is O(log max_deg) rows."""
+    ensure_shipped()
+    degs = _edge_degrees(_copurchase_edges(sf_dir))  # bounded: O(nodes)
+    bins = np.array([int(d).bit_length() - 1 for d in degs["deg"]], np.int64)
+    vals, counts = np.unique(bins, return_counts=True)
+    return pa.table({
+        "log2_deg": pa.array(vals, pa.int64()),
+        "n_nodes": pa.array(counts.astype(np.int64), pa.int64()),
+    })

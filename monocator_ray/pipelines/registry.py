@@ -3575,4 +3575,65 @@ REGISTRY: dict = {
     # distributed word histogram (rows-only; golden-pinned — no SQL analog)
     "unigram_train": (D.q_unigram_train, None),
     "unigram_tokenize": (D.q_unigram_tokenize, None),
+    # structural degree profile of the co-purchase graph: exact
+    # floor(log2) binning via integer bit_length both sides
+    "degree_histogram": (
+        G.q_degree_histogram,
+        """
+        WITH pairs AS (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS a,
+                          GREATEST(a.l_partkey, b.l_partkey) AS b
+          FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+          WHERE a.l_partkey <> b.l_partkey),
+        deg AS (
+          SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM pairs
+            UNION ALL SELECT b AS node FROM pairs)
+          GROUP BY node)
+        SELECT CAST(LENGTH(bin(d)) - 1 AS BIGINT) AS log2_deg,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY log2_deg ORDER BY log2_deg
+        """,
+    ),
+    # top-N + OTHER reporting rollup over a broadcast-LUT brand fold
+    "brand_share_top_others": (
+        R.q_brand_share_top_others,
+        """
+        WITH rev AS (
+          SELECT p_brand,
+                 SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS cpc
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY p_brand),
+        rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cpc DESC, p_brand) AS rn
+               FROM rev)
+        SELECT CASE WHEN rn <= 3 THEN p_brand ELSE 'OTHER' END AS brand,
+               CAST(SUM(cpc) AS BIGINT) AS revenue_cpc
+        FROM rk GROUP BY brand ORDER BY brand
+        """,
+    ),
+    # adaptive recrawl policy: integer change-rate surrogate, pure map
+    "recrawl_intervals": (
+        R.q_recrawl_intervals,
+        """
+        WITH obs AS (
+          SELECT doc_id, doc_id * 8 + g.i AS o
+          FROM documents CROSS JOIN
+               (SELECT UNNEST(generate_series(1, 7)) AS i) g),
+        h1 AS (SELECT doc_id, (o % 2147483648) * 2654435761 % 4294967296 AS _a FROM obs),
+        h2 AS (SELECT doc_id, xor(_a, _a >> 16) AS _b FROM h1),
+        h3 AS (SELECT doc_id, CAST(_b::HUGEINT * 2246822519 % 4294967296 AS BIGINT) AS _c FROM h2),
+        hx AS (SELECT doc_id, xor(_c, _c >> 13) AS h32 FROM h3),
+        chg AS (SELECT doc_id,
+                       SUM(CASE WHEN h32 % 4 = 0 THEN 1 ELSE 0 END) AS x
+                FROM hx GROUP BY doc_id),
+        iv AS (SELECT doc_id,
+                      CASE WHEN x = 0 THEN 30
+                           ELSE LEAST(30, GREATEST(1, 7 // x)) END AS revisit_days
+               FROM chg)
+        SELECT CAST(revisit_days AS BIGINT) AS revisit_days,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM iv GROUP BY revisit_days ORDER BY revisit_days
+        """,
+    ),
 }

@@ -6761,3 +6761,86 @@ def q_kmv_user_overlap(sf_dir: str, k: int = 128) -> rd.Dataset:
         "approx_intersection": pa.array([inter], pa.int64()),
     })
     return rd.from_arrow(out)
+
+
+# ---- top-N + OTHER share rollup (reporting shape) ----
+def q_brand_share_top_others(sf_dir: str, topn: int = 3) -> rd.Dataset:
+    """Discounted revenue per brand, reported as the top ``topn`` brands
+    plus one aggregated 'OTHER' bucket — the reporting rollup that keeps
+    dashboards O(topn) no matter how wide the dimension.  Plan: the
+    partkey->brand-index dense LUT broadcasts once (O(parts) driver
+    build, the product_type_profit shape), each lineitem batch folds to
+    an O(brands) bincount partial, the driver ranks O(brands) rows and
+    collapses the tail — the fact table is never joined or shuffled."""
+    part = collect_arrow(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
+    # bounded: O(parts) two-column dimension read for the broadcast LUT
+    brands = np.unique(part["p_brand"].to_numpy(zero_copy_only=False))
+    bidx = np.searchsorted(brands, part["p_brand"].to_numpy(zero_copy_only=False))
+    lut = _dense_lut(part["p_partkey"].to_numpy(), bidx.astype(np.int64),
+                     fill=len(brands))
+    lut_ref = ray.put(lut)
+    nb = len(brands)
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        idx = _lut_get(ray.get(lut_ref),
+                       t["l_partkey"].to_numpy(zero_copy_only=False))
+        rev = _disc_rev_cpc(t).to_numpy(zero_copy_only=False)
+        acc = np.bincount(idx, weights=rev.astype(np.float64),
+                          minlength=nb + 1).astype(np.int64)
+        # float64 accumulate is exact: per-batch partial sums stay far
+        # below 2^53 (rev < 10^9 cpc, batch < 10^6 rows)
+        return pa.table({"bidx": pa.array(np.arange(nb + 1), pa.int64()),
+                         "cpc": pa.array(acc, pa.int64())})
+
+    pdf = driver_grouped_agg(
+        li.map_batches(fold, batch_format="pyarrow"),
+        ["bidx"], [("cpc", "sum")], ["bidx", "cpc"],
+    )  # bounded: O(brands)
+    acc = np.zeros(nb + 1, np.int64)
+    acc[pdf["bidx"].to_numpy()] = pdf["cpc"].to_numpy()
+    order = np.lexsort((brands, -acc[:nb]))
+    top = order[:topn]
+    names = list(brands[top]) + (["OTHER"] if nb > topn else [])
+    cpcs = list(acc[top]) + ([int(acc[:nb].sum() - acc[top].sum())]
+                             if nb > topn else [])
+    srt = np.argsort(np.array(names, dtype=object))
+    return rd.from_arrow(pa.table({
+        "brand": pa.array(np.array(names, dtype=object)[srt], pa.string()),
+        "revenue_cpc": pa.array(np.array(cpcs, np.int64)[srt], pa.int64()),
+    }))
+
+
+# ---- adaptive recrawl scheduling (Cho & Garcia-Molina-style policy) ----
+def q_recrawl_intervals(sf_dir: str) -> rd.Dataset:
+    """Per-document revisit-interval assignment from simulated change
+    observations — the adaptive-recrawl policy step (Cho &
+    Garcia-Molina's incremental-crawler estimator family, with the
+    rational changes-per-observation surrogate instead of the Poisson
+    MLE so the whole policy is exact integer arithmetic).  Seven
+    deterministic observations per doc (change iff mix32(doc_id*8+i) %
+    4 == 0 — reproduced verbatim by the SQL oracle), interval =
+    30 days if never changed else clamp(7 // changes, 1, 30).  Pure
+    map + O(intervals) histogram partials: scheduling 10^10 URLs never
+    shuffles — exactly the shape the crawl driver's revisit module
+    consumes."""
+    from monocator_ray.pipelines.docs import _mix32
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def fold(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        obs = ids[:, None] * 8 + np.arange(1, 8)
+        chg = (_mix32(obs.ravel()).reshape(-1, 7) % 4 == 0).sum(axis=1)
+        iv = np.where(chg == 0, 30, np.clip(7 // np.maximum(chg, 1), 1, 30))
+        vals, counts = np.unique(iv, return_counts=True)
+        return pa.table({"revisit_days": pa.array(vals, pa.int64()),
+                         "n_docs": pa.array(counts.astype(np.int64), pa.int64())})
+
+    pdf = driver_grouped_agg(
+        ds.map_batches(fold, batch_format="pyarrow"),
+        ["revisit_days"], [("n_docs", "sum")], ["revisit_days", "n_docs"],
+    )  # bounded: O(distinct intervals) <= 31 rows
+    pdf = pdf.sort_values("revisit_days").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
