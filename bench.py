@@ -269,6 +269,8 @@ BENCH_QUERIES = [
     "degree_histogram",
     "brand_share_top_others",
     "recrawl_intervals",
+    "key_skew_stats",
+    "range_partition_bounds",
 ]
 
 

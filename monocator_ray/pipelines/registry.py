@@ -3636,4 +3636,33 @@ REGISTRY: dict = {
         FROM iv GROUP BY revisit_days ORDER BY revisit_days
         """,
     ),
+    # join-planner skew profile: exact permille shares of a Zipf-ish key
+    "key_skew_stats": (
+        R.q_key_skew_stats,
+        """
+        WITH c AS (SELECT l_partkey AS k, COUNT(*) AS n
+                   FROM lineitem GROUP BY l_partkey),
+        t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+                     CAST(SUM(n) AS BIGINT) AS total,
+                     CAST(MAX(n) AS BIGINT) AS max_n FROM c),
+        top AS (SELECT CAST(SUM(n) AS BIGINT) AS top10_n FROM
+                  (SELECT n FROM c ORDER BY n DESC, k LIMIT 10))
+        SELECT n_keys, total AS total_rows, max_n,
+               CAST(top10_n * 1000 // total AS BIGINT) AS top10_share_permille,
+               CAST(max_n * n_keys * 1000 // total AS BIGINT) AS skew_factor_permille
+        FROM t, top
+        """,
+    ),
+    # equi-depth range-partition planning: discrete quantile split bounds
+    "range_partition_bounds": (
+        R.q_range_partition_bounds,
+        """
+        WITH v AS (SELECT CAST(ROUND(l_extendedprice*100) AS BIGINT) AS c
+                   FROM lineitem),
+        q AS (SELECT quantile_disc(c, [0.125, 0.25, 0.375, 0.5,
+                                       0.625, 0.75, 0.875]) AS qs FROM v)
+        SELECT UNNEST(generate_series(1, 7)) AS bucket,
+               UNNEST(qs) AS bound_cents FROM q
+        """,
+    ),
 }

@@ -6844,3 +6844,78 @@ def q_recrawl_intervals(sf_dir: str) -> rd.Dataset:
     )  # bounded: O(distinct intervals) <= 31 rows
     pdf = pdf.sort_values("revisit_days").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- join-planner skew profile of a key column ----
+def q_key_skew_stats(sf_dir: str) -> rd.Dataset:
+    """Skew profile of the lineitem partkey distribution — the statistic
+    a join planner reads before choosing broadcast vs shuffle vs salted
+    execution (the crawl driver's hot-bucket salting consumes exactly
+    this shape at 10^10-URL scale).  One partitioned count-per-key
+    aggregate, then per-partition O(1)+top-10 partials (count, total,
+    max, local top-10 by (n desc, key asc)) and an O(parts x 10) driver
+    merge; outputs exact integer permille shares so the DuckDB oracle
+    hash-matches."""
+    per_key = partitioned_aggregate(
+        _read(sf_dir, "lineitem", ["l_partkey"]),
+        ["l_partkey"], [("l_partkey", "count")], ["l_partkey", "n"],
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False)
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:10]
+        return pa.table({
+            "n_keys": pa.array([len(n)], pa.int64()),
+            "total": pa.array([int(n.sum())], pa.int64()),
+            "max_n": pa.array([int(n.max()) if len(n) else 0], pa.int64()),
+            "top_n": pa.array([n[order].astype(np.int64).tolist()],
+                              pa.list_(pa.int64())),
+            "top_k": pa.array([k[order].astype(np.int64).tolist()],
+                              pa.list_(pa.int64())),
+        })
+
+    parts = collect_arrow(per_key.map_batches(fold, batch_format="pyarrow"))
+    # bounded: O(partitions) rows of 3 ints + 10-element lists
+    n_keys = int(pc.sum(parts["n_keys"]).as_py())
+    total = int(pc.sum(parts["total"]).as_py())
+    max_n = int(pc.max(parts["max_n"]).as_py()) if parts.num_rows else 0
+    cand_n = np.concatenate([np.asarray(x, np.int64)
+                             for x in parts["top_n"].to_pylist()])
+    cand_k = np.concatenate([np.asarray(x, np.int64)
+                             for x in parts["top_k"].to_pylist()])
+    order = np.lexsort((cand_k, -cand_n))[:10]
+    top10 = int(cand_n[order].sum())
+    out = pa.table({
+        "n_keys": pa.array([n_keys], pa.int64()),
+        "total_rows": pa.array([total], pa.int64()),
+        "max_n": pa.array([max_n], pa.int64()),
+        "top10_share_permille": pa.array(
+            [top10 * 1000 // total if total else 0], pa.int64()),
+        "skew_factor_permille": pa.array(
+            [max_n * n_keys * 1000 // total if total else 0], pa.int64()),
+    })
+    return rd.from_arrow(out)
+
+
+# ---- equi-depth range-partition bounds (partition planning) ----
+def q_range_partition_bounds(sf_dir: str, buckets: int = 8) -> rd.Dataset:
+    """Equi-depth split bounds over lineitem price cents — the planning
+    step a range partitioner (sources/clustered.py's sorted sink) runs
+    before writing key-range shards: bound i = the i/buckets discrete
+    quantile (quantile_disc convention, rank ceil(q*n)-1).  Uses the
+    shared two-pass histogram selection (_exact_quantiles_disc): three
+    O(1)-state streaming scans, NO global sort — the 100-TB-safe way to
+    compute split points."""
+
+    def shape(t: pa.Table) -> pa.Table:
+        return pa.table({"c": _cents(t["l_extendedprice"])})
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"]).map_batches(
+        shape, batch_format="pyarrow")
+    qs = [i / buckets for i in range(1, buckets)]
+    vals = _exact_quantiles_disc(ds, "c", qs=qs)
+    return rd.from_arrow(pa.table({
+        "bucket": pa.array(range(1, buckets), pa.int64()),
+        "bound_cents": pa.array([int(v) for v in vals], pa.int64()),
+    }))
