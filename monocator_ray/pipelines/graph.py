@@ -1228,7 +1228,11 @@ def q_degree_histogram(sf_dir: str) -> pa.Table:
     dedup shuffles; the histogram itself is O(log max_deg) rows."""
     ensure_shipped()
     degs = _edge_degrees(_copurchase_edges(sf_dir))  # bounded: O(nodes)
-    bins = np.array([int(d).bit_length() - 1 for d in degs["deg"]], np.int64)
+    # vectorized exact floor(log2): int64 -> float64 is exact below 2^53
+    # (degrees are bounded by node count), and frexp's exponent is then
+    # the bit length — no per-node Python loop, no float-log rounding
+    deg = degs["deg"].to_numpy().astype(np.int64)
+    bins = (np.frexp(deg.astype(np.float64))[1] - 1).astype(np.int64)
     vals, counts = np.unique(bins, return_counts=True)
     return pa.table({
         "log2_deg": pa.array(vals, pa.int64()),

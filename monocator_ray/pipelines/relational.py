@@ -6646,6 +6646,8 @@ def q_priority_order_check(sf_dir: str, late_days: int = 90) -> rd.Dataset:
     )  # bounded: O(priorities)
     pr = pr.sort_values("o_orderpriority").reset_index(drop=True)
     prios = pr["o_orderpriority"].to_numpy()
+    # the 3-bit pack below (days*8 + idx, pair & 7) requires it
+    assert len(prios) <= 8, f"priority pack needs <= 8 classes, got {len(prios)}"
 
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
@@ -6787,24 +6789,33 @@ def q_brand_share_top_others(sf_dir: str, topn: int = 3) -> rd.Dataset:
         idx = _lut_get(ray.get(lut_ref),
                        t["l_partkey"].to_numpy(zero_copy_only=False))
         rev = _disc_rev_cpc(t).to_numpy(zero_copy_only=False)
-        acc = np.bincount(idx, weights=rev.astype(np.float64),
-                          minlength=nb + 1).astype(np.int64)
-        # float64 accumulate is exact: per-batch partial sums stay far
-        # below 2^53 (rev < 10^9 cpc, batch < 10^6 rows)
+        # int64 scatter-add: exact at ANY batch size (a float64 bincount
+        # would silently round past 2^53 on a large enough block)
+        acc = np.zeros(nb + 1, np.int64)
+        np.add.at(acc, idx, rev)
+        cnt = np.bincount(idx, minlength=nb + 1).astype(np.int64)
         return pa.table({"bidx": pa.array(np.arange(nb + 1), pa.int64()),
-                         "cpc": pa.array(acc, pa.int64())})
+                         "cpc": pa.array(acc, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
 
     pdf = driver_grouped_agg(
         li.map_batches(fold, batch_format="pyarrow"),
-        ["bidx"], [("cpc", "sum")], ["bidx", "cpc"],
+        ["bidx"], [("cpc", "sum"), ("cnt", "sum")], ["bidx", "cpc", "cnt"],
     )  # bounded: O(brands)
     acc = np.zeros(nb + 1, np.int64)
     acc[pdf["bidx"].to_numpy()] = pdf["cpc"].to_numpy()
-    order = np.lexsort((brands, -acc[:nb]))
+    cnt = np.zeros(nb + 1, np.int64)
+    cnt[pdf["bidx"].to_numpy()] = pdf["cnt"].to_numpy()
+    # rank only brands PRESENT in the fact table — the oracle's rev CTE
+    # comes from the join, so unsold brands must not occupy rank slots
+    # or produce a zero-revenue OTHER bucket
+    present = np.flatnonzero(cnt[:nb] > 0)
+    order = present[np.lexsort((brands[present], -acc[present]))]
     top = order[:topn]
-    names = list(brands[top]) + (["OTHER"] if nb > topn else [])
-    cpcs = list(acc[top]) + ([int(acc[:nb].sum() - acc[top].sum())]
-                             if nb > topn else [])
+    n_present = len(present)
+    names = list(brands[top]) + (["OTHER"] if n_present > topn else [])
+    cpcs = list(acc[top]) + ([int(acc[present].sum() - acc[top].sum())]
+                             if n_present > topn else [])
     srt = np.argsort(np.array(names, dtype=object))
     return rd.from_arrow(pa.table({
         "brand": pa.array(np.array(names, dtype=object)[srt], pa.string()),
@@ -6877,13 +6888,15 @@ def q_key_skew_stats(sf_dir: str) -> rd.Dataset:
 
     parts = collect_arrow(per_key.map_batches(fold, batch_format="pyarrow"))
     # bounded: O(partitions) rows of 3 ints + 10-element lists
-    n_keys = int(pc.sum(parts["n_keys"]).as_py())
-    total = int(pc.sum(parts["total"]).as_py())
+    n_keys = int(pc.sum(parts["n_keys"]).as_py()) if parts.num_rows else 0
+    total = int(pc.sum(parts["total"]).as_py()) if parts.num_rows else 0
     max_n = int(pc.max(parts["max_n"]).as_py()) if parts.num_rows else 0
     cand_n = np.concatenate([np.asarray(x, np.int64)
-                             for x in parts["top_n"].to_pylist()])
+                             for x in parts["top_n"].to_pylist()]
+                            or [np.empty(0, np.int64)])
     cand_k = np.concatenate([np.asarray(x, np.int64)
-                             for x in parts["top_k"].to_pylist()])
+                             for x in parts["top_k"].to_pylist()]
+                            or [np.empty(0, np.int64)])
     order = np.lexsort((cand_k, -cand_n))[:10]
     top10 = int(cand_n[order].sum())
     out = pa.table({
