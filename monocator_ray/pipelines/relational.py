@@ -6689,11 +6689,12 @@ def q_priority_order_check(sf_dir: str, late_days: int = 90) -> rd.Dataset:
         return pa.table({"prio_idx": pa.array(np.arange(8), pa.int64()),
                          "n_late": pa.array(n, pa.int64())})
 
+    # bounded: O(num_parts x priorities) partial count rows
     parts = collect_arrow(hash_partitioned(
         j.map_batches(late_pairs, batch_format="pyarrow"),
         lambda t: [t["pair"].to_numpy(zero_copy_only=False).astype(np.uint64)],
         fold_part, num_parts=32,
-    ))  # bounded: O(num_parts x priorities) partial count rows
+    ))
     n_late = np.zeros(8, np.int64)
     np.add.at(n_late, parts["prio_idx"].to_numpy(), parts["n_late"].to_numpy())
     out = pa.table({
@@ -6739,8 +6740,8 @@ def q_kmv_user_overlap(sf_dir: str, k: int = 128) -> rd.Dataset:
                          "h32": pa.array(np.concatenate(hs) if hs else
                                          np.array([], np.int64), pa.int64())})
 
-    parts = collect_arrow(ds.map_batches(sketch, batch_format="pyarrow"))
     # bounded: O(blocks x 2k) int64 hash values
+    parts = collect_arrow(ds.map_batches(sketch, batch_format="pyarrow"))
     coh = parts["cohort"].to_numpy(zero_copy_only=False)
     h32 = parts["h32"].to_numpy(zero_copy_only=False)
     s_a = np.unique(h32[coh == "a"])[:k]
@@ -6774,8 +6775,8 @@ def q_brand_share_top_others(sf_dir: str, topn: int = 3) -> rd.Dataset:
     build, the product_type_profit shape), each lineitem batch folds to
     an O(brands) bincount partial, the driver ranks O(brands) rows and
     collapses the tail — the fact table is never joined or shuffled."""
-    part = collect_arrow(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
     # bounded: O(parts) two-column dimension read for the broadcast LUT
+    part = collect_arrow(_read(sf_dir, "part", ["p_partkey", "p_brand"]))
     brands = np.unique(part["p_brand"].to_numpy(zero_copy_only=False))
     bidx = np.searchsorted(brands, part["p_brand"].to_numpy(zero_copy_only=False))
     lut = _dense_lut(part["p_partkey"].to_numpy(), bidx.astype(np.int64),
@@ -6886,8 +6887,8 @@ def q_key_skew_stats(sf_dir: str) -> rd.Dataset:
                               pa.list_(pa.int64())),
         })
 
-    parts = collect_arrow(per_key.map_batches(fold, batch_format="pyarrow"))
     # bounded: O(partitions) rows of 3 ints + 10-element lists
+    parts = collect_arrow(per_key.map_batches(fold, batch_format="pyarrow"))
     n_keys = int(pc.sum(parts["n_keys"]).as_py()) if parts.num_rows else 0
     total = int(pc.sum(parts["total"]).as_py()) if parts.num_rows else 0
     max_n = int(pc.max(parts["max_n"]).as_py()) if parts.num_rows else 0
