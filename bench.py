@@ -271,6 +271,7 @@ BENCH_QUERIES = [
     "recrawl_intervals",
     "key_skew_stats",
     "range_partition_bounds",
+    "nation_orders_salted",
 ]
 
 

@@ -3665,4 +3665,17 @@ REGISTRY: dict = {
                UNNEST(qs) AS bound_cents FROM q
         """,
     ),
+    # skew-salted fact-dim join: identical result to the plain join (the
+    # oracle), hot keys scattered across salt sub-partitions for placement
+    "nation_orders_salted": (
+        R.q_nation_orders_salted,
+        """
+        SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+    ),
 }

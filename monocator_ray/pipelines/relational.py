@@ -6933,3 +6933,48 @@ def q_range_partition_bounds(sf_dir: str, buckets: int = 8) -> rd.Dataset:
         "bucket": pa.array(range(1, buckets), pa.int64()),
         "bound_cents": pa.array([int(v) for v in vals], pa.int64()),
     }))
+
+
+# ---- skew-salted fact-dim join (stages/joins.salted_equi_join) ----
+def q_nation_orders_salted(sf_dir: str) -> rd.Dataset:
+    """Per-nation order count and revenue computed THROUGH the salted
+    equi-join (stages/joins.py): the crawl driver's hot-key salting
+    discipline lifted into the relational layer — hot fact keys scatter
+    across salt sub-partitions, the dimension replicates its hot rows per
+    salt, and no partition ever holds more than ~1/factor of a Zipf-head
+    key's rows.  Result is IDENTICAL to a plain join (the oracle is the
+    plain SQL join); the salted plan is the 100-TB placement.  The join
+    output folds to O(nations) partials per batch before the driver."""
+    from monocator_ray.stages.joins import salted_equi_join
+
+    def shape_fact(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": t["o_custkey"],
+                         "cents": _cents(t["o_totalprice"])})
+
+    def shape_dim(t: pa.Table) -> pa.Table:
+        return pa.table({"custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "c_nationkey": pc.cast(t["c_nationkey"], pa.int64())})
+
+    fact = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        shape_fact, batch_format="pyarrow")
+    dim = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        shape_dim, batch_format="pyarrow")
+    j = salted_equi_join(
+        fact, dim, key="custkey",
+        fact_cols={"cents": pa.int64()},
+        dim_cols={"c_nationkey": pa.int64()},
+        salt_factor=8, num_parts=_join_parts(sf_dir, "orders", "customer"),
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = t.group_by("c_nationkey").aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "n_orders", "revenue_cents"])
+
+    pdf = driver_grouped_agg(
+        j.map_batches(fold, batch_format="pyarrow"),
+        ["c_nationkey"], [("n_orders", "sum"), ("revenue_cents", "sum")],
+        ["c_nationkey", "n_orders", "revenue_cents"],
+    )  # bounded: O(nations)
+    pdf = pdf.sort_values("c_nationkey").reset_index(drop=True)
+    return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))

@@ -42,7 +42,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from monocator_ray.stages.grouped import hash_partitioned
+from monocator_ray.stages.grouped import collect_arrow, hash_partitioned
 
 
 def _as_i64(col: pa.ChunkedArray) -> np.ndarray:
@@ -226,5 +226,127 @@ def range_join_count(
         merged,
         lambda t: [t[key].to_numpy(zero_copy_only=False).astype(np.uint64)],
         count_part,
+        num_parts=num_parts,
+    )
+
+
+def salted_equi_join(
+    fact: rd.Dataset,
+    dim: rd.Dataset,
+    key: str,
+    fact_cols: dict[str, pa.DataType],
+    dim_cols: dict[str, pa.DataType],
+    salt_factor: int = 8,
+    num_parts: int = 64,
+    hot_keys=None,
+) -> rd.Dataset:
+    """Inner equi-join of a FACT dataset against a UNIQUE-KEY dimension
+    with explicit HOT-KEY SALTING — the skew defense the crawl driver's
+    fetch dispatch uses, lifted into the relational layer.  A plain hash
+    partition lands every row of a Zipf-head key in ONE partition (that is
+    its correctness contract); here hot fact rows scatter across
+    ``salt_factor`` sub-partitions (salt = row position % factor — salt
+    values never affect the RESULT, only placement) and the dim side
+    replicates its hot-key rows once per salt, so the join key becomes
+    ``(key, salt)`` and no partition exceeds ~1/factor of the hot key's
+    rows.  Non-hot keys pay nothing (salt 0, no replication).
+
+    ``hot_keys``: iterable of hot key values, or None to profile the fact
+    side (per-batch top-16 count partials, driver merge, threshold =
+    rows/num_parts) — approximate membership is fine, it only moves rows
+    between the two placements, both exact.
+
+    Contract: integer ``key``; ``dim`` has at most ONE row per key (a
+    dimension table); inner join; output columns = fact_cols + dim_cols.
+    One shuffle; partition memory bounded by num_parts sizing as on
+    ``hash_partitioned``."""
+    if hot_keys is None:
+        def prof(t: pa.Table) -> pa.Table:
+            k = t[key].to_numpy(zero_copy_only=False)
+            vals, counts = np.unique(k, return_counts=True)
+            top = np.argsort(-counts, kind="stable")[:16]
+            return pa.table({"k": pa.array(vals[top].astype(np.int64)),
+                             "n": pa.array(counts[top].astype(np.int64))})
+
+        # bounded: O(blocks x 16) candidate partials
+        parts = collect_arrow(fact.map_batches(prof, batch_format="pyarrow"))
+        if parts.num_rows:
+            kk = parts["k"].to_numpy()
+            nn = parts["n"].to_numpy()
+            uk, inv = np.unique(kk, return_inverse=True)
+            agg = np.zeros(len(uk), np.int64)
+            np.add.at(agg, inv, nn)
+            # observed-count threshold (an undercount of the true total is
+            # fine: hot-set membership only moves rows between the two
+            # placements, both exact)
+            thresh = max(1, int(nn.sum()) // num_parts)
+            hot_keys = uk[agg > thresh]
+        else:
+            hot_keys = np.empty(0, np.int64)
+    hot = np.sort(np.asarray(list(hot_keys), dtype=np.int64))
+
+    out_schema = pa.schema(
+        [("_key", pa.int64()), ("_salt", pa.int64()), ("_side", pa.int64())]
+        + [(c, t) for c, t in fact_cols.items()]
+        + [(c, t) for c, t in dim_cols.items()])
+
+    def tag_fact(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(k, hot)
+        salt = np.where(is_hot, np.arange(len(k), dtype=np.int64) % salt_factor, 0)
+        cols = [pa.array(k), pa.array(salt),
+                pa.array(np.ones(len(k), np.int64))]
+        cols += [t[c].cast(typ) for c, typ in fact_cols.items()]
+        cols += [_null_col(len(k), typ) for typ in dim_cols.values()]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    def tag_dim(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hot = np.isin(k, hot)
+        reps = np.where(is_hot, salt_factor, 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(k)), reps)
+        # salt sequence 0..reps-1 within each replicated run
+        starts = np.cumsum(reps) - reps
+        salt = np.arange(len(idx), dtype=np.int64) - np.repeat(starts, reps)
+        cols = [pa.array(k[idx]), pa.array(salt),
+                pa.array(np.zeros(len(idx), np.int64))]
+        cols += [_null_col(len(idx), typ) for typ in fact_cols.values()]
+        cols += [t[c].take(pa.array(idx)).cast(typ)
+                 for c, typ in dim_cols.items()]
+        return pa.Table.from_arrays(cols, schema=out_schema)
+
+    union = fact.map_batches(tag_fact, batch_format="pyarrow").union(
+        dim.map_batches(tag_dim, batch_format="pyarrow"))
+
+    final_schema = pa.schema([(c, t) for c, t in fact_cols.items()]
+                             + [(c, t) for c, t in dim_cols.items()])
+
+    def kern(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return final_schema.empty_table()
+        side = t["_side"].to_numpy(zero_copy_only=False)
+        k = t["_key"].to_numpy(zero_copy_only=False)
+        dmask = side == 0
+        dk = k[dmask]
+        order = np.argsort(dk, kind="stable")
+        dks = dk[order]
+        fmask = ~dmask
+        fk = k[fmask]
+        if len(dks) == 0 or len(fk) == 0:
+            return final_schema.empty_table()
+        pos = np.minimum(np.searchsorted(dks, fk), len(dks) - 1)
+        match = dks[pos] == fk
+        frows = np.flatnonzero(fmask)[match]
+        drows = np.flatnonzero(dmask)[order][pos[match]]
+        cols = [t[c].take(pa.array(frows)) for c in fact_cols]
+        cols += [t[c].take(pa.array(drows)) for c in dim_cols]
+        return pa.Table.from_arrays(cols, schema=final_schema)
+
+    return hash_partitioned(
+        union,
+        lambda t: [(t["_key"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                    * np.uint64(salt_factor)
+                    + t["_salt"].to_numpy(zero_copy_only=False).astype(np.uint64))],
+        kern,
         num_parts=num_parts,
     )

@@ -155,3 +155,71 @@ def test_full_outer_coverage_empty_side(tmp_path):
     assert len(df) == 5
     assert (df["n_purchases"] == 0).all()
     assert (df["n_clicks"] == 10).all()
+
+
+# ---- salted equi-join (skew defense) ----
+def _salted_ref(fact_pdf, dim_pdf):
+    import pandas as pd
+
+    return (fact_pdf.merge(dim_pdf, on="k", how="inner")
+            .sort_values(["v", "d"]).reset_index(drop=True))
+
+
+def test_salted_equi_join_planted_skew_matches_plain(ray_session):
+    """90% of fact rows share ONE Zipf-head key; the salted plan must
+    produce exactly the plain inner-join multiset, with auto-profiled AND
+    explicit hot sets, at several salt factors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.stages.joins import salted_equi_join
+
+    rng = np.random.default_rng(7)
+    n = 20000
+    k = np.where(rng.random(n) < 0.9, 7, rng.integers(0, 100, n)).astype(np.int64)
+    v = np.arange(n, dtype=np.int64)
+    fact = pd.DataFrame({"k": k, "v": v})
+    # dim covers 80 of the 100 keys (some fact rows must drop)
+    dk = np.arange(0, 80, dtype=np.int64)
+    dim = pd.DataFrame({"k": dk, "d": dk * 10})
+    want = _salted_ref(fact, dim)
+
+    fact_ds = rd.from_arrow(pa.Table.from_pandas(fact)).repartition(8)
+    dim_ds = rd.from_arrow(pa.Table.from_pandas(dim))
+    for hot in (None, [7], []):
+        for factor in (1, 4):
+            got = (salted_equi_join(
+                fact_ds, dim_ds, key="k",
+                fact_cols={"v": pa.int64()}, dim_cols={"d": pa.int64()},
+                salt_factor=factor, num_parts=16, hot_keys=hot)
+                .to_pandas().sort_values(["v", "d"]).reset_index(drop=True))
+            pd.testing.assert_frame_equal(got[["v", "d"]], want[["v", "d"]],
+                                          check_dtype=False), (hot, factor)
+
+
+def test_salted_equi_join_spreads_hot_key(ray_session):
+    """With an explicit hot key and factor F, the hot key's fact rows
+    carry F distinct salt values (placement actually spreads)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from monocator_ray.stages.joins import salted_equi_join
+
+    n = 4096
+    fact = pd.DataFrame({"k": np.full(n, 7, np.int64),
+                         "v": np.arange(n, dtype=np.int64)})
+    dim = pd.DataFrame({"k": np.array([7], np.int64),
+                        "d": np.array([70], np.int64)})
+    got = salted_equi_join(
+        rd.from_arrow(pa.Table.from_pandas(fact)).repartition(4),
+        rd.from_arrow(pa.Table.from_pandas(dim)),
+        key="k", fact_cols={"v": pa.int64()}, dim_cols={"d": pa.int64()},
+        salt_factor=4, num_parts=16, hot_keys=[7]).to_pandas()
+    # every fact row joined (dim replicated into every salt partition)
+    assert len(got) == n and set(got["d"]) == {70}
