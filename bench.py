@@ -313,6 +313,7 @@ def run_crawl(num_cpus: int, async_rounds: int = 0) -> dict:
         fetch_concurrency=int(os.environ.get("BENCH_FETCH_C", 0)) or max(2, num_cpus // 4),
         extract_concurrency=int(os.environ.get("BENCH_EXTRACT_C", 0)) or max(2, num_cpus // 2),
         fetch_batch_size=int(os.environ.get("BENCH_FETCH_BS", "2048")),
+        rg_cache_mb=int(os.environ.get("BENCH_RG_CACHE_MB", "1536")),
         extract_batch_size=512,
         checkpoint_every=4,
         with_vat=True,

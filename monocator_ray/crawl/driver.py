@@ -66,6 +66,10 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     extract_concurrency: int = 4
     fetch_batch_size: int = 1024
+    # per-fetcher decoded-row-group LRU budget (MB): the knob the 16x
+    # lineage decomposition names — fetch busy-cost grows 2.5x when the
+    # decoded working set outgrows fetchers x this budget (BASELINE r5)
+    rg_cache_mb: int = 1536
     extract_batch_size: int = 512
     checkpoint_every: int = 1
     # checkpoints per FULL state snapshot: the first checkpoint of a chain
@@ -423,6 +427,7 @@ class CrawlDriver:
                 blacklist=cfg.blacklist,
                 robots_rules=self.robots,
                 shards=self.shards,
+                rg_cache_mb=cfg.rg_cache_mb,
             )
             # fetchers are mostly cache hits after warmup: half a CPU each
             Fetcher = ray.remote(num_cpus=fetch_cpu)(EpochWorker)

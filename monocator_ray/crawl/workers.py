@@ -54,8 +54,10 @@ class EpochWorker:
         max_cached_buckets: int = 16,
         shards: list | None = None,
         async_writes: bool = True,
+        rg_cache_mb: int = 1536,
     ):
-        self.fetch = SyntheticFetcher(pages_dir, num_buckets, max_cached_buckets)
+        self.fetch = SyntheticFetcher(pages_dir, num_buckets, max_cached_buckets,
+                                      rg_cache_bytes=rg_cache_mb << 20)
         self.extract = ExtractStage(link_cap, with_vat)
         self.link_filter = LinkFilter(max_depth, blacklist, robots_rules)
         self.shards = shards or []
