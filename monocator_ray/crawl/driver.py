@@ -66,9 +66,12 @@ class CrawlConfig:
     fetch_concurrency: int = 4
     extract_concurrency: int = 4
     fetch_batch_size: int = 1024
-    # per-fetcher decoded-row-group LRU budget (MB): the knob the 16x
-    # lineage decomposition names — fetch busy-cost grows 2.5x when the
-    # decoded working set outgrows fetchers x this budget (BASELINE r5)
+    # per-WORKER decoded-row-group LRU budget (MB).  Sizing rule: in async
+    # mode every worker fetches, so the aggregate is workers x this value —
+    # keep it under (RAM - object store) or the OOM killer takes a worker
+    # (measured at 4096 MB x 23 workers, BASELINE r5).  Raising it past the
+    # default did NOT reduce the 16x fetch-cost growth (two null
+    # experiments recorded there) — tune only with lineage evidence.
     rg_cache_mb: int = 1536
     extract_batch_size: int = 512
     checkpoint_every: int = 1
