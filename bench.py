@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "key_skew_stats",
     "range_partition_bounds",
     "nation_orders_salted",
+    "association_rules",
 ]
 
 

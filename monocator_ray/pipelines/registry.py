@@ -3678,4 +3678,36 @@ REGISTRY: dict = {
         GROUP BY c_nationkey ORDER BY c_nationkey
         """,
     ),
+    # market-basket association rules: exact-permille confidence + lift,
+    # composed on the co-occurrence pair plan; deterministic top-50
+    "association_rules": (
+        R.q_association_rules,
+        """
+        WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        nb AS (SELECT COUNT(DISTINCT l_orderkey) AS nn FROM lineitem),
+        item AS (SELECT l_partkey, COUNT(*) AS ni FROM d GROUP BY l_partkey),
+        pairs AS (
+          SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n
+          FROM d a JOIN d b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          GROUP BY p1, p2 HAVING COUNT(*) >= 2),
+        rules AS (
+          SELECT p1 AS antecedent, p2 AS consequent, n,
+                 i1.ni AS na, i2.ni AS nc
+          FROM pairs JOIN item i1 ON p1 = i1.l_partkey
+                     JOIN item i2 ON p2 = i2.l_partkey
+          UNION ALL
+          SELECT p2, p1, n, i2.ni, i1.ni
+          FROM pairs JOIN item i1 ON p1 = i1.l_partkey
+                     JOIN item i2 ON p2 = i2.l_partkey),
+        scored AS (
+          SELECT antecedent, consequent, CAST(n AS BIGINT) AS n_both,
+                 CAST(n * 1000 // na AS BIGINT) AS conf_permille,
+                 CAST(n * (SELECT nn FROM nb) * 1000 // (na * nc) AS BIGINT)
+                   AS lift_permille
+          FROM rules)
+        SELECT * FROM scored
+        ORDER BY conf_permille DESC, antecedent, consequent LIMIT 50
+        """,
+    ),
 }

@@ -6978,3 +6978,93 @@ def q_nation_orders_salted(sf_dir: str) -> rd.Dataset:
     )  # bounded: O(nations)
     pdf = pdf.sort_values("c_nationkey").reset_index(drop=True)
     return rd.from_arrow(pa.Table.from_pandas(pdf, preserve_index=False))
+
+
+# ---- market-basket association rules (support / confidence / lift) ----
+def q_association_rules(sf_dir: str, topn: int = 50) -> rd.Dataset:
+    """Directed association rules antecedent -> consequent over the
+    within-order part baskets, scored with EXACT-permille confidence
+    (1000 * n_both // n_antecedent) and lift (1000 * n_both * n_baskets
+    // (n_a * n_b)) — the step past part_cooccurrence's undirected pair
+    counts, composed ON its support-filtered pair Dataset.  Item basket
+    counts and the basket total come from ONE extra distinct pass
+    (order-hash partitions, so per-partition distinct sums are exact);
+    they broadcast as a dense partkey LUT + a scalar, each scored pair
+    batch emits BOTH rule directions and folds to a local top-``topn``
+    partial under the total order (conf desc, antecedent, consequent),
+    and the driver merges O(blocks x topn) rows.  Nothing beyond
+    part_cooccurrence's two pair shuffles moves."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+    _CNT = pa.schema([("pk", pa.int64()), ("ni", pa.int64()),
+                      ("orders", pa.int64())])
+
+    def item_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _CNT.empty_table()
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        code = ok * np.int64(1 << 21) + pk  # partkey < 2^21 at any tested sf
+        uniq = np.unique(code)
+        upk = uniq & ((1 << 21) - 1)
+        vals, counts = np.unique(upk, return_counts=True)
+        n_orders = len(np.unique(uniq >> 21))
+        orders_col = np.zeros(len(vals), np.int64)
+        if len(orders_col):
+            orders_col[0] = n_orders
+        return pa.table({"pk": pa.array(vals, pa.int64()),
+                         "ni": pa.array(counts.astype(np.int64), pa.int64()),
+                         "orders": pa.array(orders_col, pa.int64())})
+
+    # order-hash partitions co-locate each basket, so per-partition
+    # distinct (order, part) counts and order counts SUM exactly
+    items = driver_grouped_agg(
+        hash_partitioned(
+            ds,
+            lambda t: [t["l_orderkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.uint64)],
+            item_part, num_parts=32,
+        ),
+        ["pk"], [("ni", "sum"), ("orders", "sum")], ["pk", "ni", "orders"],
+    )  # bounded: O(parts) item basket counts
+    n_baskets = int(items["orders"].sum())
+    lut = _dense_lut(items["pk"].to_numpy(np.int64),
+                     items["ni"].to_numpy(np.int64), fill=0)
+    lut_ref = ray.put(lut)
+
+    assert int(items["pk"].max()) < (1 << 21), "partkey exceeds basket pack"
+    pairs = q_part_cooccurrence(sf_dir)
+
+    _RULE = pa.schema([("antecedent", pa.int64()), ("consequent", pa.int64()),
+                       ("n_both", pa.int64()), ("conf_permille", pa.int64()),
+                       ("lift_permille", pa.int64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _RULE.empty_table()
+        p1 = t["p1"].to_numpy(zero_copy_only=False)
+        p2 = t["p2"].to_numpy(zero_copy_only=False)
+        n = t["n"].to_numpy(zero_copy_only=False)
+        l = ray.get(lut_ref)
+        na, nb = _lut_get(l, p1), _lut_get(l, p2)
+        ante = np.concatenate([p1, p2])
+        cons = np.concatenate([p2, p1])
+        both = np.concatenate([n, n])
+        n_ante = np.concatenate([na, nb])
+        n_cons = np.concatenate([nb, na])
+        conf = both * 1000 // n_ante
+        lift = both * n_baskets * 1000 // (n_ante * n_cons)
+        order = np.lexsort((cons, ante, -conf))[:topn]
+        return pa.table({"antecedent": pa.array(ante[order], pa.int64()),
+                         "consequent": pa.array(cons[order], pa.int64()),
+                         "n_both": pa.array(both[order], pa.int64()),
+                         "conf_permille": pa.array(conf[order], pa.int64()),
+                         "lift_permille": pa.array(lift[order], pa.int64())})
+
+    # bounded: O(blocks x topn) rule partials
+    parts = collect_arrow(pairs.map_batches(score, batch_format="pyarrow"))
+    conf = parts["conf_permille"].to_numpy()
+    ante = parts["antecedent"].to_numpy()
+    cons = parts["consequent"].to_numpy()
+    order = np.lexsort((cons, ante, -conf))[:topn]
+    return rd.from_arrow(parts.take(pa.array(order)))
